@@ -1,0 +1,279 @@
+"""Unit tests per sketch kernel — pure numpy, no Ray (SURVEY.md §5.1).
+
+Known-answer tests on tiny inputs, serialization round-trips, and
+parameter-edge tests (sparse→dense HLL promotion boundary, CMS sizing from
+(eps, delta), t-digest weight invariant, KLL level growth).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from verdictray.sketches import (
+    BloomFilter,
+    CountMin,
+    HyperLogLog,
+    KLL,
+    Sketch,
+    TDigest,
+    merge_sketches,
+)
+
+
+def strs(prefix, n):
+    return np.array([f"{prefix}{i}" for i in range(n)], dtype=object)
+
+
+# ------------------------------------------------------------------ HLL
+class TestHLL:
+    def test_exact_small(self):
+        h = HyperLogLog()
+        h.update(strs("x", 10))
+        # sparse + improved estimator is near-exact at tiny cardinality
+        assert abs(h.estimate() - 10) < 1.0
+        assert h.is_sparse
+
+    def test_duplicates_ignored(self):
+        h = HyperLogLog()
+        for _ in range(5):
+            h.update(strs("d", 100))
+        assert abs(h.estimate() - 100) / 100 < 0.05
+
+    def test_within_bound_medium(self):
+        h = HyperLogLog()
+        n = 200_000
+        h.update(strs("m", n))
+        rel = abs(h.estimate() - n) / n
+        assert rel <= 3 * h.error_bound(), rel
+        assert not h.is_sparse
+
+    def test_sparse_dense_promotion_boundary(self):
+        h = HyperLogLog(p=10)  # m=1024, promote at >256 entries
+        h.update(strs("a", 200))
+        assert h.is_sparse
+        est_sparse = h.estimate()
+        h.update(strs("b", 2000))
+        assert not h.is_sparse
+        # estimate remains sane across promotion
+        assert abs(h.estimate() - 2200) / 2200 < 0.15
+        assert est_sparse < h.estimate()
+
+    def test_serde_roundtrip_both_modes(self):
+        hs = HyperLogLog()
+        hs.update(strs("s", 50))
+        rt = Sketch.from_bytes(hs.to_bytes())
+        assert rt.to_bytes() == hs.to_bytes()
+        assert rt.estimate() == hs.estimate()
+
+        hd = HyperLogLog(p=8)
+        hd.update(strs("d", 5000))
+        assert not hd.is_sparse
+        rt = Sketch.from_bytes(hd.to_bytes())
+        assert rt.to_bytes() == hd.to_bytes()
+
+    def test_merge_equals_union(self):
+        a, b = HyperLogLog(), HyperLogLog()
+        a.update(strs("u", 5000))
+        b.update(strs("u", 8000))  # overlap: u0..u4999 shared
+        a.merge(b)
+        assert abs(a.estimate() - 8000) / 8000 < 3 * a.error_bound() + 0.01
+
+    def test_int_and_float_columns(self):
+        h = HyperLogLog()
+        h.update(np.arange(1000, dtype=np.int64))
+        assert abs(h.estimate() - 1000) / 1000 < 0.05
+        h2 = HyperLogLog()
+        h2.update(np.linspace(0, 1, 777))
+        assert abs(h2.estimate() - 777) / 777 < 0.05
+
+    def test_param_mismatch_rejected(self):
+        with pytest.raises(ValueError):
+            HyperLogLog(p=10).merge(HyperLogLog(p=12))
+
+
+# ------------------------------------------------------------------ CMS
+class TestCMS:
+    def test_sizing_from_eps_delta(self):
+        c = CountMin(eps=1e-3, delta=1e-2)
+        assert c.width == math.ceil(math.e / 1e-3) == 2719
+        assert c.depth == math.ceil(math.log(100)) == 5
+
+    def test_overestimate_only(self):
+        c = CountMin()
+        rng = np.random.default_rng(7)
+        items = rng.choice(strs("w", 50), size=20_000)
+        c.update(items)
+        from collections import Counter
+
+        true = Counter(items.tolist())
+        for w, f in true.items():
+            est = c.query_one(w)
+            assert est >= f
+            assert est - f <= c.error_bound()
+
+    def test_absent_item_small(self):
+        c = CountMin()
+        c.update(strs("x", 1000))
+        assert c.query_one("never-seen") <= c.error_bound()
+
+    def test_heavy_hitters(self):
+        c = CountMin(hh_capacity=10)
+        items = np.concatenate(
+            [np.repeat(np.array([f"hot{i}"], dtype=object), 1000 * (5 - i)) for i in range(5)]
+            + [strs("cold", 500)]
+        )
+        rng = np.random.default_rng(3)
+        rng.shuffle(items)
+        for i in range(0, len(items), 2048):
+            c.update(items[i : i + 2048])
+        top = c.top_k(3)
+        assert [t[0] for t in top] == ["hot0", "hot1", "hot2"]
+        assert top[0][1] >= 5000
+
+    def test_serde_and_merge(self):
+        a, b = CountMin(hh_capacity=5), CountMin(hh_capacity=5)
+        a.update(strs("p", 100))
+        b.update(strs("p", 100))
+        a.merge(b)
+        assert a.query_one("p0") >= 2
+        assert a.n == 200
+        rt = Sketch.from_bytes(a.to_bytes())
+        assert rt.query_one("p0") == a.query_one("p0")
+        assert rt.top_k(2) == a.top_k(2)
+
+
+# ------------------------------------------------------------------ Bloom
+class TestBloom:
+    def test_zero_false_negatives(self):
+        b = BloomFilter(capacity=5000, fpp=0.01)
+        items = strs("in", 5000)
+        b.update(items)
+        assert b.contains(items).all()
+
+    def test_fpp_within_2x_target(self):
+        b = BloomFilter(capacity=5000, fpp=0.01)
+        b.update(strs("in", 5000))
+        fpp = b.contains(strs("out", 50_000)).mean()
+        assert fpp <= 0.02, fpp
+
+    def test_empty_filter_rejects_all(self):
+        b = BloomFilter(capacity=100, fpp=0.01)
+        assert not b.contains(strs("z", 100)).any()
+
+    def test_merge_is_union(self):
+        a = BloomFilter(capacity=1000, fpp=0.01)
+        b = BloomFilter(capacity=1000, fpp=0.01)
+        a.update(strs("a", 500))
+        b.update(strs("b", 500))
+        a.merge(b)
+        assert a.contains(strs("a", 500)).all()
+        assert a.contains(strs("b", 500)).all()
+
+    def test_serde(self):
+        b = BloomFilter(capacity=1000, fpp=0.01)
+        b.update(strs("s", 800))
+        rt = Sketch.from_bytes(b.to_bytes())
+        assert rt.to_bytes() == b.to_bytes()
+        assert rt.contains_one("s0") and not rt.contains_one("nope-xyz")
+
+    def test_merge_sketches_blob_api(self):
+        a = BloomFilter(capacity=100, fpp=0.01)
+        b = BloomFilter(capacity=100, fpp=0.01)
+        a.update(strs("m", 50))
+        b.update(strs("n", 50))
+        merged = Sketch.from_bytes(merge_sketches(a.to_bytes(), b.to_bytes()))
+        assert merged.contains_one("m1") and merged.contains_one("n1")
+
+
+# ------------------------------------------------------------------ KLL
+class TestKLL:
+    def test_exact_tiny(self):
+        k = KLL()
+        k.update(np.arange(100, dtype=np.float64))
+        # fewer items than k → no compaction → exact
+        assert k.quantile(0.0) == 0.0
+        assert k.quantile(1.0) == 99.0
+        assert abs(k.quantile(0.5) - 50) <= 1
+
+    def test_rank_error_within_bound(self):
+        rng = np.random.default_rng(11)
+        data = rng.exponential(size=100_000)
+        k = KLL()
+        for i in range(0, len(data), 10_000):
+            k.update(data[i : i + 10_000])
+        for phi in [0.01, 0.25, 0.5, 0.75, 0.99]:
+            est = k.quantile(phi)
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - phi) <= 2 * k.error_bound(), (phi, true_rank)
+
+    def test_level_growth(self):
+        k = KLL(k=64)
+        k.update(np.arange(50_000, dtype=np.float64))
+        assert len(k.compactors) > 3
+        assert k._size() <= k._max_size()
+        assert k.n == 50_000
+
+    def test_nan_skipped(self):
+        k = KLL()
+        k.update(np.array([1.0, np.nan, 3.0]))
+        assert k.n == 2
+
+    def test_serde(self):
+        k = KLL()
+        k.update(np.random.default_rng(5).normal(size=10_000))
+        rt = Sketch.from_bytes(k.to_bytes())
+        assert rt.to_bytes() == k.to_bytes()
+        for phi in [0.1, 0.5, 0.9]:
+            assert rt.quantile(phi) == k.quantile(phi)
+
+
+# ------------------------------------------------------------------ t-digest
+class TestTDigest:
+    def test_exact_extremes(self):
+        t = TDigest()
+        data = np.random.default_rng(9).normal(size=50_000)
+        t.update(data)
+        assert t.quantile(0.0) == data.min()
+        assert t.quantile(1.0) == data.max()
+
+    def test_weight_invariant(self):
+        t = TDigest()
+        t.update(np.arange(25_000, dtype=np.float64))
+        t._flush()
+        assert t.weights.sum() == 25_000 == t.n
+
+    def test_tail_accuracy(self):
+        rng = np.random.default_rng(13)
+        data = rng.lognormal(size=200_000)
+        t = TDigest()
+        for i in range(0, len(data), 20_000):
+            t.update(data[i : i + 20_000])
+        for phi in [0.001, 0.01, 0.99, 0.999]:
+            est = t.quantile(phi)
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - phi) <= 0.005, (phi, true_rank)
+        # mid-range looser envelope
+        for phi in [0.25, 0.5, 0.75]:
+            est = t.quantile(phi)
+            assert abs((data <= est).mean() - phi) <= 0.02
+
+    def test_centroid_count_bounded(self):
+        t = TDigest(compression=100)
+        t.update(np.random.default_rng(1).normal(size=100_000))
+        t._flush()
+        assert len(t.means) <= 110  # ~delta/2 + slack for the k1 ceil-binning
+
+    def test_rank_inverse_of_quantile(self):
+        t = TDigest()
+        data = np.random.default_rng(2).uniform(size=50_000)
+        t.update(data)
+        for phi in [0.1, 0.5, 0.9]:
+            assert abs(t.rank(t.quantile(phi)) - phi) < 0.01
+
+    def test_serde(self):
+        t = TDigest()
+        t.update(np.random.default_rng(4).normal(size=30_000))
+        rt = Sketch.from_bytes(t.to_bytes())
+        assert rt.to_bytes() == t.to_bytes()
+        assert rt.quantile(0.5) == t.quantile(0.5)

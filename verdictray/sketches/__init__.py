@@ -1,0 +1,35 @@
+"""The five mergeable sketch kernels (pure numpy, no Ray).
+
+BASELINE.json north_rule: "HLL, count-min, t-digest, KLL, Bloom … as
+mergeable UDAFs from scratch". Distributed use goes through
+``verdictray.udaf`` — these kernels have no Ray dependency so every
+distributed bug is a plumbing bug, not a math bug (SURVEY.md §7).
+"""
+
+from .base import Sketch, merge_sketches
+from .bloom import BloomFilter
+from .cms import CountMin
+from .hashing import hash64
+from .hll import HyperLogLog
+from .kll import KLL
+from .tdigest import TDigest
+
+SKETCH_TYPES = {
+    "hll": HyperLogLog,
+    "cms": CountMin,
+    "bloom": BloomFilter,
+    "kll": KLL,
+    "tdigest": TDigest,
+}
+
+__all__ = [
+    "Sketch",
+    "HyperLogLog",
+    "CountMin",
+    "BloomFilter",
+    "KLL",
+    "TDigest",
+    "hash64",
+    "merge_sketches",
+    "SKETCH_TYPES",
+]
