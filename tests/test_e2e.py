@@ -1,0 +1,199 @@
+"""End-to-end: Ray pipelines vs DuckDB exact oracles (SURVEY.md §5.3).
+
+Approximate results are asserted WITHIN the algorithm's published bound
+against exact answers — mirroring VerdictDB's relative-error acceptance
+tests. Exact queries are hash-compared by bench/check_oracles.py and the
+driver harness; here we cover the sketch paths, the sha256 invariant, and
+the salted two-stage merge equivalence.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    from verdictray.corpus import generate_corpus
+
+    return generate_corpus("/tmp/vr_corpus_test", 20_000, seed=42)
+
+
+@pytest.fixture(scope="module")
+def corpus_exact(corpus):
+    return duckdb.sql(
+        f"""select lang, count(distinct sha256(content)) nd, count(*) n,
+            quantile_cont(strlen(content), 0.5) q50
+            from '{corpus}/*.parquet' group by 1"""
+    ).df().set_index("lang")
+
+
+class TestCorpusPipeline:
+    @pytest.fixture(scope="class")
+    def merged(self, ray_session, corpus):
+        from verdictray.pipeline import SketchJobSpec, build_sketches
+
+        spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=8,
+                             bloom_capacity=50_000)
+        return spec, build_sketches(spec).to_pandas()
+
+    def test_hll_within_bound_per_lang(self, merged, corpus_exact):
+        from verdictray.sketches import Sketch
+
+        spec, df = merged
+        assert len(df) == len(corpus_exact)
+        for _, row in df.iterrows():
+            hll = Sketch.from_bytes(row["hll_blob"])
+            exact = corpus_exact.loc[row["lang"], "nd"]
+            rel = abs(hll.estimate() - exact) / max(exact, 1)
+            assert rel <= 3 * hll.error_bound(), (row["lang"], rel)
+
+    def test_cms_total_counts_exact_n(self, merged, corpus_exact):
+        from verdictray.sketches import Sketch
+
+        _, df = merged
+        for _, row in df.iterrows():
+            cms = Sketch.from_bytes(row["cms_blob"])
+            assert cms.n == corpus_exact.loc[row["lang"], "n"]
+
+    def test_quantiles_within_rank_bound(self, merged, corpus):
+        """KLL: |true_rank(q̂(φ)) − φ| ≤ 2ε — checked against the raw data."""
+        from verdictray.sketches import Sketch
+
+        _, df = merged
+        lens = duckdb.sql(
+            f"select lang, strlen(content) + 0 as nb from '{corpus}/*.parquet'"
+        ).df()
+        # n_bytes == strlen for ascii-only generated content
+        for _, row in df.iterrows():
+            vals = lens[lens.lang == row["lang"]]["nb"].to_numpy()
+            kll = Sketch.from_bytes(row["kll_blob"])
+            td = Sketch.from_bytes(row["tdigest_blob"])
+            for phi in (0.25, 0.5, 0.75):
+                for sk, tol in ((kll, 2 * kll.error_bound()), (td, 0.02)):
+                    est = sk.quantile(phi)
+                    true_rank = (vals <= est).mean()
+                    assert abs(true_rank - phi) <= tol, (row["lang"], phi, true_rank)
+
+    def test_bloom_no_false_negatives(self, merged, corpus):
+        from verdictray.sketches import Sketch
+
+        _, df = merged
+        shas = duckdb.sql(
+            f"select lang, sha256(content) s from '{corpus}/*.parquet'"
+        ).df()
+        row = df[df.lang == "python"].iloc[0]
+        bloom = Sketch.from_bytes(row["bloom_blob"])
+        members = shas[shas.lang == "python"]["s"].to_numpy(dtype=object)
+        assert bloom.contains(members).all()
+        absent = np.array([f"{'0'*40}deadbeef{i:016x}" for i in range(20_000)], dtype=object)
+        assert bloom.contains(absent).mean() <= 2 * bloom.fpp
+
+    def test_salted_vs_unsalted_byte_identical(self, ray_session, corpus, merged):
+        """Two-stage salted aggregation must produce byte-identical HLL/CMS
+        /Bloom state vs salts=1 — proof it never double-counts (SURVEY.md §7)."""
+        from verdictray.pipeline import SketchJobSpec, build_sketches
+
+        _, salted = merged
+        spec1 = SketchJobSpec(input_path=corpus, group_key="lang", salts=1,
+                              bloom_capacity=50_000)
+        unsalted = build_sketches(spec1).to_pandas()
+        from verdictray.sketches import Sketch
+
+        a = salted.set_index("lang").sort_index()
+        b = unsalted.set_index("lang").sort_index()
+        for lang in a.index:
+            for col in ("hll_blob", "bloom_blob"):
+                assert a.loc[lang, col] == b.loc[lang, col], (lang, col)
+            # CMS counter table is byte-deterministic; the heavy-hitter
+            # candidate set is merge-order-dependent (documented in
+            # tests/test_properties.py) so compare the table, not the blob
+            ca = Sketch.from_bytes(a.loc[lang, "cms_blob"])
+            cb = Sketch.from_bytes(b.loc[lang, "cms_blob"])
+            assert (ca.table == cb.table).all() and ca.n == cb.n, lang
+
+    def test_sha256_invariant_end_to_end(self, ray_session, corpus):
+        import ray.data as rd
+
+        from verdictray import ops
+
+        ds = rd.read_parquet(corpus)
+        ds = ds.map_batches(ops.with_sha256, batch_format="pyarrow", zero_copy_batch=True)
+        out = ds.map_batches(ops.verify_sha256, batch_format="pyarrow", zero_copy_batch=True)
+        assert out.count() == 20_000
+        # and the counting variant reports zero mismatches
+        counts = ds.map_batches(ops.count_sha256_mismatches, batch_format="pyarrow").to_pandas()
+        assert counts["mismatches"].sum() == 0
+
+    def test_store_interactive_queries(self, merged, corpus_exact):
+        from verdictray.query import SketchStore
+
+        _, df = merged
+        store = SketchStore(df, key_col="lang")
+        exact_all = corpus_exact["nd"].sum()  # shas are unique per row mostly; union bound sanity
+        rollup = store.count_distinct_rollup()
+        assert rollup <= exact_all * 1.05
+        assert store.count_distinct("python") > 0
+        hh = store.heavy_hitters("python", k=3)
+        assert len(hh) == 3
+        assert store.quantile("python", 0.5) > 0
+
+
+class TestDriverTables:
+    def test_hll_grouped_within_bound(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.udaf import HllAgg
+
+        ds = rd.read_parquet(f"{sf01_dir}/events.parquet", columns=["event_type", "user_id"])
+        est = ds.groupby("event_type").aggregate(
+            HllAgg(on="user_id", alias_name="nd")
+        ).to_pandas().set_index("event_type")
+        exact = duckdb.sql(
+            f"select event_type, count(distinct user_id) nd from "
+            f"'{sf01_dir}/events.parquet' group by 1"
+        ).df().set_index("event_type")
+        for et in exact.index:
+            rel = abs(est.loc[et, "nd"] - exact.loc[et, "nd"]) / exact.loc[et, "nd"]
+            assert rel <= 3 * 1.04 / np.sqrt(2**14), (et, rel)
+
+    def test_bloom_semi_join_bounds(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.query import semi_join_bloom
+
+        orders = rd.read_parquet(f"{sf01_dir}/orders.parquet", columns=["o_custkey"])
+        cust = rd.read_parquet(f"{sf01_dir}/customer.parquet", columns=["c_custkey"])
+        members = semi_join_bloom(cust, orders, "c_custkey", "o_custkey",
+                                  capacity=100_000, fpp=1e-3, concurrency=2)
+        n_est = members.count()
+        n_exact = duckdb.sql(
+            f"select count(*) from '{sf01_dir}/customer.parquet' c where exists "
+            f"(select 1 from '{sf01_dir}/orders.parquet' o where o.o_custkey = c.c_custkey)"
+        ).fetchone()[0]
+        n_probes = cust.count()
+        assert n_exact <= n_est <= n_exact + max(10, 3 * 1e-3 * n_probes)
+
+    def test_exact_distinct_matches_duckdb(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from verdictray.udaf import ExactDistinct
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+        row = ds.aggregate(ExactDistinct(on="user_id", alias_name="nd"))
+        exact = duckdb.sql(
+            f"select count(distinct user_id) from '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        assert row["nd"] == exact
+
+    def test_entry_smoke(self, ray_session):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as e
+
+        res = e.entry()
+        df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+        assert len(df) >= 0
+        assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,441 @@
+"""The driver-contract query suite: Ray pipelines + matching DuckDB oracles.
+
+Each exact query has an ANSI-SQL oracle with IDENTICAL column names (the
+driver hash-compares values after sorting columns by name). Sketch queries
+are approximate → registered rows-only (no oracle); their error bounds are
+asserted against DuckDB in tests/test_e2e.py instead (SURVEY.md §5.3).
+
+Float policy: aggregate sums/avgs are rounded (2–4 decimals) on BOTH sides
+with half-away-from-zero to make the value-hash robust to summation-order
+ulp differences.
+
+Library rule: nothing here calls ray.init() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from . import ops
+from .corpus import generate_corpus
+from .pipeline import SketchJobSpec, build_sketches, finalize_estimates
+from .udaf import (
+    CmsAgg,
+    ExactDistinct,
+    HllAgg,
+    KllAgg,
+    TDigestAgg,
+)
+from .query import build_bloom
+
+_ROUND = {"round_mode": "half_towards_infinity"}
+
+
+def _round_cols(ndigits: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, nd in ndigits.items():
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                i, col, pc.round(batch[col], ndigits=nd, **_ROUND)
+            )
+        return batch
+
+    return fn
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ===================================================================
+# Exact queries (SQL oracles, hash-matched)
+# ===================================================================
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary — the relational aggregate surface
+    (Sum/Mean/Count, computed-column map, groupby shuffle)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    # money sums accumulate as exact integer cents (per-row rounding is
+    # deterministic; integer sums are order-independent) so the value-hash
+    # matches the oracle bit-for-bit regardless of summation order
+    def derive(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)), **_ROUND), pa.int64()
+        )
+        disc = pc.multiply(
+            pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            pa.scalar(100.0),
+        )
+        b = b.append_column("base_cents", cents)
+        return b.append_column("disc_cents", pc.cast(pc.round(disc, **_ROUND), pa.int64()))
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="base_cents"),
+            Sum("disc_cents", alias_name="disc_cents"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def cents_to_price(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "sum_base_price", pc.divide(pc.cast(b["base_cents"], pa.float64()), pa.scalar(100.0))
+        )
+        b = b.append_column(
+            "sum_disc_price", pc.divide(pc.cast(b["disc_cents"], pa.float64()), pa.scalar(100.0))
+        )
+        return b.drop_columns(["base_cents", "disc_cents"])
+
+    out = out.map_batches(cents_to_price, batch_format="pyarrow")
+    return out.map_batches(
+        _round_cols({"sum_qty": 2, "avg_qty": 4}), batch_format="pyarrow"
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_events_by_type(sf_dir: str):
+    """Exact distinct (set-union UDAF) + count + sum per group."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        ExactDistinct(on="user_id", alias_name="nd_users"),
+        Sum("value", alias_name="sum_value"),
+    )
+    return out.map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS nd_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_orders_by_month(sf_dir: str):
+    """Date truncation (strftime) + groupby — the scalar date surface."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def add_month(b: pa.Table) -> pa.Table:
+        return b.append_column("month", pc.strftime(b["o_orderdate"], format="%Y-%m"))
+
+    out = (
+        ds.map_batches(add_month, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["month", "o_totalprice"])
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Max("o_totalprice", alias_name="max_price"))
+    )
+    return out.map_batches(_round_cols({"max_price": 2}), batch_format="pyarrow")
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_top_users(sf_dir: str):
+    """Top-k by frequency — sort + limit over a grouped count (ties broken
+    on user_id so the row SET is deterministic)."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    return out.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_USERS = """
+SELECT user_id, count(*) AS n_events FROM events
+GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 10
+"""
+
+
+def q_distinct_docs(sf_dir: str):
+    """Global exact aggregates (no grouping) — scalar result path."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "documents", ["text"])
+    row = ds.aggregate(ExactDistinct(on="text", alias_name="n_unique"),
+                       Count(alias_name="n_rows"))
+    return pa.table({"n_unique": [row["n_unique"]], "n_rows": [row["n_rows"]]})
+
+
+SQL_DISTINCT_DOCS = """
+SELECT count(DISTINCT text) AS n_unique, count(*) AS n_rows FROM documents
+"""
+
+
+def q_customer_nations(sf_dir: str):
+    """Broadcast small-side enrichment (dimension lookup, no shuffle join):
+    the 25-row nation table rides into every task as a closure dict."""
+    from ray.data.aggregate import Count, Mean
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    lookup = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def enrich(b: pa.Table) -> pa.Table:
+        names = pa.array([lookup.get(k) for k in b["c_nationkey"].to_pylist()], pa.string())
+        return b.append_column("n_name", names)
+
+    ds = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    out = (
+        ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
+    )
+    return out.map_batches(_round_cols({"avg_acctbal": 4}), batch_format="pyarrow")
+
+
+SQL_CUSTOMER_NATIONS = """
+SELECT n.n_name, count(*) AS n_customers, round(avg(c.c_acctbal), 4) AS avg_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def q_high_value_orders(sf_dir: str):
+    """Predicate filter (vectorized mask in map_batches) + grouped count."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], pa.scalar(150000.0))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+SQL_HIGH_VALUE_ORDERS = """
+SELECT o_orderstatus, count(*) AS n FROM orders
+WHERE o_totalprice > 150000 GROUP BY o_orderstatus
+"""
+
+
+def q_events_props(sf_dir: str):
+    """JSON-string column → typed value → grouped aggregate."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+    ds = ds.map_batches(
+        lambda b: ops.parse_props(b, props_col="props", key="k", out_col="k_val"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["event_type", "k_val"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Mean("k_val", alias_name="avg_k")
+    )
+    return out.map_batches(_round_cols({"avg_k": 4}), batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(props->>'k' AS DOUBLE)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_lineitem_by_year(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+
+    def add_year(b: pa.Table) -> pa.Table:
+        return b.append_column("ship_year", pc.strftime(b["l_shipdate"], format="%Y"))
+
+    out = (
+        ds.map_batches(add_year, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["ship_year", "l_quantity"])
+        .groupby("ship_year")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    )
+    return out.map_batches(_round_cols({"sum_qty": 2}), batch_format="pyarrow")
+
+
+SQL_LINEITEM_BY_YEAR = """
+SELECT strftime(l_shipdate, '%Y') AS ship_year, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_dedup_docs_by_lang(sf_dir: str):
+    """Exact dedup on (lang, text) via hash-partitioned first-row-per-group,
+    then distinct-text counts per lang (SURVEY.md §2.7 exact dedup)."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    deduped = ds.groupby(["lang", "text"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+    return deduped.groupby("lang").aggregate(Count(alias_name="n_unique"))
+
+
+SQL_DEDUP_DOCS = """
+SELECT lang, count(DISTINCT text) AS n_unique FROM documents GROUP BY lang
+"""
+
+
+def q_cms_event_type_counts(sf_dir: str):
+    """CMS point-frequency per event_type. With 5 distinct items in a
+    2719×5 table the collision probability is ~1e-15, so the estimates
+    equal the exact counts and the SQL oracle hash-matches — a sketch
+    query with an exact oracle."""
+    ds = _t(sf_dir, "events", ["event_type"])
+    blob = ds.aggregate(CmsAgg(on="event_type", alias_name="blob", hh_capacity=16))["blob"]
+    from .sketches import Sketch
+
+    cms = Sketch.from_bytes(blob)
+    items = sorted(k for k, _ in cms.top_k(16))
+    return pa.table(
+        {
+            "event_type": pa.array(items, pa.string()),
+            "est_count": pa.array([cms.query_one(i) for i in items], pa.int64()),
+        }
+    )
+
+
+SQL_CMS_EVENT_TYPE = """
+SELECT event_type, count(*) AS est_count FROM events GROUP BY event_type
+"""
+
+
+# ===================================================================
+# Sketch queries (approximate → rows-only driver check; bounds in pytest)
+# ===================================================================
+def q_hll_users_by_type(sf_dir: str):
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    return ds.groupby("event_type").aggregate(
+        HllAgg(on="user_id", alias_name="nd_users_est")
+    )
+
+
+def q_hll_global_users(sf_dir: str):
+    ds = _t(sf_dir, "events", ["user_id"])
+    row = ds.aggregate(HllAgg(on="user_id", alias_name="nd_users_est"))
+    return pa.table({"nd_users_est": [row["nd_users_est"]]})
+
+
+def q_kll_price_quantiles(sf_dir: str):
+    """Per-group KLL quantiles of l_extendedprice (long format)."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = ds.groupby("l_returnflag").aggregate(
+        KllAgg(on="l_extendedprice", alias_name="qs",
+               phis=(0.01, 0.25, 0.5, 0.75, 0.99))
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        flags, phis_out, ests = [], [], []
+        for row in b.to_pylist():
+            for phi, est in zip((0.01, 0.25, 0.5, 0.75, 0.99), row["qs"]):
+                flags.append(row["l_returnflag"])
+                phis_out.append(phi)
+                ests.append(est)
+        return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                         "phi": pa.array(phis_out, pa.float64()),
+                         "est": pa.array(ests, pa.float64())})
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def q_tdigest_value_quantiles(sf_dir: str):
+    ds = _t(sf_dir, "events", ["value"])
+    phis = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    row = ds.aggregate(TDigestAgg(on="value", alias_name="qs", phis=phis))
+    return pa.table({"phi": pa.array(phis, pa.float64()),
+                     "est": pa.array(row["qs"], pa.float64())})
+
+
+def q_bloom_customers_with_orders(sf_dir: str):
+    """Bloom semi-join: customers whose key appears in orders.o_custkey.
+    Approximate (≥ exact by ~fpp·probes; zero false negatives)."""
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    bloom = build_bloom(orders, on="o_custkey", capacity=200_000, fpp=1e-4)
+    customers = _t(sf_dir, "customer", ["c_custkey"])
+    from .query import BloomProbe
+
+    members = customers.map_batches(
+        BloomProbe,
+        fn_constructor_kwargs={"blob": bloom.to_bytes(), "on": "c_custkey"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    return pa.table({"n_customers_with_orders": [members.count()]})
+
+
+def q_corpus_sketches(sf_dir: str):
+    """The flagship: build all five sketches per language over the
+    deterministic synthetic code corpus (scaled off the sf dir name),
+    with the sha256 invariant verified in-pipeline."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}.get(sf, 20_000)
+    corpus = generate_corpus(f"/tmp/vr_corpus_{sf}", n, seed=42)
+    spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=8,
+                         bloom_capacity=max(100_000, n))
+    merged = build_sketches(spec)
+    est = finalize_estimates(merged, spec)
+    return est.drop_columns(["sketch"])
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "events_by_type": q_events_by_type,
+    "orders_by_month": q_orders_by_month,
+    "top_users": q_top_users,
+    "distinct_docs": q_distinct_docs,
+    "customer_nations": q_customer_nations,
+    "high_value_orders": q_high_value_orders,
+    "events_props": q_events_props,
+    "lineitem_by_year": q_lineitem_by_year,
+    "dedup_docs_by_lang": q_dedup_docs_by_lang,
+    "cms_event_type_counts": q_cms_event_type_counts,
+    "hll_users_by_type": q_hll_users_by_type,
+    "hll_global_users": q_hll_global_users,
+    "kll_price_quantiles": q_kll_price_quantiles,
+    "tdigest_value_quantiles": q_tdigest_value_quantiles,
+    "bloom_customers_with_orders": q_bloom_customers_with_orders,
+    "corpus_sketches": q_corpus_sketches,
+}
+
+ORACLES = {
+    "pricing_summary": SQL_PRICING,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "top_users": SQL_TOP_USERS,
+    "distinct_docs": SQL_DISTINCT_DOCS,
+    "customer_nations": SQL_CUSTOMER_NATIONS,
+    "high_value_orders": SQL_HIGH_VALUE_ORDERS,
+    "events_props": SQL_EVENTS_PROPS,
+    "lineitem_by_year": SQL_LINEITEM_BY_YEAR,
+    "dedup_docs_by_lang": SQL_DEDUP_DOCS,
+    "cms_event_type_counts": SQL_CMS_EVENT_TYPE,
+    # sketch queries intentionally have no SQL oracle (approximate);
+    # their bounds are asserted vs DuckDB in tests/test_e2e.py
+}

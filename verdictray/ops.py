@@ -1,0 +1,154 @@
+"""Stateless vectorized batch transforms (SURVEY.md §2.2, §2.6, §2.7).
+
+All functions here are either ``pa.Table → pa.Table`` batch fns for
+``ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)`` or
+helpers returning such fns. Zero-copy batches are read-only — columns are
+always appended/replaced, never mutated in place (SURVEY.md §4.5).
+
+sha256 runs on the Arrow string buffers directly (offset slicing into the
+data buffer — no per-row str/bytes round-trip); everything else uses
+pyarrow.compute kernels. No Python-per-row loops except the unavoidable
+hashlib calls (sha256 has no vectorized kernel anywhere in the stack).
+
+No reference implementation exists (/root/reference is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sketches.hashing import hash64
+
+
+# --------------------------------------------------------------- sha256
+def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-row sha256 hex of a string column, reading the Arrow buffers
+    directly (no intermediate Python strings for the content)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out: list[str] = []
+    for chunk in chunks:
+        if chunk.null_count:
+            for b in chunk.cast(pa.binary()).to_pylist():
+                out.append(hashlib.sha256(b).hexdigest() if b is not None else None)
+            continue
+        bufs = chunk.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32, count=chunk.offset + len(chunk) + 1)
+        data = memoryview(bufs[2])
+        o = chunk.offset
+        out.extend(
+            hashlib.sha256(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
+            for i in range(len(chunk))
+        )
+    return pa.array(out, type=pa.string())
+
+
+def with_sha256(batch: pa.Table, content_col: str = "content",
+                out_col: str = "content_sha256") -> pa.Table:
+    """Append the per-row sha256 hex — the invariant carried end-to-end
+    (BASELINE.json input_hint: "content sha256 equality")."""
+    return batch.append_column(out_col, sha256_hex_column(batch[content_col]))
+
+
+def verify_sha256(batch: pa.Table, content_col: str = "content",
+                  sha_col: str = "content_sha256") -> pa.Table:
+    """Recompute sha256 and assert equality with the carried column —
+    the pipeline-exit invariant check (SURVEY.md §2.2)."""
+    recomputed = sha256_hex_column(batch[content_col])
+    ok = pc.equal(recomputed, batch[sha_col])
+    if not pc.all(ok).as_py():
+        bad = batch.filter(pc.invert(ok))
+        raise AssertionError(
+            f"sha256 invariant violated for {len(bad)} rows, e.g. "
+            f"{bad.slice(0, 1).to_pylist()}"
+        )
+    return batch
+
+
+def count_sha256_mismatches(batch: pa.Table, content_col: str = "content",
+                            sha_col: str = "content_sha256") -> pa.Table:
+    """Counting (non-raising) variant for reporting."""
+    recomputed = sha256_hex_column(batch[content_col])
+    bad = int(pc.sum(pc.cast(pc.not_equal(recomputed, batch[sha_col]), pa.int64())).as_py() or 0)
+    return pa.table({"rows": [len(batch)], "mismatches": [bad]})
+
+
+# --------------------------------------------------------------- features
+def derive_features(batch: pa.Table, content_col: str = "content") -> pa.Table:
+    """Append n_bytes / n_lines — numeric inputs for the quantile sketches."""
+    content = batch[content_col]
+    n_bytes = pc.binary_length(pc.cast(content, pa.binary()))
+    n_lines = pc.add(pc.count_substring(content, "\n"), 1)
+    batch = batch.append_column("n_bytes", pc.cast(n_bytes, pa.int64()))
+    return batch.append_column("n_lines", pc.cast(n_lines, pa.int64()))
+
+
+def normalize_lang(batch: pa.Table, lang_col: str = "lang",
+                   aliases: dict[str, str] | None = None) -> pa.Table:
+    """Canonicalize the grouping key before the shuffle: strip + lower +
+    alias map (hot-key grouping on lang, BASELINE.json north_star)."""
+    lang = pc.utf8_lower(pc.utf8_trim_whitespace(batch[lang_col]))
+    if aliases:
+        # vectorized alias replacement via dictionary round-trip
+        darr = pc.dictionary_encode(lang)
+        chunks = []
+        for chunk in (darr.chunks if isinstance(darr, pa.ChunkedArray) else [darr]):
+            dic = [aliases.get(v, v) for v in chunk.dictionary.to_pylist()]
+            chunks.append(
+                pa.DictionaryArray.from_arrays(chunk.indices, pa.array(dic, pa.string()))
+                .cast(pa.string())
+            )
+        lang = pa.chunked_array(chunks)
+    return batch.set_column(batch.schema.get_field_index(lang_col), lang_col, lang)
+
+
+def parse_props(batch: pa.Table, props_col: str = "props", key: str = "k",
+                out_col: str = "props_k") -> pa.Table:
+    """JSON-string column → typed value (driver events.props is JSON)."""
+    vals = [
+        (json.loads(s).get(key) if s is not None else None)
+        for s in batch[props_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(vals))
+
+
+# --------------------------------------------------------------- salting / sampling
+def add_salt(batch: pa.Table, on: str = "content_sha256", salts: int = 16,
+             out_col: str = "_salt") -> pa.Table:
+    """Deterministic salt = hash64(on) % salts. Combined with the group key
+    this splits hot keys across `salts` reduce partitions (stage A of the
+    two-stage salted aggregation, SURVEY.md §3.1); deterministic so runs
+    are reproducible and resumable."""
+    h = hash64(batch[on], seed=7)
+    salt = (h % np.uint64(salts)).astype(np.int32)
+    return batch.append_column(out_col, pa.array(salt))
+
+
+def deterministic_sample(batch: pa.Table, on: str = "content_sha256",
+                         rate: float = 0.1, seed: int = 1234) -> pa.Table:
+    """Seeded hash-based row sample — the reproducible "sampled reference
+    slice" for exact-answer calibration (BASELINE.json north_star). Unlike
+    ds.random_sample, membership is a pure function of the row."""
+    h = hash64(batch[on], seed=seed)
+    keep = (h % np.uint64(1_000_000)) < np.uint64(int(rate * 1_000_000))
+    return batch.filter(pa.array(keep))
+
+
+# --------------------------------------------------------------- dedup
+def dedup_exact(ds, key_col: str):
+    """Exact dedup: first row per key — hash-partition + per-group first.
+    One shuffle on key_col; at corpus scale run AFTER projecting content
+    away (the sha256 carries identity)."""
+    return ds.groupby(key_col).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def project(ds, columns: list[str]):
+    """Column pruning — keep the streamed rows narrow after feature
+    derivation (wide `content` strings dominate memory, SURVEY.md §7)."""
+    return ds.select_columns(columns)

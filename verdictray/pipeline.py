@@ -1,0 +1,180 @@
+"""The flagship build_sketches job (SURVEY.md §3.1; BASELINE.json north_star).
+
+Shape mandated by the contract:
+
+    read corpus → map_batches(sha256 + features)        stateless Arrow tasks
+    → project content away (narrow rows shuffle)        select_columns
+    → map_batches(add_salt)                             stateless
+    → STAGE A: groupby((key, salt)).aggregate(sketch UDAFs → blobs)
+        — the explicit shuffle whose aggregate step merges sketches
+          associatively; the salt splits hot keys (dominant languages)
+          across `salts` reduce partitions
+    → STAGE B: groupby(key).aggregate(SketchMergeAgg)
+        — merges the ≤`salts` salted partials per key; input is tiny
+    → finalize → estimates rows (long format) → write_parquet
+
+Stage B merges *sketch blobs*, never re-accumulates raw values, so salted
+two-stage aggregation cannot double-count (SURVEY.md §7 watch list).
+
+Scale notes (100 TB / 10^12 rows): only narrow columns (key, 64-char sha,
+two int64s, salt) cross the Stage-A shuffle — `content` never leaves the
+first map stage; Stage B moves ≤ groups×salts blob rows (KiB each).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from . import io as vio
+from . import ops
+from .sketches import Sketch
+from .udaf import BloomAgg, CmsAgg, HllAgg, KllAgg, SketchMergeAgg, TDigestAgg
+
+DEFAULT_PHIS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+@dataclass
+class SketchJobSpec:
+    """Config for a build_sketches run (SURVEY.md §3.1)."""
+
+    input_path: str
+    group_key: str = "lang"
+    salts: int = 16
+    hll_p: int = 14
+    cms_eps: float = 1e-3
+    cms_delta: float = 1e-2
+    hh_capacity: int = 32
+    tdigest_compression: float = 100.0
+    kll_k: int = 200
+    bloom_capacity: int = 1_000_000
+    bloom_fpp: float = 0.01
+    phis: tuple = DEFAULT_PHIS
+    out_dir: str | None = None
+    checkpoint_dir: str | None = None
+    metrics_dir: str | None = None
+    sketch_cols: dict = field(
+        default_factory=lambda: {
+            "hll": "content_sha256",
+            "cms": "content_sha256",
+            "bloom": "content_sha256",
+            "kll": "n_bytes",
+            "tdigest": "n_bytes",
+        }
+    )
+
+
+def _stage_a_aggs(spec: SketchJobSpec):
+    c = spec.sketch_cols
+    return [
+        HllAgg(on=c["hll"], alias_name="hll_blob", p=spec.hll_p, output="blob"),
+        CmsAgg(on=c["cms"], alias_name="cms_blob", eps=spec.cms_eps,
+               delta=spec.cms_delta, hh_capacity=spec.hh_capacity, output="blob"),
+        BloomAgg(on=c["bloom"], alias_name="bloom_blob",
+                 capacity=spec.bloom_capacity, fpp=spec.bloom_fpp, output="blob"),
+        KllAgg(on=c["kll"], alias_name="kll_blob", k=spec.kll_k, output="blob"),
+        TDigestAgg(on=c["tdigest"], alias_name="tdigest_blob",
+                   compression=spec.tdigest_compression, output="blob"),
+    ]
+
+
+_BLOB_COLS = ["hll_blob", "cms_blob", "bloom_blob", "kll_blob", "tdigest_blob"]
+
+
+def prepare(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
+    """Stateless prep: sha256 + features, then drop `content` so only
+    narrow rows reach the shuffle."""
+    ds = ds.map_batches(
+        lambda b: ops.derive_features(ops.with_sha256(b)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keep = [spec.group_key, "content_sha256", "n_bytes", "n_lines"]
+    seen = set()
+    keep = [c for c in keep if not (c in seen or seen.add(c))]
+    return ds.select_columns(keep)
+
+
+def sketch_partials(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
+    """Stage A: salted groupby-aggregate → one blob row per (key, salt)."""
+    ds = ds.map_batches(
+        lambda b: ops.add_salt(b, on="content_sha256", salts=spec.salts),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.groupby([spec.group_key, "_salt"]).aggregate(*_stage_a_aggs(spec))
+
+
+def merge_partials(partials: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
+    """Stage B: merge the salted partials per key — blob-only, tiny input."""
+    aggs = [SketchMergeAgg(on=c, alias_name=c) for c in _BLOB_COLS]
+    return partials.groupby(spec.group_key).aggregate(*aggs)
+
+
+def finalize_estimates(merged: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
+    """Blob rows → long-format estimates table (SURVEY.md §1.1):
+    (group_key, sketch_type, metric, estimate, error_bound, sketch)."""
+
+    phis = list(spec.phis)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        keys, types, metrics, estimates, bounds, blobs = [], [], [], [], [], []
+
+        def emit(key, stype, metric, est, bound, blob):
+            keys.append(key)
+            types.append(stype)
+            metrics.append(metric)
+            estimates.append(float(est))
+            bounds.append(float(bound))
+            blobs.append(blob)
+
+        for row in batch.to_pylist():
+            key = row[spec.group_key]
+            hll = Sketch.from_bytes(row["hll_blob"])
+            emit(key, "hll", "count_distinct", hll.estimate(),
+                 hll.estimate() * 3 * hll.error_bound(), row["hll_blob"])
+            cms = Sketch.from_bytes(row["cms_blob"])
+            emit(key, "cms", "total_count", cms.n, cms.error_bound(), row["cms_blob"])
+            for item, est in cms.top_k(5):
+                emit(key, "cms", f"topk:{item}", est, cms.error_bound(), None)
+            bloom = Sketch.from_bytes(row["bloom_blob"])
+            emit(key, "bloom", "fill_ratio", bloom.fill_ratio(),
+                 bloom.fpp, row["bloom_blob"])
+            kll = Sketch.from_bytes(row["kll_blob"])
+            for phi in phis:
+                emit(key, "kll", f"q{phi}", kll.quantile(phi),
+                     kll.error_bound(), None)
+            td = Sketch.from_bytes(row["tdigest_blob"])
+            for phi in phis:
+                emit(key, "tdigest", f"q{phi}", td.quantile(phi), 0.01, None)
+            emit(key, "kll", "n_rows", kll.n, 0.0, row["kll_blob"])
+        return pa.table(
+            {
+                "group_key": pa.array(keys, pa.string()),
+                "sketch_type": pa.array(types, pa.string()),
+                "metric": pa.array(metrics, pa.string()),
+                "estimate": pa.array(estimates, pa.float64()),
+                "error_bound": pa.array(bounds, pa.float64()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return merged.map_batches(to_rows, batch_format="pyarrow")
+
+
+def build_sketches(spec: SketchJobSpec, ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Full flagship job. Returns the merged per-key blob table (one row
+    per group key, five blob columns) — call finalize_estimates for the
+    long-format estimates table, or write via spec.out_dir."""
+    if ds is None:
+        ds = vio.read_corpus(spec.input_path, columns=vio.CORPUS_COLUMNS)
+    ds = prepare(ds, spec)
+    partials = sketch_partials(ds, spec)
+    merged = merge_partials(partials, spec)
+    if spec.out_dir:
+        est = finalize_estimates(merged, spec)
+        est.write_parquet(spec.out_dir)
+    return merged

@@ -104,14 +104,20 @@ class CountMin(Sketch):
         return ests.min(axis=0)
 
     def query_one(self, value) -> int:
-        return int(self.query(np.array([value], dtype=object if isinstance(value, (str, bytes)) else None))[0])
+        arr = np.array([value], dtype=object) if isinstance(value, (str, bytes)) else np.asarray([value])
+        return int(self.query(arr)[0])
 
     def top_k(self, k: int) -> list[tuple[object, int]]:
         """Heavy hitters: top-k candidates by CMS-estimated count."""
         if not self._candidates:
             return []
         items = list(self._candidates.keys())
-        ests = self.query(np.array(items, dtype=object))
+        # keep the dtype consistent with the update() path: numeric items
+        # hash via the int64-bits path, strings via the object path
+        arr = np.asarray(items)
+        if arr.dtype.kind in ("U", "S"):
+            arr = arr.astype(object)
+        ests = self.query(arr)
         order = sorted(zip(items, ests.tolist()), key=lambda kv: (-kv[1], str(kv[0])))
         return order[:k]
 

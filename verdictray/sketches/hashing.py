@@ -80,7 +80,7 @@ def hash64(values, seed: int = 0) -> np.ndarray:
         base = arr.view(np.int64).astype(np.uint64)
     else:
         raise TypeError(f"hash64: unsupported dtype {arr.dtype}")
-    return _splitmix64(base + np.uint64(np.uint64(seed) * _GOLDEN))
+    return _splitmix64(base + np.uint64((int(seed) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)))
 
 
 def hash64_scalar(value, seed: int = 0) -> int:

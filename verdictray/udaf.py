@@ -1,0 +1,238 @@
+"""Sketches as Ray Data mergeable UDAFs (AggregateFnV2).
+
+The canonical zero/accumulate/merge/finalize lifecycle of every sketch maps
+1:1 onto Ray Data's ``AggregateFnV2`` contract (BASELINE.json north_rule:
+"mergeable UDAFs"): Ray computes a partial per block via
+``aggregate_block``, shuffles by the group key, merges partials with
+``combine`` (associative + commutative — property-tested), and turns the
+final accumulator into an output value with ``finalize``.
+
+Every sketch therefore runs both globally (``ds.aggregate(HllAgg(...))``)
+and grouped (``ds.groupby(key).aggregate(HllAgg(...))``) with no extra
+plumbing. Accumulators are the sketch objects themselves (picklable:
+numpy arrays + scalars; dense HLL ≈ 16 KiB, CMS ≈ 108 KiB — small enough
+for the object store per SURVEY.md §4.5).
+
+``output="blob"`` finalizes to the serialized sketch (Arrow binary) — the
+form used by the two-stage salted pipeline, checkpoints, and cross-job
+union. ``SketchMergeAgg`` re-merges blob columns, which is what the final
+(unsalted) stage of the salted aggregation runs on.
+
+No reference implementation exists (/root/reference is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import Block, BlockAccessor
+
+from .sketches import (
+    BloomFilter,
+    CountMin,
+    HyperLogLog,
+    KLL,
+    Sketch,
+    TDigest,
+)
+
+
+def _column(block: Block, name: str):
+    """Extract one column of a (possibly pandas) block as Arrow."""
+    t = BlockAccessor.for_block(block).to_arrow()
+    return t.column(name)
+
+
+class SketchAgg(AggregateFnV2):
+    """Generic sketch UDAF: wraps any ``Sketch`` factory.
+
+    Args:
+        factory: zero-arg callable producing an empty sketch (the ``zero``).
+        on: input column.
+        alias_name: output column name (must match oracle SQL naming).
+        finalizer: sketch → output value; defaults to ``Sketch.finalize``.
+    """
+
+    def __init__(
+        self,
+        factory: Callable[[], Sketch],
+        on: str,
+        alias_name: str,
+        finalizer: Optional[Callable[[Sketch], object]] = None,
+    ):
+        self._factory = factory
+        self._finalizer = finalizer or (lambda sk: sk.finalize())
+        super().__init__(alias_name, on=on, ignore_nulls=True, zero_factory=lambda: None)
+
+    # Accumulators cross stage boundaries as serialized blobs (bytes →
+    # Arrow binary): global aggregates materialize partial accumulators
+    # into Arrow blocks, where a raw Python sketch object cannot go.
+    def aggregate_block(self, block: Block) -> bytes:
+        sk = self._factory()
+        sk.update(_column(block, self._target_col_name))
+        return sk.to_bytes()
+
+    def combine(self, current: Optional[bytes], new: Optional[bytes]) -> bytes:
+        if current is None:
+            return new
+        if new is None:
+            return current
+        return Sketch.from_bytes(current).merge(Sketch.from_bytes(new)).to_bytes()
+
+    def finalize(self, accumulator: Optional[bytes]):
+        sk = self._factory() if accumulator is None else Sketch.from_bytes(accumulator)
+        return self._finalizer(sk)
+
+
+def _make_finalizer(output: str, phis=None):
+    if output == "estimate":
+        return lambda sk: sk.finalize()
+    if output == "blob":
+        return lambda sk: sk.to_bytes()
+    if output == "quantiles":
+        return lambda sk: [float(q) for q in sk.quantiles(phis)]
+    raise ValueError(f"unknown output mode {output!r}")
+
+
+class HllAgg(SketchAgg):
+    """COUNT DISTINCT(on) ≈ estimate, std-error 1.04/√(2^p)."""
+
+    def __init__(self, on: str, alias_name: str = None, p: int = 14, seed: int = 0,
+                 output: str = "estimate"):
+        super().__init__(
+            lambda: HyperLogLog(p=p, seed=seed),
+            on,
+            alias_name or f"hll({on})",
+            _make_finalizer(output),
+        )
+
+
+class CmsAgg(SketchAgg):
+    """Frequency sketch; finalize → blob (point queries / top-k run on the
+    blob via CountMin.query / top_k) or → total count N."""
+
+    def __init__(self, on: str, alias_name: str = None, eps: float = 1e-3,
+                 delta: float = 1e-2, seed: int = 0, hh_capacity: int = 0,
+                 output: str = "blob"):
+        out = "estimate" if output == "n" else output
+        super().__init__(
+            lambda: CountMin(eps=eps, delta=delta, seed=seed, hh_capacity=hh_capacity),
+            on,
+            alias_name or f"cms({on})",
+            _make_finalizer(out),
+        )
+
+
+class BloomAgg(SketchAgg):
+    """Membership filter; finalize → blob (probe via BloomFilter.contains)."""
+
+    def __init__(self, on: str, alias_name: str = None, capacity: int = 1_000_000,
+                 fpp: float = 0.01, seed: int = 0, output: str = "blob"):
+        super().__init__(
+            lambda: BloomFilter(capacity=capacity, fpp=fpp, seed=seed),
+            on,
+            alias_name or f"bloom({on})",
+            _make_finalizer(output),
+        )
+
+
+class KllAgg(SketchAgg):
+    """Quantiles with worst-case rank-error guarantee (~1.65% @ k=200)."""
+
+    def __init__(self, on: str, alias_name: str = None, k: int = 200, seed: int = 0,
+                 phis=(0.01, 0.25, 0.5, 0.75, 0.99), output: str = "quantiles"):
+        super().__init__(
+            lambda: KLL(k=k, seed=seed),
+            on,
+            alias_name or f"kll({on})",
+            _make_finalizer(output, phis),
+        )
+
+
+class TDigestAgg(SketchAgg):
+    """Tail-accurate quantiles (merging t-digest, compression δ)."""
+
+    def __init__(self, on: str, alias_name: str = None, compression: float = 100.0,
+                 phis=(0.01, 0.25, 0.5, 0.75, 0.99), output: str = "quantiles"):
+        super().__init__(
+            lambda: TDigest(compression=compression),
+            on,
+            alias_name or f"tdigest({on})",
+            _make_finalizer(output, phis),
+        )
+
+
+class SketchMergeAgg(AggregateFnV2):
+    """Merge a column of serialized sketch blobs (the final stage of the
+    two-stage salted aggregation, SURVEY.md §3.1 Stage B)."""
+
+    def __init__(self, on: str, alias_name: str = None,
+                 finalizer: Optional[Callable[[Sketch], object]] = None):
+        self._finalizer = finalizer or (lambda sk: sk.to_bytes())
+        super().__init__(alias_name or f"merged({on})", on=on, ignore_nulls=True,
+                         zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> Optional[bytes]:
+        blobs = _column(block, self._target_col_name).to_pylist()
+        acc = None
+        for blob in blobs:
+            sk = Sketch.from_bytes(blob)
+            acc = sk if acc is None else acc.merge(sk)
+        return None if acc is None else acc.to_bytes()
+
+    def combine(self, current, new):
+        if current is None:
+            return new
+        if new is None:
+            return current
+        return Sketch.from_bytes(current).merge(Sketch.from_bytes(new)).to_bytes()
+
+    def finalize(self, accumulator):
+        if accumulator is None:
+            return None
+        return self._finalizer(Sketch.from_bytes(accumulator))
+
+
+class ExactDistinct(AggregateFnV2):
+    """Exact COUNT DISTINCT via set union — the calibration oracle for HLL
+    on sampled slices (SURVEY.md §2.5 "supporting exact aggregations").
+    Accumulators are pickled frozensets (bytes) so global aggregation can
+    materialize them into Arrow blocks. Only for slice-scale cardinalities;
+    use HllAgg at corpus scale."""
+
+    def __init__(self, on: str, alias_name: str = None):
+        super().__init__(alias_name or f"nd({on})", on=on, ignore_nulls=True,
+                         zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        import pickle
+
+        col = _column(block, self._target_col_name)
+        return pickle.dumps(set(col.drop_null().to_pylist()))
+
+    def combine(self, current, new):
+        import pickle
+
+        if current is None:
+            return new
+        if new is None:
+            return current
+        return pickle.dumps(pickle.loads(current) | pickle.loads(new))
+
+    def finalize(self, accumulator) -> int:
+        import pickle
+
+        return 0 if accumulator is None else len(pickle.loads(accumulator))
+
+
+def as_aggregate(sketch_cls, on: str, alias_name: str = None, output: str = "estimate",
+                 phis=None, **params) -> SketchAgg:
+    """Wrap ANY Sketch subclass (including user extensions) into a Ray Data
+    aggregate — the user-extension surface from SURVEY.md §2.10."""
+    return SketchAgg(
+        lambda: sketch_cls(**params),
+        on,
+        alias_name or f"{sketch_cls.__name__.lower()}({on})",
+        _make_finalizer(output, phis),
+    )
