@@ -1,0 +1,177 @@
+"""Headline benchmark (driver contract + SURVEY.md §5.4).
+
+Plain run: executes the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+--scaling: runs the identical job in two fresh processes at num_cpus=8 and
+num_cpus=32 on the same (pre-generated, page-cache-warmed) input and prints
+throughputs at both plus the scaling efficiency (rate32/rate8)/4 — the
+sandbox stand-in for the contract's N vs 4N node criterion (task brief;
+BASELINE.md).
+
+This script OWNS its Ray session (library code never does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+CORPUS_ROWS = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}
+# --scaling needs a long enough job that per-run constants (planning, pool
+# spin-up, final merge) amortize; override the corpus size via env
+BENCH_ROWS = os.environ.get("VR_BENCH_ROWS")
+SCALING_ROWS = int(os.environ.get("VR_SCALING_ROWS", "4000000"))
+
+
+def _sf_tag() -> str:
+    return SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def _n_rows() -> int:
+    if BENCH_ROWS:
+        return int(BENCH_ROWS)
+    return CORPUS_ROWS.get(_sf_tag(), 100_000)
+
+
+def corpus_path() -> str:
+    if BENCH_ROWS:
+        return f"/tmp/vr_corpus_r{BENCH_ROWS}"
+    return f"/tmp/vr_corpus_{_sf_tag()}"
+
+
+def prepare_corpus() -> str:
+    """Generate (cached) + warm the page cache — untimed."""
+    from verdictray.corpus import generate_corpus
+
+    n = _n_rows()
+    path = generate_corpus(corpus_path(), n, seed=42)
+    for root, _d, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    return path
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from verdictray.pipeline import SketchJobSpec, build_sketches, build_sketches_direct
+    from verdictray.entry_queries import (
+        q_hll_users_by_type,
+        q_kll_price_quantiles,
+        q_pricing_summary,
+    )
+
+    corpus = prepare_corpus()
+    n_rows = _n_rows()
+    # IDENTICAL job at every CPU level (scaling runs compare like-for-like):
+    # batch size from data size only — enough parallel units for 32 CPUs
+    batch_rows = max(8192, min(32_768, n_rows // 128))
+    spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=16,
+                         bloom_capacity=max(100_000, n_rows),
+                         updater_batch_rows=batch_rows)
+
+    # untimed warm-up: spin up the worker pool + actor pool so timed runs
+    # measure steady-state compute, not cluster start-up
+    warm = SketchJobSpec(input_path=corpus, group_key="lang", salts=4,
+                         bloom_capacity=100_000, updater_batch_rows=batch_rows)
+    build_sketches(warm, ds=rd.read_parquet(corpus).limit(20_000),
+                   concurrency=(2, max(2, NCPU // 2))).to_pandas()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        res = fn()
+        # force execution of lazy datasets
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.monotonic() - t0, 3)
+        return queries[name]
+
+    # headline: flagship actor-pool + salted two-stage merge over the corpus
+    headline = timed(
+        "corpus_sketches",
+        lambda: build_sketches(spec, concurrency=(2, max(2, NCPU // 2))),
+    )
+    timed("corpus_sketches_direct", lambda: build_sketches_direct(spec))
+    timed("pricing_summary", lambda: q_pricing_summary(SF_DIR))
+    timed("hll_users_by_type", lambda: q_hll_users_by_type(SF_DIR))
+    timed("kll_price_quantiles", lambda: q_kll_price_quantiles(SF_DIR))
+
+    ray.shutdown()
+    return {
+        "metric": "sketch-merge pipeline wall time (headline: actor-pool + salted two-stage merge)",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(),
+        "num_cpus": NCPU,
+        "corpus_rows": n_rows,
+        "rows_per_sec": round(n_rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh processes at 8 and 32 CPUs."""
+    # ensure the (larger) scaling corpus exists + cache is warm
+    global BENCH_ROWS
+    BENCH_ROWS = str(SCALING_ROWS)
+    prepare_corpus()
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   VR_BENCH_ROWS=str(SCALING_ROWS))
+        # min of 2 fresh-process runs per level: the sandbox shows ±25%
+        # run-to-run noise; min is the standard noise-robust estimator
+        runs = []
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        results[ncpu] = min(runs, key=lambda r: r["value"])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes, same input)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "rows_per_sec_8": results[8]["rows_per_sec"],
+        "rows_per_sec_32": results[32]["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": _sf_tag(),
+        "corpus_rows": SCALING_ROWS,
+        "queries_8": results[8]["queries"],
+        "queries_32": results[32]["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -93,12 +93,14 @@ class TestCorpusPipeline:
     def test_salted_vs_unsalted_byte_identical(self, ray_session, corpus, merged):
         """Two-stage salted aggregation must produce byte-identical HLL/CMS
         /Bloom state vs salts=1 — proof it never double-counts (SURVEY.md §7)."""
-        from verdictray.pipeline import SketchJobSpec, build_sketches
+        from verdictray.pipeline import SketchJobSpec, build_sketches_direct
 
-        _, salted = merged
+        _, salted = merged  # flagship actor-pool path, salts=8
         spec1 = SketchJobSpec(input_path=corpus, group_key="lang", salts=1,
                               bloom_capacity=50_000)
-        unsalted = build_sketches(spec1).to_pandas()
+        # unsalted RAW-ROW path: byte-equality across completely different
+        # execution strategies AND salt counts
+        unsalted = build_sketches_direct(spec1).to_pandas()
         from verdictray.sketches import Sketch
 
         a = salted.set_index("lang").sort_index()
@@ -111,7 +113,7 @@ class TestCorpusPipeline:
             # tests/test_properties.py) so compare the table, not the blob
             ca = Sketch.from_bytes(a.loc[lang, "cms_blob"])
             cb = Sketch.from_bytes(b.loc[lang, "cms_blob"])
-            assert (ca.table == cb.table).all() and ca.n == cb.n, lang
+            assert (ca.dense_table() == cb.dense_table()).all() and ca.n == cb.n, lang
 
     def test_sha256_invariant_end_to_end(self, ray_session, corpus):
         import ray.data as rd

@@ -1,0 +1,122 @@
+"""Actor-pool updater equivalence + checkpoint/resume (SURVEY.md §5.3)."""
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    from verdictray.corpus import generate_corpus
+
+    return generate_corpus("/tmp/vr_corpus_test", 20_000, seed=42)
+
+
+@pytest.fixture(scope="module")
+def spec(corpus):
+    from verdictray.pipeline import SketchJobSpec
+
+    return SketchJobSpec(input_path=corpus, group_key="lang", salts=4,
+                         bloom_capacity=50_000)
+
+
+def test_actor_pool_equals_udaf_path(ray_session, corpus, spec):
+    """Split-invariance: the stateful actor-pool updater and the pure UDAF
+    groupby path must produce identical HLL/Bloom state and CMS tables."""
+    import ray.data as rd
+
+    from verdictray.pipeline import build_sketches_direct
+    from verdictray.sketches import Sketch
+    from verdictray.updater import build_sketches_actor_pool
+
+    udaf = build_sketches_direct(spec).to_pandas().set_index("lang").sort_index()
+    ds = rd.read_parquet(corpus)
+    pool = (
+        build_sketches_actor_pool(ds, spec, concurrency=(1, 2),
+                                  metrics_dir="/tmp/vr_metrics_test")
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert list(udaf.index) == list(pool.index)
+    for lang in udaf.index:
+        assert udaf.loc[lang, "hll_blob"] == pool.loc[lang, "hll_blob"], lang
+        assert udaf.loc[lang, "bloom_blob"] == pool.loc[lang, "bloom_blob"], lang
+        a = Sketch.from_bytes(udaf.loc[lang, "cms_blob"])
+        b = Sketch.from_bytes(pool.loc[lang, "cms_blob"])
+        assert (a.dense_table() == b.dense_table()).all() and a.n == b.n
+        ka = Sketch.from_bytes(udaf.loc[lang, "kll_blob"])
+        kb = Sketch.from_bytes(pool.loc[lang, "kll_blob"])
+        assert ka.n == kb.n
+        for phi in (0.25, 0.5, 0.75):
+            ra = ka.quantile(phi)
+            rb = kb.quantile(phi)
+            # estimate-stable, not byte-stable: both within bound of each other
+            assert abs(ka.rank(rb) - phi) <= 2 * ka.error_bound() + 0.01
+
+
+def test_updater_metrics_emitted(ray_session):
+    import glob
+    import json
+
+    files = glob.glob("/tmp/vr_metrics_test/updater-*.jsonl")
+    assert files, "updater metrics JSONL not written"
+    recs = [json.loads(line) for f in files for line in open(f)]
+    assert sum(r["rows"] for r in recs) == 20_000
+    assert all({"rows", "bytes", "keys", "secs"} <= set(r) for r in recs)
+
+
+class TestCheckpointResume:
+    def test_resume_matches_uninterrupted(self, ray_session, corpus, spec, tmp_path):
+        from verdictray.checkpoint import CheckpointedJob
+        from verdictray.sketches import Sketch
+
+        # uninterrupted run
+        full = CheckpointedJob(spec, str(tmp_path / "a"), fragments_per_partition=2)
+        assert len(full.partitions) >= 3
+        t_full = full.run().to_pandas().set_index("lang").sort_index()
+
+        # interrupted run: fault after 2 partitions, then resume
+        job = CheckpointedJob(spec, str(tmp_path / "b"), fragments_per_partition=2)
+        with pytest.raises(RuntimeError, match="fault injection"):
+            job.run(fail_after=2)
+        assert len(job.manifest["done"]) == 2
+        resumed = CheckpointedJob(spec, str(tmp_path / "b"), fragments_per_partition=2)
+        assert resumed.pending() == job.pending()
+        t_res = resumed.run().to_pandas().set_index("lang").sort_index()
+
+        assert list(t_full.index) == list(t_res.index)
+        for lang in t_full.index:
+            # HLL/Bloom byte-identical; digests estimate-identical in n
+            assert t_full.loc[lang, "hll_blob"] == t_res.loc[lang, "hll_blob"]
+            assert t_full.loc[lang, "bloom_blob"] == t_res.loc[lang, "bloom_blob"]
+            a = Sketch.from_bytes(t_full.loc[lang, "cms_blob"])
+            b = Sketch.from_bytes(t_res.loc[lang, "cms_blob"])
+            assert (a.dense_table() == b.dense_table()).all()
+            ka = Sketch.from_bytes(t_full.loc[lang, "kll_blob"])
+            kb = Sketch.from_bytes(t_res.loc[lang, "kll_blob"])
+            assert ka.n == kb.n
+
+    def test_refuses_changed_spec(self, ray_session, corpus, spec, tmp_path):
+        from dataclasses import replace
+
+        from verdictray.checkpoint import CheckpointedJob
+
+        job = CheckpointedJob(spec, str(tmp_path / "c"), fragments_per_partition=2)
+        job.run_partition(0)
+        changed = replace(spec, hll_p=12)
+        with pytest.raises(ValueError, match="different job spec"):
+            CheckpointedJob(changed, str(tmp_path / "c"), fragments_per_partition=2)
+
+    def test_lineage_records(self, ray_session, corpus, spec, tmp_path):
+        from verdictray.checkpoint import CheckpointedJob
+
+        job = CheckpointedJob(spec, str(tmp_path / "d"), fragments_per_partition=4)
+        job.run_partition(0)
+        lin = job.lineage()
+        assert len(lin) == 1
+        assert lin[0]["rows"] > 0 and lin[0]["fragments"] and lin[0]["secs"] >= 0
+
+
+def teardown_module(module):
+    shutil.rmtree("/tmp/vr_metrics_test", ignore_errors=True)

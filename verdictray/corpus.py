@@ -144,7 +144,7 @@ def generate_corpus(out_dir: str, n_rows: int, seed: int = 42,
     import ray.data as rd
 
     manifest = os.path.join(out_dir, "_MANIFEST.json")
-    spec = {"n_rows": n_rows, "seed": seed, "version": 2}
+    spec = {"n_rows": n_rows, "seed": seed, "version": 3}
     if os.path.exists(manifest):
         with open(manifest) as f:
             if json.load(f) == spec:
@@ -153,7 +153,9 @@ def generate_corpus(out_dir: str, n_rows: int, seed: int = 42,
 
         shutil.rmtree(out_dir)
     if num_blocks is None:
-        num_blocks = max(8, n_rows // 100_000)
+        # one output file per block: enough files that the downstream
+        # read_parquet gets read-task parallelism well beyond the CPU count
+        num_blocks = max(32, n_rows // 25_000)
     ds = rd.range(n_rows, override_num_blocks=num_blocks)
     ds = ds.map_batches(lambda b: gen_batch(b, seed=seed), batch_format="pyarrow")
     ds.write_parquet(out_dir)

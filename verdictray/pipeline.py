@@ -53,6 +53,13 @@ class SketchJobSpec:
     bloom_capacity: int = 1_000_000
     bloom_fpp: float = 0.01
     phis: tuple = DEFAULT_PHIS
+    # reduce partitions for the raw-row Stage-A shuffle; None → Ray default
+    # (200). Set ~2× the CPU count: each extra partition costs per-block
+    # slicing overhead in the sort-shuffle map tasks.
+    shuffle_partitions: int | None = 64
+    # rows per SketchUpdater call (the per-partition state unit); narrow
+    # post-projection rows (~100 B) make 64k-row batches ~6 MiB
+    updater_batch_rows: int = 65536
     out_dir: str | None = None
     checkpoint_dir: str | None = None
     metrics_dir: str | None = None
@@ -68,16 +75,23 @@ class SketchJobSpec:
 
 
 def _stage_a_aggs(spec: SketchJobSpec):
+    # blob outputs feed the Stage-B merge; wire="bytes" keeps partial
+    # accumulators Arrow-native at stage boundaries (see udaf.SketchAgg)
     c = spec.sketch_cols
     return [
-        HllAgg(on=c["hll"], alias_name="hll_blob", p=spec.hll_p, output="blob"),
+        HllAgg(on=c["hll"], alias_name="hll_blob", p=spec.hll_p, output="blob",
+               wire="bytes"),
         CmsAgg(on=c["cms"], alias_name="cms_blob", eps=spec.cms_eps,
-               delta=spec.cms_delta, hh_capacity=spec.hh_capacity, output="blob"),
+               delta=spec.cms_delta, hh_capacity=spec.hh_capacity, output="blob",
+               wire="bytes"),
         BloomAgg(on=c["bloom"], alias_name="bloom_blob",
-                 capacity=spec.bloom_capacity, fpp=spec.bloom_fpp, output="blob"),
-        KllAgg(on=c["kll"], alias_name="kll_blob", k=spec.kll_k, output="blob"),
+                 capacity=spec.bloom_capacity, fpp=spec.bloom_fpp, output="blob",
+                 wire="bytes"),
+        KllAgg(on=c["kll"], alias_name="kll_blob", k=spec.kll_k, output="blob",
+               wire="bytes"),
         TDigestAgg(on=c["tdigest"], alias_name="tdigest_blob",
-                   compression=spec.tdigest_compression, output="blob"),
+                   compression=spec.tdigest_compression, output="blob",
+                   wire="bytes"),
     ]
 
 
@@ -105,13 +119,16 @@ def sketch_partials(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return ds.groupby([spec.group_key, "_salt"]).aggregate(*_stage_a_aggs(spec))
+    return ds.groupby(
+        [spec.group_key, "_salt"], num_partitions=spec.shuffle_partitions
+    ).aggregate(*_stage_a_aggs(spec))
 
 
 def merge_partials(partials: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
-    """Stage B: merge the salted partials per key — blob-only, tiny input."""
-    aggs = [SketchMergeAgg(on=c, alias_name=c) for c in _BLOB_COLS]
-    return partials.groupby(spec.group_key).aggregate(*aggs)
+    """Stage B: merge the salted partials per key — blob-only, tiny input
+    (≤ groups×salts rows), so few reduce partitions."""
+    aggs = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in _BLOB_COLS]
+    return partials.groupby(spec.group_key, num_partitions=8).aggregate(*aggs)
 
 
 def finalize_estimates(merged: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
@@ -165,10 +182,34 @@ def finalize_estimates(merged: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
     return merged.map_batches(to_rows, batch_format="pyarrow")
 
 
-def build_sketches(spec: SketchJobSpec, ds: rd.Dataset | None = None) -> rd.Dataset:
-    """Full flagship job. Returns the merged per-key blob table (one row
-    per group key, five blob columns) — call finalize_estimates for the
-    long-format estimates table, or write via spec.out_dir."""
+def build_sketches(spec: SketchJobSpec, ds: rd.Dataset | None = None,
+                   concurrency=(2, 8)) -> rd.Dataset:
+    """Full flagship job: stateful actor-pool updater (map-side combine)
+    followed by the salted two-stage blob merge (updater.py). Returns the
+    merged per-key blob table (one row per group key, five blob columns) —
+    call finalize_estimates for the long-format estimates table, or write
+    via spec.out_dir.
+
+    Only KiB-sized blob partials cross the shuffle; the raw-row variant
+    below (build_sketches_direct) exists as the lower-memory alternative
+    and as the equivalence baseline for tests.
+    """
+    from .updater import build_sketches_actor_pool
+
+    if ds is None:
+        ds = vio.read_corpus(spec.input_path, columns=vio.CORPUS_COLUMNS)
+    merged = build_sketches_actor_pool(ds, spec, concurrency=concurrency,
+                                       metrics_dir=spec.metrics_dir)
+    if spec.out_dir:
+        est = finalize_estimates(merged, spec)
+        est.write_parquet(spec.out_dir)
+    return merged
+
+
+def build_sketches_direct(spec: SketchJobSpec, ds: rd.Dataset | None = None) -> rd.Dataset:
+    """Raw-row variant: salted groupby((key, salt)) directly over prepared
+    rows (no map-side combine), then the Stage-B blob merge. Simpler
+    memory profile (no per-actor sketch dict); shuffles narrow raw rows."""
     if ds is None:
         ds = vio.read_corpus(spec.input_path, columns=vio.CORPUS_COLUMNS)
     ds = prepare(ds, spec)

@@ -36,7 +36,14 @@ class BloomFilter(Sketch):
         bits_per_item = -math.log(fpp) / (math.log(2) ** 2)
         self.m_bits = max(64, int(math.ceil(self.capacity * bits_per_item)))
         self.k = max(1, int(round(bits_per_item * math.log(2))))
-        self.bits = np.zeros((self.m_bits + 7) // 8, dtype=np.uint8)
+        # Sparse-until-promoted (mirrors HLL): small/partial filters hold a
+        # sorted array of set-bit positions instead of the dense bitmap.
+        # Distributed per-group partials stay KiB-sized for tail groups —
+        # essential when grouping by a high-cardinality key (repo) where a
+        # dense m/8-byte bitmap per partial would dominate the shuffle.
+        self._sparse_limit = max(64, self.m_bits // 64)  # 8B/pos vs m/8 dense
+        self._sparse: np.ndarray | None = np.empty(0, dtype=np.int64)
+        self.bits: np.ndarray | None = None  # dense uint8[(m+7)//8] once promoted
         self.n_added = 0  # counts update() items incl. re-inserts (upper bound on n)
 
     # ---------------------------------------------------------------- update
@@ -50,12 +57,31 @@ class BloomFilter(Sketch):
             pos[j] = ((h1 + np.uint64(j) * h2) % m).astype(np.int64)
         return pos
 
+    @property
+    def is_sparse(self) -> bool:
+        return self.bits is None
+
+    def _promote(self) -> None:
+        self.bits = np.zeros((self.m_bits + 7) // 8, dtype=np.uint8)
+        self._set_dense(self._sparse)
+        self._sparse = None
+
+    def _set_dense(self, pos: np.ndarray) -> None:
+        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def _add_positions(self, pos: np.ndarray) -> None:
+        if self.bits is not None:
+            self._set_dense(pos)
+            return
+        self._sparse = np.union1d(self._sparse, pos)
+        if len(self._sparse) > self._sparse_limit:
+            self._promote()
+
     def update(self, values) -> None:
         arr = _to_numpy(values)
         if len(arr) == 0:
             return
-        pos = self._bit_positions(arr).ravel()
-        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        self._add_positions(self._bit_positions(arr).ravel())
         self.n_added += len(arr)
 
     # ---------------------------------------------------------------- query
@@ -68,7 +94,13 @@ class BloomFilter(Sketch):
         out = np.ones(len(arr), dtype=bool)
         for j in range(self.k):
             p = pos[j]
-            out &= (self.bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+            if self.bits is not None:
+                out &= (self.bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+            elif len(self._sparse) == 0:
+                out[:] = False
+            else:
+                i = np.minimum(np.searchsorted(self._sparse, p), len(self._sparse) - 1)
+                out &= self._sparse[i] == p
         return out
 
     def contains_one(self, value) -> bool:
@@ -85,7 +117,15 @@ class BloomFilter(Sketch):
             or other.seed != self.seed
         ):
             raise ValueError("can only merge Blooms with identical (capacity, fpp, seed)")
-        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        if other.bits is not None and self.bits is None:
+            self._promote()
+        if self.bits is not None:
+            if other.bits is not None:
+                np.bitwise_or(self.bits, other.bits, out=self.bits)
+            else:
+                self._set_dense(other._sparse)
+        else:
+            self._add_positions(other._sparse)
         self.n_added += other.n_added
         return self
 
@@ -94,6 +134,8 @@ class BloomFilter(Sketch):
         return self.to_bytes()
 
     def fill_ratio(self) -> float:
+        if self.bits is None:
+            return len(self._sparse) / self.m_bits
         return float(np.unpackbits(self.bits).sum()) / self.m_bits
 
     def expected_fpp(self) -> float:
@@ -108,8 +150,13 @@ class BloomFilter(Sketch):
             .f64(self.fpp)
             .u64(self.seed)
             .u64(self.n_added)
-            .raw(self.bits.tobytes())
         )
+        if self.bits is not None:
+            w.u8(1).raw(self.bits.tobytes())
+        else:
+            w.u8(0).u32(len(self._sparse)).raw(
+                self._sparse.astype(np.int64).tobytes()
+            )
         return w.getvalue()
 
     @classmethod
@@ -117,6 +164,13 @@ class BloomFilter(Sketch):
         r = _Reader(payload)
         cap, fpp, seed, n_added = r.u64(), r.f64(), r.u64(), r.u64()
         out = cls(capacity=cap, fpp=fpp, seed=seed)
-        out.bits = np.frombuffer(r.raw(len(out.bits)), dtype=np.uint8).copy()
+        if r.u8():
+            out.bits = np.frombuffer(
+                r.raw((out.m_bits + 7) // 8), dtype=np.uint8
+            ).copy()
+            out._sparse = None
+        else:
+            n = r.u32()
+            out._sparse = np.frombuffer(r.raw(8 * n), dtype=np.int64).copy()
         out.n_added = n_added
         return out

@@ -8,15 +8,21 @@ Answers point frequency queries with one-sided error: with probability
 Rows use the Kirsch–Mitzenmacher double-hashing family
 h_j(x) = h1(x) + j*h2(x) mod w over the shared ``hash64`` (hashing.py).
 
-Heavy hitters: each partial sketch tracks up to ``hh_capacity`` candidate
-items (exact per-partition top items by local count). Merging unions the
-candidate sets and re-truncates by CMS-estimated count; ``top_k(k)``
-returns the k candidates with the largest estimates. This is the standard
-mergeable CMS+candidate-set heavy-hitter construction; the candidate cap
-makes the memory bound explicit.
+Sparse-until-promoted: a fresh/partial sketch buffers exact
+(h1, h2) → count entries in a dict instead of allocating the d×w counter
+table; it promotes to the dense table once the buffer passes ~w/4 items.
+Per-group partials for tail groups (the common case when grouping by a
+high-cardinality key like `repo`) stay KiB-sized on the wire, and sparse
+point-queries are exact. Promotion changes representation only — the
+materialized dense table (``dense_table()``) is identical under any
+merge order, which is the byte-determinism property tests assert.
 
-Merge (counter addition + candidate union) is associative/commutative and
-byte-deterministic for the counter table (tested in tests/test_properties.py).
+Heavy hitters: each partial sketch tracks up to ``hh_capacity`` candidate
+items (exact per-partition counts). Merging unions candidate sets and
+re-truncates; ``top_k(k)`` returns the k candidates with the largest
+CMS-estimated counts. The candidate SET is merge-order-dependent
+(documented); counts are not.
+
 No reference file exists (/root/reference is empty — SURVEY.md §0).
 """
 
@@ -47,22 +53,55 @@ class CountMin(Sketch):
         self.seed = seed
         self.width = int(math.ceil(math.e / eps))
         self.depth = int(math.ceil(math.log(1.0 / delta)))
-        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.table: np.ndarray | None = None  # dense int64[depth, width] once promoted
+        self._buffer: dict[tuple[int, int], int] | None = {}  # sparse (h1,h2)→count
+        self._promote_limit = max(64, self.width // 4)
         self.n = 0  # total count — the N in the eps*N bound
         self.hh_capacity = hh_capacity
         self._candidates: dict = {}  # item -> exact-ish local count (pre-merge)
 
-    # ---------------------------------------------------------------- update
-    def _positions(self, values) -> np.ndarray:
-        """(depth, len) int64 column positions via double hashing."""
+    # ---------------------------------------------------------------- hashing
+    def _h12(self, values) -> tuple[np.ndarray, np.ndarray]:
         h1 = hash64(values, seed=self.seed)
         h2 = hash64(values, seed=self.seed + 1) | np.uint64(1)
+        return h1, h2
+
+    def _positions_from_h(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         pos = np.empty((self.depth, len(h1)), dtype=np.int64)
         w = np.uint64(self.width)
         for j in range(self.depth):
             pos[j] = ((h1 + np.uint64(j) * h2) % w).astype(np.int64)
         return pos
 
+    @property
+    def is_sparse(self) -> bool:
+        return self.table is None
+
+    def _promote(self) -> None:
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        if self._buffer:
+            items = np.fromiter((k[0] for k in self._buffer), dtype=np.uint64)
+            h2 = np.fromiter((k[1] for k in self._buffer), dtype=np.uint64)
+            cnt = np.fromiter(self._buffer.values(), dtype=np.int64)
+            pos = self._positions_from_h(items, h2)
+            for j in range(self.depth):
+                np.add.at(self.table[j], pos[j], cnt)
+        self._buffer = None
+
+    def _add_hashed(self, h1: np.ndarray, h2: np.ndarray, cnt: np.ndarray) -> None:
+        if self.table is not None:
+            pos = self._positions_from_h(h1, h2)
+            for j in range(self.depth):
+                np.add.at(self.table[j], pos[j], cnt)
+            return
+        buf = self._buffer
+        for a, b, c in zip(h1.tolist(), h2.tolist(), cnt.tolist()):
+            key = (a, b)
+            buf[key] = buf.get(key, 0) + c
+        if len(buf) > self._promote_limit:
+            self._promote()
+
+    # ---------------------------------------------------------------- update
     def update(self, values, counts=None) -> None:
         arr = _to_numpy(values)
         if len(arr) == 0:
@@ -79,9 +118,8 @@ class CountMin(Sketch):
                 uniq, cnt = np.unique(arr, return_counts=True)
         else:
             uniq, cnt = arr, np.asarray(counts, dtype=np.int64)
-        pos = self._positions(uniq)
-        for j in range(self.depth):
-            np.add.at(self.table[j], pos[j], cnt)
+        h1, h2 = self._h12(uniq)
+        self._add_hashed(h1, h2, cnt)
         self.n += int(cnt.sum())
         if self.hh_capacity:
             for v, c in zip(uniq.tolist(), cnt.tolist()):
@@ -95,9 +133,18 @@ class CountMin(Sketch):
 
     # ---------------------------------------------------------------- query
     def query(self, values) -> np.ndarray:
-        """Estimated frequency per item (vectorized, upper-biased)."""
+        """Estimated frequency per item (vectorized; upper-biased once dense,
+        exact while sparse)."""
         arr = _to_numpy(values)
-        pos = self._positions(arr)
+        h1, h2 = self._h12(arr)
+        if self.table is None:
+            buf = self._buffer
+            return np.fromiter(
+                (buf.get((a, b), 0) for a, b in zip(h1.tolist(), h2.tolist())),
+                dtype=np.int64,
+                count=len(arr),
+            )
+        pos = self._positions_from_h(h1, h2)
         ests = np.empty((self.depth, len(arr)), dtype=np.int64)
         for j in range(self.depth):
             ests[j] = self.table[j][pos[j]]
@@ -121,6 +168,15 @@ class CountMin(Sketch):
         order = sorted(zip(items, ests.tolist()), key=lambda kv: (-kv[1], str(kv[0])))
         return order[:k]
 
+    def dense_table(self) -> np.ndarray:
+        """Materialize the dense counter table (promotes a copy if sparse) —
+        identical under any merge order; used by the determinism tests."""
+        if self.table is not None:
+            return self.table
+        clone = CountMin.from_bytes(self.to_bytes())
+        clone._promote()
+        return clone.table
+
     # ---------------------------------------------------------------- merge
     def merge(self, other: "CountMin") -> "CountMin":
         if (
@@ -130,7 +186,25 @@ class CountMin(Sketch):
             or other.seed != self.seed
         ):
             raise ValueError("can only merge CMS with identical (eps, delta, seed)")
-        self.table += other.table
+        if other.table is not None and self.table is None:
+            self._promote()
+        if self.table is not None:
+            if other.table is not None:
+                self.table += other.table
+            else:
+                if other._buffer:
+                    h1 = np.fromiter((k[0] for k in other._buffer), dtype=np.uint64)
+                    h2 = np.fromiter((k[1] for k in other._buffer), dtype=np.uint64)
+                    cnt = np.fromiter(other._buffer.values(), dtype=np.int64)
+                    pos = self._positions_from_h(h1, h2)
+                    for j in range(self.depth):
+                        np.add.at(self.table[j], pos[j], cnt)
+        else:
+            buf = self._buffer
+            for key, c in other._buffer.items():
+                buf[key] = buf.get(key, 0) + c
+            if len(buf) > self._promote_limit:
+                self._promote()
         self.n += other.n
         if self.hh_capacity or other.hh_capacity:
             self.hh_capacity = max(self.hh_capacity, other.hh_capacity)
@@ -159,8 +233,19 @@ class CountMin(Sketch):
             .u32(self.hh_capacity)
             .u32(len(cand))
             .raw(cand)
-            .raw(self.table.tobytes())
         )
+        if self.table is not None:
+            w.u8(1).raw(self.table.tobytes())
+        else:
+            w.u8(0).u32(len(self._buffer))
+            if self._buffer:
+                # canonical (sorted) order → sparse serialization is
+                # byte-deterministic under any merge order
+                items = sorted(self._buffer.items())
+                h1 = np.fromiter((k[0] for k, _ in items), dtype=np.uint64)
+                h2 = np.fromiter((k[1] for k, _ in items), dtype=np.uint64)
+                cnt = np.fromiter((c for _, c in items), dtype=np.int64)
+                w.raw(h1.tobytes()).raw(h2.tobytes()).raw(cnt.tobytes())
         return w.getvalue()
 
     @classmethod
@@ -170,9 +255,18 @@ class CountMin(Sketch):
         out = cls(eps=eps, delta=delta, seed=seed, hh_capacity=hh_cap)
         out._candidates = pickle.loads(r.raw(cand_len))
         out.n = n
-        out.table = (
-            np.frombuffer(r.raw(out.depth * out.width * 8), dtype=np.int64)
-            .reshape(out.depth, out.width)
-            .copy()
-        )
+        if r.u8():
+            out.table = (
+                np.frombuffer(r.raw(out.depth * out.width * 8), dtype=np.int64)
+                .reshape(out.depth, out.width)
+                .copy()
+            )
+            out._buffer = None
+        else:
+            cnt_n = r.u32()
+            if cnt_n:
+                h1 = np.frombuffer(r.raw(8 * cnt_n), dtype=np.uint64)
+                h2 = np.frombuffer(r.raw(8 * cnt_n), dtype=np.uint64)
+                cnt = np.frombuffer(r.raw(8 * cnt_n), dtype=np.int64)
+                out._buffer = dict(zip(zip(h1.tolist(), h2.tolist()), cnt.tolist()))
         return out
