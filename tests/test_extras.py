@@ -1,0 +1,234 @@
+"""Validation for the training-data-pipeline extras: dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    from verdictray.corpus import generate_corpus
+
+    return generate_corpus("/tmp/vr_corpus_test", 20_000, seed=42)
+
+
+# ------------------------------------------------------------------ dedup
+class TestMinHashDedup:
+    def test_finds_exact_duplicates_in_corpus(self, ray_session, corpus):
+        """The generated corpus has ~5% exact content dups (row i copies
+        i-1 when i%20==0): jaccard=1.0 pairs that LSH must recall 100%."""
+        import duckdb
+        import ray.data as rd
+
+        from verdictray.dedup import minhash_dedup_pairs
+
+        # NOTE shingle_k: the synthetic corpus draws from a ~540-token
+        # vocabulary, so 5-byte shingles are shared by EVERY doc and LSH
+        # would bucket everything together; 14-byte shingles span 2-3
+        # tokens and discriminate. Real prose needs no such tuning.
+        docs = (
+            rd.read_parquet(corpus, columns=["path", "content"])
+            .limit(1500)
+            .map_batches(
+                lambda b: pa.table({
+                    "doc_id": pa.array(
+                        [int(__import__("re").search(r"/f(\d+)\.", p).group(1))
+                         for p in b["path"].to_pylist()],
+                        pa.int64()),
+                    "text": b["content"],
+                }),
+                batch_format="pyarrow",
+            )
+        )
+        pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.8,
+                                    num_perm=64, bands=8, shingle_k=14).to_pandas()
+        # ground truth exact-dup pairs among the first 1500 rows
+        truth = duckdb.sql(
+            f"""with d as (select cast(regexp_extract(path, 'f(\\d+)\\.', 1) as bigint) id, content
+                 from '{corpus}/*.parquet' where cast(regexp_extract(path, 'f(\\d+)\\.', 1) as bigint) < 1500)
+               select a.id, b.id from d a join d b on a.content = b.content and a.id < b.id"""
+        ).fetchall()
+        found = set(zip(pairs.id_a, pairs.id_b))
+        missing = [t for t in truth if t not in found]
+        assert not missing, f"missed {len(missing)}/{len(truth)} exact-dup pairs"
+        # precision: every returned pair really has jaccard >= threshold
+        assert (pairs.jaccard >= 0.8).all()
+
+    def test_jaccard_exact(self):
+        from verdictray.dedup import ngram_jaccard
+
+        assert ngram_jaccard(b"hello world", b"hello world") == 1.0
+        assert ngram_jaccard(b"abcdefgh", b"zzzzzzzz") == 0.0
+        mid = ngram_jaccard(b"the quick brown fox jumps", b"the quick brown cat jumps")
+        assert 0.2 < mid < 0.9
+
+
+class TestSimHash:
+    def test_identical_zero_hamming(self):
+        from verdictray.dedup import simhash64
+
+        a = simhash64(b"some document content here", 5)
+        b = simhash64(b"some document content here", 5)
+        assert a == b
+
+    def test_similar_low_distant_high(self):
+        from verdictray.dedup import simhash64
+
+        base = b"the quick brown fox jumps over the lazy dog " * 10
+        near = base[:-20] + b"the lazy cat instead"
+        far = b"completely different words entirely elsewhere " * 10
+        d_near = bin(simhash64(base) ^ simhash64(near)).count("1")
+        d_far = bin(simhash64(base) ^ simhash64(far)).count("1")
+        assert d_near < d_far
+
+    def test_pipeline_finds_exact_dups(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.dedup import simhash_dedup_pairs
+
+        texts = [f"unique document number {i} with plenty of text " * 5 for i in range(50)]
+        texts[10] = texts[3]  # exact dup
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                                     "text": pa.array(texts, pa.string())}))
+        pairs = simhash_dedup_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+        assert (3, 10) in set(zip(pairs.id_a, pairs.id_b))
+
+
+# ------------------------------------------------------------------ similarity
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, sf01_dir):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf01_dir}/embeddings.parquet")
+        ids = t["vec_id"].to_numpy()
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        return ids, mat
+
+    def test_brute_force_matches_numpy(self, ray_session, sf01_dir, emb):
+        import ray.data as rd
+
+        from verdictray.similarity import ann_brute_force
+
+        ids, mat = emb
+        q = mat[:3]
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = ann_brute_force(ds, q, ids[:3], "embedding", "vec_id", k=5).to_pandas()
+
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qi in range(3):
+            sims = nm[qi] @ nm.T
+            sims[qi] = -np.inf
+            expect = ids[np.argsort(-sims, kind="stable")[:5]]
+            got = out[out.query_id == ids[qi]].sort_values("rank").neighbor_id.to_numpy()
+            assert set(got) == set(expect), (qi, got, expect)
+
+    def test_lsh_recall(self, ray_session, sf01_dir, emb):
+        import ray.data as rd
+
+        from verdictray.similarity import ann_brute_force, ann_lsh
+
+        ids, mat = emb
+        q = mat[:5]
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        exact = ann_brute_force(ds, q, ids[:5], "embedding", "vec_id", k=10).to_pandas()
+        approx = ann_lsh(ds, q, ids[:5], "embedding", "vec_id", k=10,
+                         planes=6, multiprobe=2).to_pandas()
+        recalls = []
+        for qid in ids[:5]:
+            e = set(exact[exact.query_id == qid].neighbor_id)
+            a = set(approx[approx.query_id == qid].neighbor_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5, recalls
+
+    def test_embedding_neardup_matches_numpy(self, ray_session, sf01_dir, emb):
+        import ray.data as rd
+
+        from verdictray.dedup import embedding_neardup_pairs
+
+        ids, mat = emb
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        got = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45).to_pandas()
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nm @ nm.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= 0.45
+        expect = set(zip(ids[iu[0][mask]], ids[iu[1][mask]]))
+        assert set(zip(got.id_a, got.id_b)) == expect
+
+
+# ------------------------------------------------------------------ text
+class TestText:
+    def test_token_count_matches_duckdb(self):
+        import duckdb
+
+        from verdictray.text import with_token_count
+
+        texts = ["one two  three", "  padded  ", "single", "a b c d e"]
+        t = with_token_count(pa.table({"text": pa.array(texts)}))
+        expect = [duckdb.sql(
+            rf"select len(regexp_split_to_array(trim('{s}'), '\s+'))").fetchone()[0]
+            for s in texts]
+        assert t["n_tokens"].to_pylist() == expect
+
+    def test_fingerprint_pure_function_of_text(self):
+        from verdictray.text import fingerprint64
+
+        a = fingerprint64(pa.array(["doc one", "doc two", "doc one"]))
+        assert a[0] == a[2] and a[0] != a[1]
+
+    def test_lang_id_on_marker_texts(self):
+        from verdictray.text import with_lang_id
+
+        t = with_lang_id(pa.table({"text": pa.array([
+            "this is the house and the garden of that man",
+            "das ist der Mann und die Frau in das Haus",
+            "le chat est dans la maison avec les enfants",
+            "el perro es grande y los gatos una casa",
+            "xyzzy qwerty",
+        ])}))
+        assert t["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "und"]
+
+    def test_quality_score_orders_sensibly(self):
+        from verdictray.text import with_quality_features
+
+        good = "The quick brown fox jumps over the lazy dog and runs through the field " * 4
+        bad = "@@## !! ???? ## @@ !!"
+        t = with_quality_features(pa.table({"text": pa.array([good, bad])}))
+        scores = t["quality_score"].to_pylist()
+        assert scores[0] > scores[1]
+
+
+# ------------------------------------------------------------------ multimodal
+class TestMultimodal:
+    def test_real_codec_is_stubbed(self):
+        from verdictray.multimodal import DecodeStage
+
+        with pytest.raises(NotImplementedError):
+            DecodeStage(codec="real")
+
+    def test_fake_decode_deterministic_schema(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.multimodal import DEFAULT_FEATURE_DIM, decode_features
+
+        payloads = [f"payload-{i}".encode() for i in range(100)]
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(range(100), pa.int64()),
+            "mime": pa.array(["image/png"] * 100),
+            "payload": pa.array(payloads, pa.binary()),
+        }))
+        out = decode_features(ds, batch_size=16, concurrency=2)
+        t = out.to_pandas()
+        assert list(t.columns) == ["media_id", "mime", "n_bytes", "features"]
+        assert all(len(f) == DEFAULT_FEATURE_DIM for f in t.features)
+        assert (t.n_bytes == [len(p) for p in payloads]).all()
+        # deterministic: same payload → same features
+        t2 = decode_features(ds, batch_size=32, concurrency=2).to_pandas()
+        m1 = t.sort_values("media_id").features.tolist()
+        m2 = t2.sort_values("media_id").features.tolist()
+        assert all((np.asarray(x) == np.asarray(y)).all() for x, y in zip(m1, m2))

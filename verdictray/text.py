@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are vectorized batch fns over Arrow (`map_batches`,
+``batch_format="pyarrow"``): token counting (whitespace-run definition that
+matches the DuckDB oracle's ``regexp_split_to_array(trim(x), '\\s+')``),
+quality scoring (length/punctuation/stopword ratios), a deterministic
+n-gram/marker language-ID heuristic, and Rabin-style polynomial document
+fingerprints (rolling hash over utf-8 bytes, vectorized per row as a
+dot-product with precomputed powers mod 2^64).
+
+No reference implementation exists (/root/reference is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------------ tokens
+def with_token_count(batch: pa.Table, col: str = "text",
+                     out_col: str = "n_tokens") -> pa.Table:
+    """Tokens = whitespace-run-separated words of the trimmed text.
+    Matches DuckDB: len(regexp_split_to_array(trim(text), '\\s+'))."""
+    trimmed = pc.utf8_trim_whitespace(batch[col])
+    runs = pc.count_substring_regex(trimmed, r"\s+")
+    n = pc.add(runs, 1)
+    # empty-after-trim rows have 1 "token" per the split definition in
+    # DuckDB (splitting '' yields ['']), so no special-casing
+    return batch.append_column(out_col, pc.cast(n, pa.int64()))
+
+
+_STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b"
+
+
+def with_quality_features(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_chars, n_tokens, punct_ratio, stopword_ratio, and a
+    [0,1] quality_score (length + structure heuristic)."""
+    text = batch[col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    batch = with_token_count(batch, col, "n_tokens")
+    n_tokens = pc.cast(batch["n_tokens"], pa.float64())
+    punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.float64())
+    stops = pc.cast(pc.count_substring_regex(text, _STOPWORDS), pa.float64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    safe_toks = pc.max_element_wise(n_tokens, pa.scalar(1.0))
+    punct_ratio = pc.divide(punct, safe_chars)
+    stop_ratio = pc.divide(stops, safe_toks)
+    # quality: long-enough docs with some stopwords and sane punctuation
+    len_term = pc.min_element_wise(pc.divide(n_chars, pa.scalar(200.0)), pa.scalar(1.0))
+    punct_term = pc.subtract(pa.scalar(1.0), pc.min_element_wise(
+        pc.multiply(punct_ratio, pa.scalar(4.0)), pa.scalar(1.0)))
+    stop_term = pc.min_element_wise(pc.multiply(stop_ratio, pa.scalar(5.0)), pa.scalar(1.0))
+    score = pc.divide(pc.add(pc.add(len_term, punct_term), stop_term), pa.scalar(3.0))
+    batch = batch.append_column("n_chars_f", n_chars)
+    batch = batch.append_column("punct_ratio", punct_ratio)
+    batch = batch.append_column("stopword_ratio", stop_ratio)
+    return batch.append_column("quality_score", score)
+
+
+# ------------------------------------------------------------------ lang id
+# marker substrings per language (deterministic, vectorized via
+# count_substring; a tiny stand-in for real char-n-gram profiles)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is ", " that "],
+    "de": [" der ", " die ", " und ", " ist ", " das "],
+    "fr": [" le ", " la ", " les ", " est ", " une "],
+    "es": [" el ", " los ", " que ", " es ", " una "],
+}
+
+
+def with_lang_id(batch: pa.Table, col: str = "text",
+                 out_col: str = "lang_pred") -> pa.Table:
+    """Deterministic marker-n-gram language guess; 'und' (undetermined)
+    when no marker fires. Vectorized: one count_substring pass per marker."""
+    text = pc.utf8_lower(batch[col])
+    scores = np.zeros((len(batch), len(_LANG_MARKERS)), dtype=np.int64)
+    langs = list(_LANG_MARKERS)
+    for j, lang in enumerate(langs):
+        for marker in _LANG_MARKERS[lang]:
+            scores[:, j] += pc.count_substring(text, marker).to_numpy(zero_copy_only=False)
+    best = scores.argmax(axis=1)
+    fired = scores.max(axis=1) > 0
+    pred = np.where(fired, np.array(langs, dtype=object)[best], "und")
+    return batch.append_column(out_col, pa.array(pred, pa.string()))
+
+
+# ------------------------------------------------------------------ fingerprint
+_FP_BASE = np.uint64(1099511628211)  # FNV prime as the polynomial base
+_MAX_POW = 1 << 16
+
+
+def _powers(n: int) -> np.ndarray:
+    # cached descending powers of the base mod 2^64
+    global _POW_CACHE
+    try:
+        if len(_POW_CACHE) >= n:
+            return _POW_CACHE
+    except NameError:
+        pass
+    size = max(n, 4096)
+    p = np.empty(size, dtype=np.uint64)
+    p[0] = 1
+    # array accumulate wraps mod 2^64 silently (scalar loop would warn)
+    np.multiply.accumulate(np.full(size - 1, _FP_BASE, dtype=np.uint64), out=p[1:])
+    _POW_CACHE = p
+    return p
+
+
+def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Rabin-style polynomial fingerprint of each row's utf-8 bytes:
+    H(s) = Σ s[i] · B^(n-1-i) mod 2^64 — a pure content function, so
+    distinct fingerprints == distinct texts up to ~2^-64 collisions."""
+    chunks = texts.chunks if isinstance(texts, pa.ChunkedArray) else [texts]
+    out = np.empty(sum(len(c) for c in chunks), dtype=np.uint64)
+    i = 0
+    for chunk in chunks:
+        for b in chunk.cast(pa.binary()).to_pylist():
+            if b is None:
+                out[i] = 0
+            else:
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                n = len(arr)
+                out[i] = (arr * _powers(n)[:n][::-1]).sum() if n else np.uint64(0)
+            i += 1
+    return out
+
+
+def with_fingerprint(batch: pa.Table, col: str = "text",
+                     out_col: str = "fingerprint") -> pa.Table:
+    fp = fingerprint64(batch[col])
+    return batch.append_column(out_col, pa.array(fp.astype(np.int64)))
