@@ -50,7 +50,10 @@ def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
 def with_sha256(batch: pa.Table, content_col: str = "content",
                 out_col: str = "content_sha256") -> pa.Table:
     """Append the per-row sha256 hex — the invariant carried end-to-end
-    (BASELINE.json input_hint: "content sha256 equality")."""
+    (BASELINE.json input_hint: "content sha256 equality"). Idempotent:
+    a batch that already carries the column passes through unchanged."""
+    if out_col in batch.schema.names:
+        return batch
     return batch.append_column(out_col, sha256_hex_column(batch[content_col]))
 
 
@@ -79,7 +82,10 @@ def count_sha256_mismatches(batch: pa.Table, content_col: str = "content",
 
 # --------------------------------------------------------------- features
 def derive_features(batch: pa.Table, content_col: str = "content") -> pa.Table:
-    """Append n_bytes / n_lines — numeric inputs for the quantile sketches."""
+    """Append n_bytes / n_lines — numeric inputs for the quantile sketches.
+    Idempotent, like with_sha256."""
+    if "n_bytes" in batch.schema.names:
+        return batch
     content = batch[content_col]
     n_bytes = pc.binary_length(pc.cast(content, pa.binary()))
     n_lines = pc.add(pc.count_substring(content, "\n"), 1)
