@@ -115,6 +115,27 @@ class TestCorpusPipeline:
             cb = Sketch.from_bytes(b.loc[lang, "cms_blob"])
             assert (ca.dense_table() == cb.dense_table()).all() and ca.n == cb.n, lang
 
+    def test_repo_grouped_flagship(self, ray_session, corpus):
+        """High-cardinality grouping (contract: groupby(lang/repo)) — one
+        sketch row per repo, exact counts and bounded HLL per key."""
+        from verdictray.pipeline import SketchJobSpec, build_sketches
+        from verdictray.sketches import Sketch
+
+        spec = SketchJobSpec(input_path=corpus, group_key="repo", salts=4,
+                             bloom_capacity=5_000, hll_p=12)
+        merged = build_sketches(spec).to_pandas()
+        assert len(merged) == 100  # 20k rows / 200 rows-per-repo
+        exact = duckdb.sql(
+            f"select repo, count(distinct sha256(content)) nd, count(*) n "
+            f"from '{corpus}/*.parquet' group by 1"
+        ).df().set_index("repo")
+        for _, row in merged.iterrows():
+            hll = Sketch.from_bytes(row["hll_blob"])
+            cms = Sketch.from_bytes(row["cms_blob"])
+            ex = exact.loc[row["repo"]]
+            assert cms.n == ex.n
+            assert abs(hll.estimate() - ex.nd) / ex.nd <= 3 * hll.error_bound()
+
     def test_sha256_invariant_end_to_end(self, ray_session, corpus):
         import ray.data as rd
 

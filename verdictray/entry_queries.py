@@ -398,10 +398,37 @@ def q_corpus_sketches(sf_dir: str):
     n = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}.get(sf, 20_000)
     corpus = generate_corpus(f"/tmp/vr_corpus_{sf}", n, seed=42)
     spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=8,
-                         bloom_capacity=max(100_000, n))
+                         bloom_capacity=max(100_000, n), verify_sha=True)
     merged = build_sketches(spec)
     est = finalize_estimates(merged, spec)
     return est.drop_columns(["sketch"])
+
+
+def q_corpus_sketches_by_repo(sf_dir: str):
+    """The high-cardinality grouping path the contract names
+    ("groupby(lang/repo)"): one sketch row per repository (~n/200 keys).
+    Sparse CMS/Bloom partials keep tail-repo blobs KiB-sized."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}.get(sf, 20_000)
+    corpus = generate_corpus(f"/tmp/vr_corpus_{sf}", n, seed=42)
+    spec = SketchJobSpec(input_path=corpus, group_key="repo", salts=4,
+                         bloom_capacity=10_000, hll_p=12)
+    merged = build_sketches(spec)
+    import pyarrow as pa2
+
+    from .sketches import Sketch
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        repos, nds, nrows = [], [], []
+        for row in batch.to_pylist():
+            repos.append(row["repo"])
+            nds.append(Sketch.from_bytes(row["hll_blob"]).estimate())
+            nrows.append(Sketch.from_bytes(row["cms_blob"]).n)
+        return pa2.table({"repo": pa2.array(repos, pa2.string()),
+                          "nd_est": pa2.array(nds, pa2.float64()),
+                          "n_rows": pa2.array(nrows, pa2.int64())})
+
+    return merged.map_batches(to_rows, batch_format="pyarrow")
 
 
 # ===================================================================
@@ -570,6 +597,7 @@ QUERIES = {
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "bloom_customers_with_orders": q_bloom_customers_with_orders,
     "corpus_sketches": q_corpus_sketches,
+    "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "token_counts_by_lang": q_token_counts_by_lang,
     "fingerprint_distinct_by_lang": q_fingerprint_distinct,
     "doc_quality_by_lang": q_doc_quality,

@@ -63,6 +63,10 @@ class SketchJobSpec:
     out_dir: str | None = None
     checkpoint_dir: str | None = None
     metrics_dir: str | None = None
+    # re-compute sha256 at the end of prepare() and assert equality with
+    # the carried column — the contract's end-to-end invariant check
+    # (doubles the hash work; enable for acceptance runs)
+    verify_sha: bool = False
     sketch_cols: dict = field(
         default_factory=lambda: {
             "hll": "content_sha256",
@@ -106,6 +110,9 @@ def prepare(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if spec.verify_sha:
+        ds = ds.map_batches(ops.verify_sha256, batch_format="pyarrow",
+                            zero_copy_batch=True)
     keep = [spec.group_key, "content_sha256", "n_bytes", "n_lines"]
     seen = set()
     keep = [c for c in keep if not (c in seen or seen.add(c))]
