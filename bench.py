@@ -30,7 +30,7 @@ CORPUS_ROWS = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}
 # --scaling needs a long enough job that per-run constants (planning, pool
 # spin-up, final merge) amortize; override the corpus size via env
 BENCH_ROWS = os.environ.get("VR_BENCH_ROWS")
-SCALING_ROWS = int(os.environ.get("VR_SCALING_ROWS", "4000000"))
+SCALING_ROWS = int(os.environ.get("VR_SCALING_ROWS", "16000000"))
 
 
 def _sf_tag() -> str:

@@ -48,9 +48,16 @@ class BloomFilter(Sketch):
 
     # ---------------------------------------------------------------- update
     def _bit_positions(self, values) -> np.ndarray:
-        """(k, len) bit positions via double hashing."""
-        h1 = hash64(values, seed=self.seed)
-        h2 = hash64(values, seed=self.seed + 1) | np.uint64(1)
+        from .hashing import hash_base
+
+        return self._bit_positions_from_base(hash_base(_to_numpy(values)))
+
+    def _bit_positions_from_base(self, base: np.ndarray) -> np.ndarray:
+        """(k, len) bit positions via double hashing off the base hash."""
+        from .hashing import derive64
+
+        h1 = derive64(base, self.seed)
+        h2 = derive64(base, self.seed + 1) | np.uint64(1)
         m = np.uint64(self.m_bits)
         pos = np.empty((self.k, len(h1)), dtype=np.int64)
         for j in range(self.k):
@@ -70,6 +77,10 @@ class BloomFilter(Sketch):
         np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
     def _add_positions(self, pos: np.ndarray) -> None:
+        # promote first when this update alone overflows the sparse budget:
+        # dense bit-scatter beats sorting a huge union (large-batch path)
+        if self.bits is None and len(self._sparse) + len(pos) > self._sparse_limit:
+            self._promote()
         if self.bits is not None:
             self._set_dense(pos)
             return
@@ -83,6 +94,13 @@ class BloomFilter(Sketch):
             return
         self._add_positions(self._bit_positions(arr).ravel())
         self.n_added += len(arr)
+
+    def update_hashed(self, base: np.ndarray) -> None:
+        """Absorb pre-hashed values (base = hash_base(values))."""
+        if len(base) == 0:
+            return
+        self._add_positions(self._bit_positions_from_base(base).ravel())
+        self.n_added += len(base)
 
     # ---------------------------------------------------------------- query
     def contains(self, values) -> np.ndarray:

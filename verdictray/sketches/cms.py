@@ -62,8 +62,16 @@ class CountMin(Sketch):
 
     # ---------------------------------------------------------------- hashing
     def _h12(self, values) -> tuple[np.ndarray, np.ndarray]:
-        h1 = hash64(values, seed=self.seed)
-        h2 = hash64(values, seed=self.seed + 1) | np.uint64(1)
+        from .hashing import derive64, hash_base
+
+        base = hash_base(values)
+        return self._h12_from_base(base)
+
+    def _h12_from_base(self, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        from .hashing import derive64
+
+        h1 = derive64(base, self.seed)
+        h2 = derive64(base, self.seed + 1) | np.uint64(1)
         return h1, h2
 
     def _positions_from_h(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -89,6 +97,11 @@ class CountMin(Sketch):
         self._buffer = None
 
     def _add_hashed(self, h1: np.ndarray, h2: np.ndarray, cnt: np.ndarray) -> None:
+        # promote BEFORE buffering when this update alone would overflow the
+        # sparse budget — the dense scatter is vectorized, the buffer loop
+        # is not (large-batch fast path)
+        if self.table is None and len(self._buffer) + len(h1) > self._promote_limit:
+            self._promote()
         if self.table is not None:
             pos = self._positions_from_h(h1, h2)
             for j in range(self.depth):
@@ -106,25 +119,47 @@ class CountMin(Sketch):
         arr = _to_numpy(values)
         if len(arr) == 0:
             return
-        # pre-reduce the batch: unique values with counts → far fewer scatter ops
-        if counts is None:
-            if arr.dtype == object:
-                import pandas as pd
+        if counts is not None:
+            h1, h2 = self._h12(arr)
+            cnt = np.asarray(counts, dtype=np.int64)
+            self._add_hashed(h1, h2, cnt)
+            self.n += int(cnt.sum())
+            if self.hh_capacity:
+                self._track_candidates(arr, cnt)
+            return
+        from .hashing import hash_base
 
-                vc = pd.Series(arr).value_counts(sort=False)  # C-speed, preserves item type
-                uniq = vc.index.to_numpy(dtype=object)
-                cnt = vc.to_numpy(dtype=np.int64)
-            else:
-                uniq, cnt = np.unique(arr, return_counts=True)
-        else:
-            uniq, cnt = arr, np.asarray(counts, dtype=np.int64)
-        h1, h2 = self._h12(uniq)
+        self.update_hashed(hash_base(arr), values=arr)
+
+    def update_hashed(self, base: np.ndarray, values=None) -> None:
+        """Absorb pre-hashed values (base = hash_base(values)). The batch
+        pre-reduction runs np.unique on the uint64 base — much cheaper than
+        value_counts on strings; candidate tracking (if enabled) picks item
+        representatives from `values` via the unique indices."""
+        if len(base) == 0:
+            return
+        uniq_base, first_ix, cnt = np.unique(base, return_index=True, return_counts=True)
+        h1, h2 = self._h12_from_base(uniq_base)
         self._add_hashed(h1, h2, cnt)
-        self.n += int(cnt.sum())
-        if self.hh_capacity:
-            for v, c in zip(uniq.tolist(), cnt.tolist()):
-                self._candidates[v] = self._candidates.get(v, 0) + int(c)
-            self._truncate_candidates()
+        self.n += int(len(base))
+        if self.hh_capacity and values is not None:
+            arr = _to_numpy(values)
+            self._track_candidates(arr[first_ix], cnt)
+
+    def _track_candidates(self, uniq: np.ndarray, cnt: np.ndarray) -> None:
+        # track only the batch's top items: anything heavy overall is
+        # heavy within batches too (a per-batch count of 1 among
+        # > 4*hh_capacity distinct items cannot be a global top-k hitter
+        # at meaningful frequency); bounds the per-batch Python work
+        cap = 4 * self.hh_capacity
+        if len(uniq) > cap:
+            top_ix = np.argpartition(-cnt, cap - 1)[:cap]
+            cand_items, cand_cnt = uniq[top_ix], cnt[top_ix]
+        else:
+            cand_items, cand_cnt = uniq, cnt
+        for v, c in zip(cand_items.tolist(), cand_cnt.tolist()):
+            self._candidates[v] = self._candidates.get(v, 0) + int(c)
+        self._truncate_candidates()
 
     def _truncate_candidates(self) -> None:
         if len(self._candidates) > 2 * self.hh_capacity:

@@ -57,30 +57,49 @@ def _to_numpy(values) -> np.ndarray:
     return np.asarray(values)
 
 
+def hash_base(values) -> np.ndarray:
+    """The seed-0 base hash of a column → uint64 ndarray. Sketches that
+    need several hash functions over the SAME column (CMS rows, Bloom
+    probes, the updater's three hash-sketches) compute this once and
+    derive seeded variants with ``derive64`` — one expensive pass over the
+    data instead of one per hash function."""
+    arr = _to_numpy(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        if arr.dtype != object:
+            arr = arr.astype(object)
+        raw = pd.util.hash_array(arr, categorize=False)
+    elif arr.dtype.kind in ("i", "u"):
+        raw = arr.astype(np.uint64, copy=False)
+    elif arr.dtype.kind == "f":
+        a = arr.astype(np.float64, copy=True)
+        a[a == 0.0] = 0.0  # fold -0.0 into +0.0
+        raw = a.view(np.uint64)
+    elif arr.dtype.kind == "b":
+        raw = arr.astype(np.uint64)
+    elif arr.dtype.kind == "M":  # datetime64
+        raw = arr.view(np.int64).astype(np.uint64)
+    else:
+        raise TypeError(f"hash64: unsupported dtype {arr.dtype}")
+    return _splitmix64(raw)
+
+
+def derive64(base: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded hash derived from the base hash (seed 0 = the base itself).
+    A full splitmix64 finalizer over base+seed·golden gives approximately
+    independent families (Kirsch–Mitzenmacher quality)."""
+    if seed == 0:
+        return base
+    return _splitmix64(base + np.uint64((int(seed) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)))
+
+
 def hash64(values, seed: int = 0) -> np.ndarray:
     """Vectorized 64-bit hash of a column of values → uint64 ndarray.
 
     Deterministic across processes/workers (PYTHONHASHSEED-independent).
     ``seed`` selects an (approximately) independent hash function.
+    Identity: hash64(v, s) == derive64(hash_base(v), s).
     """
-    arr = _to_numpy(values)
-    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
-        if arr.dtype != object:
-            arr = arr.astype(object)
-        base = pd.util.hash_array(arr, categorize=False)
-    elif arr.dtype.kind in ("i", "u"):
-        base = arr.astype(np.uint64, copy=False)
-    elif arr.dtype.kind == "f":
-        a = arr.astype(np.float64, copy=True)
-        a[a == 0.0] = 0.0  # fold -0.0 into +0.0
-        base = a.view(np.uint64)
-    elif arr.dtype.kind == "b":
-        base = arr.astype(np.uint64)
-    elif arr.dtype.kind == "M":  # datetime64
-        base = arr.view(np.int64).astype(np.uint64)
-    else:
-        raise TypeError(f"hash64: unsupported dtype {arr.dtype}")
-    return _splitmix64(base + np.uint64((int(seed) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)))
+    return derive64(hash_base(values), seed)
 
 
 def hash64_scalar(value, seed: int = 0) -> int:

@@ -51,8 +51,7 @@ class HyperLogLog(Sketch):
         self._regs: np.ndarray | None = None  # dense uint8[m]
 
     # ---------------------------------------------------------------- update
-    def _idx_rho(self, values) -> tuple[np.ndarray, np.ndarray]:
-        h = hash64(values, seed=self.seed)
+    def _idx_rho_from_h(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         idx = (h >> np.uint64(self.q)).astype(np.uint32)
         w = h & np.uint64((1 << self.q) - 1)
         # bit_length via frexp exponent: exact for w < 2^53 (p >= 11); for
@@ -64,7 +63,14 @@ class HyperLogLog(Sketch):
     def update(self, values) -> None:
         if len(values) == 0:
             return
-        idx, rho = self._idx_rho(values)
+        self.update_hashed(hash64(values, seed=self.seed))
+
+    def update_hashed(self, h: np.ndarray) -> None:
+        """Absorb pre-hashed values (h = hash64(values, seed=self.seed)) —
+        lets callers hash a shared column once for several sketches."""
+        if len(h) == 0:
+            return
+        idx, rho = self._idx_rho_from_h(h)
         if self._regs is not None:
             np.maximum.at(self._regs, idx, rho)
         else:

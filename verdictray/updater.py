@@ -68,16 +68,36 @@ class SketchUpdater:
         boundaries = np.flatnonzero(
             np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
         )
-        idx = pa.array(order)
+        # one Arrow→numpy conversion per needed column per batch; per-key
+        # slices are then cheap fancy-indexing (block.take per key would
+        # rebuild Arrow tables and re-convert inside every sketch update)
+        col_np = {
+            name: block[name].to_numpy(zero_copy_only=False)
+            for name in set(self._cols.values())
+        }
+        # the three hash-sketches share one base hash of the item column,
+        # computed once per batch (they derive seeded variants internally)
+        from .sketches.hashing import derive64, hash_base
+
+        hash_cols = {self._cols[k] for k in ("hll", "cms", "bloom")}
+        base_np = {name: hash_base(col_np[name]) for name in hash_cols}
         out_keys: list[str] = []
         out_blobs: dict[str, list[bytes]] = {c: [] for c in _BLOB_COLS}
         for i, start in enumerate(boundaries):
             end = boundaries[i + 1] if i + 1 < len(boundaries) else len(sorted_keys)
-            group = block.take(idx.slice(start, end - start))
+            sel = order[start:end]
             out_keys.append(sorted_keys[start])
             for blob_col in _BLOB_COLS:
                 sk = self._factories[blob_col]()
-                sk.update(group[self._cols[blob_col.removesuffix("_blob")]])
+                col = self._cols[blob_col.removesuffix("_blob")]
+                if blob_col == "hll_blob":
+                    sk.update_hashed(derive64(base_np[col][sel], sk.seed))
+                elif blob_col == "cms_blob":
+                    sk.update_hashed(base_np[col][sel], values=col_np[col][sel])
+                elif blob_col == "bloom_blob":
+                    sk.update_hashed(base_np[col][sel])
+                else:
+                    sk.update(col_np[col][sel])
                 out_blobs[blob_col].append(sk.to_bytes())
         self._blocks_seen += 1
         if self._metrics_dir:
