@@ -30,7 +30,7 @@ CORPUS_ROWS = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}
 # --scaling needs a long enough job that per-run constants (planning, pool
 # spin-up, final merge) amortize; override the corpus size via env
 BENCH_ROWS = os.environ.get("VR_BENCH_ROWS")
-SCALING_ROWS = int(os.environ.get("VR_SCALING_ROWS", "16000000"))
+SCALING_ROWS = int(os.environ.get("VR_SCALING_ROWS", "4000000"))
 
 
 def _sf_tag() -> str:
@@ -87,7 +87,7 @@ def run_benchmarks() -> dict:
     n_rows = _n_rows()
     # IDENTICAL job at every CPU level (scaling runs compare like-for-like):
     # batch size from data size only — enough parallel units for 32 CPUs
-    batch_rows = max(8192, min(32_768, n_rows // 128))
+    batch_rows = max(8192, min(65_536, n_rows // 64))
     spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=16,
                          bloom_capacity=max(100_000, n_rows),
                          updater_batch_rows=batch_rows)

@@ -36,13 +36,16 @@ class BloomFilter(Sketch):
         bits_per_item = -math.log(fpp) / (math.log(2) ** 2)
         self.m_bits = max(64, int(math.ceil(self.capacity * bits_per_item)))
         self.k = max(1, int(round(bits_per_item * math.log(2))))
-        # Sparse-until-promoted (mirrors HLL): small/partial filters hold a
-        # sorted array of set-bit positions instead of the dense bitmap.
-        # Distributed per-group partials stay KiB-sized for tail groups —
-        # essential when grouping by a high-cardinality key (repo) where a
-        # dense m/8-byte bitmap per partial would dominate the shuffle.
-        self._sparse_limit = max(64, self.m_bits // 64)  # 8B/pos vs m/8 dense
-        self._sparse: np.ndarray | None = np.empty(0, dtype=np.int64)
+        # Sparse-until-promoted (mirrors HLL): small/partial filters hold
+        # the sorted unique BASE HASHES of inserted items (8 bytes/item —
+        # 7x smaller than the k bit positions, which are re-derived
+        # vectorized at promotion). Distributed per-group partials stay
+        # KiB-sized for tail groups, and sparse membership probes are
+        # EXACT (zero false positives until promotion). Essential when
+        # grouping by a high-cardinality key (repo), where a dense
+        # m/8-byte bitmap per partial would dominate the shuffle.
+        self._sparse_limit = max(64, self.m_bits // 64)  # 8B/hash vs m/8 dense
+        self._sparse: np.ndarray | None = np.empty(0, dtype=np.uint64)  # sorted base hashes
         self.bits: np.ndarray | None = None  # dense uint8[(m+7)//8] once promoted
         self.n_added = 0  # counts update() items incl. re-inserts (upper bound on n)
 
@@ -69,22 +72,25 @@ class BloomFilter(Sketch):
         return self.bits is None
 
     def _promote(self) -> None:
+        bases = self._sparse
         self.bits = np.zeros((self.m_bits + 7) // 8, dtype=np.uint8)
-        self._set_dense(self._sparse)
         self._sparse = None
+        if len(bases):
+            self._set_dense_from_base(bases)
 
-    def _set_dense(self, pos: np.ndarray) -> None:
+    def _set_dense_from_base(self, base: np.ndarray) -> None:
+        pos = self._bit_positions_from_base(base).ravel()
         np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
-    def _add_positions(self, pos: np.ndarray) -> None:
+    def _add_bases(self, base: np.ndarray) -> None:
         # promote first when this update alone overflows the sparse budget:
         # dense bit-scatter beats sorting a huge union (large-batch path)
-        if self.bits is None and len(self._sparse) + len(pos) > self._sparse_limit:
+        if self.bits is None and len(self._sparse) + len(base) > self._sparse_limit:
             self._promote()
         if self.bits is not None:
-            self._set_dense(pos)
+            self._set_dense_from_base(base)
             return
-        self._sparse = np.union1d(self._sparse, pos)
+        self._sparse = np.union1d(self._sparse, base)
         if len(self._sparse) > self._sparse_limit:
             self._promote()
 
@@ -92,14 +98,15 @@ class BloomFilter(Sketch):
         arr = _to_numpy(values)
         if len(arr) == 0:
             return
-        self._add_positions(self._bit_positions(arr).ravel())
-        self.n_added += len(arr)
+        from .hashing import hash_base
+
+        self.update_hashed(hash_base(arr))
 
     def update_hashed(self, base: np.ndarray) -> None:
         """Absorb pre-hashed values (base = hash_base(values))."""
         if len(base) == 0:
             return
-        self._add_positions(self._bit_positions_from_base(base).ravel())
+        self._add_bases(base)
         self.n_added += len(base)
 
     # ---------------------------------------------------------------- query
@@ -108,17 +115,20 @@ class BloomFilter(Sketch):
         arr = _to_numpy(values)
         if len(arr) == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._bit_positions(arr)
+        from .hashing import hash_base
+
+        base = hash_base(arr)
+        if self.bits is None:
+            # sparse mode: exact membership of the base hash (no FP)
+            if len(self._sparse) == 0:
+                return np.zeros(len(arr), dtype=bool)
+            i = np.minimum(np.searchsorted(self._sparse, base), len(self._sparse) - 1)
+            return self._sparse[i] == base
+        pos = self._bit_positions_from_base(base)
         out = np.ones(len(arr), dtype=bool)
         for j in range(self.k):
             p = pos[j]
-            if self.bits is not None:
-                out &= (self.bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
-            elif len(self._sparse) == 0:
-                out[:] = False
-            else:
-                i = np.minimum(np.searchsorted(self._sparse, p), len(self._sparse) - 1)
-                out &= self._sparse[i] == p
+            out &= (self.bits[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
         return out
 
     def contains_one(self, value) -> bool:
@@ -141,9 +151,10 @@ class BloomFilter(Sketch):
             if other.bits is not None:
                 np.bitwise_or(self.bits, other.bits, out=self.bits)
             else:
-                self._set_dense(other._sparse)
+                if len(other._sparse):
+                    self._set_dense_from_base(other._sparse)
         else:
-            self._add_positions(other._sparse)
+            self._add_bases(other._sparse)
         self.n_added += other.n_added
         return self
 
@@ -173,7 +184,7 @@ class BloomFilter(Sketch):
             w.u8(1).raw(self.bits.tobytes())
         else:
             w.u8(0).u32(len(self._sparse)).raw(
-                self._sparse.astype(np.int64).tobytes()
+                np.ascontiguousarray(self._sparse, dtype=np.uint64).tobytes()
             )
         return w.getvalue()
 
@@ -189,6 +200,6 @@ class BloomFilter(Sketch):
             out._sparse = None
         else:
             n = r.u32()
-            out._sparse = np.frombuffer(r.raw(8 * n), dtype=np.int64).copy()
+            out._sparse = np.frombuffer(r.raw(8 * n), dtype=np.uint64).copy()
         out.n_added = n_added
         return out

@@ -9,7 +9,8 @@ Rows use the Kirsch–Mitzenmacher double-hashing family
 h_j(x) = h1(x) + j*h2(x) mod w over the shared ``hash64`` (hashing.py).
 
 Sparse-until-promoted: a fresh/partial sketch buffers exact
-(h1, h2) → count entries in a dict instead of allocating the d×w counter
+base-hash → count entries (8 bytes/item on the wire; row hashes are
+re-derived vectorized at promotion) instead of allocating the d×w counter
 table; it promotes to the dense table once the buffer passes ~w/4 items.
 Per-group partials for tail groups (the common case when grouping by a
 high-cardinality key like `repo`) stay KiB-sized on the wire, and sparse
@@ -54,7 +55,7 @@ class CountMin(Sketch):
         self.width = int(math.ceil(math.e / eps))
         self.depth = int(math.ceil(math.log(1.0 / delta)))
         self.table: np.ndarray | None = None  # dense int64[depth, width] once promoted
-        self._buffer: dict[tuple[int, int], int] | None = {}  # sparse (h1,h2)→count
+        self._buffer: dict[int, int] | None = {}  # sparse base-hash→count
         self._promote_limit = max(64, self.width // 4)
         self.n = 0  # total count — the N in the eps*N bound
         self.hh_capacity = hh_capacity
@@ -88,29 +89,29 @@ class CountMin(Sketch):
     def _promote(self) -> None:
         self.table = np.zeros((self.depth, self.width), dtype=np.int64)
         if self._buffer:
-            items = np.fromiter((k[0] for k in self._buffer), dtype=np.uint64)
-            h2 = np.fromiter((k[1] for k in self._buffer), dtype=np.uint64)
+            base = np.fromiter(self._buffer.keys(), dtype=np.uint64)
             cnt = np.fromiter(self._buffer.values(), dtype=np.int64)
-            pos = self._positions_from_h(items, h2)
-            for j in range(self.depth):
-                np.add.at(self.table[j], pos[j], cnt)
+            self._scatter(base, cnt)
         self._buffer = None
 
-    def _add_hashed(self, h1: np.ndarray, h2: np.ndarray, cnt: np.ndarray) -> None:
+    def _scatter(self, base: np.ndarray, cnt: np.ndarray) -> None:
+        h1, h2 = self._h12_from_base(base)
+        pos = self._positions_from_h(h1, h2)
+        for j in range(self.depth):
+            np.add.at(self.table[j], pos[j], cnt)
+
+    def _add_base(self, base: np.ndarray, cnt: np.ndarray) -> None:
         # promote BEFORE buffering when this update alone would overflow the
         # sparse budget — the dense scatter is vectorized, the buffer loop
         # is not (large-batch fast path)
-        if self.table is None and len(self._buffer) + len(h1) > self._promote_limit:
+        if self.table is None and len(self._buffer) + len(base) > self._promote_limit:
             self._promote()
         if self.table is not None:
-            pos = self._positions_from_h(h1, h2)
-            for j in range(self.depth):
-                np.add.at(self.table[j], pos[j], cnt)
+            self._scatter(base, cnt)
             return
         buf = self._buffer
-        for a, b, c in zip(h1.tolist(), h2.tolist(), cnt.tolist()):
-            key = (a, b)
-            buf[key] = buf.get(key, 0) + c
+        for b, c in zip(base.tolist(), cnt.tolist()):
+            buf[b] = buf.get(b, 0) + c
         if len(buf) > self._promote_limit:
             self._promote()
 
@@ -119,16 +120,15 @@ class CountMin(Sketch):
         arr = _to_numpy(values)
         if len(arr) == 0:
             return
+        from .hashing import hash_base
+
         if counts is not None:
-            h1, h2 = self._h12(arr)
             cnt = np.asarray(counts, dtype=np.int64)
-            self._add_hashed(h1, h2, cnt)
+            self._add_base(hash_base(arr), cnt)
             self.n += int(cnt.sum())
             if self.hh_capacity:
                 self._track_candidates(arr, cnt)
             return
-        from .hashing import hash_base
-
         self.update_hashed(hash_base(arr), values=arr)
 
     def update_hashed(self, base: np.ndarray, values=None) -> None:
@@ -139,8 +139,7 @@ class CountMin(Sketch):
         if len(base) == 0:
             return
         uniq_base, first_ix, cnt = np.unique(base, return_index=True, return_counts=True)
-        h1, h2 = self._h12_from_base(uniq_base)
-        self._add_hashed(h1, h2, cnt)
+        self._add_base(uniq_base, cnt)
         self.n += int(len(base))
         if self.hh_capacity and values is not None:
             arr = _to_numpy(values)
@@ -170,15 +169,18 @@ class CountMin(Sketch):
     def query(self, values) -> np.ndarray:
         """Estimated frequency per item (vectorized; upper-biased once dense,
         exact while sparse)."""
+        from .hashing import hash_base
+
         arr = _to_numpy(values)
-        h1, h2 = self._h12(arr)
+        base = hash_base(arr)
         if self.table is None:
             buf = self._buffer
             return np.fromiter(
-                (buf.get((a, b), 0) for a, b in zip(h1.tolist(), h2.tolist())),
+                (buf.get(b, 0) for b in base.tolist()),
                 dtype=np.int64,
                 count=len(arr),
             )
+        h1, h2 = self._h12_from_base(base)
         pos = self._positions_from_h(h1, h2)
         ests = np.empty((self.depth, len(arr)), dtype=np.int64)
         for j in range(self.depth):
@@ -228,12 +230,9 @@ class CountMin(Sketch):
                 self.table += other.table
             else:
                 if other._buffer:
-                    h1 = np.fromiter((k[0] for k in other._buffer), dtype=np.uint64)
-                    h2 = np.fromiter((k[1] for k in other._buffer), dtype=np.uint64)
+                    base = np.fromiter(other._buffer.keys(), dtype=np.uint64)
                     cnt = np.fromiter(other._buffer.values(), dtype=np.int64)
-                    pos = self._positions_from_h(h1, h2)
-                    for j in range(self.depth):
-                        np.add.at(self.table[j], pos[j], cnt)
+                    self._scatter(base, cnt)
         else:
             buf = self._buffer
             for key, c in other._buffer.items():
@@ -277,10 +276,9 @@ class CountMin(Sketch):
                 # canonical (sorted) order → sparse serialization is
                 # byte-deterministic under any merge order
                 items = sorted(self._buffer.items())
-                h1 = np.fromiter((k[0] for k, _ in items), dtype=np.uint64)
-                h2 = np.fromiter((k[1] for k, _ in items), dtype=np.uint64)
+                base = np.fromiter((k for k, _ in items), dtype=np.uint64)
                 cnt = np.fromiter((c for _, c in items), dtype=np.int64)
-                w.raw(h1.tobytes()).raw(h2.tobytes()).raw(cnt.tobytes())
+                w.raw(base.tobytes()).raw(cnt.tobytes())
         return w.getvalue()
 
     @classmethod
@@ -300,8 +298,7 @@ class CountMin(Sketch):
         else:
             cnt_n = r.u32()
             if cnt_n:
-                h1 = np.frombuffer(r.raw(8 * cnt_n), dtype=np.uint64)
-                h2 = np.frombuffer(r.raw(8 * cnt_n), dtype=np.uint64)
+                base = np.frombuffer(r.raw(8 * cnt_n), dtype=np.uint64)
                 cnt = np.frombuffer(r.raw(8 * cnt_n), dtype=np.int64)
-                out._buffer = dict(zip(zip(h1.tolist(), h2.tolist()), cnt.tolist()))
+                out._buffer = dict(zip(base.tolist(), cnt.tolist()))
         return out
