@@ -55,6 +55,21 @@ class TestMinHashDedup:
         # precision: every returned pair really has jaccard >= threshold
         assert (pairs.jaccard >= 0.8).all()
 
+    def test_clusters_and_drop(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.dedup import drop_neardups, neardup_clusters
+
+        pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+        roots = neardup_clusters(pairs)
+        assert roots[1] == roots[2] == roots[3] == 1
+        assert roots[10] == roots[11] == 10
+        ds = rd.from_arrow(__import__("pyarrow").table(
+            {"doc_id": list(range(15))}))
+        kept = sorted(drop_neardups(ds, pairs, "doc_id").to_pandas().doc_id)
+        assert kept == [0, 1, 4, 5, 6, 7, 8, 9, 10, 12, 13, 14]
+
     def test_jaccard_exact(self):
         from verdictray.dedup import ngram_jaccard
 

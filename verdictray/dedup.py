@@ -167,6 +167,53 @@ def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
     return uniq_pairs.map_batches(verify, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------ clusters
+def neardup_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b") -> dict:
+    """Connected components over verified near-dup pairs → {id: cluster_root}.
+
+    Union-find on the driver: the verified pair set is orders of magnitude
+    smaller than the corpus (ray_guide near-dup pattern allows driver-side
+    union-find "only if the candidate set is provably small" — verified
+    pairs are ≤ actual near-dups, which dedup presumes are a small
+    fraction). At extreme pair counts, switch to iterated min-label
+    propagation with groupby; the pair pipeline is unchanged.
+    """
+    df = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(df[id_col_a], df[id_col_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # canonical root = smaller id → deterministic clusters
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def drop_neardups(ds, pairs, id_col: str):
+    """Keep one representative (the cluster root) per near-dup cluster —
+    the actual dedup step. The root map is broadcast; non-clustered rows
+    pass through untouched."""
+    import ray
+
+    roots = neardup_clusters(pairs)
+    drop = {doc_id for doc_id, root in roots.items() if root != doc_id}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        mask = np.array([i not in dropped for i in batch[id_col].to_pylist()])
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------------------------ simhash
 def simhash64(b: bytes, k: int = 5) -> int:
     """64-bit SimHash over k-byte shingles (bit-vote of shingle hashes)."""
