@@ -277,3 +277,46 @@ class TestTDigest:
         rt = Sketch.from_bytes(t.to_bytes())
         assert rt.to_bytes() == t.to_bytes()
         assert rt.quantile(0.5) == t.quantile(0.5)
+
+
+# ------------------------------------------------------------------ nulls
+class TestNullSemantics:
+    """Sketch updates follow SQL aggregate semantics: NULLs are ignored."""
+
+    def test_hash_sketches_skip_nulls(self):
+        import pyarrow as pa
+
+        col = pa.array(["a", None, "b", "a", None], pa.string())
+        h = HyperLogLog()
+        h.update(col)
+        assert abs(h.estimate() - 2) < 0.5
+        c = CountMin()
+        c.update(col)
+        assert c.n == 3
+        b = BloomFilter(capacity=100)
+        b.update(col)
+        assert b.n_added == 3 and b.contains_one("a") and not b.contains_one("z")
+
+    def test_quantile_sketches_skip_nan(self):
+        import pyarrow as pa
+
+        for cls in (KLL, TDigest):
+            s = cls()
+            s.update(pa.array([1.0, None, 3.0]))
+            assert s.n == 2
+
+
+class TestMetricsSummary:
+    def test_summarize(self, tmp_path):
+        import json
+
+        from verdictray.metrics import summarize
+
+        d = tmp_path / "m"
+        d.mkdir()
+        for pid, rows in [(1, 100), (2, 200)]:
+            with open(d / f"updater-{pid}.jsonl", "w") as f:
+                f.write(json.dumps({"ts": 0, "rows": rows, "bytes": rows * 10,
+                                    "keys": 5, "secs": 0.5, "blocks_seen": 1}) + "\n")
+        s = summarize(str(d))
+        assert s["rows"] == 300 and s["partitions"] == 2 and s["rows_per_cpu_sec"] == 300.0

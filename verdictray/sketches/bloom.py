@@ -95,11 +95,11 @@ class BloomFilter(Sketch):
             self._promote()
 
     def update(self, values) -> None:
-        arr = _to_numpy(values)
+        from .hashing import _to_numpy_dropnull, hash_base
+
+        arr = _to_numpy_dropnull(values)
         if len(arr) == 0:
             return
-        from .hashing import hash_base
-
         self.update_hashed(hash_base(arr))
 
     def update_hashed(self, base: np.ndarray) -> None:

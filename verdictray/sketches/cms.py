@@ -117,10 +117,13 @@ class CountMin(Sketch):
 
     # ---------------------------------------------------------------- update
     def update(self, values, counts=None) -> None:
-        arr = _to_numpy(values)
+        from .hashing import _to_numpy_dropnull, hash_base
+
+        # null semantics: counts-path trusts the caller's pre-aggregated
+        # rows; the raw path drops nulls like SQL aggregates do
+        arr = _to_numpy(values) if counts is not None else _to_numpy_dropnull(values)
         if len(arr) == 0:
             return
-        from .hashing import hash_base
 
         if counts is not None:
             cnt = np.asarray(counts, dtype=np.int64)

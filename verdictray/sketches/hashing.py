@@ -57,6 +57,21 @@ def _to_numpy(values) -> np.ndarray:
     return np.asarray(values)
 
 
+def _to_numpy_dropnull(values) -> np.ndarray:
+    """Like _to_numpy but with nulls removed — sketch updates follow SQL
+    aggregate semantics (COUNT(DISTINCT x) ignores NULL)."""
+    if pa is not None and isinstance(values, (pa.Array, pa.ChunkedArray)):
+        return _to_numpy(values.drop_null())
+    arr = _to_numpy(values)
+    if arr.dtype == object:
+        mask = pd.notna(arr)
+        if not mask.all():
+            arr = arr[mask]
+    elif arr.dtype.kind == "f":
+        arr = arr[~np.isnan(arr)]
+    return arr
+
+
 def hash_base(values) -> np.ndarray:
     """The seed-0 base hash of a column → uint64 ndarray. Sketches that
     need several hash functions over the SAME column (CMS rows, Bloom

@@ -61,9 +61,12 @@ class HyperLogLog(Sketch):
         return idx, rho
 
     def update(self, values) -> None:
-        if len(values) == 0:
+        from .hashing import _to_numpy_dropnull
+
+        arr = _to_numpy_dropnull(values)
+        if len(arr) == 0:
             return
-        self.update_hashed(hash64(values, seed=self.seed))
+        self.update_hashed(hash64(arr, seed=self.seed))
 
     def update_hashed(self, h: np.ndarray) -> None:
         """Absorb pre-hashed values (h = hash64(values, seed=self.seed)) —
