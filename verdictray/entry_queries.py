@@ -404,6 +404,42 @@ def q_corpus_sketches(sf_dir: str):
     return est.drop_columns(["sketch"])
 
 
+def q_hll_union_rollup(sf_dir: str):
+    """Sketch-union rollup (SURVEY.md §2.7): per-event_type HLL blobs are
+    merged driver-side and the rollup estimate must equal the direct
+    global estimate byte-for-byte (register max is associative)."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    per_type = ds.groupby("event_type").aggregate(
+        HllAgg(on="user_id", alias_name="blob", output="blob")
+    ).to_pandas()
+    from .sketches import Sketch
+
+    merged = None
+    for blob in per_type["blob"]:
+        sk = Sketch.from_bytes(blob)
+        merged = sk if merged is None else merged.merge(sk)
+    direct = _t(sf_dir, "events", ["user_id"]).aggregate(
+        HllAgg(on="user_id", alias_name="nd")
+    )["nd"]
+    return pa.table({
+        "scope": pa.array(["rollup", "direct"], pa.string()),
+        "nd_users_est": pa.array([merged.estimate(), direct], pa.float64()),
+    })
+
+
+def q_calibration_report(sf_dir: str):
+    """The §3.3 verification path as a query: estimates vs exact on a
+    deterministic slice of the generated corpus, long-format verdicts."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}.get(sf, 20_000)
+    corpus = generate_corpus(f"/tmp/vr_corpus_{sf}", n, seed=42)
+    from .calibrate import calibration_report
+
+    spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=4,
+                         bloom_capacity=max(50_000, n // 2))
+    return calibration_report(corpus, spec, sample_rate=0.25)
+
+
 def q_corpus_sketches_by_repo(sf_dir: str):
     """The high-cardinality grouping path the contract names
     ("groupby(lang/repo)"): one sketch row per repository (~n/200 keys).
@@ -598,6 +634,8 @@ QUERIES = {
     "bloom_customers_with_orders": q_bloom_customers_with_orders,
     "corpus_sketches": q_corpus_sketches,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
+    "hll_union_rollup": q_hll_union_rollup,
+    "calibration_report": q_calibration_report,
     "token_counts_by_lang": q_token_counts_by_lang,
     "fingerprint_distinct_by_lang": q_fingerprint_distinct,
     "doc_quality_by_lang": q_doc_quality,
