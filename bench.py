@@ -87,7 +87,7 @@ def run_benchmarks() -> dict:
     n_rows = _n_rows()
     # IDENTICAL job at every CPU level (scaling runs compare like-for-like):
     # batch size from data size only — enough parallel units for 32 CPUs
-    batch_rows = max(8192, min(65_536, n_rows // 64))
+    batch_rows = max(16_384, min(65_536, n_rows // 64))
     spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=16,
                          bloom_capacity=max(100_000, n_rows),
                          updater_batch_rows=batch_rows)
