@@ -4,9 +4,11 @@ Answers COUNT DISTINCT with relative standard error ~1.04/sqrt(m)
 (~0.81% at the default precision p=14, m=16384 registers).
 
 - Dense mode: m uint8 registers, update via vectorized ``np.maximum.at``.
-- Sparse mode (low cardinality): sorted array of ``(idx << 6) | rho``
-  encoded uint32 pairs; promoted to dense once the pair count exceeds
-  ``m // 4`` (at which point the dense array is the smaller/faster form).
+- Sparse mode (low cardinality): sorted unique 64-bit item hashes —
+  full-precision, so sparse estimates are EXACT (up to ~2^-64 hash
+  collisions), strictly better than HLL++'s p'=25 sparse encoding; the
+  registers are derived vectorized at promotion (once the hash count
+  exceeds ``m // 4``, where the dense array becomes the smaller form).
   Required by the contract: "HyperLogLog (dense+sparse registers)"
   (BASELINE.json "north_star"; no reference file exists — SURVEY.md §0).
 - Estimator: Ertl's improved raw estimator (tau/sigma form), which removes
@@ -47,7 +49,7 @@ class HyperLogLog(Sketch):
         self.q = 64 - p  # bits available for rho
         self.seed = seed
         self._sparse_limit = self.m // 4
-        self._sparse: np.ndarray | None = np.empty(0, dtype=np.uint32)  # sorted enc pairs
+        self._sparse: np.ndarray | None = np.empty(0, dtype=np.uint64)  # sorted item hashes
         self._regs: np.ndarray | None = None  # dense uint8[m]
 
     # ---------------------------------------------------------------- update
@@ -73,28 +75,29 @@ class HyperLogLog(Sketch):
         lets callers hash a shared column once for several sketches."""
         if len(h) == 0:
             return
-        idx, rho = self._idx_rho_from_h(h)
         if self._regs is not None:
+            idx, rho = self._idx_rho_from_h(h)
             np.maximum.at(self._regs, idx, rho)
         else:
-            enc = (idx.astype(np.uint32) << np.uint32(6)) | rho.astype(np.uint32)
-            self._merge_sparse(enc)
+            self._merge_sparse(h)
 
-    def _merge_sparse(self, enc: np.ndarray) -> None:
-        combined = np.concatenate([self._sparse, enc])
-        # sort descending so the first occurrence of each idx carries max rho
-        combined[::-1].sort()
-        idx = combined >> np.uint32(6)
-        _, first = np.unique(idx, return_index=True)  # first occurrence in ascending-idx order
-        self._sparse = np.ascontiguousarray(combined[first])
+    def _merge_sparse(self, h: np.ndarray) -> None:
+        # promote first when this update alone overflows the sparse budget
+        # (dense register scatter beats sorting a huge union)
+        if len(self._sparse) + len(h) > 4 * self._sparse_limit:
+            self._promote()
+            idx, rho = self._idx_rho_from_h(h)
+            np.maximum.at(self._regs, idx, rho)
+            return
+        self._sparse = np.union1d(self._sparse, h)
         if len(self._sparse) > self._sparse_limit:
             self._promote()
 
     def _promote(self) -> None:
         regs = np.zeros(self.m, dtype=np.uint8)
-        idx = (self._sparse >> np.uint32(6)).astype(np.int64)
-        rho = (self._sparse & np.uint32(0x3F)).astype(np.uint8)
-        regs[idx] = rho  # idx unique, rho already maxed
+        if len(self._sparse):
+            idx, rho = self._idx_rho_from_h(self._sparse)
+            np.maximum.at(regs, idx.astype(np.int64), rho)
         self._regs = regs
         self._sparse = None
 
@@ -107,32 +110,22 @@ class HyperLogLog(Sketch):
         if not isinstance(other, HyperLogLog) or other.p != self.p or other.seed != self.seed:
             raise ValueError("can only merge HLLs with identical (p, seed)")
         if other._regs is not None and self._regs is None:
-            self._promote_from_pairs_into(other)
+            self._promote()
         if self._regs is not None:
             if other._regs is not None:
                 np.maximum(self._regs, other._regs, out=self._regs)
-            else:
-                idx = (other._sparse >> np.uint32(6)).astype(np.int64)
-                rho = (other._sparse & np.uint32(0x3F)).astype(np.uint8)
-                np.maximum.at(self._regs, idx, rho)
+            elif len(other._sparse):
+                idx, rho = self._idx_rho_from_h(other._sparse)
+                np.maximum.at(self._regs, idx.astype(np.int64), rho)
         else:
             self._merge_sparse(other._sparse)
         return self
 
-    def _promote_from_pairs_into(self, other: "HyperLogLog") -> None:
-        self._promote()
-
     # ---------------------------------------------------------------- estimate
     def _register_histogram(self) -> np.ndarray:
         c = np.zeros(self.q + 2, dtype=np.int64)
-        if self._regs is not None:
-            vals, counts = np.unique(self._regs, return_counts=True)
-            c[vals.astype(np.int64)] = counts
-        else:
-            rho = self._sparse & np.uint32(0x3F)
-            vals, counts = np.unique(rho, return_counts=True)
-            c[vals.astype(np.int64)] = counts
-            c[0] = self.m - len(self._sparse)
+        vals, counts = np.unique(self._regs, return_counts=True)
+        c[vals.astype(np.int64)] = counts
         return c
 
     @staticmethod
@@ -162,6 +155,9 @@ class HyperLogLog(Sketch):
                 return z / 3.0
 
     def estimate(self) -> float:
+        if self._regs is None:
+            # sparse mode stores full unique hashes → exact count
+            return float(len(self._sparse))
         c = self._register_histogram()
         m = float(self.m)
         z = m * self._tau(1.0 - c[self.q + 1] / m)
@@ -184,7 +180,9 @@ class HyperLogLog(Sketch):
         if self._regs is not None:
             w.u8(_MODE_DENSE).raw(self._regs.tobytes())
         else:
-            w.u8(_MODE_SPARSE).u32(len(self._sparse)).raw(self._sparse.tobytes())
+            w.u8(_MODE_SPARSE).u32(len(self._sparse)).raw(
+                np.ascontiguousarray(self._sparse, dtype=np.uint64).tobytes()
+            )
         return w.getvalue()
 
     @classmethod
@@ -197,5 +195,5 @@ class HyperLogLog(Sketch):
             out._sparse = None
         else:
             n = r.u32()
-            out._sparse = np.frombuffer(r.raw(4 * n), dtype=np.uint32).copy()
+            out._sparse = np.frombuffer(r.raw(8 * n), dtype=np.uint64).copy()
         return out
