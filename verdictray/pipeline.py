@@ -60,6 +60,11 @@ class SketchJobSpec:
     # rows per SketchUpdater call (the per-partition state unit); narrow
     # post-projection rows (~100 B) make 64k-row batches ~6 MiB
     updater_batch_rows: int = 65536
+    # coalesce prepared blocks to this many before the raw-row groupby
+    # (direct path only): the sort-aggregate's map side pre-aggregates per
+    # (block × group) slice, so many small blocks mean many tiny sketch
+    # partials — coalescing measured 3x on the direct path. None disables.
+    pre_shuffle_blocks: int | None = 32
     out_dir: str | None = None
     checkpoint_dir: str | None = None
     metrics_dir: str | None = None
@@ -126,6 +131,8 @@ def sketch_partials(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if spec.pre_shuffle_blocks:
+        ds = ds.repartition(spec.pre_shuffle_blocks)
     return ds.groupby(
         [spec.group_key, "_salt"], num_partitions=spec.shuffle_partitions
     ).aggregate(*_stage_a_aggs(spec))
