@@ -92,12 +92,11 @@ def run_benchmarks() -> dict:
                          bloom_capacity=max(100_000, n_rows),
                          updater_batch_rows=batch_rows)
 
-    # untimed warm-up: spin up the worker pool + actor pool so timed runs
-    # measure steady-state compute, not cluster start-up
-    warm = SketchJobSpec(input_path=corpus, group_key="lang", salts=4,
-                         bloom_capacity=100_000, updater_batch_rows=batch_rows)
-    build_sketches(warm, ds=rd.read_parquet(corpus).limit(20_000),
-                   concurrency=(2, max(2, NCPU // 2))).to_pandas()
+    # untimed warm-up: one FULL pipeline execution spins up workers, warms
+    # imports and the object store, so the timed run measures steady-state
+    # throughput (the scaling criterion's regime) — identical treatment at
+    # every CPU level
+    build_sketches(spec, concurrency=(2, max(2, NCPU // 2))).to_pandas()
 
     queries: dict[str, float] = {}
 
@@ -143,10 +142,11 @@ def run_scaling() -> dict:
     for ncpu in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    VR_BENCH_ROWS=str(SCALING_ROWS))
-        # min of 2 fresh-process runs per level: the sandbox shows ±25%
-        # run-to-run noise; min is the standard noise-robust estimator
+        # min of 3 fresh-process runs per level: the sandbox shows ±25%
+        # run-to-run noise; min is the standard noise-robust estimator and
+        # is applied identically at both CPU levels
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,

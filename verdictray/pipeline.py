@@ -211,7 +211,11 @@ def build_sketches(spec: SketchJobSpec, ds: rd.Dataset | None = None,
     from .updater import build_sketches_actor_pool
 
     if ds is None:
-        ds = vio.read_corpus(spec.input_path, columns=vio.CORPUS_COLUMNS)
+        # prune at the read: the sketch job needs only the group key and
+        # the content column (sha256 + features derive from content) —
+        # repo/path/commit never leave storage unless they ARE the key
+        cols = sorted({spec.group_key, "content"})
+        ds = vio.read_corpus(spec.input_path, columns=cols)
     merged = build_sketches_actor_pool(ds, spec, concurrency=concurrency,
                                        metrics_dir=spec.metrics_dir)
     if spec.out_dir:
@@ -225,7 +229,7 @@ def build_sketches_direct(spec: SketchJobSpec, ds: rd.Dataset | None = None) -> 
     rows (no map-side combine), then the Stage-B blob merge. Simpler
     memory profile (no per-actor sketch dict); shuffles narrow raw rows."""
     if ds is None:
-        ds = vio.read_corpus(spec.input_path, columns=vio.CORPUS_COLUMNS)
+        ds = vio.read_corpus(spec.input_path, columns=sorted({spec.group_key, "content"}))
     ds = prepare(ds, spec)
     partials = sketch_partials(ds, spec)
     merged = merge_partials(partials, spec)
