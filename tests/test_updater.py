@@ -55,6 +55,29 @@ def test_actor_pool_equals_udaf_path(ray_session, corpus, spec):
             assert abs(ka.rank(rb) - phi) <= 2 * ka.error_bound() + 0.01
 
 
+def test_actor_pool_mode_equivalent(ray_session, corpus, spec):
+    """The contract-literal stateful actor-pool form must produce the same
+    merged state as the default task mode."""
+    import ray.data as rd
+
+    from verdictray.sketches import Sketch
+    from verdictray.updater import build_sketches_actor_pool
+
+    tasks = build_sketches_actor_pool(
+        rd.read_parquet(corpus), spec, updater_mode="tasks"
+    ).to_pandas().set_index("lang").sort_index()
+    actors = build_sketches_actor_pool(
+        rd.read_parquet(corpus), spec, concurrency=(1, 2), updater_mode="actors"
+    ).to_pandas().set_index("lang").sort_index()
+    assert list(tasks.index) == list(actors.index)
+    for lang in tasks.index:
+        assert tasks.loc[lang, "hll_blob"] == actors.loc[lang, "hll_blob"], lang
+        assert tasks.loc[lang, "bloom_blob"] == actors.loc[lang, "bloom_blob"], lang
+        a = Sketch.from_bytes(tasks.loc[lang, "cms_blob"])
+        b = Sketch.from_bytes(actors.loc[lang, "cms_blob"])
+        assert (a.dense_table() == b.dense_table()).all() and a.n == b.n
+
+
 def test_updater_metrics_emitted(ray_session):
     import glob
     import json
