@@ -16,7 +16,6 @@ exact side by side, assert relative error ≤ the published threshold.
 
 from __future__ import annotations
 
-import math
 
 import pandas as pd
 

@@ -20,7 +20,7 @@ import math
 import numpy as np
 
 from .base import Sketch, _Reader, _Writer, register
-from .hashing import _to_numpy, hash64
+from .hashing import _to_numpy
 
 
 @register
