@@ -247,3 +247,26 @@ class TestMultimodal:
         m1 = t.sort_values("media_id").features.tolist()
         m2 = t2.sort_values("media_id").features.tolist()
         assert all((np.asarray(x) == np.asarray(y)).all() for x, y in zip(m1, m2))
+
+    def test_large_payloads_small_batches(self, ray_session):
+        """Memory-aware batching: 2MB payloads stream through the decode
+        stage with batch_size=4 without materializing the payload column
+        downstream (it is dropped after decode)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from verdictray.multimodal import decode_features
+
+        rng = np.random.default_rng(0)
+        payloads = [rng.integers(0, 256, size=2_000_000, dtype=np.uint8).tobytes()
+                    for _ in range(12)]
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(range(12), pa.int64()),
+            "mime": pa.array(["application/octet-stream"] * 12),
+            "payload": pa.array(payloads, pa.binary()),
+        }))
+        out = decode_features(ds, batch_size=4, concurrency=2).to_pandas()
+        assert len(out) == 12
+        assert "payload" not in out.columns
+        assert (out.n_bytes == 2_000_000).all()
