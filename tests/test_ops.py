@@ -143,3 +143,35 @@ def test_calibration_acceptance(ray_session, corpus):
     # CMS total_count must be exact per slice key
     cms_rows = report[report.metric == "total_count"]
     assert cms_rows.within_bound.all()
+
+
+def test_hash_join_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.join import hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, cust, "o_custkey", "c_custkey", buckets=8).to_pandas()
+    exact = duckdb.sql(
+        f"select o.o_orderkey, c.c_mktsegment from '{sf_dir}/orders.parquet' o "
+        f"join '{sf_dir}/customer.parquet' c on o.o_custkey = c.c_custkey"
+    ).df()
+    assert len(joined) == len(exact)
+    a = joined[["o_orderkey", "c_mktsegment"]].sort_values(["o_orderkey", "c_mktsegment"]).reset_index(drop=True)
+    b = exact.sort_values(["o_orderkey", "c_mktsegment"]).reset_index(drop=True)
+    assert (a.values == b.values).all()
+
+
+def test_hash_join_rejects_overlapping_columns(ray_session, sf_dir):
+    import ray.data as rd
+
+    from verdictray.join import hash_join
+
+    a = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    b = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(a, b, "c_custkey", "c_custkey")

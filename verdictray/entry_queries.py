@@ -238,6 +238,44 @@ WHERE o_totalprice > 150000 GROUP BY o_orderstatus
 """
 
 
+def q_orders_by_segment(sf_dir: str):
+    """Distributed partitioned hash join (both sides shuffled once by
+    bucket) — orders ⋈ customer, revenue per market segment."""
+    from ray.data.aggregate import Count, Sum
+
+    from .join import hash_join
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0)),
+                                 **_ROUND), pa.int64())
+        return b.append_column("price_cents", cents).drop_columns(["o_totalprice"])
+
+    orders = orders.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    customer = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(orders, customer, "o_custkey", "c_custkey", buckets=16)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="cents")
+    )
+
+    def cents_to_price(b: pa.Table) -> pa.Table:
+        b = b.append_column(
+            "total_price", pc.divide(pc.cast(b["cents"], pa.float64()), pa.scalar(100.0))
+        )
+        return b.drop_columns(["cents"])
+
+    return out.map_batches(cents_to_price, batch_format="pyarrow")
+
+
+SQL_ORDERS_BY_SEGMENT = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def q_events_props(sf_dir: str):
     """JSON-string column → typed value → grouped aggregate."""
     from ray.data.aggregate import Count, Mean
@@ -623,6 +661,7 @@ QUERIES = {
     "distinct_docs": q_distinct_docs,
     "customer_nations": q_customer_nations,
     "high_value_orders": q_high_value_orders,
+    "orders_by_segment": q_orders_by_segment,
     "events_props": q_events_props,
     "lineitem_by_year": q_lineitem_by_year,
     "dedup_docs_by_lang": q_dedup_docs_by_lang,
@@ -655,6 +694,7 @@ ORACLES = {
     "distinct_docs": SQL_DISTINCT_DOCS,
     "customer_nations": SQL_CUSTOMER_NATIONS,
     "high_value_orders": SQL_HIGH_VALUE_ORDERS,
+    "orders_by_segment": SQL_ORDERS_BY_SEGMENT,
     "events_props": SQL_EVENTS_PROPS,
     "lineitem_by_year": SQL_LINEITEM_BY_YEAR,
     "dedup_docs_by_lang": SQL_DEDUP_DOCS,

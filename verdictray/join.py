@@ -1,0 +1,76 @@
+"""Distributed partitioned hash join (ray_guide.md "Both sides large").
+
+The portable bucket pattern: add ``_bucket = hash64(key) % B`` to BOTH
+sides, tag each side, union, ``groupby(_bucket)`` (one shuffle moves each
+row exactly once), and join matching buckets pairwise with a pandas merge
+inside ``map_groups``. Works on any Ray version (no dependency on the
+native ``Dataset.join``), and the partitioning is explicit — B and the
+skew strategy are caller-visible knobs.
+
+Constraints (documented, checked):
+- column names of the two sides must be disjoint (TPC-H-style prefixes);
+- a single bucket must fit in one task's memory → size B so
+  max(side bytes)/B is a few hundred MB; salt hot KEYS into sub-buckets
+  by raising B (bucket id is derived from the key hash, so a single hot
+  key still lands in one bucket — for pathological single-key skew use a
+  broadcast join on the small side instead, query.semi_join_bloom /
+  the nation-lookup pattern in entry_queries).
+
+Small-side joins should use the broadcast pattern instead (no shuffle):
+see entry_queries.q_customer_nations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .sketches.hashing import hash64
+
+
+def _tag(side: str, on: str, buckets: int, all_cols: list[str]):
+    def fn(batch: pa.Table) -> pa.Table:
+        bucket = (hash64(batch[on], seed=17) % np.uint64(buckets)).astype(np.int64)
+        batch = batch.append_column("_bucket", pa.array(bucket))
+        batch = batch.append_column("_side", pa.array([side] * len(batch), pa.string()))
+        # align to the union schema: missing columns become typed nulls
+        for name, typ in all_cols:
+            if name not in batch.schema.names:
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+        return batch.select([n for n, _ in all_cols] + ["_bucket", "_side"])
+
+    return fn
+
+
+def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
+              how: str = "inner"):
+    """Bucketed hash join of two Datasets → Dataset of joined rows.
+
+    One groupby shuffle total; each bucket joins via pandas merge in a
+    map_groups task. Column names must be disjoint across sides.
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    overlap = set(lschema.names) & set(rschema.names)
+    if overlap:
+        raise ValueError(f"hash_join requires disjoint column names; shared: {overlap}")
+    all_cols = list(zip(lschema.names, lschema.types)) + list(
+        zip(rschema.names, rschema.types)
+    )
+    lt = left.map_batches(_tag("l", left_on, buckets, all_cols),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(_tag("r", right_on, buckets, all_cols),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["_side"] == "l"][lcols]
+        rrows = g[g["_side"] == "r"][rcols]
+        out = lrows.merge(rrows, left_on=left_on, right_on=right_on, how=how)
+        return out
+
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
