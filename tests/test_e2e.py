@@ -220,3 +220,36 @@ class TestDriverTables:
         df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
         assert len(df) >= 0
         assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_extreme_skew_single_hot_key(ray_session):
+    """90% of rows in ONE key: the salted two-stage merge must stay correct
+    (the contract's 'salted repartitioning to defuse hot-key skew')."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from verdictray.pipeline import SketchJobSpec, build_sketches
+    from verdictray.sketches import Sketch
+
+    n = 50_000
+    rng = np.random.default_rng(5)
+    hot = rng.random(n) < 0.9
+    langs = np.where(hot, "python", "rust")
+    contents = np.array([f"content body number {i}" for i in range(n)], dtype=object)
+    ds = rd.from_arrow(pa.table({
+        "repo": pa.array(["org0/repo0"] * n),
+        "path": pa.array([f"f{i}.py" for i in range(n)]),
+        "commit": pa.array(["deadbeef" * 5] * n),
+        "lang": pa.array(langs.tolist(), pa.string()),
+        "content": pa.array(contents, pa.string()),
+    })).repartition(16)
+    spec = SketchJobSpec(input_path="unused", salts=8, bloom_capacity=60_000,
+                         updater_batch_rows=4096)
+    merged = build_sketches(spec, ds=ds).to_pandas().set_index("lang")
+    assert set(merged.index) == {"python", "rust"}
+    for lang, want in [("python", int(hot.sum())), ("rust", int((~hot).sum()))]:
+        cms = Sketch.from_bytes(merged.loc[lang, "cms_blob"])
+        assert cms.n == want
+        hll = Sketch.from_bytes(merged.loc[lang, "hll_blob"])
+        assert abs(hll.estimate() - want) / want <= 3 * hll.error_bound()
