@@ -137,3 +137,37 @@ def test_cms_bound_envelope(seed):
     ests = c.query(np.array(probe, dtype=object))
     for w, est in zip(probe, ests):
         assert true[w] <= est <= true[w] + c.error_bound()
+
+
+@given(seed=st.integers(0, 100_000))
+@settings(max_examples=25, deadline=None)
+def test_representation_order_independent_at_boundaries(seed):
+    """Sparse→dense promotion must depend only on the TRUE distinct count,
+    never on update/merge order or duplicate ratios — otherwise two paths
+    that see the same multiset produce different bytes. Exercises stream
+    sizes around the small-parameter sparse limits (found by a 300-seed
+    soak in round 1)."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 600))
+    s = np.array([f"e{seed}-{i % max(1, n // 2)}" for i in range(n)], dtype=object)
+    marks = rng.integers(0, 3, size=n)
+    parts = [s[marks == i] for i in range(3)]
+    for name, factory in [
+        ("hll", lambda: HyperLogLog(p=8)),      # sparse limit 64
+        ("cms", lambda: CountMin(eps=2e-2)),    # tiny width
+        ("bloom", lambda: BloomFilter(capacity=300)),
+    ]:
+        whole = factory()
+        whole.update(s)
+        merged = factory()
+        for p in parts:
+            x = factory()
+            if len(p):
+                x.update(p)
+            merged.merge(x)
+        assert whole.is_sparse == merged.is_sparse, (name, seed, n)
+        if name == "cms":
+            assert (whole.dense_table() == merged.dense_table()).all()
+            assert whole.n == merged.n
+        else:
+            assert whole.to_bytes() == merged.to_bytes(), (name, seed, n)

@@ -83,14 +83,19 @@ class BloomFilter(Sketch):
         np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
     def _add_bases(self, base: np.ndarray) -> None:
-        # promote first when this update alone overflows the sparse budget:
-        # dense bit-scatter beats sorting a huge union (large-batch path)
-        if self.bits is None and len(self._sparse) + len(base) > self._sparse_limit:
-            self._promote()
         if self.bits is not None:
             self._set_dense_from_base(base)
             return
-        self._sparse = np.union1d(self._sparse, base)
+        # promotion is keyed on the TRUE deduped size only — a pre-dedup
+        # shortcut would make sparse-vs-dense depend on update/merge order
+        # and break byte-determinism (caught by the boundary soak)
+        bu = np.unique(base)
+        if len(bu) > self._sparse_limit:
+            # fast path: incoming alone overflows → promote, scatter dense
+            self._promote()
+            self._set_dense_from_base(bu)
+            return
+        self._sparse = np.union1d(self._sparse, bu)
         if len(self._sparse) > self._sparse_limit:
             self._promote()
 

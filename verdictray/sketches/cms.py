@@ -101,12 +101,19 @@ class CountMin(Sketch):
             np.add.at(self.table[j], pos[j], cnt)
 
     def _add_base(self, base: np.ndarray, cnt: np.ndarray) -> None:
-        # promote BEFORE buffering when this update alone would overflow the
-        # sparse budget — the dense scatter is vectorized, the buffer loop
-        # is not (large-batch fast path)
-        if self.table is None and len(self._buffer) + len(base) > self._promote_limit:
-            self._promote()
         if self.table is not None:
+            self._scatter(base, cnt)
+            return
+        # consolidate duplicates so the promotion check sees the TRUE
+        # distinct count — representation must not depend on update order
+        if len(base) > 1:
+            uniq, inv = np.unique(base, return_inverse=True)
+            if len(uniq) != len(base):
+                cnt = np.bincount(inv, weights=cnt).astype(np.int64)
+                base = uniq
+        if not self._buffer and len(base) > self._promote_limit:
+            # fast path: incoming alone overflows → dense scatter, no loop
+            self._promote()
             self._scatter(base, cnt)
             return
         buf = self._buffer

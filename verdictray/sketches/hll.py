@@ -82,14 +82,16 @@ class HyperLogLog(Sketch):
             self._merge_sparse(h)
 
     def _merge_sparse(self, h: np.ndarray) -> None:
-        # promote first when this update alone overflows the sparse budget
-        # (dense register scatter beats sorting a huge union)
-        if len(self._sparse) + len(h) > 4 * self._sparse_limit:
+        # promotion is keyed on the TRUE deduped size only, so the
+        # sparse/dense representation is independent of update/merge order
+        # (byte-determinism; see the boundary soak in round-1 history)
+        hu = np.unique(h)
+        if len(hu) > self._sparse_limit:
             self._promote()
-            idx, rho = self._idx_rho_from_h(h)
+            idx, rho = self._idx_rho_from_h(hu)
             np.maximum.at(self._regs, idx, rho)
             return
-        self._sparse = np.union1d(self._sparse, h)
+        self._sparse = np.union1d(self._sparse, hu)
         if len(self._sparse) > self._sparse_limit:
             self._promote()
 
