@@ -82,14 +82,14 @@ class BloomFilter(Sketch):
         pos = self._bit_positions_from_base(base).ravel()
         np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
-    def _add_bases(self, base: np.ndarray) -> None:
+    def _add_bases(self, base: np.ndarray, assume_unique: bool = False) -> None:
         if self.bits is not None:
             self._set_dense_from_base(base)
             return
         # promotion is keyed on the TRUE deduped size only — a pre-dedup
         # shortcut would make sparse-vs-dense depend on update/merge order
         # and break byte-determinism (caught by the boundary soak)
-        bu = np.unique(base)
+        bu = base if assume_unique else np.unique(base)
         if len(bu) > self._sparse_limit:
             # fast path: incoming alone overflows → promote, scatter dense
             self._promote()
@@ -107,12 +107,15 @@ class BloomFilter(Sketch):
             return
         self.update_hashed(hash_base(arr))
 
-    def update_hashed(self, base: np.ndarray) -> None:
-        """Absorb pre-hashed values (base = hash_base(values))."""
+    def update_hashed(self, base: np.ndarray, assume_unique: bool = False,
+                      n_raw: int | None = None) -> None:
+        """Absorb pre-hashed values (base = hash_base(values)).
+        assume_unique skips the dedup sort; n_raw keeps the raw insert
+        counter honest when the caller pre-deduped."""
         if len(base) == 0:
             return
-        self._add_bases(base)
-        self.n_added += len(base)
+        self._add_bases(base, assume_unique=assume_unique)
+        self.n_added += n_raw if n_raw is not None else len(base)
 
     # ---------------------------------------------------------------- query
     def contains(self, values) -> np.ndarray:
@@ -159,7 +162,7 @@ class BloomFilter(Sketch):
                 if len(other._sparse):
                     self._set_dense_from_base(other._sparse)
         else:
-            self._add_bases(other._sparse)
+            self._add_bases(other._sparse, assume_unique=True)
         self.n_added += other.n_added
         return self
 

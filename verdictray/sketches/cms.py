@@ -100,13 +100,14 @@ class CountMin(Sketch):
         for j in range(self.depth):
             np.add.at(self.table[j], pos[j], cnt)
 
-    def _add_base(self, base: np.ndarray, cnt: np.ndarray) -> None:
+    def _add_base(self, base: np.ndarray, cnt: np.ndarray,
+                  assume_unique: bool = False) -> None:
         if self.table is not None:
             self._scatter(base, cnt)
             return
         # consolidate duplicates so the promotion check sees the TRUE
         # distinct count — representation must not depend on update order
-        if len(base) > 1:
+        if not assume_unique and len(base) > 1:
             uniq, inv = np.unique(base, return_inverse=True)
             if len(uniq) != len(base):
                 cnt = np.bincount(inv, weights=cnt).astype(np.int64)
@@ -149,11 +150,19 @@ class CountMin(Sketch):
         if len(base) == 0:
             return
         uniq_base, first_ix, cnt = np.unique(base, return_index=True, return_counts=True)
-        self._add_base(uniq_base, cnt)
-        self.n += int(len(base))
+        reps = None
         if self.hh_capacity and values is not None:
-            arr = _to_numpy(values)
-            self._track_candidates(arr[first_ix], cnt)
+            reps = _to_numpy(values)[first_ix]
+        self.update_unique(uniq_base, cnt, reps=reps, n_raw=len(base))
+
+    def update_unique(self, uniq_base: np.ndarray, cnt: np.ndarray,
+                      reps=None, n_raw: int | None = None) -> None:
+        """Absorb pre-deduped (base hash, count) pairs; `reps` are item
+        representatives for candidate tracking."""
+        self._add_base(uniq_base, cnt, assume_unique=True)
+        self.n += int(n_raw if n_raw is not None else cnt.sum())
+        if self.hh_capacity and reps is not None:
+            self._track_candidates(np.asarray(reps), np.asarray(cnt))
 
     def _track_candidates(self, uniq: np.ndarray, cnt: np.ndarray) -> None:
         # track only the batch's top items: anything heavy overall is

@@ -70,22 +70,24 @@ class HyperLogLog(Sketch):
             return
         self.update_hashed(hash64(arr, seed=self.seed))
 
-    def update_hashed(self, h: np.ndarray) -> None:
+    def update_hashed(self, h: np.ndarray, assume_unique: bool = False) -> None:
         """Absorb pre-hashed values (h = hash64(values, seed=self.seed)) —
-        lets callers hash a shared column once for several sketches."""
+        lets callers hash a shared column once for several sketches.
+        assume_unique=True skips the internal dedup sort (caller already
+        deduped; duplicates would not change the result, only cost)."""
         if len(h) == 0:
             return
         if self._regs is not None:
             idx, rho = self._idx_rho_from_h(h)
             np.maximum.at(self._regs, idx, rho)
         else:
-            self._merge_sparse(h)
+            self._merge_sparse(h, assume_unique=assume_unique)
 
-    def _merge_sparse(self, h: np.ndarray) -> None:
+    def _merge_sparse(self, h: np.ndarray, assume_unique: bool = False) -> None:
         # promotion is keyed on the TRUE deduped size only, so the
         # sparse/dense representation is independent of update/merge order
         # (byte-determinism; see the boundary soak in round-1 history)
-        hu = np.unique(h)
+        hu = h if assume_unique else np.unique(h)
         if len(hu) > self._sparse_limit:
             self._promote()
             idx, rho = self._idx_rho_from_h(hu)
@@ -120,7 +122,7 @@ class HyperLogLog(Sketch):
                 idx, rho = self._idx_rho_from_h(other._sparse)
                 np.maximum.at(self._regs, idx.astype(np.int64), rho)
         else:
-            self._merge_sparse(other._sparse)
+            self._merge_sparse(other._sparse, assume_unique=True)
         return self
 
     # ---------------------------------------------------------------- estimate

@@ -87,15 +87,26 @@ class SketchUpdater:
             end = boundaries[i + 1] if i + 1 < len(boundaries) else len(sorted_keys)
             sel = order[start:end]
             out_keys.append(sorted_keys[start])
+            # dedupe the item-hash slice ONCE; HLL/CMS/Bloom all consume the
+            # unique set (duplicates cannot change any of them) — one sort
+            # per key-slice instead of one per sketch
+            uniq_cache: dict[str, tuple] = {}
             for blob_col in _BLOB_COLS:
                 sk = self._factories[blob_col]()
                 col = self._cols[blob_col.removesuffix("_blob")]
-                if blob_col == "hll_blob":
-                    sk.update_hashed(derive64(base_np[col][sel], sk.seed))
-                elif blob_col == "cms_blob":
-                    sk.update_hashed(base_np[col][sel], values=col_np[col][sel])
-                elif blob_col == "bloom_blob":
-                    sk.update_hashed(base_np[col][sel])
+                if blob_col in ("hll_blob", "cms_blob", "bloom_blob"):
+                    if col not in uniq_cache:
+                        raw = base_np[col][sel]
+                        uniq_cache[col] = (*np.unique(raw, return_index=True,
+                                                      return_counts=True), len(raw))
+                    bu, first_ix, cnt, n_raw = uniq_cache[col]
+                    if blob_col == "hll_blob":
+                        sk.update_hashed(derive64(bu, sk.seed), assume_unique=True)
+                    elif blob_col == "cms_blob":
+                        reps = col_np[col][sel][first_ix] if sk.hh_capacity else None
+                        sk.update_unique(bu, cnt, reps=reps, n_raw=n_raw)
+                    else:
+                        sk.update_hashed(bu, assume_unique=True, n_raw=n_raw)
                 else:
                     sk.update(col_np[col][sel])
                 out_blobs[blob_col].append(sk.to_bytes())
