@@ -63,10 +63,18 @@ def main(sf_dir: str) -> int:
             print(f"FAIL  {name}: cols {list(mine.columns)} != {list(ora.columns)}")
             failures += 1
             continue
-        # order-insensitive value compare (approximating the driver's hash)
+        # order-insensitive value compare (approximating the driver's hash).
+        # dtypes must ALSO agree: r1's two hash-FAILs were DuckDB HUGEINT
+        # (sum of BIGINT) vs Ray int64 with identical values — invisible
+        # under astype+check_dtype=False, so compare dtypes strictly first.
+        dt_mine = [str(d) for d in mine.dtypes]
+        dt_ora = [str(d) for d in ora.dtypes]
+        if dt_mine != dt_ora:
+            print(f"FAIL  {name}: dtypes {dt_mine} != oracle {dt_ora}")
+            failures += 1
+            continue
         try:
-            mine2 = mine.astype(ora.dtypes.to_dict())
-            pd.testing.assert_frame_equal(mine2, ora, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+            pd.testing.assert_frame_equal(mine, ora, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
             print(f"ok    {name}: {len(mine)} rows hash-match")
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch: {str(e)[:300]}")

@@ -524,7 +524,7 @@ def q_token_counts_by_lang(sf_dir: str):
 
 SQL_TOKEN_COUNTS = r"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 
@@ -648,7 +648,8 @@ def q_multimodal_features(sf_dir: str):
 
 
 SQL_MULTIMODAL = """
-SELECT lang, count(*) AS n, sum(octet_length(encode(text))) AS total_bytes
+SELECT lang, count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
 FROM documents GROUP BY lang
 """
 

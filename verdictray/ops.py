@@ -32,12 +32,20 @@ def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     out: list[str] = []
     for chunk in chunks:
-        if chunk.null_count:
-            for b in chunk.cast(pa.binary()).to_pylist():
+        t = chunk.type
+        large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+        plain = pa.types.is_string(t) or pa.types.is_binary(t)
+        if chunk.null_count or not (large or plain):
+            # null-aware / unknown-layout fallback: per-row bytes round-trip
+            bin_t = pa.large_binary() if large else pa.binary()
+            for b in chunk.cast(bin_t).to_pylist():
                 out.append(hashlib.sha256(b).hexdigest() if b is not None else None)
             continue
         bufs = chunk.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int32, count=chunk.offset + len(chunk) + 1)
+        # large_string/large_binary carry int64 offsets; reading them as
+        # int32 would silently hash empty slices for every row.
+        off_dtype = np.int64 if large else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dtype, count=chunk.offset + len(chunk) + 1)
         data = memoryview(bufs[2])
         o = chunk.offset
         out.extend(

@@ -62,6 +62,14 @@ class SketchUpdater:
     def __call__(self, block: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         key_col = self._spec.group_key
+        if len(block) == 0:
+            # empty blocks are legal (empty parquet fragments, fully
+            # filtered batches) — emit an empty table with the output schema
+            fields = [(key_col, pa.string())]
+            if self._salts:
+                fields.append(("_salt", pa.int32()))
+            fields += [(c, pa.binary()) for c in _BLOB_COLS]
+            return pa.table({n: pa.array([], t) for n, t in fields})
         keys = block[key_col].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         sorted_keys = keys[order]
