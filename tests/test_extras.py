@@ -270,3 +270,107 @@ class TestMultimodal:
         assert len(out) == 12
         assert "payload" not in out.columns
         assert (out.n_bytes == 2_000_000).all()
+
+
+# ------------------------------------------------- scale-path equivalence (r2)
+class TestScaleSafeVerify:
+    """The 10^12-scale verify paths must answer exactly like the
+    driver-materializing fast paths they replace (VERDICT r1 items 2-4)."""
+
+    def test_minhash_join_verify_equals_broadcast(self, ray_session, sf01_dir):
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.dedup import minhash_dedup_pairs
+
+        docs = rd.read_parquet(f"{sf01_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        kw = dict(threshold=0.5, num_perm=64, bands=8, shingle_k=14)
+
+        def canon(df):
+            return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+        bc = canon(minhash_dedup_pairs(docs, "text", "doc_id",
+                                       verify_mode="broadcast", **kw).to_pandas())
+        jn = canon(minhash_dedup_pairs(docs, "text", "doc_id",
+                                       verify_mode="join", **kw).to_pandas())
+        assert len(bc) > 0
+        pd.testing.assert_frame_equal(bc, jn.astype(bc.dtypes.to_dict()))
+
+    def test_embedding_lsh_recall_vs_exact(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.dedup import embedding_neardup_pairs
+
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        exact = embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                        threshold=0.45, mode="exact").to_pandas()
+        lsh = embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                      threshold=0.45, mode="lsh").to_pandas()
+        e = set(zip(exact.id_a, exact.id_b))
+        l = set(zip(lsh.id_a, lsh.id_b))
+        assert len(e) > 0
+        assert l <= e, f"LSH emitted pairs the exact path rejects: {l - e}"
+        assert len(e & l) / len(e) >= 0.95, f"recall {len(e & l)/len(e)} < 0.95"
+
+    def test_auto_mode_picks_fast_path_for_small_input(self, ray_session, sf01_dir):
+        """size_bytes of the tiny driver table is known and under the
+        limit → auto resolves to the broadcast/exact paths (and still
+        answers identically, per the two tests above)."""
+        import ray.data as rd
+
+        from verdictray.dedup import _dataset_small_enough
+
+        ds = rd.read_parquet(f"{sf01_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        assert _dataset_small_enough(ds, 64 << 20)
+        assert not _dataset_small_enough(ds, 10)
+
+    def test_dropped_bucket_counter_fires(self, ray_session, tmp_path):
+        """A constructed hot bucket (identical docs beyond max_bucket) must
+        emit a JSONL drop record — no silent truncation (ADVICE r1)."""
+        import json
+
+        import ray.data as rd
+
+        from verdictray.dedup import minhash_dedup_pairs
+
+        n = 40
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["identical hot-bucket document body " * 4] * n),
+        })).repartition(4)
+        mdir = str(tmp_path / "dedup_metrics")
+        pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5,
+                                    num_perm=64, bands=8, shingle_k=14,
+                                    max_bucket=8, metrics_dir=mdir).to_pandas()
+        assert len(pairs) == 0  # every bucket was over-cap → all dropped
+        import glob
+
+        recs = []
+        for p in glob.glob(f"{mdir}/dropped-*.jsonl"):
+            with open(p) as f:
+                recs.extend(json.loads(x) for x in f if x.strip())
+        assert recs, "no dropped-bucket record emitted"
+        assert all(r["size"] == n and r["algo"] == "minhash" for r in recs)
+        assert all(r["dropped_pairs"] == n * (n - 1) // 2 for r in recs)
+
+    def test_dedup_exact_narrow_equals_wide(self, ray_session, sf01_dir):
+        """dedup_exact_narrow (fingerprint shuffle + winner rejoin) keeps
+        exactly one row per distinct text, deterministically (min doc_id)."""
+        import duckdb
+        import ray.data as rd
+
+        from verdictray.ops import dedup_exact_narrow
+
+        ds = rd.read_parquet(f"{sf01_dir}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+        kept = dedup_exact_narrow(ds, "text", "doc_id").to_pandas()
+        truth = duckdb.sql(
+            f"select min(doc_id) doc_id, text from "
+            f"'{sf01_dir}/documents.parquet' group by text"
+        ).df()
+        assert len(kept) == len(truth)
+        assert set(kept.doc_id) == set(truth.doc_id)
+        assert set(kept.columns) == {"doc_id", "lang", "text"}

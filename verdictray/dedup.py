@@ -13,22 +13,67 @@ Ray-Data-first shapes (ray_guide.md "Near-dup" pattern):
             batch; pairs above cosine threshold
 
 Scale notes: candidate generation shuffles only (band_id, band_hash, id)
-rows — never documents. Verification here rejoins texts via a broadcast
-id→text dict (fine at driver-table scale); at 10^12 scale the verify step
-is a bucketed self-join on candidate ids (ray_guide.md joins pattern) —
-the candidate pipeline is unchanged. Buckets above ``max_bucket`` are
-dropped with a logged count (no silent truncation).
+rows — never documents. Verification rejoins texts with TWO bucketed hash
+joins (pairs ⋈ corpus on id_a, then on id_b — join.hash_join, one shuffle
+each, nothing driver-side); a broadcast id→text fast path exists behind an
+explicit size check (``verify_mode="auto"``). Buckets above ``max_bucket``
+are dropped with a logged count (JSONL record via ``metrics_dir`` plus a
+logging.warning — no silent truncation; see metrics.summarize_dropped).
 
 No reference implementation exists (/root/reference is empty — SURVEY.md §0).
 """
 
 from __future__ import annotations
 
+import json
+import logging
+import os
+import time
+
 import numpy as np
 import pyarrow as pa
 
 from .sketches.hashing import _to_numpy, hash64
 from .text import _powers
+
+logger = logging.getLogger(__name__)
+
+
+def _log_dropped_bucket(metrics_dir: str | None, algo: str, bucket_key: tuple,
+                        size: int, max_bucket: int) -> None:
+    """Record an over-cap LSH bucket that was dropped from candidate
+    generation: a JSONL record (worker-pid-keyed file, same pattern as the
+    updater metrics) plus a logging.warning. Candidate-recall loss must be
+    visible, not silent."""
+    dropped_pairs = size * (size - 1) // 2
+    logger.warning(
+        "dedup[%s]: dropping LSH bucket %s with %d members (> max_bucket=%d, "
+        "%d candidate pairs lost)", algo, bucket_key, size, max_bucket, dropped_pairs,
+    )
+    if metrics_dir:
+        os.makedirs(metrics_dir, exist_ok=True)
+        rec = {"ts": time.time(), "algo": algo, "bucket": list(bucket_key),
+               "size": size, "max_bucket": max_bucket,
+               "dropped_pairs": dropped_pairs}
+        with open(f"{metrics_dir}/dropped-{os.getpid()}.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _dataset_small_enough(ds, limit_bytes: int) -> bool:
+    """True only when the dataset's known size fits under ``limit_bytes``;
+    unknown size → False (scale-safe default)."""
+    try:
+        sz = ds.size_bytes()
+    except Exception:  # noqa: BLE001
+        sz = None
+    return sz is not None and sz <= limit_bytes
+
+
+def _rename_cols(ds, mapping: dict[str, str]):
+    def fn(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(n, n) for n in b.schema.names])
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -109,14 +154,25 @@ def ngram_jaccard(a: bytes, b: bytes, k: int = 5) -> float:
 
 def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                        max_bucket: int = 64, concurrency=None):
+                        max_bucket: int = 64, concurrency=None,
+                        verify_mode: str = "auto",
+                        broadcast_limit_bytes: int = 64 << 20,
+                        join_buckets: int = 16,
+                        metrics_dir: str | None = None):
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
-    Candidate generation is fully distributed; verification uses a
-    broadcast id→text dict (driver-table scale; see module docstring for
-    the 10^12-scale verify join)."""
-    import ray
+    Candidate generation is fully distributed (only (band_id, band_hash,
+    id) rows shuffle). Verification re-attaches the two texts per candidate
+    pair with two bucketed hash joins (join.hash_join) and computes exact
+    n-gram Jaccard inside the join tasks — nothing materializes on the
+    driver, so the verified path survives corpora that dwarf any single
+    machine.
 
+    ``verify_mode``: "join" (scale path, default choice for unknown/large
+    inputs), "broadcast" (one ray.put id→text dict — faster for inputs
+    known to fit comfortably in the object store), or "auto" (broadcast
+    only when ``ds.size_bytes()`` is known and ≤ ``broadcast_limit_bytes``).
+    """
     # stateless task form (constructing MinHasher per batch is just seed
     # setup): avoids actor-pool CPU reservation, which can starve the
     # downstream shuffle tasks on small CPU budgets
@@ -129,6 +185,11 @@ def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group[id_col].to_pylist())
+        if len(ids) > max_bucket:
+            _log_dropped_bucket(
+                metrics_dir, "minhash",
+                (int(group["band_id"][0].as_py()), int(group["band_hash"][0].as_py())),
+                len(ids), max_bucket)
         if len(ids) < 2 or len(ids) > max_bucket:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64())})
@@ -146,8 +207,23 @@ def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
     uniq_pairs = candidates.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas")
 
-    # verify: broadcast id→text via the object store (one ray.put; each
-    # task reads it), exact jaccard per candidate pair
+    if verify_mode == "auto":
+        verify_mode = ("broadcast"
+                       if _dataset_small_enough(ds, broadcast_limit_bytes)
+                       else "join")
+    if verify_mode == "broadcast":
+        return _verify_pairs_broadcast(ds, uniq_pairs, text_col, id_col,
+                                       threshold, shingle_k)
+    return _verify_pairs_join(ds, uniq_pairs, text_col, id_col, threshold,
+                              shingle_k, join_buckets)
+
+
+def _verify_pairs_broadcast(ds, uniq_pairs, text_col, id_col, threshold,
+                            shingle_k):
+    """Small-input fast path: one ray.put of the id→text dict, read by every
+    verify task. Only reachable through an explicit size check."""
+    import ray
+
     texts_tbl = ds.select_columns([id_col, text_col]).to_pandas()
     lookup_ref = ray.put(dict(zip(texts_tbl[id_col], texts_tbl[text_col])))
 
@@ -165,6 +241,40 @@ def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
                          "jaccard": pa.array(sims, pa.float64())})
 
     return uniq_pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_pairs_join(ds, uniq_pairs, text_col, id_col, threshold, shingle_k,
+                       join_buckets):
+    """Scale path: candidate pairs ⋈ corpus on id_a, then ⋈ corpus on id_b
+    (two single-shuffle bucketed joins); exact Jaccard per joined row. The
+    corpus streams through each join narrow (id + text only) and the pair
+    set — already ≪ corpus by LSH construction — is the only thing carried
+    across both."""
+    from .join import hash_join
+
+    corpus = ds.select_columns([id_col, text_col])
+    corp_a = _rename_cols(corpus, {id_col: "_ja", text_col: "_text_a"})
+    corp_b = _rename_cols(corpus, {id_col: "_jb", text_col: "_text_b"})
+    j = hash_join(uniq_pairs, corp_a, "id_a", "_ja", buckets=join_buckets)
+    j = j.drop_columns(["_ja"])
+    j = hash_join(j, corp_b, "id_b", "_jb", buckets=join_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b, sims = [], [], []
+        for a, b, ta, tb in zip(batch["id_a"].to_pylist(),
+                                batch["id_b"].to_pylist(),
+                                batch["_text_a"].to_pylist(),
+                                batch["_text_b"].to_pylist()):
+            sim = ngram_jaccard((ta or "").encode(), (tb or "").encode(), shingle_k)
+            if sim >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(sim)
+        return pa.table({"id_a": pa.array(keep_a, pa.int64()),
+                         "id_b": pa.array(keep_b, pa.int64()),
+                         "jaccard": pa.array(sims, pa.float64())})
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ clusters
@@ -261,7 +371,8 @@ class SimHasher:
 
 
 def simhash_dedup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
-                        bands: int = 4, shingle_k: int = 5, max_bucket: int = 64):
+                        bands: int = 4, shingle_k: int = 5, max_bucket: int = 64,
+                        metrics_dir: str | None = None):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming (requires
     max_hamming < bands for the band-bucket guarantee)."""
     assert max_hamming < bands
@@ -273,6 +384,11 @@ def simhash_dedup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     def bucket_pairs(group: pa.Table) -> pa.Table:
         recs = sorted(zip(group[id_col].to_pylist(), group["simhash"].to_pylist()))
         out_a, out_b, out_d = [], [], []
+        if len(recs) > max_bucket:
+            _log_dropped_bucket(
+                metrics_dir, "simhash",
+                (int(group["band_id"][0].as_py()), int(group["band_val"][0].as_py())),
+                len(recs), max_bucket)
         if 2 <= len(recs) <= max_bucket:
             seen = set()
             for i in range(len(recs)):
@@ -297,12 +413,37 @@ def simhash_dedup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 
 
 # ------------------------------------------------------------------ embeddings
-def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95):
-    """Cosine near-dup pairs via block × broadcast-matrix matmul.
+def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
+                            mode: str = "auto",
+                            exact_limit_bytes: int = 64 << 20,
+                            bands: int = 24, planes_per_band: int = 3,
+                            seed: int = 7, max_bucket: int = 4096,
+                            metrics_dir: str | None = None):
+    """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    O(n²) flops but streamed: each batch multiplies against the broadcast
-    normalized matrix (one ray.put, zero-copy reads). The 10^12-scale path
-    buckets by random-hyperplane LSH first (similarity.ann_lsh)."""
+    ``mode``:
+      - "lsh" (scale path; chosen by "auto" for unknown/large inputs):
+        banded random-hyperplane LSH. Each row emits one (band_id, bucket,
+        id, vec) row per band; groupby((band_id, bucket)) co-locates likely
+        neighbors; exact cosine runs on the in-bucket matrix; band-level
+        duplicates collapse with a final groupby(id_a, id_b). No stage ever
+        sees more than one bucket — the corpus never materializes anywhere.
+        Recall = 1-(1-s^p)^L for per-plane collision prob
+        s = 1-acos(cos)/π (p=planes_per_band, L=bands); validated ≥0.95 vs
+        the exact path in tests/test_extras.py.
+      - "exact": per-batch matmul against the full broadcast normalized
+        matrix (one ray.put) — exact answer, O(n²), input must fit the
+        object store; only reachable via an explicit size check or opt-in.
+    """
+    if mode == "auto":
+        mode = "exact" if _dataset_small_enough(ds, exact_limit_bytes) else "lsh"
+    if mode == "exact":
+        return _embedding_pairs_exact(ds, vec_col, id_col, threshold)
+    return _embedding_pairs_lsh(ds, vec_col, id_col, threshold, bands,
+                                planes_per_band, seed, max_bucket, metrics_dir)
+
+
+def _embedding_pairs_exact(ds, vec_col: str, id_col: str, threshold: float):
     import ray
 
     tbl = ds.select_columns([id_col, vec_col]).to_pandas()
@@ -333,3 +474,77 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.
         return PairFinder(ref, threshold)(batch)
 
     return ds.map_batches(find_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
+                         bands: int, planes_per_band: int, seed: int,
+                         max_bucket: int, metrics_dir: str | None):
+    """Banded hyperplane-LSH near-dup: the MinHash-LSH shape applied to
+    embeddings. Shuffle volume = bands × (id + normalized vec) per row —
+    tune `bands` down / `planes_per_band` up as the threshold rises (higher
+    cosine → higher per-plane collision prob → fewer bands needed)."""
+
+    class BandSigner:
+        """Batch stage: emit one (band_id, bucket, id, normalized vec) row
+        per band per input row. Hyperplanes are seeded → identical on every
+        worker; normalization happens once here so in-bucket cosine is a
+        plain dot product."""
+
+        def __init__(self, dim: int):
+            rng = np.random.default_rng(seed)
+            # (bands, planes_per_band, dim) — one independent signature set
+            # per band
+            self.h = rng.standard_normal((bands, planes_per_band, dim))
+            self.weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = _to_numpy(batch[id_col])
+            mat = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            n = len(ids)
+            # bits: (bands, n, planes) → bucket ids (bands, n)
+            bits = (np.einsum("bpd,nd->bnp", self.h, mat) > 0).astype(np.int64)
+            buckets = bits @ self.weights
+            band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+            return pa.table({
+                "band_id": pa.array(band_ids),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                id_col: pa.array(np.tile(ids, bands), pa.int64()),
+                "_vec": pa.array(list(np.tile(mat, (bands, 1))),
+                                 pa.list_(pa.float64())),
+            })
+
+    def sign(batch: pa.Table) -> pa.Table:
+        return BandSigner(len(batch[vec_col][0]))(batch)
+
+    signed = ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        n = len(group)
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            _log_dropped_bucket(
+                metrics_dir, "embedding",
+                (int(group["band_id"][0].as_py()), int(group["bucket"][0].as_py())),
+                n, max_bucket)
+            return empty
+        ids = _to_numpy(group[id_col])
+        mat = np.stack(group["_vec"].to_pandas().to_numpy())
+        sims = mat @ mat.T
+        rows, cols = np.nonzero(sims >= threshold)
+        keep = ids[rows] < ids[cols]
+        return pa.table({
+            "id_a": pa.array(ids[rows][keep], pa.int64()),
+            "id_b": pa.array(ids[cols][keep], pa.int64()),
+            "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
+        })
+
+    pairs = signed.groupby(["band_id", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    # a true pair surfaces in every colliding band — keep one copy
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")

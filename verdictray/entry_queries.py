@@ -324,12 +324,21 @@ FROM lineitem GROUP BY 1
 
 
 def q_dedup_docs_by_lang(sf_dir: str):
-    """Exact dedup on (lang, text) via hash-partitioned first-row-per-group,
-    then distinct-text counts per lang (SURVEY.md §2.7 exact dedup)."""
+    """Exact dedup via hash-partitioned first-row-per-group, then
+    distinct counts per lang (SURVEY.md §2.7 exact dedup).
+
+    Scale shape: derive the 8-byte Rabin fingerprint per row FIRST and drop
+    the raw text before the shuffle — identity travels as (lang, 8 bytes)
+    instead of (lang, full document), a ~40x narrower exchange for ~300-char
+    docs (fingerprint collision ~2^-64, same count(DISTINCT text) oracle)."""
     from ray.data.aggregate import Count
 
+    from .text import with_fingerprint
+
     ds = _t(sf_dir, "documents", ["lang", "text"])
-    deduped = ds.groupby(["lang", "text"]).map_groups(
+    ds = ds.map_batches(with_fingerprint, batch_format="pyarrow",
+                        zero_copy_batch=True).select_columns(["lang", "fingerprint"])
+    deduped = ds.groupby(["lang", "fingerprint"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
     return deduped.groupby("lang").aggregate(Count(alias_name="n_unique"))
@@ -586,8 +595,11 @@ def q_minhash_dedup(sf_dir: str):
     # 14-byte shingles: documents.text draws from a tiny vocabulary, so
     # short shingles are shared by every doc (bucket explosion); longer
     # shingles span 2-3 tokens and discriminate
+    # verify_mode="join": the scale path (two bucketed hash joins re-attach
+    # texts to candidate pairs) — no driver-side materialization anywhere
     pairs = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5,
-                                num_perm=64, bands=8, shingle_k=14)
+                                num_perm=64, bands=8, shingle_k=14,
+                                verify_mode="join")
     return pairs.sort(["id_a", "id_b"])
 
 
@@ -603,7 +615,10 @@ def q_embedding_neardup(sf_dir: str):
     from .dedup import embedding_neardup_pairs
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45)
+    # mode="lsh": banded hyperplane buckets — the corpus never materializes;
+    # recall vs the exact path asserted in tests/test_extras.py
+    out = embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.45,
+                                  mode="lsh")
     return out.map_batches(_round_cols({"cosine": 4}), batch_format="pyarrow").sort(["id_a", "id_b"])
 
 

@@ -67,10 +67,19 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
     lcols = list(lschema.names)
     rcols = list(rschema.names)
 
+    int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lrows = g[g["_side"] == "l"][lcols]
         rrows = g[g["_side"] == "r"][rcols]
         out = lrows.merge(rrows, left_on=left_on, right_on=right_on, how=how)
+        # the union's typed-null padding makes pandas promote int columns
+        # to float64 in the group block; restore the declared integer
+        # dtypes (nullable Int64 → Arrow int64) or downstream consumers —
+        # including a second hash_join keyed on these columns — see floats
+        for name in out.columns:
+            if name in int_cols and out[name].dtype.kind == "f":
+                out[name] = out[name].astype("Int64")
         return out
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -156,10 +156,38 @@ def deterministic_sample(batch: pa.Table, on: str = "content_sha256",
 def dedup_exact(ds, key_col: str):
     """Exact dedup: first row per key — hash-partition + per-group first.
     One shuffle on key_col; at corpus scale run AFTER projecting content
-    away (the sha256 carries identity)."""
+    away (the sha256 carries identity), or use dedup_exact_narrow to keep
+    full rows without shuffling them."""
     return ds.groupby(key_col).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def dedup_exact_narrow(ds, content_col: str, id_col: str, join_buckets: int = 32):
+    """Scale-safe exact dedup that RETURNS full rows while only (id,
+    fingerprint) pairs — 16 B/row — travel through the dedup shuffle:
+
+      1. fingerprint each row (8-byte Rabin hash of content);
+      2. groupby(fingerprint) → min(id) elects one deterministic winner
+         per distinct content (narrow columns only);
+      3. bucketed join of the winner-id set back against the corpus — the
+         full rows move exactly once, in the join, and only the keepers.
+
+    Winner choice (min id) is deterministic, so reruns/resumes keep the
+    same representatives. Requires a unique id column."""
+    from ray.data.aggregate import Min
+
+    from .join import hash_join
+    from .text import with_fingerprint
+
+    fp = ds.map_batches(
+        lambda b: with_fingerprint(b, col=content_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).select_columns([id_col, "fingerprint"])
+    winners = fp.groupby("fingerprint").aggregate(Min(id_col, alias_name="_win_id"))
+    win_ids = winners.select_columns(["_win_id"])
+    joined = hash_join(ds, win_ids, id_col, "_win_id", buckets=join_buckets)
+    return joined.drop_columns(["_win_id"])
 
 
 def project(ds, columns: list[str]):
