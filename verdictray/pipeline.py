@@ -107,9 +107,11 @@ def _stage_a_aggs(spec: SketchJobSpec):
 _BLOB_COLS = ["hll_blob", "cms_blob", "bloom_blob", "kll_blob", "tdigest_blob"]
 
 
-def prepare(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
+def prepare(ds: rd.Dataset, spec: SketchJobSpec,
+            extra_cols: tuple | list = ()) -> rd.Dataset:
     """Stateless prep: sha256 + features, then drop `content` so only
-    narrow rows reach the shuffle."""
+    narrow rows reach the shuffle. ``extra_cols`` survive the projection
+    (e.g. the checkpoint runner's partition tag)."""
     ds = ds.map_batches(
         lambda b: ops.derive_features(ops.with_sha256(b)),
         batch_format="pyarrow",
@@ -118,7 +120,7 @@ def prepare(ds: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
     if spec.verify_sha:
         ds = ds.map_batches(ops.verify_sha256, batch_format="pyarrow",
                             zero_copy_batch=True)
-    keep = [spec.group_key, "content_sha256", "n_bytes", "n_lines"]
+    keep = list(extra_cols) + [spec.group_key, "content_sha256", "n_bytes", "n_lines"]
     seen = set()
     keep = [c for c in keep if not (c in seen or seen.add(c))]
     return ds.select_columns(keep)
