@@ -373,6 +373,46 @@ SELECT event_type, count(*) AS est_count FROM events GROUP BY event_type
 """
 
 
+def q_cms_top_users_by_type(sf_dir: str):
+    """CMS heavy-hitters with an EXACT oracle: top-3 users per event_type
+    by CMS-estimated frequency. The driver table's domain (150 users/type,
+    width 2719) makes the all-5-row collision probability ~5e-7 per item,
+    so estimates equal exact counts; hh_capacity=512 > 2x the user domain
+    means candidate tracking never truncates. Ties broken (count desc,
+    user_id asc) numerically on BOTH sides."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    per_type = ds.groupby("event_type").aggregate(
+        CmsAgg(on="user_id", alias_name="blob", hh_capacity=512, output="blob")
+    )
+
+    def explode_top3(b: pa.Table) -> pa.Table:
+        from .sketches import Sketch
+
+        types, users, counts = [], [], []
+        for row in b.to_pylist():
+            cms = Sketch.from_bytes(row["blob"])
+            ranked = sorted(cms.top_k(100_000), key=lambda kv: (-kv[1], int(kv[0])))
+            for uid, est in ranked[:3]:
+                types.append(row["event_type"])
+                users.append(int(uid))
+                counts.append(est)
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "user_id": pa.array(users, pa.int64()),
+                         "est_count": pa.array(counts, pa.int64())})
+
+    return per_type.map_batches(explode_top3, batch_format="pyarrow").sort(
+        ["event_type", "est_count", "user_id"], descending=[False, True, False])
+
+
+SQL_CMS_TOP_USERS = """
+SELECT event_type, user_id, count(*) AS est_count
+FROM events GROUP BY event_type, user_id
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY est_count DESC, user_id ASC) <= 3
+ORDER BY event_type, est_count DESC, user_id ASC
+"""
+
+
 # ===================================================================
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
@@ -682,6 +722,7 @@ QUERIES = {
     "lineitem_by_year": q_lineitem_by_year,
     "dedup_docs_by_lang": q_dedup_docs_by_lang,
     "cms_event_type_counts": q_cms_event_type_counts,
+    "cms_top_users_by_type": q_cms_top_users_by_type,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -715,6 +756,7 @@ ORACLES = {
     "lineitem_by_year": SQL_LINEITEM_BY_YEAR,
     "dedup_docs_by_lang": SQL_DEDUP_DOCS,
     "cms_event_type_counts": SQL_CMS_EVENT_TYPE,
+    "cms_top_users_by_type": SQL_CMS_TOP_USERS,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,
     "multimodal_features_by_lang": SQL_MULTIMODAL,

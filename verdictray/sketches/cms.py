@@ -30,12 +30,54 @@ No reference file exists (/root/reference is empty — SURVEY.md §0).
 from __future__ import annotations
 
 import math
-import pickle
 
 import numpy as np
 
 from .base import Sketch, _Reader, _Writer, register
 from .hashing import _to_numpy
+
+
+def _encode_candidates(cand: dict) -> bytes:
+    """Typed wire encoding for the heavy-hitter candidate dict. Blobs are
+    persisted (checkpoints, estimate parquet) and merge_sketches is a
+    documented cross-job API — deserializing untrusted bytes must never go
+    through pickle (arbitrary code execution)."""
+    w = _Writer().u32(len(cand))
+    for k, c in cand.items():
+        if isinstance(k, str):
+            kb = k.encode("utf-8")
+            w.u8(0).u32(len(kb)).raw(kb)
+        elif isinstance(k, (bytes, bytearray)):
+            w.u8(1).u32(len(k)).raw(bytes(k))
+        elif isinstance(k, (bool, np.bool_)):
+            w.u8(2).u64(int(np.uint64(np.int64(int(k)))))
+        elif isinstance(k, (int, np.integer)):
+            w.u8(2).u64(int(np.uint64(np.int64(k))))  # two's complement
+        elif isinstance(k, (float, np.floating)):
+            w.u8(3).f64(float(k))
+        else:
+            raise TypeError(f"unsupported heavy-hitter item type {type(k)!r}")
+        w.u64(int(c))
+    return w.getvalue()
+
+
+def _decode_candidates(r: _Reader) -> dict:
+    out: dict = {}
+    n = r.u32()
+    for _ in range(n):
+        tag = r.u8()
+        if tag == 0:
+            k = r.raw(r.u32()).decode("utf-8")
+        elif tag == 1:
+            k = r.raw(r.u32())
+        elif tag == 2:
+            k = int(np.int64(np.uint64(r.u64())))
+        elif tag == 3:
+            k = r.f64()
+        else:
+            raise ValueError(f"corrupt candidate blob: unknown type tag {tag}")
+        out[k] = int(r.u64())
+    return out
 
 
 @register
@@ -276,7 +318,7 @@ class CountMin(Sketch):
 
     # ---------------------------------------------------------------- serde
     def _payload_bytes(self) -> bytes:
-        cand = pickle.dumps(self._candidates, protocol=4)
+        cand = _encode_candidates(self._candidates)
         w = (
             _Writer()
             .f64(self.eps)
@@ -305,7 +347,7 @@ class CountMin(Sketch):
         r = _Reader(payload)
         eps, delta, seed, n, hh_cap, cand_len = r.f64(), r.f64(), r.u64(), r.u64(), r.u32(), r.u32()
         out = cls(eps=eps, delta=delta, seed=seed, hh_capacity=hh_cap)
-        out._candidates = pickle.loads(r.raw(cand_len))
+        out._candidates = _decode_candidates(_Reader(r.raw(cand_len)))
         out.n = n
         if r.u8():
             out.table = (
