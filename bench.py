@@ -114,10 +114,11 @@ def run_benchmarks() -> dict:
         "corpus_sketches",
         lambda: build_sketches(spec, concurrency=(2, max(2, NCPU // 2))),
     )
-    timed("corpus_sketches_direct", lambda: build_sketches_direct(spec))
-    timed("pricing_summary", lambda: q_pricing_summary(SF_DIR))
-    timed("hll_users_by_type", lambda: q_hll_users_by_type(SF_DIR))
-    timed("kll_price_quantiles", lambda: q_kll_price_quantiles(SF_DIR))
+    if not os.environ.get("VR_BENCH_HEADLINE_ONLY"):
+        timed("corpus_sketches_direct", lambda: build_sketches_direct(spec))
+        timed("pricing_summary", lambda: q_pricing_summary(SF_DIR))
+        timed("hll_users_by_type", lambda: q_hll_users_by_type(SF_DIR))
+        timed("kll_price_quantiles", lambda: q_kll_price_quantiles(SF_DIR))
 
     ray.shutdown()
     return {
@@ -133,40 +134,57 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs."""
-    # ensure the (larger) scaling corpus exists + cache is warm
+    """Same job, same input, fresh processes at 8 and 32 CPUs.
+
+    Protocol (r2-hardened): VR_SCALING_RUNS (default 5) fresh-process runs
+    per CPU level, interleaved 8/32 so slow background drift hits both
+    levels equally; headline-only in each subprocess; MEDIAN per level is
+    the estimator and the full per-run distribution is reported so the
+    spread is visible rather than hidden in a min."""
     global BENCH_ROWS
     BENCH_ROWS = str(SCALING_ROWS)
     prepare_corpus()
-    results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
-                   VR_BENCH_ROWS=str(SCALING_ROWS))
-        # min of 3 fresh-process runs per level: the sandbox shows ±25%
-        # run-to-run noise; min is the standard noise-robust estimator and
-        # is applied identically at both CPU levels
-        runs = []
-        for _ in range(3):
+    n_runs = int(os.environ.get("VR_SCALING_RUNS", "5"))
+    times: dict[int, list[float]] = {8: [], 32: []}
+    loads: list[float] = []
+    for _ in range(n_runs):
+        for ncpu in (8, 32):
+            loads.append(round(os.getloadavg()[0], 2))
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                       VR_BENCH_ROWS=str(SCALING_ROWS),
+                       VR_BENCH_HEADLINE_ONLY="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
             ).stdout
-            runs.append(json.loads(out.strip().splitlines()[-1]))
-        results[ncpu] = min(runs, key=lambda r: r["value"])
-    t8 = results[8]["value"]
-    t32 = results[32]["value"]
+            times[ncpu].append(json.loads(out.strip().splitlines()[-1])["value"])
+
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    t8, t32 = median(times[8]), median(times[32])
     eff = (t8 / t32) / (32 / 8)
+    # min-based companion estimator: external tenants on this shared box
+    # (load average ~4-5 with nothing of ours running) contend with the
+    # 32-cpu level far more than the 8-cpu level, so the median carries a
+    # systematic anti-scaling bias; min approximates the uncontended run.
+    eff_min = (min(times[8]) / min(times[32])) / (32 / 8)
     return {
         "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes, same input)",
-        "sec_8": t8,
-        "sec_32": t32,
-        "rows_per_sec_8": results[8]["rows_per_sec"],
-        "rows_per_sec_32": results[32]["rows_per_sec"],
+        "estimator": f"median of {n_runs} interleaved fresh-process runs per level",
+        "sec_8": round(t8, 3),
+        "sec_32": round(t32, 3),
+        "runs_8": [round(x, 3) for x in times[8]],
+        "runs_32": [round(x, 3) for x in times[32]],
+        "rows_per_sec_8": round(SCALING_ROWS / t8, 1),
+        "rows_per_sec_32": round(SCALING_ROWS / t32, 1),
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_min": round(eff_min, 3),
+        "loadavg_before_runs": loads,
         "sf": _sf_tag(),
         "corpus_rows": SCALING_ROWS,
-        "queries_8": results[8]["queries"],
-        "queries_32": results[32]["queries"],
     }
 
 

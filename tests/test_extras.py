@@ -374,3 +374,39 @@ class TestScaleSafeVerify:
         assert len(kept) == len(truth)
         assert set(kept.doc_id) == set(truth.doc_id)
         assert set(kept.columns) == {"doc_id", "lang", "text"}
+
+
+class TestAnnIvf:
+    def test_ivf_recall_vs_exact(self, ray_session, sf01_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from verdictray.similarity import ann_brute_force, ann_ivf
+
+        t = pq.read_table(f"{sf01_dir}/embeddings.parquet").slice(0, 5)
+        q = np.stack(t["embedding"].to_pandas().to_numpy())
+        ids = t["vec_id"].to_numpy()
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        exact = ann_brute_force(ds, q, ids, "embedding", "vec_id", k=10).to_pandas()
+        approx = ann_ivf(ds, q, ids, "embedding", "vec_id", k=10,
+                         n_centroids=16, nprobe=6).to_pandas()
+        recalls = []
+        for qid in ids:
+            e = set(exact[exact.query_id == qid].neighbor_id)
+            a = set(approx[approx.query_id == qid].neighbor_id)
+            recalls.append(len(e & a) / len(e))
+        assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    def test_centroids_deterministic(self, ray_session, sf01_dir):
+        import numpy as np
+        import ray.data as rd
+
+        from verdictray.similarity import build_ivf_centroids
+
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        a = build_ivf_centroids(ds, "embedding", n_centroids=8, seed=3)
+        b = build_ivf_centroids(ds, "embedding", n_centroids=8, seed=3)
+        assert np.array_equal(a, b)

@@ -1,0 +1,119 @@
+"""Windowed aggregates + as-of join (window.py) against DuckDB ground truth."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+
+class TestTumblingWindow:
+    def test_hourly_counts_match_duckdb(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.window import tumbling_window
+        from ray.data.aggregate import Count
+
+        ds = rd.read_parquet(f"{sf01_dir}/events.parquet", columns=["ts"])
+        out = tumbling_window(ds, "ts", 3600).aggregate(
+            Count(alias_name="n")).to_pandas()
+        truth = duckdb.sql(
+            f"select time_bucket(interval '1 hour', ts) w, count(*) n "
+            f"from '{sf01_dir}/events.parquet' group by 1"
+        ).df()
+        got = dict(zip(out.window_start.astype("datetime64[us]"), out.n))
+        want = dict(zip(truth.w.astype("datetime64[us]"), truth.n))
+        assert got == want
+
+    def test_window_is_pure_function_of_ts(self):
+        import datetime as dt
+
+        from verdictray.window import with_tumbling_window
+
+        t = pa.table({"ts": pa.array([dt.datetime(2024, 5, 1, 13, 59, 59),
+                                      dt.datetime(2024, 5, 1, 14, 0, 0)],
+                                     pa.timestamp("us"))})
+        out = with_tumbling_window(t, width_s=3600)["window_start"].to_pylist()
+        assert out == [dt.datetime(2024, 5, 1, 13, 0), dt.datetime(2024, 5, 1, 14, 0)]
+
+
+class TestSlidingWindow:
+    def test_each_row_covered_by_width_over_slide_windows(self):
+        import datetime as dt
+
+        from verdictray.window import with_sliding_windows
+
+        t = pa.table({"ts": pa.array([dt.datetime(2024, 1, 1, 10, 25)],
+                                     pa.timestamp("us")), "v": [7]})
+        out = with_sliding_windows(t, width_s=3600, slide_s=900)
+        starts = sorted(out["window_start"].to_pylist())
+        # 4 windows of width 1h, slide 15m, all containing 10:25
+        assert len(starts) == 4
+        for s in starts:
+            assert s <= dt.datetime(2024, 1, 1, 10, 25) < s + dt.timedelta(hours=1)
+
+    def test_rejects_non_divisible_slide(self):
+        from verdictray.window import with_sliding_windows
+
+        with pytest.raises(ValueError, match="multiple"):
+            with_sliding_windows(pa.table({"ts": pa.array([], pa.timestamp("us"))}),
+                                 width_s=3600, slide_s=700)
+
+
+class TestAsofJoin:
+    def test_matches_duckdb_asof(self, ray_session, sf01_dir):
+        """Every event joined to the latest same-user signup at-or-before
+        it; match sets must equal DuckDB's ASOF LEFT JOIN."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from verdictray.window import asof_join
+
+        events = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                                 columns=["event_id", "user_id", "ts", "event_type"])
+        signups = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                                  columns=["user_id", "ts", "event_type"]) \
+            .map_batches(lambda b: b.filter(
+                pc.equal(b["event_type"], pa.scalar("signup")))
+                .drop_columns(["event_type"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        joined = asof_join(events, signups, on="user_id", ts_left="ts",
+                           ts_right="ts", buckets=8).to_pandas()
+        truth = duckdb.sql(f"""
+            SELECT e.event_id, s.ts AS ts_r
+            FROM '{sf01_dir}/events.parquet' e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM '{sf01_dir}/events.parquet'
+                            WHERE event_type = 'signup') s
+              ON e.user_id = s.user_id AND e.ts >= s.ts
+        """).df()
+        got = dict(zip(joined.event_id, joined.ts_r))
+        want = dict(zip(truth.event_id, truth.ts_r))
+        assert len(got) == len(want)
+        import pandas as pd
+
+        mism = [k for k in want
+                if (pd.isna(got[k]) != pd.isna(want[k]))
+                or (not pd.isna(want[k])
+                    and pd.Timestamp(got[k]) != pd.Timestamp(want[k]))]
+        assert not mism, f"{len(mism)} as-of mismatches, e.g. {mism[:5]}"
+
+    def test_left_rows_preserved(self, ray_session):
+        """No key on the right side → all left rows survive with null
+        right columns (left-join semantics)."""
+        import datetime as dt
+
+        import ray.data as rd
+
+        from verdictray.window import asof_join
+
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([dt.datetime(2024, 1, 1)] * 2, pa.timestamp("us")),
+        }))
+        right = rd.from_arrow(pa.table({
+            "k": pa.array([99], pa.int64()),
+            "ts": pa.array([dt.datetime(2023, 1, 1)], pa.timestamp("us")),
+            "payload": pa.array([5], pa.int64()),
+        }))
+        out = asof_join(left, right, on="k", ts_left="ts", ts_right="ts",
+                        buckets=4).to_pandas()
+        assert len(out) == 2
+        assert out["payload"].isna().all()

@@ -413,6 +413,102 @@ ORDER BY event_type, est_count DESC, user_id ASC
 """
 
 
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event_type (window.py) —
+    windows are derived per batch and become ordinary grouping columns.
+    Window start emitted as a string so the value-hash is dtype-stable
+    across Arrow/DuckDB timestamp flavors."""
+    from ray.data.aggregate import Count, Sum
+
+    from .window import tumbling_window
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    out = tumbling_window(ds, "ts", 3600, keys=["event_type"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(i, "window_start",
+                            pc.strftime(b["window_start"], format="%Y-%m-%d %H:%M"))
+
+    out = out.map_batches(fmt, batch_format="pyarrow")
+    return out.map_batches(_round_cols({"sum_value": 2}), batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding windows (1 h wide, 30 min slide): each row assigned to its
+    width/slide covering windows inside map_batches, then plain groupby —
+    replication factor 2, explicit."""
+    from ray.data.aggregate import Count
+
+    from .window import sliding_window
+
+    ds = _t(sf_dir, "events", ["ts"])
+    out = sliding_window(ds, "ts", width_s=3600, slide_s=1800).aggregate(
+        Count(alias_name="n_events"))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("window_start")
+        return b.set_column(i, "window_start",
+                            pc.strftime(b["window_start"], format="%Y-%m-%d %H:%M"))
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_SLIDING = """
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS tb, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(tb - o.k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M') AS window_start,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM b CROSS JOIN (VALUES (0), (1)) o(k)
+GROUP BY 1
+"""
+
+
+def q_events_asof_signup(sf_dir: str):
+    """Distributed as-of join (window.asof_join): each event matched to the
+    latest signup of the same user at-or-before its timestamp; per-type
+    match counts. Exact DuckDB ASOF JOIN oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    from .window import asof_join
+
+    events = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    signups = _t(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("signup")))
+                   .drop_columns(["event_type"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = asof_join(events, signups, on="user_id", ts_left="ts", ts_right="ts",
+                       buckets=16)
+
+    def flag(b: pa.Table) -> pa.Table:
+        matched = pc.cast(pc.is_valid(b["ts_r"]), pa.int64())
+        return pa.table({"event_type": b["event_type"], "matched": matched})
+
+    out = joined.map_batches(flag, batch_format="pyarrow")
+    return out.groupby("event_type").aggregate(
+        Sum("matched", alias_name="n_matched"), Count(alias_name="n"))
+
+
+SQL_EVENTS_ASOF = """
+SELECT e.event_type, CAST(count(s.ts) AS BIGINT) AS n_matched, count(*) AS n
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+GROUP BY e.event_type
+"""
+
+
 # ===================================================================
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
@@ -679,6 +775,23 @@ def q_ann_topk(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF variant of ann_topk (coarse k-means quantizer + nprobe search);
+    rows-only — recall vs the exact path asserted in tests/test_extras.py."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from .similarity import ann_ivf
+
+    q_tbl = pq2.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    queries = np.stack(q_tbl["embedding"].to_pandas().to_numpy())
+    qids = q_tbl["vec_id"].to_numpy()
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_ivf(ds, queries, qids, "embedding", "vec_id", k=10,
+                  n_centroids=16, nprobe=6)
+    return out.drop_columns(["cosine"])
+
+
 def q_multimodal_features(sf_dir: str):
     """Binary-payload decode plumbing (stub codec): documents.text as the
     payload, actor-pool DecodeStage, per-lang byte totals — exact oracle
@@ -723,6 +836,9 @@ QUERIES = {
     "dedup_docs_by_lang": q_dedup_docs_by_lang,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_top_users_by_type": q_cms_top_users_by_type,
+    "events_hourly": q_events_hourly,
+    "events_sliding_1h_30m": q_events_sliding,
+    "events_asof_signup": q_events_asof_signup,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -740,6 +856,7 @@ QUERIES = {
     "simhash_dedup_pairs": q_simhash_dedup,
     "embedding_neardup_pairs": q_embedding_neardup,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "multimodal_features_by_lang": q_multimodal_features,
 }
 
@@ -757,6 +874,9 @@ ORACLES = {
     "dedup_docs_by_lang": SQL_DEDUP_DOCS,
     "cms_event_type_counts": SQL_CMS_EVENT_TYPE,
     "cms_top_users_by_type": SQL_CMS_TOP_USERS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sliding_1h_30m": SQL_EVENTS_SLIDING,
+    "events_asof_signup": SQL_EVENTS_ASOF,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,
     "multimodal_features_by_lang": SQL_MULTIMODAL,

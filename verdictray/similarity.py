@@ -96,6 +96,82 @@ class HyperplaneSigner:
         return batch.append_column("_bucket", pa.array(self.bucket_of(mat), pa.int64()))
 
 
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                seed: int = 11) -> np.ndarray:
+    """Seeded Lloyd k-means on a (normalized) sample — the IVF coarse
+    quantizer. Deterministic: k-means++-lite init off a seeded rng,
+    fixed iteration count, empty clusters re-seeded from the farthest
+    points. Pure numpy; the sample is small (driver-side by design)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cents = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cents.T                       # cosine on normalized rows
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 1e-12:
+                    cents[c] = v / norm
+            else:  # re-seed an empty cluster from the worst-served point
+                far = sims.max(axis=1).argmin()
+                cents[c] = sample[far]
+    return cents
+
+
+def build_ivf_centroids(ds, vec_col: str, n_centroids: int = 64,
+                        sample_rate: float = 0.1, max_sample: int = 50_000,
+                        seed: int = 11) -> np.ndarray:
+    """Train the IVF coarse quantizer from a deterministic hash-sample of
+    the corpus (one pruned streaming pass; only the sampled vectors reach
+    the driver — bounded by max_sample)."""
+    # deterministic stride sample per block — id-free and reproducible
+    # given the same fragments
+    step = max(1, int(round(1.0 / max(sample_rate, 1e-6))))
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.take(np.arange(0, len(b), step, dtype=np.int64))
+
+    sampled = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True) \
+        .limit(max_sample).to_pandas()
+    mat = _normalize(np.stack(sampled[vec_col].to_numpy()).astype(np.float64))
+    return _kmeans_fit(mat, n_centroids, seed=seed)
+
+
+def ann_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, vec_col: str,
+            id_col: str, k: int = 10, n_centroids: int = 64, nprobe: int = 8,
+            centroids: np.ndarray | None = None, seed: int = 11) -> pa.Table:
+    """IVF approximate top-k: train/take a coarse quantizer, keep only rows
+    whose nearest centroid is among each query's ``nprobe`` closest
+    centroids, brute-force the survivors. The at-scale layout partitions
+    the corpus by centroid id once (groupby) and probes only those
+    partitions' files; here the filter composes with the same streaming
+    read. Recall vs ann_brute_force is asserted in tests."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    if centroids is None:
+        centroids = build_ivf_centroids(ds, vec_col, n_centroids=n_centroids,
+                                        seed=seed)
+    q_sims = q @ centroids.T
+    npb = min(nprobe, len(centroids))
+    probe = set()
+    for row in np.argpartition(-q_sims, npb - 1, axis=1)[:, :npb]:
+        probe.update(int(c) for c in row)
+    probe_arr = pa.array(sorted(probe), pa.int64())
+    cent_ref = centroids  # small (n_centroids × dim) — ships in the closure
+
+    def assign_and_filter(b: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        nearest = (mat @ cent_ref.T).argmax(axis=1).astype(np.int64)
+        b = b.append_column("_centroid", pa.array(nearest, pa.int64()))
+        return b.filter(pa.compute.is_in(b["_centroid"], value_set=probe_arr))
+
+    filtered = ds.map_batches(assign_and_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return ann_brute_force(filtered, q, np.asarray(query_ids), vec_col, id_col, k=k)
+
+
 def ann_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, vec_col: str,
             id_col: str, k: int = 10, planes: int = 8, dim: int | None = None,
             multiprobe: int = 1) -> pa.Table:

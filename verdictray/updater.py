@@ -208,6 +208,17 @@ def build_sketches_actor_pool(ds, spec: SketchJobSpec, concurrency=(2, 8),
             return SketchUpdater(spec, metrics_dir=metrics_dir, salts=salts)(batch)
 
         partials = ds.map_batches(update_batch, **common)
+    if spec.stage_partials:
+        # Stage the blob partials before the all-to-all. The groupby is a
+        # barrier either way (sort-shuffle consumes ALL input before
+        # reducing); staging here stops the shuffle's map tasks from
+        # running concurrently with — and starving — the updater tasks
+        # under constrained CPU budgets: measured 20.5s → 11.1s at
+        # num_cpus=8 on the 4M-row bench (32-cpu level 6.9 → 5.4s).
+        # Partials are the map-side-combined small data (~0.4% of input
+        # bytes), so pinning them is cheap at any scale and spill handles
+        # overflow.
+        partials = partials.materialize()
     aggs_a = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in _BLOB_COLS]
     stage_a = partials.groupby([spec.group_key, "_salt"],
                                num_partitions=min(32, spec.salts * 2)).aggregate(*aggs_a)

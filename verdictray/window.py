@@ -1,0 +1,167 @@
+"""Windowed aggregates and as-of joins over timestamped streams.
+
+Ray-Data-first shapes (task brief: custom operators expressed as
+map_batches + groupby compositions, with the partitioning assumption
+documented):
+
+- ``tumbling_window``: window_start = floor(ts / width) derived per batch
+  (pure Arrow arithmetic), then an ordinary groupby((keys, window)) —
+  windows are just another grouping column, so salting/partial-agg
+  strategies from the sketch pipeline apply unchanged.
+- ``sliding_window``: each row is ASSIGNED to the width/slide windows that
+  cover it inside map_batches (row replication factor = width/slide,
+  explicit and caller-controlled), then the same groupby. No cross-batch
+  state: window membership is a pure function of ts.
+- ``asof_join``: for each left row, the latest right row with
+  right.ts <= left.ts and equal key. Both sides hash-bucket by key (ONE
+  shuffle each, the join.py pattern), each bucket sorts locally and runs a
+  vectorized pandas merge_asof. Partitioning assumption: one key-bucket's
+  rows fit a task (size ``buckets`` accordingly; a single hot key lands in
+  one bucket — pre-aggregate or split by time range if a key alone
+  overflows a task).
+
+No reference implementation exists (/root/reference is empty — SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sketches.hashing import hash64
+
+
+def _window_start(ts: pa.ChunkedArray | pa.Array, width_s: int,
+                  origin_s: int = 0) -> pa.ChunkedArray | pa.Array:
+    """floor((ts - origin) / width) * width + origin, as timestamp[us]."""
+    us = pc.cast(ts, pa.int64())  # timestamp[us] → microseconds since epoch
+    w = width_s * 1_000_000
+    o = origin_s * 1_000_000
+    start = pc.add(pc.multiply(pc.floor(pc.divide(pc.subtract(us, o), w)), w), o)
+    return pc.cast(pc.cast(start, pa.int64()), ts.type if hasattr(ts, "type")
+                   else pa.timestamp("us"))
+
+
+def with_tumbling_window(batch: pa.Table, ts_col: str = "ts",
+                         width_s: int = 3600,
+                         out_col: str = "window_start") -> pa.Table:
+    """Append the tumbling-window start column (pure batch transform)."""
+    return batch.append_column(out_col, _window_start(batch[ts_col], width_s))
+
+
+def tumbling_window(ds, ts_col: str, width_s: int, keys: list[str] | None = None):
+    """Dataset → grouped-by-(keys, window_start) Ray Data GroupedData: call
+    .aggregate(...) on the result. Windows are grouping columns — nothing
+    else about the engine changes."""
+    ds = ds.map_batches(
+        lambda b: with_tumbling_window(b, ts_col=ts_col, width_s=width_s),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby((keys or []) + ["window_start"])
+
+
+def with_sliding_windows(batch: pa.Table, ts_col: str = "ts",
+                         width_s: int = 3600, slide_s: int = 1800,
+                         out_col: str = "window_start") -> pa.Table:
+    """Replicate each row into every sliding window covering it
+    (width_s must be a multiple of slide_s; replication = width/slide,
+    bounded and caller-visible)."""
+    if width_s % slide_s:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    base = _window_start(batch[ts_col], slide_s)  # finest-grained bucket
+    n = len(batch)
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+    rep = batch.take(idx)
+    base_us = pc.cast(pc.cast(base, pa.int64()), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    offsets = (np.arange(k, dtype=np.int64) * slide_s * 1_000_000)
+    starts = (np.repeat(base_us, k) - np.tile(offsets, n))
+    starts_arr = pc.cast(pa.array(starts, pa.int64()), batch[ts_col].type)
+    return rep.append_column(out_col, starts_arr)
+
+
+def sliding_window(ds, ts_col: str, width_s: int, slide_s: int,
+                   keys: list[str] | None = None):
+    """Sliding-window grouping: assign-in-map, then groupby — the engine
+    still sees plain grouped aggregation."""
+    ds = ds.map_batches(
+        lambda b: with_sliding_windows(b, ts_col=ts_col, width_s=width_s,
+                                       slide_s=slide_s),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return ds.groupby((keys or []) + ["window_start"])
+
+
+# ---------------------------------------------------------------- as-of join
+def asof_join(left, right, on: str, ts_left: str, ts_right: str,
+              buckets: int = 32, suffix: str = "_r"):
+    """For each left row: attach the latest right row with the same key
+    and right ts <= left ts (nulls where none exists). Distributed shape:
+    tag both sides with _bucket = hash(key) % buckets, union, ONE groupby
+    shuffle, vectorized pandas merge_asof per bucket.
+
+    Column names of the two sides must be disjoint apart from ``on``
+    (right's non-key columns get ``suffix`` if they collide)."""
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    rename = {c: c + suffix for c in rcols
+              if c != on and (c in lcols or c == ts_left)}
+    if rename:
+        def ren(b: pa.Table) -> pa.Table:
+            return b.rename_columns([rename.get(n, n) for n in b.schema.names])
+
+        right = right.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+        rcols = [rename.get(c, c) for c in rcols]
+        ts_right_eff = rename.get(ts_right, ts_right)
+    else:
+        ts_right_eff = ts_right
+    rschema = right.schema()
+
+    all_cols = list(zip(lschema.names, lschema.types))
+    all_cols += [(n, t) for n, t in zip(rschema.names, rschema.types) if n != on]
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            bucket = (hash64(batch[on], seed=23) % np.uint64(buckets)).astype(np.int64)
+            batch = batch.append_column("_bucket", pa.array(bucket))
+            batch = batch.append_column("_side", pa.array([side] * len(batch),
+                                                          pa.string()))
+            for name, typ in all_cols:
+                if name not in batch.schema.names:
+                    batch = batch.append_column(name, pa.nulls(len(batch), typ))
+            return batch.select([n for n, _ in all_cols] + ["_bucket", "_side"])
+
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag("r"), batch_format="pyarrow", zero_copy_batch=True)
+    unioned = lt.union(rt)
+
+    out_lcols = lcols
+    out_rcols = [c for c in rcols if c != on]
+    int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["_side"] == "l"][out_lcols].sort_values(ts_left,
+                                                            kind="mergesort")
+        rrows = g[g["_side"] == "r"][[on, ts_right_eff] +
+                                     [c for c in out_rcols if c != ts_right_eff]]
+        rrows = rrows.sort_values(ts_right_eff, kind="mergesort")
+        # same dtype-restoration concern as hash_join: the union's typed
+        # nulls promote ints to float in the pandas group block
+        for df in (lrows, rrows):
+            for c in df.columns:
+                if c in int_cols and df[c].dtype.kind == "f":
+                    # merge_asof keys reject the nullable extension dtype,
+                    # and side-filtered rows have no nulls anyway
+                    df[c] = df[c].astype(
+                        "int64" if df[c].notna().all() else "Int64")
+        out = pd.merge_asof(lrows, rrows, left_on=ts_left, right_on=ts_right_eff,
+                            by=on, direction="backward")
+        return out
+
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
