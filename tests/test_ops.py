@@ -202,7 +202,7 @@ def test_sketch_updater_empty_block():
     """Empty blocks are legal in Ray Data (empty fragments, filtered-out
     batches) — the updater must emit an empty table with the right schema
     instead of IndexError (ADVICE r1-medium)."""
-    from verdictray.pipeline import _BLOB_COLS, SketchJobSpec
+    from verdictray.pipeline import SketchJobSpec, partial_blob_cols
     from verdictray.updater import SketchUpdater
 
     spec = SketchJobSpec(input_path="/unused", group_key="lang")
@@ -215,5 +215,6 @@ def test_sketch_updater_empty_block():
     for salts in (0, 8):
         out = SketchUpdater(spec, salts=salts)(empty)
         assert len(out) == 0
-        expect = [spec.group_key] + (["_salt"] if salts else []) + list(_BLOB_COLS)
+        expect = [spec.group_key] + (["_salt"] if salts else []) \
+            + list(partial_blob_cols(spec))
         assert out.schema.names == expect

@@ -320,3 +320,77 @@ class TestMetricsSummary:
                                     "keys": 5, "secs": 0.5, "blocks_seen": 1}) + "\n")
         s = summarize(str(d))
         assert s["rows"] == 300 and s["partitions"] == 2 and s["rows_per_cpu_sec"] == 300.0
+
+
+class TestFusedHashSketch:
+    """Fused (hash,count) partial == direct per-sketch updates, byte-level
+    (sketches/fused.py) — the r2 shuffle-volume optimization's safety net."""
+
+    def test_split_equals_direct_components_any_merge_order(self):
+        import numpy as np
+
+        from verdictray.sketches import (BloomFilter, CountMin, FusedHashSketch,
+                                         HyperLogLog, Sketch)
+        from verdictray.sketches.hashing import derive64, hash_base
+
+        rng = np.random.default_rng(7)
+        vals = rng.choice([f"item{i}" for i in range(5000)], size=20000).astype(object)
+        base = hash_base(vals)
+        uniq, first_ix, cnt = np.unique(base, return_index=True, return_counts=True)
+        hll_d = HyperLogLog(p=14)
+        hll_d.update_hashed(derive64(uniq, hll_d.seed), assume_unique=True)
+        cms_d = CountMin(hh_capacity=16)
+        cms_d.update_unique(uniq, cnt, reps=vals[first_ix], n_raw=len(vals))
+        bl_d = BloomFilter(capacity=100_000)
+        bl_d.update_hashed(uniq, assume_unique=True, n_raw=len(vals))
+
+        parts = []
+        for ch in np.array_split(np.arange(len(vals)), 4):
+            f = FusedHashSketch(hh_capacity=16, bloom_capacity=100_000)
+            f.update(vals[ch])
+            parts.append(Sketch.from_bytes(f.to_bytes()))  # wire roundtrip
+        m = parts[2].merge(parts[0]).merge(parts[3]).merge(parts[1])
+        hll_f, cms_f, bl_f = m.split()
+        assert hll_f.to_bytes() == hll_d.to_bytes()
+        assert bl_f.to_bytes() == bl_d.to_bytes()
+        assert (cms_f.dense_table() == cms_d.dense_table()).all()
+        assert cms_f.n == cms_d.n == len(vals)
+        # fused wire is materially smaller than the three separate blobs
+        sep = len(hll_d.to_bytes()) + len(cms_d.to_bytes()) + len(bl_d.to_bytes())
+        assert len(m.to_bytes()) < 0.7 * sep
+
+    def test_promotion_deterministic_across_merge_orders(self):
+        import numpy as np
+
+        from verdictray.sketches import FusedHashSketch, Sketch
+
+        # small promote limit via tiny bloom capacity
+        def mk(lo, hi):
+            f = FusedHashSketch(bloom_capacity=256, hh_capacity=0)
+            f.update(np.arange(lo, hi, dtype=np.int64))
+            return f
+
+        a = mk(0, 4000).merge(mk(3000, 8000)).merge(mk(7000, 9000))
+        b = mk(7000, 9000).merge(mk(0, 4000)).merge(mk(3000, 8000))
+        assert a.is_sparse == b.is_sparse
+        ha, ca, ba = a.split()
+        hb, cb, bb = b.split()
+        assert ha.to_bytes() == hb.to_bytes()
+        assert ba.to_bytes() == bb.to_bytes()
+        assert (ca.dense_table() == cb.dense_table()).all()
+
+    def test_empty_and_singleton(self):
+        import numpy as np
+
+        from verdictray.sketches import FusedHashSketch, Sketch
+
+        e = FusedHashSketch()
+        rt = Sketch.from_bytes(e.to_bytes())
+        assert rt.n == 0
+        hll, cms, bloom = rt.split()
+        assert hll.estimate() == 0.0
+        s = FusedHashSketch()
+        s.update(np.array(["one"], dtype=object))
+        hll, cms, bloom = Sketch.from_bytes(s.to_bytes()).split()
+        assert hll.estimate() == 1.0
+        assert cms.query_one("one") == 1

@@ -30,7 +30,8 @@ from dataclasses import asdict
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .pipeline import _BLOB_COLS, SketchJobSpec, prepare
+from .pipeline import (_BLOB_COLS, SketchJobSpec, fused_active,
+                       partial_blob_cols, prepare, split_fused_batch)
 from .udaf import SketchMergeAgg
 from .updater import SketchUpdater
 
@@ -158,17 +159,18 @@ class CheckpointedJob:
 
         per_key: dict[str, dict[str, object]] = {}
         key_np = raw[self.spec.group_key].to_pylist()
-        blob_np = {c: raw[c].to_pylist() for c in _BLOB_COLS}
+        pcols = partial_blob_cols(self.spec)
+        blob_np = {c: raw[c].to_pylist() for c in pcols}
         for r, key in enumerate(key_np):
             slot = per_key.setdefault(key, {})
-            for c in _BLOB_COLS:
+            for c in pcols:
                 sk = Sketch.from_bytes(blob_np[c][r])
                 slot[c] = sk if c not in slot else slot[c].merge(sk)
         keys = sorted(per_key)
         table = pa.table({
             self.spec.group_key: pa.array(keys, pa.string()),
             **{c: pa.array([per_key[k][c].to_bytes() for k in keys], pa.binary())
-               for c in _BLOB_COLS},
+               for c in pcols},
         })
 
         part_path = os.path.join(self.dir, f"part-{i}.parquet")
@@ -264,7 +266,7 @@ class CheckpointedJob:
         for i in empties:
             table = pa.table({
                 key_col: pa.array([], pa.string()),
-                **{c: pa.array([], pa.binary()) for c in _BLOB_COLS},
+                **{c: pa.array([], pa.binary()) for c in partial_blob_cols(spec)},
             })
             part_path = os.path.join(out_dir, f"part-{i}.parquet")
             pq.write_table(table, part_path + ".tmp")
@@ -339,18 +341,19 @@ class CheckpointedJob:
             t0 = time.monotonic()
             i = int(group["_part"][0].as_py())
             per_key: dict[str, dict[str, object]] = {}
+            pcols = partial_blob_cols(spec)
             keys_l = group[key_col].to_pylist()
-            blobs_l = {c: group[c].to_pylist() for c in _BLOB_COLS}
+            blobs_l = {c: group[c].to_pylist() for c in pcols}
             for r, key in enumerate(keys_l):
                 slot = per_key.setdefault(key, {})
-                for c in _BLOB_COLS:
+                for c in pcols:
                     sk = Sketch.from_bytes(blobs_l[c][r])
                     slot[c] = sk if c not in slot else slot[c].merge(sk)
             keys = sorted(per_key)
             table = pa.table({
                 key_col: pa.array(keys, pa.string()),
                 **{c: pa.array([per_key[k][c].to_bytes() for k in keys],
-                               pa.binary()) for c in _BLOB_COLS},
+                               pa.binary()) for c in pcols},
             })
             part_path = os.path.join(out_dir, f"part-{i}.parquet")
             tmp = f"{part_path}.tmp.{os.getpid()}"
@@ -395,25 +398,27 @@ class CheckpointedJob:
             raise RuntimeError(f"partitions {self.pending()} not finished")
         from .sketches import Sketch
 
+        pcols = partial_blob_cols(self.spec)
         per_key: dict[str, dict[str, object]] = {}
         for i in range(len(self.partitions)):
             t = pq.read_table(os.path.join(self.dir, f"part-{i}.parquet"))
             for row in t.to_pylist():
                 key = row[self.spec.group_key]
                 slot = per_key.setdefault(key, {})
-                for c in _BLOB_COLS:
+                for c in pcols:
                     sk = Sketch.from_bytes(row[c])
                     slot[c] = sk if c not in slot else slot[c].merge(sk)
         keys = sorted(per_key)
-        cols: dict[str, list] = {self.spec.group_key: keys}
-        for c in _BLOB_COLS:
-            cols[c] = [per_key[k][c].to_bytes() for k in keys]
-        return pa.table(
+        out = pa.table(
             {
-                self.spec.group_key: pa.array(cols[self.spec.group_key], pa.string()),
-                **{c: pa.array(cols[c], pa.binary()) for c in _BLOB_COLS},
+                self.spec.group_key: pa.array(keys, pa.string()),
+                **{c: pa.array([per_key[k][c].to_bytes() for k in keys],
+                               pa.binary()) for c in pcols},
             }
         )
+        if fused_active(self.spec):
+            out = split_fused_batch(out)
+        return out
 
     def lineage(self) -> list[dict]:
         out = []

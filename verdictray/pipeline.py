@@ -58,8 +58,17 @@ class SketchJobSpec:
     # slicing overhead in the sort-shuffle map tasks.
     shuffle_partitions: int | None = 64
     # rows per SketchUpdater call (the per-partition state unit); narrow
-    # post-projection rows (~100 B) make 64k-row batches ~6 MiB
-    updater_batch_rows: int = 65536
+    # post-projection rows (~100 B) make 64k-row batches ~6 MiB. None →
+    # whole-block batches (no cross-block bundling; pair with
+    # read_num_blocks for block-aligned updates)
+    updater_batch_rows: int | None = 65536
+    # override_num_blocks for the corpus read. Fewer, bigger blocks cut
+    # the driver's per-block event handling — at 16M rows the default
+    # ~25k-row blocks capped the whole pipeline at ~530k rows/s
+    # regardless of CPU count (driver event loop); 64 blocks lifted it to
+    # ~700k+. Keep it independent of CPU count so scaling runs compare
+    # identical jobs.
+    read_num_blocks: int | None = None
     # coalesce prepared blocks to this many before the raw-row groupby
     # (direct path only): the sort-aggregate's map side pre-aggregates per
     # (block × group) slice, so many small blocks mean many tiny sketch
@@ -77,6 +86,12 @@ class SketchJobSpec:
     # its map tasks from starving the updater stage on small CPU budgets
     # (measured 2x at 8 CPUs; see updater.build_sketches_actor_pool)
     stage_partials: bool = True
+    # fuse the three hash sketches' partials into ONE (hash, count) blob
+    # per key (sketches/fused.py): ~2x less shuffle volume and one union
+    # merge instead of three; split back into the canonical three blobs
+    # after the final merge (byte-identical output — tested). Applies
+    # only when hll/cms/bloom share an input column.
+    fuse_hash_sketches: bool = True
     sketch_cols: dict = field(
         default_factory=lambda: {
             "hll": "content_sha256",
@@ -110,6 +125,33 @@ def _stage_a_aggs(spec: SketchJobSpec):
 
 
 _BLOB_COLS = ["hll_blob", "cms_blob", "bloom_blob", "kll_blob", "tdigest_blob"]
+_FUSED_COLS = ["fused_blob", "kll_blob", "tdigest_blob"]
+
+
+def fused_active(spec: "SketchJobSpec") -> bool:
+    c = spec.sketch_cols
+    return bool(spec.fuse_hash_sketches) and c["hll"] == c["cms"] == c["bloom"]
+
+
+def partial_blob_cols(spec: "SketchJobSpec") -> list[str]:
+    """Blob columns the updater emits / the merge stages aggregate."""
+    return _FUSED_COLS if fused_active(spec) else _BLOB_COLS
+
+
+def split_fused_batch(batch: pa.Table) -> pa.Table:
+    """fused_blob → the three canonical component blobs (post-merge)."""
+    hll_b, cms_b, bloom_b = [], [], []
+    for blob in batch["fused_blob"].to_pylist():
+        hll, cms, bloom = Sketch.from_bytes(blob).split()
+        hll_b.append(hll.to_bytes())
+        cms_b.append(cms.to_bytes())
+        bloom_b.append(bloom.to_bytes())
+    out = batch.drop_columns(["fused_blob"])
+    out = out.append_column("hll_blob", pa.array(hll_b, pa.binary()))
+    out = out.append_column("cms_blob", pa.array(cms_b, pa.binary()))
+    out = out.append_column("bloom_blob", pa.array(bloom_b, pa.binary()))
+    keys = [n for n in out.schema.names if n not in _BLOB_COLS]
+    return out.select(keys + _BLOB_COLS)
 
 
 def prepare(ds: rd.Dataset, spec: SketchJobSpec,
@@ -222,7 +264,8 @@ def build_sketches(spec: SketchJobSpec, ds: rd.Dataset | None = None,
         # the content column (sha256 + features derive from content) —
         # repo/path/commit never leave storage unless they ARE the key
         cols = sorted({spec.group_key, "content"})
-        ds = vio.read_corpus(spec.input_path, columns=cols)
+        ds = vio.read_corpus(spec.input_path, columns=cols,
+                             override_num_blocks=spec.read_num_blocks)
     merged = build_sketches_actor_pool(ds, spec, concurrency=concurrency,
                                        metrics_dir=spec.metrics_dir)
     if spec.out_dir:
@@ -236,7 +279,8 @@ def build_sketches_direct(spec: SketchJobSpec, ds: rd.Dataset | None = None) -> 
     rows (no map-side combine), then the Stage-B blob merge. Simpler
     memory profile (no per-actor sketch dict); shuffles narrow raw rows."""
     if ds is None:
-        ds = vio.read_corpus(spec.input_path, columns=sorted({spec.group_key, "content"}))
+        ds = vio.read_corpus(spec.input_path, columns=sorted({spec.group_key, "content"}),
+                             override_num_blocks=spec.read_num_blocks)
     ds = prepare(ds, spec)
     partials = sketch_partials(ds, spec)
     merged = merge_partials(partials, spec)

@@ -9,6 +9,7 @@ distributed bug is a plumbing bug, not a math bug (SURVEY.md §7).
 from .base import Sketch, merge_sketches
 from .bloom import BloomFilter
 from .cms import CountMin
+from .fused import FusedHashSketch
 from .hashing import hash64
 from .hll import HyperLogLog
 from .kll import KLL

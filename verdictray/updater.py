@@ -24,8 +24,8 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from .pipeline import _BLOB_COLS, SketchJobSpec
-from .sketches import BloomFilter, CountMin, HyperLogLog, KLL, TDigest
+from .pipeline import _BLOB_COLS, SketchJobSpec, fused_active, partial_blob_cols, split_fused_batch
+from .sketches import BloomFilter, CountMin, FusedHashSketch, HyperLogLog, KLL, TDigest
 from .udaf import SketchMergeAgg
 
 
@@ -37,6 +37,10 @@ def _factories(spec: SketchJobSpec):
         "bloom_blob": lambda: BloomFilter(capacity=spec.bloom_capacity, fpp=spec.bloom_fpp),
         "kll_blob": lambda: KLL(k=spec.kll_k),
         "tdigest_blob": lambda: TDigest(compression=spec.tdigest_compression),
+        "fused_blob": lambda: FusedHashSketch(
+            hll_p=spec.hll_p, cms_eps=spec.cms_eps, cms_delta=spec.cms_delta,
+            hh_capacity=spec.hh_capacity, bloom_capacity=spec.bloom_capacity,
+            bloom_fpp=spec.bloom_fpp),
     }
 
 
@@ -49,6 +53,9 @@ class SketchUpdater:
         self._spec = spec
         self._factories = _factories(spec)
         self._cols = spec.sketch_cols
+        # fused mode: one (hash, count) blob replaces the three hash-sketch
+        # blobs — half the shuffle bytes, one union per merge
+        self._blob_cols = partial_blob_cols(spec)
         self._metrics_dir = metrics_dir or spec.metrics_dir
         self._salts = salts  # >0 → emit a _salt column for the two-stage merge
         self._blocks_seen = 0
@@ -68,7 +75,7 @@ class SketchUpdater:
             fields = [(key_col, pa.string())]
             if self._salts:
                 fields.append(("_salt", pa.int32()))
-            fields += [(c, pa.binary()) for c in _BLOB_COLS]
+            fields += [(c, pa.binary()) for c in self._blob_cols]
             return pa.table({n: pa.array([], t) for n, t in fields})
         keys = block[key_col].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
@@ -90,7 +97,7 @@ class SketchUpdater:
         hash_cols = {self._cols[k] for k in ("hll", "cms", "bloom")}
         base_np = {name: hash_base(col_np[name]) for name in hash_cols}
         out_keys: list[str] = []
-        out_blobs: dict[str, list[bytes]] = {c: [] for c in _BLOB_COLS}
+        out_blobs: dict[str, list[bytes]] = {c: [] for c in self._blob_cols}
         for i, start in enumerate(boundaries):
             end = boundaries[i + 1] if i + 1 < len(boundaries) else len(sorted_keys)
             sel = order[start:end]
@@ -99,15 +106,24 @@ class SketchUpdater:
             # unique set (duplicates cannot change any of them) — one sort
             # per key-slice instead of one per sketch
             uniq_cache: dict[str, tuple] = {}
-            for blob_col in _BLOB_COLS:
+
+            def uniq_of(col):
+                if col not in uniq_cache:
+                    raw = base_np[col][sel]
+                    uniq_cache[col] = (*np.unique(raw, return_index=True,
+                                                  return_counts=True), len(raw))
+                return uniq_cache[col]
+
+            for blob_col in self._blob_cols:
                 sk = self._factories[blob_col]()
-                col = self._cols[blob_col.removesuffix("_blob")]
-                if blob_col in ("hll_blob", "cms_blob", "bloom_blob"):
-                    if col not in uniq_cache:
-                        raw = base_np[col][sel]
-                        uniq_cache[col] = (*np.unique(raw, return_index=True,
-                                                      return_counts=True), len(raw))
-                    bu, first_ix, cnt, n_raw = uniq_cache[col]
+                if blob_col == "fused_blob":
+                    col = self._cols["hll"]
+                    bu, first_ix, cnt, n_raw = uniq_of(col)
+                    reps = col_np[col][sel][first_ix] if sk.hh_capacity else None
+                    sk.update_unique(bu, cnt, reps=reps, n_raw=n_raw)
+                elif blob_col in ("hll_blob", "cms_blob", "bloom_blob"):
+                    col = self._cols[blob_col.removesuffix("_blob")]
+                    bu, first_ix, cnt, n_raw = uniq_of(col)
                     if blob_col == "hll_blob":
                         sk.update_hashed(derive64(bu, sk.seed), assume_unique=True)
                     elif blob_col == "cms_blob":
@@ -116,6 +132,7 @@ class SketchUpdater:
                     else:
                         sk.update_hashed(bu, assume_unique=True, n_raw=n_raw)
                 else:
+                    col = self._cols[blob_col.removesuffix("_blob")]
                     sk.update(col_np[col][sel])
                 out_blobs[blob_col].append(sk.to_bytes())
         self._blocks_seen += 1
@@ -219,8 +236,14 @@ def build_sketches_actor_pool(ds, spec: SketchJobSpec, concurrency=(2, 8),
         # bytes), so pinning them is cheap at any scale and spill handles
         # overflow.
         partials = partials.materialize()
-    aggs_a = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in _BLOB_COLS]
+    cols = partial_blob_cols(spec)
+    aggs_a = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in cols]
     stage_a = partials.groupby([spec.group_key, "_salt"],
                                num_partitions=min(32, spec.salts * 2)).aggregate(*aggs_a)
-    aggs_b = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in _BLOB_COLS]
-    return stage_a.groupby(spec.group_key, num_partitions=8).aggregate(*aggs_b)
+    aggs_b = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in cols]
+    merged = stage_a.groupby(spec.group_key, num_partitions=8).aggregate(*aggs_b)
+    if fused_active(spec):
+        # split the fused blob back into the three canonical component
+        # blobs so downstream consumers see the same 5-column schema
+        merged = merged.map_batches(split_fused_batch, batch_format="pyarrow")
+    return merged
