@@ -410,3 +410,46 @@ class TestAnnIvf:
         a = build_ivf_centroids(ds, "embedding", n_centroids=8, seed=3)
         b = build_ivf_centroids(ds, "embedding", n_centroids=8, seed=3)
         assert np.array_equal(a, b)
+
+
+class TestMultimodalStages:
+    """r2: resize + frame-sample plumbing (stub codecs, real Ray wiring)."""
+
+    def test_resize_stage_updates_payload_and_metadata(self):
+        from verdictray.multimodal import ResizeStage
+
+        t = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"img-a" * 100, b"img-b"], pa.binary()),
+        })
+        out = ResizeStage(target_w=8, target_h=4)(t)
+        assert [len(b) for b in out["payload"].to_pylist()] == [8 * 4 * 3] * 2
+        assert out["width"].to_pylist() == [8, 8]
+        assert out["height"].to_pylist() == [4, 4]
+        # deterministic
+        out2 = ResizeStage(target_w=8, target_h=4)(t)
+        assert out["payload"].to_pylist() == out2["payload"].to_pylist()
+
+    def test_resize_real_codec_raises(self):
+        from verdictray.multimodal import ResizeStage
+
+        with pytest.raises(NotImplementedError):
+            ResizeStage(target_w=8, target_h=8, codec="real")
+
+    def test_frame_sample_explodes_rows(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.multimodal import decode_features, sample_frames
+
+        media = rd.from_arrow(pa.table({
+            "media_id": pa.array([10, 11], pa.int64()),
+            "payload": pa.array([bytes(range(256)) * 4, b"tiny"], pa.binary()),
+        }))
+        frames = sample_frames(media, n_frames=4, concurrency=1)
+        df = frames.to_pandas()
+        assert len(df) == 8
+        assert sorted(df.frame_idx.unique()) == [0, 1, 2, 3]
+        # frames flow into the decode stage unchanged
+        feats = decode_features(frames, concurrency=1).to_pandas()
+        assert len(feats) == 8
+        assert {"features", "n_bytes"} <= set(feats.columns)

@@ -394,3 +394,26 @@ class TestFusedHashSketch:
         hll, cms, bloom = Sketch.from_bytes(s.to_bytes()).split()
         assert hll.estimate() == 1.0
         assert cms.query_one("one") == 1
+
+    def test_merge_many_equals_sequential(self):
+        import numpy as np
+
+        from verdictray.sketches import FusedHashSketch, Sketch
+
+        def mk(lo, hi, cap=256):
+            f = FusedHashSketch(bloom_capacity=cap, hh_capacity=8)
+            f.update(np.array([f"v{i}" for i in range(lo, hi)], dtype=object))
+            return f
+
+        parts = [mk(0, 3000), mk(2000, 5000), mk(100, 200), mk(4000, 9000)]
+        seq = Sketch.from_bytes(parts[0].to_bytes())
+        for p in parts[1:]:
+            seq.merge(Sketch.from_bytes(p.to_bytes()))
+        kway = Sketch.from_bytes(parts[0].to_bytes()).merge_many(
+            [Sketch.from_bytes(p.to_bytes()) for p in parts[1:]])
+        hs, cs, bs = seq.split()
+        hk, ck, bk = kway.split()
+        assert hs.to_bytes() == hk.to_bytes()
+        assert bs.dense_bits().tobytes() == bk.dense_bits().tobytes()
+        assert (cs.dense_table() == ck.dense_table()).all()
+        assert seq.n == kway.n

@@ -98,3 +98,102 @@ def text_as_media(batch: pa.Table, text_col: str = "text",
         "mime": pa.array(["text/plain"] * len(batch), pa.string()),
         "payload": payload.combine_chunks() if isinstance(payload, pa.ChunkedArray) else payload,
     })
+
+
+class ResizeStage:
+    """Actor-pool map_batches stage: payload → resized payload + updated
+    width/height metadata.
+
+    codec="fake": deterministic stand-in — emits a payload whose length is
+    ``target_w*target_h*3`` derived from a seeded per-row hash stream, so
+    output sizing, metadata updates and memory profile match a real
+    resize; codec="real" raises (no imaging library in this container —
+    plug PIL/opencv in __init__, ONCE per actor)."""
+
+    def __init__(self, target_w: int, target_h: int,
+                 payload_col: str = "payload", codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "no imaging library in this container; load the resizer "
+                "here (once per actor)")
+        if codec != "fake":
+            raise ValueError(f"unknown codec {codec!r}")
+        self.target_w = target_w
+        self.target_h = target_h
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_len = self.target_w * self.target_h * 3
+        payloads = batch[self.payload_col].to_pylist()
+        resized = []
+        for b in payloads:
+            digest = hashlib.sha256(b or b"").digest()
+            reps = (out_len + len(digest) - 1) // len(digest)
+            resized.append((digest * reps)[:out_len])
+        i = batch.schema.get_field_index(self.payload_col)
+        batch = batch.set_column(i, self.payload_col,
+                                 pa.array(resized, pa.binary()))
+        w = pa.array([self.target_w] * len(batch), pa.int32())
+        h = pa.array([self.target_h] * len(batch), pa.int32())
+        for name, arr in (("width", w), ("height", h)):
+            if name in batch.schema.names:
+                batch = batch.set_column(batch.schema.get_field_index(name),
+                                         name, arr)
+            else:
+                batch = batch.append_column(name, arr)
+        return batch
+
+
+class FrameSampleStage:
+    """Actor-pool map_batches flat-map stage: one video payload row →
+    ``n_frames`` frame payload rows (media_id preserved, frame_idx added).
+
+    codec="fake": frames are deterministic equal-length slices of the
+    payload (a real sampler seeks keyframes — plug ffmpeg in __init__).
+    The output explosion factor is explicit; batch_size upstream must be
+    sized for payload_bytes x n_frames in flight."""
+
+    def __init__(self, n_frames: int = 4, payload_col: str = "payload",
+                 id_col: str = "media_id", codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "no video codec in this container; open the demuxer here "
+                "(once per actor)")
+        if codec != "fake":
+            raise ValueError(f"unknown codec {codec!r}")
+        self.n_frames = n_frames
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, idxs = [], [], []
+        for mid, b in zip(batch[self.id_col].to_pylist(),
+                          batch[self.payload_col].to_pylist()):
+            b = b or b""
+            step = max(1, len(b) // self.n_frames)
+            for j in range(self.n_frames):
+                ids.append(mid)
+                idxs.append(j)
+                frames.append(b[j * step:(j + 1) * step])
+        return pa.table({
+            self.id_col: pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            self.payload_col: pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(ds, n_frames: int = 4, payload_col: str = "payload",
+                  id_col: str = "media_id", codec: str = "fake",
+                  batch_size: int = 16, concurrency=2):
+    """Frame sampling wiring: smaller batches than decode (row explosion
+    factor = n_frames), actor pool, payload-typed output ready for
+    decode_features."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_frames": n_frames, "payload_col": payload_col,
+                               "id_col": id_col, "codec": codec},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

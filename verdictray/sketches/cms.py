@@ -118,10 +118,15 @@ class CountMin(Sketch):
         return h1, h2
 
     def _positions_from_h(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        # (h1 + j*h2) mod w == ((h1 mod w) + j*(h2 mod w)) mod w — reduce
+        # once in uint64, then per-row arithmetic runs on small int64s
+        # (uint64 modulo is the slow path in numpy; ~20x on wide scatters)
+        w = self.width
+        h1m = (h1 % np.uint64(w)).astype(np.int64)
+        h2m = (h2 % np.uint64(w)).astype(np.int64)
         pos = np.empty((self.depth, len(h1)), dtype=np.int64)
-        w = np.uint64(self.width)
         for j in range(self.depth):
-            pos[j] = ((h1 + np.uint64(j) * h2) % w).astype(np.int64)
+            pos[j] = (h1m + j * h2m) % w
         return pos
 
     @property
@@ -140,7 +145,12 @@ class CountMin(Sketch):
         h1, h2 = self._h12_from_base(base)
         pos = self._positions_from_h(h1, h2)
         for j in range(self.depth):
-            np.add.at(self.table[j], pos[j], cnt)
+            # bincount into the (tiny) row instead of np.add.at: ~50x on
+            # multi-million-item promotions. float64 accumulation is exact
+            # for integer totals below 2^53.
+            self.table[j] += np.bincount(
+                pos[j], weights=cnt, minlength=self.width
+            ).astype(np.int64)
 
     def _add_base(self, base: np.ndarray, cnt: np.ndarray,
                   assume_unique: bool = False) -> None:

@@ -175,6 +175,49 @@ class FusedHashSketch(Sketch):
             self._sparse_add(other._hashes, other._counts)
         return self
 
+    def merge_many(self, others: list["FusedHashSketch"]) -> "FusedHashSketch":
+        """k-way merge: ONE concatenate + unique over every sparse input
+        instead of a pairwise ladder of growing re-sorts — the per-hot-key
+        reduce merges `salts` partials, and pairwise union cost there is
+        ~salts/2 x the data volume. Dense inputs fold in afterwards.
+        Byte-identical result to sequential merge() for the hash state
+        (set/count algebra); the capped heavy-hitter candidate dict may
+        truncate differently (merge-order-dependent by design)."""
+        sparse, dense = [], []
+        for o in others:
+            if not isinstance(o, FusedHashSketch):
+                raise ValueError("merge_many requires FusedHashSketch inputs")
+            self.n += o.n
+            if self.hh_capacity or o.hh_capacity:
+                self.hh_capacity = max(self.hh_capacity, o.hh_capacity)
+                for v, c in o._candidates.items():
+                    self._candidates[v] = self._candidates.get(v, 0) + c
+            (dense if o._dense is not None else sparse).append(o)
+        if len(self._candidates) > 2 * self.hh_capacity > 0:
+            top = sorted(self._candidates.items(), key=lambda kv: (-kv[1], str(kv[0])))
+            self._candidates = dict(top[: self.hh_capacity])
+        if sparse and self._dense is None:
+            merged = np.concatenate([self._hashes] + [o._hashes for o in sparse])
+            mcnt = np.concatenate([self._counts] + [o._counts for o in sparse])
+            su, inv = np.unique(merged, return_inverse=True)
+            self._hashes = su
+            self._counts = np.bincount(inv, weights=mcnt).astype(np.int64)
+            if len(su) > self._promote_limit:
+                self._promote()
+            sparse = []
+        for o in sparse:  # self already dense
+            if len(o._hashes):
+                self._dense_add(o._hashes, o._counts)
+        if dense and self._dense is None:
+            self._promote()
+        for o in dense:
+            hll, cms, bloom = self._dense
+            ohll, ocms, obloom = o._dense
+            hll.merge(ohll)
+            cms.merge(ocms)
+            bloom.merge(obloom)
+        return self
+
     # ---------------------------------------------------------------- output
     def split(self) -> tuple[HyperLogLog, CountMin, BloomFilter]:
         """Materialize the three real sketches — byte-identical to having

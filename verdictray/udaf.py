@@ -205,12 +205,19 @@ class SketchMergeAgg(AggregateFnV2):
 
     def aggregate_block(self, block: Block):
         blobs = _column(block, self._target_col_name).to_pylist()
-        acc = None
-        for blob in blobs:
-            sk = Sketch.from_bytes(blob)
-            acc = sk if acc is None else acc.merge(sk)
-        if acc is None:
+        if not blobs:
             return None
+        sketches = [Sketch.from_bytes(b) for b in blobs]
+        acc = sketches[0]
+        if len(sketches) > 1:
+            if hasattr(acc, "merge_many"):
+                # k-way merge (one union) instead of a pairwise ladder —
+                # the hot-key reduce merges `salts` partials and pairwise
+                # cost there is ~salts/2 x the data volume
+                acc.merge_many(sketches[1:])
+            else:
+                for sk in sketches[1:]:
+                    acc.merge(sk)
         return acc.to_bytes() if self._wire_bytes else acc
 
     def combine(self, current, new):

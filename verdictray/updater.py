@@ -24,7 +24,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from .pipeline import _BLOB_COLS, SketchJobSpec, fused_active, partial_blob_cols, split_fused_batch
+from .pipeline import _BLOB_COLS, SketchJobSpec, fused_active, partial_blob_cols
 from .sketches import BloomFilter, CountMin, FusedHashSketch, HyperLogLog, KLL, TDigest
 from .udaf import SketchMergeAgg
 
@@ -237,13 +237,69 @@ def build_sketches_actor_pool(ds, spec: SketchJobSpec, concurrency=(2, 8),
         # overflow.
         partials = partials.materialize()
     cols = partial_blob_cols(spec)
-    aggs_a = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in cols]
-    stage_a = partials.groupby([spec.group_key, "_salt"],
-                               num_partitions=min(32, spec.salts * 2)).aggregate(*aggs_a)
-    aggs_b = [SketchMergeAgg(on=c, alias_name=c, wire="bytes") for c in cols]
-    merged = stage_a.groupby(spec.group_key, num_partitions=8).aggregate(*aggs_b)
-    if fused_active(spec):
-        # split the fused blob back into the three canonical component
-        # blobs so downstream consumers see the same 5-column schema
-        merged = merged.map_batches(split_fused_batch, batch_format="pyarrow")
+    # Both merge stages run as map_groups with a K-WAY merge, not as
+    # aggregate(): AggregateFnV2's combine() folds accumulators PAIRWISE
+    # with a serialize/deserialize round-trip per step, so a hot key whose
+    # `salts` multi-MB partials arrive from different Stage-A partitions
+    # pays ~salts x (deserialize + union sort + reserialize) inside one
+    # reduce task — measured as a ~12 s CPU-count-invariant wall at 16M
+    # rows. map_groups hands each group's rows to one task in one table;
+    # merge_many does one concatenate + one sort.
+    stage_a = partials.groupby(
+        [spec.group_key, "_salt"], num_partitions=min(32, spec.salts * 2),
+    ).map_groups(
+        _merge_group_fn(spec.group_key, cols, extra_cols=["_salt"]),
+        batch_format="pyarrow",
+    )
+    merged = stage_a.groupby(spec.group_key, num_partitions=16).map_groups(
+        _merge_group_fn(spec.group_key, cols,
+                        split_fused=fused_active(spec)),
+        batch_format="pyarrow",
+    )
     return merged
+
+
+def merge_sketch_blobs(blobs: list[bytes]):
+    """K-way merge of serialized sketches → one live sketch."""
+    from .sketches import Sketch
+
+    sketches = [Sketch.from_bytes(b) for b in blobs]
+    acc = sketches[0]
+    if len(sketches) > 1:
+        if hasattr(acc, "merge_many"):
+            acc.merge_many(sketches[1:])
+        else:
+            for sk in sketches[1:]:
+                acc.merge(sk)
+    return acc
+
+
+def _merge_group_fn(key_col: str, cols: list[str], extra_cols: list[str] = (),
+                    split_fused: bool = False):
+    """Per-group merge task: one output row per group with merged blobs;
+    optionally splits the fused blob into the canonical component blobs
+    (so the final stage emits the 5-column schema directly)."""
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        out: dict[str, list] = {key_col: [g[key_col][0].as_py()]}
+        for e in extra_cols:
+            out[e] = [g[e][0].as_py()]
+        merged = {c: merge_sketch_blobs(g[c].to_pylist()) for c in cols}
+        if split_fused:
+            hll, cms, bloom = merged.pop("fused_blob").split()
+            out["hll_blob"] = [hll.to_bytes()]
+            out["cms_blob"] = [cms.to_bytes()]
+            out["bloom_blob"] = [bloom.to_bytes()]
+        for c, sk in merged.items():
+            out[c] = [sk.to_bytes()]
+        arrays = {}
+        for name, vals in out.items():
+            if name == key_col:
+                arrays[name] = pa.array(vals, pa.string())
+            elif name in extra_cols:
+                arrays[name] = pa.array(vals)
+            else:
+                arrays[name] = pa.array(vals, pa.binary())
+        return pa.table(arrays)
+
+    return merge_group
