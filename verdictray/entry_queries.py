@@ -349,6 +349,24 @@ SELECT lang, count(DISTINCT text) AS n_unique FROM documents GROUP BY lang
 """
 
 
+def q_dedup_docs_full_rows(sf_dir: str):
+    """Full-row exact dedup (ops.dedup_exact_narrow): one deterministic
+    representative (min doc_id) per distinct text, complete rows returned.
+    Only (doc_id, fingerprint) travels the dedup shuffle; winners rejoin
+    the corpus via the bucketed hash join."""
+    from .ops import dedup_exact_narrow
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return dedup_exact_narrow(ds, "text", "doc_id").sort("doc_id")
+
+
+SQL_DEDUP_FULL_ROWS = """
+SELECT doc_id, lang, text FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+ORDER BY doc_id
+"""
+
+
 def q_cms_event_type_counts(sf_dir: str):
     """CMS point-frequency per event_type. With 5 distinct items in a
     2719×5 table the collision probability is ~1e-15, so the estimates
@@ -834,6 +852,7 @@ QUERIES = {
     "events_props": q_events_props,
     "lineitem_by_year": q_lineitem_by_year,
     "dedup_docs_by_lang": q_dedup_docs_by_lang,
+    "dedup_docs_full_rows": q_dedup_docs_full_rows,
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_top_users_by_type": q_cms_top_users_by_type,
     "events_hourly": q_events_hourly,
@@ -872,6 +891,7 @@ ORACLES = {
     "events_props": SQL_EVENTS_PROPS,
     "lineitem_by_year": SQL_LINEITEM_BY_YEAR,
     "dedup_docs_by_lang": SQL_DEDUP_DOCS,
+    "dedup_docs_full_rows": SQL_DEDUP_FULL_ROWS,
     "cms_event_type_counts": SQL_CMS_EVENT_TYPE,
     "cms_top_users_by_type": SQL_CMS_TOP_USERS,
     "events_hourly": SQL_EVENTS_HOURLY,

@@ -79,7 +79,10 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
         # including a second hash_join keyed on these columns — see floats
         for name in out.columns:
             if name in int_cols and out[name].dtype.kind == "f":
-                out[name] = out[name].astype("Int64")
+                # plain int64 when null-free — the nullable extension dtype
+                # would leak into result schemas (Int64 vs int64)
+                out[name] = out[name].astype(
+                    "int64" if out[name].notna().all() else "Int64")
         return out
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
