@@ -171,3 +171,46 @@ def test_representation_order_independent_at_boundaries(seed):
             assert whole.n == merged.n
         else:
             assert whole.to_bytes() == merged.to_bytes(), (name, seed, n)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=25, deadline=None)
+def test_fused_split_invariant_across_merge_orders_and_boundaries(seed):
+    """FusedHashSketch: any chunking + any merge order (pairwise or k-way,
+    with wire roundtrips) yields byte-identical component HLL/Bloom and an
+    identical CMS count table — including at the sparse→dense promotion
+    boundary (tiny bloom capacity forces promotion mid-merge for about
+    half the generated sizes; r1's promotion-determinism lesson)."""
+    import numpy as np
+
+    from verdictray.sketches import FusedHashSketch, Sketch
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 4000))
+    vals = rng.integers(0, max(2, n), size=n).astype(np.int64)
+
+    def mk(chunk):
+        f = FusedHashSketch(bloom_capacity=64, hh_capacity=4)
+        if len(chunk):
+            f.update(chunk)
+        return Sketch.from_bytes(f.to_bytes())
+
+    n_chunks = int(rng.integers(1, 7))
+    bounds = np.sort(rng.integers(0, n + 1, size=n_chunks - 1)) if n_chunks > 1 else []
+    chunks = np.split(vals, bounds)
+
+    # order 1: sequential pairwise in shuffled order
+    order = rng.permutation(len(chunks))
+    a = mk(chunks[order[0]])
+    for i in order[1:]:
+        a.merge(mk(chunks[i]))
+    # order 2: k-way merge in a different shuffled order
+    order2 = rng.permutation(len(chunks))
+    b = mk(chunks[order2[0]]).merge_many([mk(chunks[i]) for i in order2[1:]])
+
+    ha, ca, ba = a.split()
+    hb, cb, bb = b.split()
+    assert ha.to_bytes() == hb.to_bytes()
+    assert ba.to_bytes() == bb.to_bytes()
+    assert (ca.dense_table() == cb.dense_table()).all()
+    assert a.n == b.n == n
