@@ -810,6 +810,40 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def q_ann_topk_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN variant (bucket filter before brute force);
+    rows-only — recall vs exact asserted in tests/test_extras.py."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+
+    from .similarity import ann_lsh
+
+    q_tbl = pq2.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    queries = np.stack(q_tbl["embedding"].to_pandas().to_numpy())
+    qids = q_tbl["vec_id"].to_numpy()
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_lsh(ds, queries, qids, "embedding", "vec_id", k=10,
+                  planes=8, multiprobe=2)
+    return out.drop_columns(["cosine"])
+
+
+def q_neardup_drop_stats(sf_dir: str):
+    """The end-to-end dedup DROP pipeline: MinHash near-dup pairs →
+    union-find clusters → drop non-root members → per-lang survivor
+    counts. Rows-only (survivor set depends on LSH candidate recall;
+    recall/precision are pytest-asserted)."""
+    from ray.data.aggregate import Count
+
+    from .dedup import drop_neardups, minhash_dedup_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    pairs = minhash_dedup_pairs(
+        ds.select_columns(["doc_id", "text"]), "text", "doc_id",
+        threshold=0.5, num_perm=64, bands=8, shingle_k=14, verify_mode="join")
+    kept = drop_neardups(ds, pairs, "doc_id")
+    return kept.groupby("lang").aggregate(Count(alias_name="n_kept"))
+
+
 def q_multimodal_features(sf_dir: str):
     """Binary-payload decode plumbing (stub codec): documents.text as the
     payload, actor-pool DecodeStage, per-lang byte totals — exact oracle
@@ -876,6 +910,8 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "neardup_drop_stats": q_neardup_drop_stats,
     "multimodal_features_by_lang": q_multimodal_features,
 }
 
