@@ -201,3 +201,27 @@ class TestStreamingCheckpoint:
             json.dump(m, f)
         fresh = CheckpointedJob(spec, d, fragments_per_partition=2)
         assert fresh.pending() == []  # reconciled from part files on disk
+
+
+def test_fused_equals_unfused_actor_path(ray_session, corpus, spec):
+    """The fused wire format must be invisible in the final answer: the
+    actor-pool pipeline with fuse_hash_sketches=False produces identical
+    HLL/Bloom bytes and CMS tables to the fused default."""
+    from dataclasses import replace
+
+    from verdictray.pipeline import build_sketches
+    from verdictray.sketches import Sketch
+
+    fused = build_sketches(spec).to_pandas().set_index("lang").sort_index()
+    unfused = build_sketches(replace(spec, fuse_hash_sketches=False)) \
+        .to_pandas().set_index("lang").sort_index()
+    assert list(fused.index) == list(unfused.index)
+    for lang in fused.index:
+        assert fused.loc[lang, "hll_blob"] == unfused.loc[lang, "hll_blob"]
+        a = Sketch.from_bytes(fused.loc[lang, "bloom_blob"])
+        b = Sketch.from_bytes(unfused.loc[lang, "bloom_blob"])
+        assert a.dense_bits().tobytes() == b.dense_bits().tobytes()
+        ca = Sketch.from_bytes(fused.loc[lang, "cms_blob"])
+        cb = Sketch.from_bytes(unfused.loc[lang, "cms_blob"])
+        assert ca.n == cb.n
+        assert (ca.dense_table() == cb.dense_table()).all()
