@@ -30,9 +30,8 @@ from dataclasses import asdict
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .pipeline import (_BLOB_COLS, SketchJobSpec, fused_active,
-                       partial_blob_cols, prepare, split_fused_batch)
-from .udaf import SketchMergeAgg
+from .pipeline import (SketchJobSpec, fused_active, partial_blob_cols,
+                       prepare, split_fused_batch)
 from .updater import SketchUpdater
 
 

@@ -24,9 +24,8 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from .pipeline import _BLOB_COLS, SketchJobSpec, fused_active, partial_blob_cols
+from .pipeline import SketchJobSpec, fused_active, partial_blob_cols
 from .sketches import BloomFilter, CountMin, FusedHashSketch, HyperLogLog, KLL, TDigest
-from .udaf import SketchMergeAgg
 
 
 def _factories(spec: SketchJobSpec):
