@@ -147,29 +147,33 @@ def run_benchmarks() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs.
+    """Same job, same input, fresh processes across a CPU ladder.
 
-    Protocol (r2-hardened): VR_SCALING_RUNS (default 5) fresh-process runs
-    per CPU level, interleaved 8/32 so slow background drift hits both
-    levels equally; headline-only in each subprocess; MEDIAN per level is
-    the estimator and the full per-run distribution is reported so the
-    spread is visible rather than hidden in a min."""
+    Protocol (r3, per ADVICE r2): measure a LADDER of CPU levels (default
+    1,2,4,8,32) and report every 4x N->4N pair unconditionally, so the
+    headline 8->32 number stays comparable across rounds AND the
+    below-the-DRAM-knee pairs (1->4, 2->8) are visible side by side —
+    this box's memory subsystem saturates at ~8-16 concurrent
+    memory-heavy streams (controls in BASELINE.md), so pairs above the
+    knee measure single-box DRAM bandwidth, not the algorithm; real
+    N->4N clusters add memory bandwidth with every node.
+
+    VR_SCALING_RUNS (default 5) fresh-process runs per level, interleaved
+    across levels so slow background drift hits all levels equally;
+    headline-only in each subprocess; MEDIAN per level is the estimator,
+    min-based companion included (external tenants on this shared box tax
+    higher CPU levels disproportionately), full distribution reported.
+    Override the ladder with VR_SCALING_CPUS="8,32" etc."""
     global BENCH_ROWS
     BENCH_ROWS = str(SCALING_ROWS)
     prepare_corpus()
     n_runs = int(os.environ.get("VR_SCALING_RUNS", "5"))
-    # CPU pair for the N vs 4N criterion. Default 2 vs 8: this box's
-    # memory subsystem saturates at ~8-16 concurrent memory-heavy streams
-    # (measured: parallel np.unique aggregate rate 4.3/s at 1 proc,
-    # 15.7 at 8, 18.3 at 32 — while pure-CPU busy loops scale perfectly
-    # to 32 cores), so CPU pairs above the knee measure single-box DRAM
-    # bandwidth, not the algorithm; real N→4N clusters add memory
-    # bandwidth with every node. Override with VR_SCALING_CPUS="8,32".
-    lo, hi = (int(x) for x in os.environ.get("VR_SCALING_CPUS", "2,8").split(","))
-    times: dict[int, list[float]] = {lo: [], hi: []}
+    levels = [int(x) for x in
+              os.environ.get("VR_SCALING_CPUS", "1,2,4,8,32").split(",")]
+    times: dict[int, list[float]] = {n: [] for n in levels}
     loads: list[float] = []
     for _ in range(n_runs):
-        for ncpu in (lo, hi):
+        for ncpu in levels:
             loads.append(round(os.getloadavg()[0], 2))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                        VR_BENCH_ROWS=str(SCALING_ROWS),
@@ -185,25 +189,33 @@ def run_scaling() -> dict:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    t_lo, t_hi = median(times[lo]), median(times[hi])
-    eff = (t_lo / t_hi) / (hi / lo)
-    # min-based companion estimator: external tenants on this shared box
-    # (load average ~4-7 with nothing of ours running) contend with the
-    # higher CPU level far more than the lower, so the median carries a
-    # systematic anti-scaling bias; min approximates the uncontended run.
-    eff_min = (min(times[lo]) / min(times[hi])) / (hi / lo)
+    med = {n: median(ts) for n, ts in times.items()}
+    pairs = {}
+    for lo in levels:
+        hi = lo * 4
+        if hi in med:
+            pairs[f"{lo}->{hi}"] = {
+                "sec_lo": round(med[lo], 3),
+                "sec_hi": round(med[hi], 3),
+                "efficiency": round((med[lo] / med[hi]) / 4, 3),
+                "efficiency_min": round(
+                    (min(times[lo]) / min(times[hi])) / 4, 3),
+            }
+    # headline pair: the largest N->4N pair present (8->32 on the default
+    # ladder) — the r1-comparable definition; the below-knee pairs ride
+    # alongside rather than replacing it (ADVICE r2)
+    head_lo = max(n for n in levels if n * 4 in med)
+    head = pairs[f"{head_lo}->{head_lo * 4}"]
     return {
-        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, fresh processes, same input)",
+        "metric": "scaling efficiency ladder (fresh processes, same input)",
         "estimator": f"median of {n_runs} interleaved fresh-process runs per level",
-        "cpus": [lo, hi],
-        "sec_lo": round(t_lo, 3),
-        "sec_hi": round(t_hi, 3),
-        "runs_lo": [round(x, 3) for x in times[lo]],
-        "runs_hi": [round(x, 3) for x in times[hi]],
-        "rows_per_sec_lo": round(SCALING_ROWS / t_lo, 1),
-        "rows_per_sec_hi": round(SCALING_ROWS / t_hi, 1),
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_min": round(eff_min, 3),
+        "cpus": levels,
+        "headline_pair": f"{head_lo}->{head_lo * 4}",
+        "scaling_efficiency": head["efficiency"],
+        "scaling_efficiency_min": head["efficiency_min"],
+        "pairs": pairs,
+        "runs": {str(n): [round(x, 3) for x in ts] for n, ts in times.items()},
+        "rows_per_sec": {str(n): round(SCALING_ROWS / med[n], 1) for n in levels},
         "loadavg_before_runs": loads,
         "sf": _sf_tag(),
         "corpus_rows": SCALING_ROWS,

@@ -417,3 +417,55 @@ class TestFusedHashSketch:
         assert bs.dense_bits().tobytes() == bk.dense_bits().tobytes()
         assert (cs.dense_table() == ck.dense_table()).all()
         assert seq.n == kway.n
+
+
+class TestAdviceR2Fixes:
+    def test_bloom_dense_scatter_and_bitmap_paths_identical(self):
+        import numpy as np
+
+        from verdictray.sketches import BloomFilter
+        from verdictray.sketches.hashing import hash_base
+
+        # capacity=1000 -> m_bits ~9590; crossover n*k*32 < m_bits at n~42,
+        # so 10-item inputs take the O(k*n) scatter, 100-item the bitmap pass
+        items = hash_base(np.arange(100, dtype=np.int64))
+        a = BloomFilter(capacity=1000)
+        a._promote()
+        a._set_dense_from_base(items[:10])   # scatter path
+        a._set_dense_from_base(items[10:])   # bitmap path
+        b = BloomFilter(capacity=1000)
+        b._promote()
+        b._set_dense_from_base(items)        # bitmap path, one shot
+        assert np.array_equal(a.bits, b.bits)
+        assert a.contains(np.arange(100, dtype=np.int64)).all()
+
+    def test_fused_rejects_mismatched_cms_and_bloom_params(self):
+        import pytest
+
+        from verdictray.sketches import FusedHashSketch
+
+        base = FusedHashSketch(cms_eps=1e-3, bloom_fpp=0.01)
+        base.update(["a", "b"])
+        for kw in ({"cms_eps": 1e-2}, {"cms_delta": 0.1}, {"bloom_fpp": 0.05}):
+            other = FusedHashSketch(**kw)
+            other.update(["c"])
+            with pytest.raises(ValueError, match="identical params"):
+                base.merge(other)
+            with pytest.raises(ValueError, match="identical params"):
+                base.merge_many([other])
+
+    def test_updater_empty_block_follows_key_type(self):
+        import pyarrow as pa
+
+        from verdictray.pipeline import SketchJobSpec
+        from verdictray.updater import SketchUpdater
+
+        spec = SketchJobSpec(input_path="/nonexistent", group_key="g")
+        cols = {c: spec.sketch_cols[c] for c in spec.sketch_cols}
+        up = SketchUpdater(spec, salts=4)
+        empty = pa.table({"g": pa.array([], pa.int64()),
+                          **{c: pa.array([], pa.string())
+                             for c in set(cols.values())}})
+        out = up(empty)
+        assert len(out) == 0
+        assert out.schema.field("g").type == pa.int64()

@@ -117,3 +117,44 @@ class TestAsofJoin:
                         buckets=4).to_pandas()
         assert len(out) == 2
         assert out["payload"].isna().all()
+
+
+class TestWindowUnitsAndNegatives:
+    """ADVICE r2: non-us timestamp units and pre-epoch timestamps."""
+
+    def test_non_us_units_bucket_identically(self):
+        import datetime as dt
+
+        from verdictray.window import with_tumbling_window
+
+        when = [dt.datetime(2024, 5, 1, 13, 59, 59),
+                dt.datetime(2024, 5, 1, 14, 0, 1)]
+        want = [dt.datetime(2024, 5, 1, 13, 0), dt.datetime(2024, 5, 1, 14, 0)]
+        for unit in ("s", "ms", "us", "ns"):
+            t = pa.table({"ts": pa.array(when, pa.timestamp(unit))})
+            out = with_tumbling_window(t, width_s=3600)["window_start"]
+            assert out.type == pa.timestamp(unit)
+            got = [v.as_py().replace(tzinfo=None) for v in out]
+            assert got == want, unit
+
+    def test_pre_epoch_timestamps_floor_not_truncate(self):
+        import datetime as dt
+
+        from verdictray.window import with_tumbling_window
+
+        # 1969-12-31 23:30 is in the window starting 23:00 (floor), not the
+        # one starting 1970-01-01 00:00 (what toward-zero truncation gives)
+        t = pa.table({"ts": pa.array([dt.datetime(1969, 12, 31, 23, 30),
+                                      dt.datetime(1969, 12, 31, 23, 0)],
+                                     pa.timestamp("us"))})
+        out = with_tumbling_window(t, width_s=3600)["window_start"].to_pylist()
+        assert out == [dt.datetime(1969, 12, 31, 23, 0)] * 2
+
+    def test_rejects_non_timestamp_column(self):
+        import pytest
+
+        from verdictray.window import with_tumbling_window
+
+        with pytest.raises(TypeError, match="timestamp"):
+            with_tumbling_window(pa.table({"ts": pa.array([1, 2], pa.int64())}),
+                                 width_s=60)

@@ -86,13 +86,24 @@ class BloomFilter(Sketch):
             self._set_dense_from_base(bases)
 
     def _set_dense_from_base(self, base: np.ndarray) -> None:
+        h1m, h2m = self._reduced_h12(base)
+        if len(base) * self.k * 32 < self.m_bits:
+            # Tiny input into a big dense filter (e.g. a sparse partial
+            # merging into a promoted one): a full-bitmap pass is O(m_bits)
+            # regardless of input size — scatter the O(k·n) positions
+            # directly instead (ADVICE r2). Crossover ~m/32 positions:
+            # ufunc.at runs ~10M ops/s vs the ~300M bytes/s bitmap pass.
+            pos = np.concatenate([(h1m + j * h2m) % self.m_bits
+                                  for j in range(self.k)])
+            np.bitwise_or.at(self.bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            return
         # constant-value boolean scatter + packbits instead of
         # np.bitwise_or.at: writing `True` through fancy indexing is
         # duplicate-safe and fully vectorized, while ufunc.at crawls at
         # ~10M ops/s — 6.9s -> ~0.6s for a 4.6M-item promotion (k=7).
         # packbits(bitorder="little") matches the bits[pos>>3] |= 1<<(pos&7)
         # layout exactly.
-        h1m, h2m = self._reduced_h12(base)
         seen = np.zeros(self.m_bits, dtype=bool)
         for j in range(self.k):
             seen[(h1m + j * h2m) % self.m_bits] = True

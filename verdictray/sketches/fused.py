@@ -145,10 +145,21 @@ class FusedHashSketch(Sketch):
             self._candidates = dict(top[: self.hh_capacity])
 
     # ---------------------------------------------------------------- merge
-    def merge(self, other: "FusedHashSketch") -> "FusedHashSketch":
-        if not isinstance(other, FusedHashSketch) or other.seed != self.seed \
-                or other.hll_p != self.hll_p or other.bloom_capacity != self.bloom_capacity:
+    def _check_compat(self, other: "FusedHashSketch") -> None:
+        # every parameter that shapes the materialized components must
+        # match — a sparse merge across differing CMS/Bloom geometry would
+        # silently produce wrong-width tables at split() (ADVICE r2)
+        if (not isinstance(other, FusedHashSketch)
+                or other.seed != self.seed
+                or other.hll_p != self.hll_p
+                or other.cms_eps != self.cms_eps
+                or other.cms_delta != self.cms_delta
+                or other.bloom_capacity != self.bloom_capacity
+                or other.bloom_fpp != self.bloom_fpp):
             raise ValueError("can only merge FusedHashSketch with identical params")
+
+    def merge(self, other: "FusedHashSketch") -> "FusedHashSketch":
+        self._check_compat(other)
         self.n += other.n
         if self.hh_capacity or other.hh_capacity:
             self.hh_capacity = max(self.hh_capacity, other.hh_capacity)
@@ -185,8 +196,7 @@ class FusedHashSketch(Sketch):
         truncate differently (merge-order-dependent by design)."""
         sparse, dense = [], []
         for o in others:
-            if not isinstance(o, FusedHashSketch):
-                raise ValueError("merge_many requires FusedHashSketch inputs")
+            self._check_compat(o)
             self.n += o.n
             if self.hh_capacity or o.hh_capacity:
                 self.hh_capacity = max(self.hh_capacity, o.hh_capacity)

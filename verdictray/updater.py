@@ -70,8 +70,13 @@ class SketchUpdater:
         key_col = self._spec.group_key
         if len(block) == 0:
             # empty blocks are legal (empty parquet fragments, fully
-            # filtered batches) — emit an empty table with the output schema
-            fields = [(key_col, pa.string())]
+            # filtered batches) — emit an empty table with the output
+            # schema; the key type must follow the input (a non-string
+            # group key hardcoded to string would fail the downstream
+            # union/groupby — ADVICE r2)
+            key_type = (block.schema.field(key_col).type
+                        if key_col in block.schema.names else pa.string())
+            fields = [(key_col, key_type)]
             if self._salts:
                 fields.append(("_salt", pa.int32()))
             fields += [(c, pa.binary()) for c in self._blob_cols]
@@ -294,7 +299,7 @@ def _merge_group_fn(key_col: str, cols: list[str], extra_cols: list[str] = (),
         arrays = {}
         for name, vals in out.items():
             if name == key_col:
-                arrays[name] = pa.array(vals, pa.string())
+                arrays[name] = pa.array(vals, g.schema.field(key_col).type)
             elif name in extra_cols:
                 arrays[name] = pa.array(vals)
             else:

@@ -33,15 +33,34 @@ import pyarrow.compute as pc
 from .sketches.hashing import hash64
 
 
+_TS_UNIT_PER_S = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}
+
+
+def _ts_ticks_per_second(ts_type: pa.DataType) -> int:
+    """Ticks per second for a timestamp column (ADVICE r2: a timestamp[s/ms/ns]
+    column must not be silently bucketed with microsecond arithmetic)."""
+    if not pa.types.is_timestamp(ts_type):
+        raise TypeError(f"expected a timestamp column, got {ts_type}")
+    return _TS_UNIT_PER_S[ts_type.unit]
+
+
 def _window_start(ts: pa.ChunkedArray | pa.Array, width_s: int,
                   origin_s: int = 0) -> pa.ChunkedArray | pa.Array:
-    """floor((ts - origin) / width) * width + origin, as timestamp[us]."""
-    us = pc.cast(ts, pa.int64())  # timestamp[us] → microseconds since epoch
-    w = width_s * 1_000_000
-    o = origin_s * 1_000_000
-    start = pc.add(pc.multiply(pc.floor(pc.divide(pc.subtract(us, o), w)), w), o)
-    return pc.cast(pc.cast(start, pa.int64()), ts.type if hasattr(ts, "type")
-                   else pa.timestamp("us"))
+    """floor((ts - origin) / width) * width + origin, in the column's own
+    timestamp unit. True floor division: int64 `pc.divide` truncates toward
+    zero, which would put pre-epoch timestamps one window too late — the
+    remainder-based correction below floors instead (ADVICE r2)."""
+    tick = _ts_ticks_per_second(ts.type)
+    us = pc.cast(ts, pa.int64())
+    w = width_s * tick
+    o = origin_s * tick
+    d = pc.subtract(us, o)
+    q = pc.divide(d, w)              # truncates toward zero on int64
+    r = pc.multiply(q, w)
+    # d < 0 with a nonzero remainder → truncation rounded up; floor = q-1
+    adjust = pc.and_(pc.less(d, 0), pc.not_equal(r, d))
+    start = pc.add(pc.subtract(r, pc.if_else(adjust, w, 0)), o)
+    return pc.cast(start, ts.type)
 
 
 def with_tumbling_window(batch: pa.Table, ts_col: str = "ts",
@@ -71,13 +90,14 @@ def with_sliding_windows(batch: pa.Table, ts_col: str = "ts",
     if width_s % slide_s:
         raise ValueError("width_s must be a multiple of slide_s")
     k = width_s // slide_s
+    tick = _ts_ticks_per_second(batch[ts_col].type)
     base = _window_start(batch[ts_col], slide_s)  # finest-grained bucket
     n = len(batch)
     idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
     rep = batch.take(idx)
     base_us = pc.cast(pc.cast(base, pa.int64()), pa.int64()).to_numpy(
         zero_copy_only=False)
-    offsets = (np.arange(k, dtype=np.int64) * slide_s * 1_000_000)
+    offsets = (np.arange(k, dtype=np.int64) * slide_s * tick)
     starts = (np.repeat(base_us, k) - np.tile(offsets, n))
     starts_arr = pc.cast(pa.array(starts, pa.int64()), batch[ts_col].type)
     return rep.append_column(out_col, starts_arr)
