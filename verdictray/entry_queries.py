@@ -531,16 +531,44 @@ GROUP BY e.event_type
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
 def q_hll_users_by_type(sf_dir: str):
+    """Per-type HLL COUNT DISTINCT, emitted as BIGINT. Below the
+    sparse-exact threshold (m/4 = 4096 hashes at p=14 the sparse HLL
+    stores full item hashes, so estimate == exact count) this
+    hash-matches count(DISTINCT user_id) — which holds at the driver's
+    sf0.01 (150 users/type); at corpus scale the same query returns the
+    1.04/√m-bounded estimate."""
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
-    return ds.groupby("event_type").aggregate(
+    out = ds.groupby("event_type").aggregate(
         HllAgg(on="user_id", alias_name="nd_users_est")
     )
 
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "nd_users_est": pc.cast(pc.round(b["nd_users_est"]), pa.int64()),
+        })
+
+    return out.map_batches(to_int, batch_format="pyarrow")
+
+
+SQL_HLL_USERS_BY_TYPE = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users_est
+FROM events GROUP BY event_type
+"""
+
 
 def q_hll_global_users(sf_dir: str):
+    """Global HLL COUNT DISTINCT as BIGINT (sparse-exact at sf0.01 — see
+    q_hll_users_by_type)."""
     ds = _t(sf_dir, "events", ["user_id"])
     row = ds.aggregate(HllAgg(on="user_id", alias_name="nd_users_est"))
-    return pa.table({"nd_users_est": [row["nd_users_est"]]})
+    return pa.table({"nd_users_est": pa.array([round(row["nd_users_est"])],
+                                              pa.int64())})
+
+
+SQL_HLL_GLOBAL_USERS = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users_est FROM events
+"""
 
 
 def q_kll_price_quantiles(sf_dir: str):
@@ -776,34 +804,58 @@ def q_embedding_neardup(sf_dir: str):
     return out.map_batches(_round_cols({"cosine": 4}), batch_format="pyarrow").sort(["id_a", "id_b"])
 
 
-def q_ann_topk(sf_dir: str):
-    """Brute-force cosine top-k for the first 5 vectors as queries
-    (rows-only; exactness asserted vs numpy in tests/test_extras.py)."""
+def _ann_query_vectors(sf_dir: str, n: int = 5):
+    """The n smallest vec_ids as query vectors — an order-free definition
+    both the Ray path and the SQL oracle can state identically."""
+    import numpy as np
     import pyarrow.parquet as pq2
 
+    t = pq2.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    t = t.take(pc.select_k_unstable(t, n, [("vec_id", "ascending")]))
+    return (np.stack(t["embedding"].to_pandas().to_numpy()),
+            t["vec_id"].to_numpy())
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k for the 5 smallest vec_ids as queries.
+    Exact (== numpy, tests/test_extras.py), so it carries a full SQL
+    oracle: DuckDB list_cosine_similarity + row_number with the same
+    (cosine desc, neighbor_id asc) tiebreak, computed in float64 on both
+    sides (VERDICT r2 item 1a)."""
     from .similarity import ann_brute_force
 
-    q_tbl = pq2.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
-    import numpy as np
-
-    queries = np.stack(q_tbl["embedding"].to_pandas().to_numpy())
-    qids = q_tbl["vec_id"].to_numpy()
+    queries, qids = _ann_query_vectors(sf_dir)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann_brute_force(ds, queries, qids, "embedding", "vec_id", k=10)
     return out.drop_columns(["cosine"])
 
 
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings ORDER BY vec_id LIMIT 5
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+                    DESC, e.vec_id ASC
+         ) AS BIGINT) AS rank
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+WHERE rank <= 10
+"""
+
+
 def q_ann_topk_ivf(sf_dir: str):
     """IVF variant of ann_topk (coarse k-means quantizer + nprobe search);
     rows-only — recall vs the exact path asserted in tests/test_extras.py."""
-    import numpy as np
-    import pyarrow.parquet as pq2
-
     from .similarity import ann_ivf
 
-    q_tbl = pq2.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
-    queries = np.stack(q_tbl["embedding"].to_pandas().to_numpy())
-    qids = q_tbl["vec_id"].to_numpy()
+    queries, qids = _ann_query_vectors(sf_dir)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann_ivf(ds, queries, qids, "embedding", "vec_id", k=10,
                   n_centroids=16, nprobe=6)
@@ -813,14 +865,9 @@ def q_ann_topk_ivf(sf_dir: str):
 def q_ann_topk_lsh(sf_dir: str):
     """Hyperplane-LSH ANN variant (bucket filter before brute force);
     rows-only — recall vs exact asserted in tests/test_extras.py."""
-    import numpy as np
-    import pyarrow.parquet as pq2
-
     from .similarity import ann_lsh
 
-    q_tbl = pq2.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
-    queries = np.stack(q_tbl["embedding"].to_pandas().to_numpy())
-    qids = q_tbl["vec_id"].to_numpy()
+    queries, qids = _ann_query_vectors(sf_dir)
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = ann_lsh(ds, queries, qids, "embedding", "vec_id", k=10,
                   planes=8, multiprobe=2)
@@ -936,7 +983,12 @@ ORACLES = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,
     "multimodal_features_by_lang": SQL_MULTIMODAL,
-    # sketch/heuristic/near-dup queries intentionally have no SQL oracle
-    # (approximate or not SQL-expressible); their bounds/exactness are
-    # asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py
+    # exact-by-construction at the driver's sf0.01 (r3): sparse HLL below
+    # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
+    "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
+    "hll_global_users": SQL_HLL_GLOBAL_USERS,
+    "ann_topk": SQL_ANN_TOPK,
+    # remaining sketch/heuristic/near-dup queries intentionally have no SQL
+    # oracle (approximate or not SQL-expressible); their bounds/exactness
+    # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py
 }
