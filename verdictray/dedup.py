@@ -75,6 +75,24 @@ def _rename_cols(ds, mapping: dict[str, str]):
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
+
+def _distinct_pairs(pairs, extra: str | None = None):
+    """Distinct candidate pairs via ONE vectorized sort-based aggregate.
+
+    The same (id_a, id_b) pair surfaces from every band it collides in, so
+    candidate streams carry near-duplicate rows in 1–2-row groups. A
+    ``map_groups(head(1))`` there spawns one pandas task per pair — at
+    billions of candidates the per-group overhead dominates. Ray's built-in
+    grouped aggregates instead combine per block (vectorized) and k-way
+    merge in the reduce tasks, so this is a single shuffle of (id_a, id_b
+    [, extra]) with no per-pair task. ``extra`` (e.g. hamming/cosine) is
+    identical across a pair's band copies, so min() reproduces it exactly.
+    """
+    g = pairs.groupby(["id_a", "id_b"])
+    if extra is None:
+        return g.count().drop_columns(["count()"])
+    return _rename_cols(g.min(extra), {f"min({extra})": extra})
+
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -204,8 +222,7 @@ def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
     candidates = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
     # dedupe candidate pairs (same pair collides in several bands)
-    uniq_pairs = candidates.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    uniq_pairs = _distinct_pairs(candidates)
 
     if verify_mode == "auto":
         verify_mode = ("broadcast"
@@ -408,8 +425,7 @@ def simhash_dedup_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
 
     pairs = rows.groupby(["band_id", "band_val"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return _distinct_pairs(pairs, extra="hamming")
 
 
 # ------------------------------------------------------------------ embeddings
@@ -418,16 +434,21 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.
                             exact_limit_bytes: int = 64 << 20,
                             bands: int = 24, planes_per_band: int = 3,
                             seed: int = 7, max_bucket: int = 4096,
+                            join_buckets: int = 16,
                             metrics_dir: str | None = None):
     """Cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
     ``mode``:
       - "lsh" (scale path; chosen by "auto" for unknown/large inputs):
-        banded random-hyperplane LSH. Each row emits one (band_id, bucket,
-        id, vec) row per band; groupby((band_id, bucket)) co-locates likely
-        neighbors; exact cosine runs on the in-bucket matrix; band-level
-        duplicates collapse with a final groupby(id_a, id_b). No stage ever
-        sees more than one bucket — the corpus never materializes anywhere.
+        banded random-hyperplane LSH. Each row emits one NARROW
+        (band_id, bucket, id) row per band — the embedding column never
+        enters the LSH shuffle (≈ bands×16 B per row, not bands×vec bytes);
+        groupby((band_id, bucket)) co-locates likely neighbors and emits
+        candidate id pairs; band-level duplicates collapse with one
+        vectorized distinct; vectors re-attach per candidate via two
+        bucketed hash joins (join.hash_join) and exact cosine runs rowwise
+        inside the join output. No stage ever sees more than one bucket —
+        the corpus never materializes anywhere.
         Recall = 1-(1-s^p)^L for per-plane collision prob
         s = 1-acos(cos)/π (p=planes_per_band, L=bands); validated ≥0.95 vs
         the exact path in tests/test_extras.py.
@@ -440,7 +461,8 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.
     if mode == "exact":
         return _embedding_pairs_exact(ds, vec_col, id_col, threshold)
     return _embedding_pairs_lsh(ds, vec_col, id_col, threshold, bands,
-                                planes_per_band, seed, max_bucket, metrics_dir)
+                                planes_per_band, seed, max_bucket,
+                                join_buckets, metrics_dir)
 
 
 def _embedding_pairs_exact(ds, vec_col: str, id_col: str, threshold: float):
@@ -478,17 +500,19 @@ def _embedding_pairs_exact(ds, vec_col: str, id_col: str, threshold: float):
 
 def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
                          bands: int, planes_per_band: int, seed: int,
-                         max_bucket: int, metrics_dir: str | None):
+                         max_bucket: int, join_buckets: int,
+                         metrics_dir: str | None):
     """Banded hyperplane-LSH near-dup: the MinHash-LSH shape applied to
-    embeddings. Shuffle volume = bands × (id + normalized vec) per row —
-    tune `bands` down / `planes_per_band` up as the threshold rises (higher
+    embeddings. LSH shuffle volume = bands × ~16 B per row (band_id,
+    bucket, id — the vector column stays out of the wide exchange); the
+    vectors travel exactly twice, through the two candidate-verify joins.
+    Tune `bands` down / `planes_per_band` up as the threshold rises (higher
     cosine → higher per-plane collision prob → fewer bands needed)."""
+    from .join import hash_join
 
     class BandSigner:
-        """Batch stage: emit one (band_id, bucket, id, normalized vec) row
-        per band per input row. Hyperplanes are seeded → identical on every
-        worker; normalization happens once here so in-bucket cosine is a
-        plain dot product."""
+        """Batch stage: emit one (band_id, bucket, id) row per band per
+        input row. Hyperplanes are seeded → identical on every worker."""
 
         def __init__(self, dim: int):
             rng = np.random.default_rng(seed)
@@ -510,8 +534,6 @@ def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
                 "band_id": pa.array(band_ids),
                 "bucket": pa.array(buckets.reshape(-1), pa.int64()),
                 id_col: pa.array(np.tile(ids, bands), pa.int64()),
-                "_vec": pa.array(list(np.tile(mat, (bands, 1))),
-                                 pa.list_(pa.float64())),
             })
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -521,8 +543,7 @@ def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "cosine": pa.array([], pa.float64())})
+                          "id_b": pa.array([], pa.int64())})
         n = len(group)
         if n < 2:
             return empty
@@ -532,19 +553,64 @@ def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
                 (int(group["band_id"][0].as_py()), int(group["bucket"][0].as_py())),
                 n, max_bucket)
             return empty
-        ids = _to_numpy(group[id_col])
-        mat = np.stack(group["_vec"].to_pandas().to_numpy())
-        sims = mat @ mat.T
-        rows, cols = np.nonzero(sims >= threshold)
-        keep = ids[rows] < ids[cols]
+        ids = np.sort(_to_numpy(group[id_col]))
+        iu, ju = np.triu_indices(n, k=1)
         return pa.table({
-            "id_a": pa.array(ids[rows][keep], pa.int64()),
-            "id_b": pa.array(ids[cols][keep], pa.int64()),
-            "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
+            "id_a": pa.array(ids[iu], pa.int64()),
+            "id_b": pa.array(ids[ju], pa.int64()),
         })
 
-    pairs = signed.groupby(["band_id", "bucket"]).map_groups(
+    candidates = signed.groupby(["band_id", "bucket"]).map_groups(
         bucket_pairs, batch_format="pyarrow")
-    # a true pair surfaces in every colliding band — keep one copy
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # a candidate surfaces in every colliding band — keep one copy
+    uniq = _distinct_pairs(candidates)
+
+    # verify: re-attach the two vectors via two bucketed joins, rowwise
+    # exact cosine inside the join output (the minhash verify shape).
+    # Vectors travel the joins as fixed-size binary (normalized float64
+    # bytes): list/tensor columns don't survive the joins' pandas
+    # round-trip (Ray re-infers them as its tensor extension type, which
+    # fails on sliced group blocks), and the binary form packs/unpacks
+    # with zero per-row Python work.
+    def pack(suffix: str):
+        def fn(b: pa.Table) -> pa.Table:
+            mat = np.ascontiguousarray(
+                np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64))
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            width = mat.shape[1] * 8
+            vecs = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), len(mat), [None, pa.py_buffer(mat.tobytes())])
+            return pa.table({f"_j{suffix}": b[id_col],
+                             f"_vec_{suffix}": vecs})
+
+        return fn
+
+    corpus = ds.select_columns([id_col, vec_col])
+    corp_a = corpus.map_batches(pack("a"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    corp_b = corpus.map_batches(pack("b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    j = hash_join(uniq, corp_a, "id_a", "_ja", buckets=join_buckets)
+    j = j.drop_columns(["_ja"])
+    j = hash_join(j, corp_b, "id_b", "_jb", buckets=join_buckets)
+
+    def _unpack(col: pa.ChunkedArray, n: int) -> np.ndarray:
+        return np.frombuffer(b"".join(col.to_pylist()),
+                             dtype=np.float64).reshape(n, -1)
+
+    def cosine_verify(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = np.einsum("nd,nd->n", _unpack(batch["_vec_a"], n),
+                         _unpack(batch["_vec_b"], n))
+        keep = sims >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": batch["id_b"].combine_chunks().filter(pa.array(keep)),
+            "cosine": pa.array(sims[keep], pa.float64()),
+        })
+
+    return j.map_batches(cosine_verify, batch_format="pyarrow")
