@@ -142,32 +142,41 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].cast(pa.binary()).to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        out_ids, out_band, out_hash = [], [], []
+        n = len(texts)
         r = self.rows_per_band
-        for doc_id, b in zip(ids, texts):
-            sig = minhash_signature(b or b"", self.num_perm, self.k, self.seeds)
-            for band in range(self.bands):
-                chunk = sig[band * r : (band + 1) * r]
-                h = int(hash64(chunk.astype(np.int64), seed=band + 1000)[0]) \
-                    if r == 1 else int((chunk * _powers(r)[:r][::-1]).sum() & _M64)
-                out_ids.append(doc_id)
-                out_band.append(band)
-                out_hash.append(h - (1 << 63))  # to signed int64
+        # per-doc signature loop is inherent (variable-length shingle sets);
+        # band hashing/packing below is batch-level numpy
+        sigs = np.stack([
+            minhash_signature(b or b"", self.num_perm, self.k, self.seeds)
+            for b in texts
+        ]) if n else np.zeros((0, self.num_perm), np.uint64)
+        chunks = sigs.reshape(n, self.bands, r)
+        if r == 1:
+            hashes = np.stack([
+                hash64(chunks[:, band, 0].astype(np.int64), seed=band + 1000)
+                for band in range(self.bands)
+            ], axis=1) if n else np.zeros((0, self.bands), np.uint64)
+        else:
+            pw = _powers(r)[:r][::-1]
+            hashes = (chunks * pw).sum(axis=2)  # uint64 wraparound == & _M64
+        signed = (hashes.reshape(-1) - np.uint64(1 << 63)).view(np.int64)
+        ids_rep = batch[self.id_col].take(
+            pa.array(np.repeat(np.arange(n), self.bands)))
         return pa.table({
-            self.id_col: pa.array(out_ids),
-            "band_id": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.int64()),
+            self.id_col: ids_rep,
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(signed, pa.int64()),
         })
 
 
 def ngram_jaccard(a: bytes, b: bytes, k: int = 5) -> float:
     """Exact k-byte-shingle Jaccard similarity (the verify step)."""
-    sa = set(np.unique(_shingle_hashes(a, k)).tolist())
-    sb = set(np.unique(_shingle_hashes(b, k)).tolist())
-    if not sa and not sb:
+    sa = np.unique(_shingle_hashes(a, k))
+    sb = np.unique(_shingle_hashes(b, k))
+    if not len(sa) and not len(sb):
         return 1.0
-    return len(sa & sb) / len(sa | sb)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
 
 
 def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
@@ -349,10 +358,8 @@ def simhash64(b: bytes, k: int = 5) -> int:
         return 0
     bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
     votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in np.flatnonzero(votes > 0):
-        out |= np.uint64(1) << np.uint64(i)
-    return int(out)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(powers[votes > 0].sum())  # distinct powers — no wraparound
 
 
 class SimHasher:
@@ -368,22 +375,21 @@ class SimHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].cast(pa.binary()).to_pylist()
-        ids = batch[self.id_col].to_pylist()
+        n = len(texts)
         width = 64 // self.bands
-        mask = (1 << width) - 1
-        out = {self.id_col: [], "simhash": [], "band_id": [], "band_val": []}
-        for doc_id, b in zip(ids, texts):
-            h = simhash64(b or b"", self.k)
-            for band in range(self.bands):
-                out[self.id_col].append(doc_id)
-                out["simhash"].append(h - (1 << 63))
-                out["band_id"].append(band)
-                out["band_val"].append((h >> (band * width)) & mask)
+        mask = np.uint64((1 << width) - 1)
+        # per-doc signature loop is inherent; packing is batch-level numpy
+        hs = np.array([simhash64(b or b"", self.k) for b in texts], np.uint64)
+        shifts = (np.arange(self.bands, dtype=np.uint64) * np.uint64(width))
+        band_vals = ((hs[:, None] >> shifts[None, :]) & mask).reshape(-1)
+        signed = np.repeat((hs - np.uint64(1 << 63)).view(np.int64), self.bands)
+        ids_rep = batch[self.id_col].take(
+            pa.array(np.repeat(np.arange(n), self.bands)))
         return pa.table({
-            self.id_col: pa.array(out[self.id_col]),
-            "simhash": pa.array(out["simhash"], pa.int64()),
-            "band_id": pa.array(out["band_id"], pa.int32()),
-            "band_val": pa.array(out["band_val"], pa.int64()),
+            self.id_col: ids_rep,
+            "simhash": pa.array(signed, pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_val": pa.array(band_vals.astype(np.int64), pa.int64()),
         })
 
 

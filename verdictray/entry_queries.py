@@ -200,8 +200,17 @@ def q_customer_nations(sf_dir: str):
     lookup = dict(zip(nation["n_nationkey"], nation["n_name"]))
 
     def enrich(b: pa.Table) -> pa.Table:
-        names = pa.array([lookup.get(k) for k in b["c_nationkey"].to_pylist()], pa.string())
-        return b.append_column("n_name", names)
+        # dictionary-encode the key so only the ≤25 unique keys touch
+        # Python; the expansion back to row order is the indices take
+        # (the normalize_lang alias pattern, ops.py)
+        darr = pc.dictionary_encode(b["c_nationkey"])
+        chunks = []
+        for chunk in (darr.chunks if isinstance(darr, pa.ChunkedArray) else [darr]):
+            dic = pa.array([lookup.get(k) for k in chunk.dictionary.to_pylist()],
+                           pa.string())
+            chunks.append(pa.DictionaryArray.from_arrays(chunk.indices, dic)
+                          .cast(pa.string()))
+        return b.append_column("n_name", pa.chunked_array(chunks))
 
     ds = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     out = (
