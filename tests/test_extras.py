@@ -411,6 +411,47 @@ class TestAnnIvf:
         b = build_ivf_centroids(ds, "embedding", n_centroids=8, seed=3)
         assert np.array_equal(a, b)
 
+    def test_indexed_layout_prunes_io_and_matches_filter_path(
+            self, ray_session, sf01_dir, tmp_path):
+        """build_ivf_index + ann_ivf_indexed: (a) the probe run opens only
+        the probed ivf_cell= partition dirs — strictly fewer than exist;
+        (b) rows are identical to the compute-side ann_ivf filter path
+        given the same centroids/nprobe."""
+        import os
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from verdictray.similarity import (_normalize, _probe_cells, ann_ivf,
+                                           ann_ivf_indexed, build_ivf_index)
+
+        t = pq.read_table(f"{sf01_dir}/embeddings.parquet").slice(0, 5)
+        q = np.stack(t["embedding"].to_pandas().to_numpy())
+        ids = t["vec_id"].to_numpy()
+        ds = rd.read_parquet(f"{sf01_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        idx = str(tmp_path / "ivf_index")
+        centroids = build_ivf_index(ds, idx, "embedding", n_centroids=16)
+
+        cell_dirs = [d for d in os.listdir(idx) if d.startswith("ivf_cell=")]
+        # nprobe=2: at this tiny scale 5 queries x 6 probes union to every
+        # cell; 2 probes demonstrates the pruning property the layout buys
+        probed = _probe_cells(centroids,
+                              _normalize(np.asarray(q, np.float64)), nprobe=2)
+        assert len(probed) < len(cell_dirs), (probed, cell_dirs)
+
+        def canon(tbl):
+            return tbl.to_pandas().sort_values(
+                ["query_id", "rank"]).reset_index(drop=True)
+
+        indexed = canon(ann_ivf_indexed(idx, q, ids, "embedding", "vec_id",
+                                        k=10, nprobe=2))
+        filtered = canon(ann_ivf(ds, q, ids, "embedding", "vec_id", k=10,
+                                 centroids=centroids, nprobe=2))
+        pd.testing.assert_frame_equal(indexed, filtered)
+
 
 class TestMultimodalStages:
     """r2: resize + frame-sample plumbing (stub codecs, real Ray wiring)."""

@@ -871,6 +871,32 @@ def q_ann_topk_ivf(sf_dir: str):
     return out.drop_columns(["cosine"])
 
 
+def q_ann_topk_ivf_indexed(sf_dir: str):
+    """IVF over the partitioned index layout (similarity.build_ivf_index):
+    the corpus is written once hive-partitioned by nearest-centroid id and
+    a probe run opens ONLY the matching ivf_cell= directories — nprobe
+    prunes I/O, not just compute. Index cached per (sf_dir, table mtime)
+    under /tmp. Rows-only; row-equality with the compute-side ann_ivf and
+    the I/O-pruning property are asserted in tests/test_extras.py."""
+    import hashlib
+    import os
+
+    from .similarity import ann_ivf_indexed, build_ivf_index
+
+    queries, qids = _ann_query_vectors(sf_dir)
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:v1".encode()).hexdigest()[:12]
+    index_dir = f"/tmp/verdictray_ivf_{tag}"
+    if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+        ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, "embedding", n_centroids=16)
+    out = ann_ivf_indexed(index_dir, queries, qids, "embedding", "vec_id",
+                          k=10, nprobe=6)
+    return out.drop_columns(["cosine"])
+
+
 def q_ann_topk_lsh(sf_dir: str):
     """Hyperplane-LSH ANN variant (bucket filter before brute force);
     rows-only — recall vs exact asserted in tests/test_extras.py."""
@@ -966,6 +992,7 @@ QUERIES = {
     "embedding_neardup_pairs": q_embedding_neardup,
     "ann_topk": q_ann_topk,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "ann_topk_lsh": q_ann_topk_lsh,
     "neardup_drop_stats": q_neardup_drop_stats,
     "multimodal_features_by_lang": q_multimodal_features,

@@ -153,12 +153,7 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, vec_col: str,
     if centroids is None:
         centroids = build_ivf_centroids(ds, vec_col, n_centroids=n_centroids,
                                         seed=seed)
-    q_sims = q @ centroids.T
-    npb = min(nprobe, len(centroids))
-    probe = set()
-    for row in np.argpartition(-q_sims, npb - 1, axis=1)[:, :npb]:
-        probe.update(int(c) for c in row)
-    probe_arr = pa.array(sorted(probe), pa.int64())
+    probe_arr = pa.array(_probe_cells(centroids, q, nprobe), pa.int64())
     cent_ref = centroids  # small (n_centroids × dim) — ships in the closure
 
     def assign_and_filter(b: pa.Table) -> pa.Table:
@@ -170,6 +165,68 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: np.ndarray, vec_col: str,
     filtered = ds.map_batches(assign_and_filter, batch_format="pyarrow",
                               zero_copy_batch=True)
     return ann_brute_force(filtered, q, np.asarray(query_ids), vec_col, id_col, k=k)
+
+
+def _probe_cells(centroids: np.ndarray, q: np.ndarray, nprobe: int) -> list[int]:
+    """Union of each (normalized) query's nprobe closest centroid ids."""
+    sims = q @ centroids.T
+    npb = min(nprobe, len(centroids))
+    cells: set[int] = set()
+    for row in np.argpartition(-sims, npb - 1, axis=1)[:, :npb]:
+        cells.update(int(c) for c in row)
+    return sorted(cells)
+
+
+def build_ivf_index(ds, out_dir: str, vec_col: str, n_centroids: int = 64,
+                    centroids: np.ndarray | None = None,
+                    seed: int = 11) -> np.ndarray:
+    """Write the corpus hive-partitioned by nearest-centroid id
+    (``ivf_cell=<c>/``) + the centroid matrix — the at-scale IVF layout
+    where ``nprobe`` prunes I/O, not just compute: a probe run opens only
+    the matching partition directories, reading nprobe/n_centroids of the
+    files instead of scanning every row to filter compute-side (the
+    ann_ivf path). One streaming write; partitioned output doubles as the
+    resumable layout (one directory per cell)."""
+    import os
+
+    if centroids is None:
+        centroids = build_ivf_centroids(ds, vec_col, n_centroids=n_centroids,
+                                        seed=seed)
+    cent = centroids
+
+    def assign(b: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64))
+        nearest = (mat @ cent.T).argmax(axis=1).astype(np.int64)
+        return b.append_column("ivf_cell", pa.array(nearest, pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(out_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(out_dir, "_centroids.npy"), centroids)
+    return centroids
+
+
+def ann_ivf_indexed(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+                    vec_col: str, id_col: str, k: int = 10,
+                    nprobe: int = 8) -> pa.Table:
+    """IVF top-k over a ``build_ivf_index`` layout: read ONLY the probed
+    cells' partition directories (I/O pruning), brute-force the survivors.
+    Row-identical to ``ann_ivf`` with the same centroids/nprobe — the same
+    probe-union of cells reaches the same exact merge."""
+    import os
+
+    import ray.data as rd
+
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cells = _probe_cells(centroids, q, nprobe)
+    paths = []  # expand probed cell dirs to files (read_parquet takes files in list form)
+    for c in cells:
+        d = os.path.join(index_dir, f"ivf_cell={c}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return ann_brute_force(ds, q, np.asarray(query_ids), vec_col, id_col, k=k)
 
 
 def ann_lsh(ds, queries: np.ndarray, query_ids: np.ndarray, vec_col: str,
