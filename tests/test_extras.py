@@ -70,6 +70,43 @@ class TestMinHashDedup:
         kept = sorted(drop_neardups(ds, pairs, "doc_id").to_pandas().doc_id)
         assert kept == [0, 1, 4, 5, 6, 7, 8, 9, 10, 12, 13, 14]
 
+    def test_distributed_clusters_match_union_find(self, ray_session):
+        """Min-label propagation (the scale fallback) produces the same
+        {id: min-id-of-component} map as driver union-find, including on a
+        long chain (forces several propagation rounds) and on real LSH
+        pairs from the corpus."""
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.dedup import (neardup_clusters,
+                                      neardup_clusters_distributed)
+
+        # chain 0-1-2-...-12 (diameter 12), a triangle, and an isolated pair
+        edges = [(i, i + 1) for i in range(12)] + \
+                [(20, 21), (21, 22), (20, 22), (30, 31)]
+        df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        want = neardup_clusters(df)
+        got_ds = neardup_clusters_distributed(
+            rd.from_pandas(df).repartition(4)).to_pandas()
+        got = dict(zip(got_ds.nd, got_ds.lbl))
+        assert got == want
+
+    def test_distributed_drop_matches_driver_drop(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.dedup import drop_neardups
+
+        pairs = pd.DataFrame({"id_a": [1, 2, 10], "id_b": [2, 3, 11]})
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(15), pa.int64()),
+                                     "tag": [f"t{i}" for i in range(15)]}))
+        drv = drop_neardups(ds, pairs, "doc_id", mode="driver").to_pandas()
+        dist = drop_neardups(ds, rd.from_pandas(pairs), "doc_id",
+                             mode="distributed").to_pandas()
+        canon = lambda d: d.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "tag"]]
+        pd.testing.assert_frame_equal(canon(drv), canon(dist))
+
     def test_jaccard_exact(self):
         from verdictray.dedup import ngram_jaccard
 

@@ -311,8 +311,9 @@ def neardup_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b") -> d
     smaller than the corpus (ray_guide near-dup pattern allows driver-side
     union-find "only if the candidate set is provably small" — verified
     pairs are ≤ actual near-dups, which dedup presumes are a small
-    fraction). At extreme pair counts, switch to iterated min-label
-    propagation with groupby; the pair pipeline is unchanged.
+    fraction). When the pair set itself outgrows the driver, use
+    ``neardup_clusters_distributed`` (min-label propagation; same roots);
+    ``drop_neardups(mode="auto")`` picks between them by a size check.
     """
     df = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
     parent: dict = {}
@@ -332,22 +333,139 @@ def neardup_clusters(pairs, id_col_a: str = "id_a", id_col_b: str = "id_b") -> d
     return {x: find(x) for x in list(parent)}
 
 
-def drop_neardups(ds, pairs, id_col: str):
+def neardup_clusters_distributed(pairs, id_col_a: str = "id_a",
+                                 id_col_b: str = "id_b", max_iters: int = 50,
+                                 join_buckets: int = 16):
+    """Connected components over a pair *Dataset* via iterated min-label
+    propagation — the scale fallback for pair sets too large for driver
+    union-find. Returns a Dataset of (nd, lbl) with lbl = the component's
+    minimum id: identical semantics to ``neardup_clusters`` (whose
+    union-by-smaller-root also converges to the min id).
+
+    Per round (BSP superstep): attach both endpoints' labels (two bucketed
+    joins), scatter min(label) to both endpoints, grouped min, then one
+    pointer-jumping hop (each node adopts its label's label — halves the
+    remaining path). The grouped-min table and the hopped table are each
+    MATERIALIZED (≤ #nodes rows, 16 B each): the hop self-joins the min
+    table, and an unmaterialized diamond (two consumers of the same
+    lineage fused with three more all-to-all stages) re-executes the
+    duplicated sub-DAG and stalls Ray's streaming executor at small CPU
+    counts — the barrier is inherent to BSP label propagation anyway.
+    Convergence needs no extra join: labels decrease monotonically, so
+    the label-sum is strictly decreasing until the fixed point —
+    sum-unchanged ⇔ converged. With the hop, a diameter-d chain converges
+    in O(log d) rounds (near-dup clusters are shallow cliques/stars →
+    1–3 rounds in practice).
+    """
+    from .join import hash_join
+
+    edges = pairs.select_columns([id_col_a, id_col_b]).materialize()
+
+    def init_nodes(b: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            _to_numpy(b[id_col_a]).astype(np.int64),
+            _to_numpy(b[id_col_b]).astype(np.int64)]))
+        return pa.table({"nd": pa.array(ids, pa.int64())})
+
+    # every per-round materialization is bounded to join_buckets blocks
+    # (no-shuffle coalesce): groupby/union/map_groups each multiply tiny
+    # blocks, and without the bound the block count — and with it pure
+    # task-scheduling overhead — compounds ~5-10x per round
+    labels = (edges.map_batches(init_nodes, batch_format="pyarrow",
+                                zero_copy_batch=True)
+              .groupby("nd").count().drop_columns(["count()"])
+              .map_batches(lambda b: b.append_column("lbl", b["nd"]),
+                           batch_format="pyarrow")
+              .repartition(join_buckets)
+              .materialize())
+
+    def scatter_min(b: pa.Table) -> pa.Table:
+        m = np.minimum(_to_numpy(b["_la"]).astype(np.int64),
+                       _to_numpy(b["_lb"]).astype(np.int64))
+        nd = np.concatenate([_to_numpy(b[id_col_a]).astype(np.int64),
+                             _to_numpy(b[id_col_b]).astype(np.int64)])
+        return pa.table({"nd": pa.array(nd, pa.int64()),
+                         "lbl": pa.array(np.concatenate([m, m]), pa.int64())})
+
+    prev_sum = labels.sum("lbl")
+    for it in range(max_iters):
+        la = _rename_cols(labels, {"nd": "_na", "lbl": "_la"})
+        lb = _rename_cols(labels, {"nd": "_nb", "lbl": "_lb"})
+        j = hash_join(edges, la, id_col_a, "_na", buckets=join_buckets)
+        j = hash_join(j.drop_columns(["_na"]), lb, id_col_b, "_nb",
+                      buckets=join_buckets)
+        prop = j.map_batches(scatter_min, batch_format="pyarrow")
+        merged = _rename_cols(
+            labels.union(prop).groupby("nd").min("lbl"),
+            {"min(lbl)": "lbl"}).repartition(join_buckets).materialize()
+        # pointer jump: adopt the label's own label (lbl is always a node
+        # id, so the self-join is total); halves the remaining path depth
+        parent = _rename_cols(merged, {"nd": "_pn", "lbl": "_pl"})
+        hopped = hash_join(merged, parent, "lbl", "_pn", buckets=join_buckets)
+        labels = hopped.map_batches(
+            lambda b: pa.table({"nd": b["nd"], "lbl": b["_pl"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True).repartition(join_buckets).materialize()
+        cur_sum = labels.sum("lbl")
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    logger.warning("neardup_clusters_distributed: no convergence after %d "
+                   "iterations (component diameter exceeds max_iters)", max_iters)
+    return labels
+
+
+def drop_neardups(ds, pairs, id_col: str, mode: str = "auto",
+                  broadcast_limit_bytes: int = 64 << 20,
+                  join_buckets: int = 16):
     """Keep one representative (the cluster root) per near-dup cluster —
-    the actual dedup step. The root map is broadcast; non-clustered rows
-    pass through untouched."""
+    the actual dedup step.
+
+    ``mode``: "driver" broadcasts the union-find root map (fast path for
+    pair sets known to fit the driver); "distributed" runs min-label
+    propagation and anti-joins the drop set (nothing driver-side); "auto"
+    materializes the pair Dataset and picks by the same explicit size
+    check the verify paths use. Non-clustered rows pass through untouched
+    either way."""
     import ray
 
-    roots = neardup_clusters(pairs)
-    drop = {doc_id for doc_id, root in roots.items() if root != doc_id}
-    drop_ref = ray.put(drop)
+    if mode == "auto":
+        if hasattr(pairs, "size_bytes"):  # a Dataset — materialize to know
+            pairs = pairs.materialize()
+            mode = ("driver" if _dataset_small_enough(pairs, broadcast_limit_bytes)
+                    else "distributed")
+        else:  # an in-memory DataFrame is driver-sized by construction
+            mode = "driver"
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(drop_ref)
-        mask = np.array([i not in dropped for i in batch[id_col].to_pylist()])
-        return batch.filter(pa.array(mask))
+    if mode == "driver":
+        roots = neardup_clusters(pairs)
+        drop = {doc_id for doc_id, root in roots.items() if root != doc_id}
+        drop_ref = ray.put(drop)
 
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        def keep(batch: pa.Table) -> pa.Table:
+            dropped = ray.get(drop_ref)
+            mask = np.array([i not in dropped for i in batch[id_col].to_pylist()])
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+    # distributed: drop set = propagated labels where lbl != nd; one
+    # bucketed LEFT join, keep the unmatched (survivor) rows
+    import pyarrow.compute as pc
+
+    from .join import hash_join
+
+    roots_ds = neardup_clusters_distributed(pairs, join_buckets=join_buckets)
+    drops = roots_ds.map_batches(
+        lambda b: pa.table({"_dropid": b.filter(
+            pc.not_equal(b["nd"], b["lbl"]))["nd"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out_cols = ds.schema().names
+    j = hash_join(ds, drops, id_col, "_dropid", buckets=join_buckets,
+                  how="left")
+    return j.map_batches(
+        lambda b: b.filter(pc.is_null(b["_dropid"])).select(out_cols),
+        batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash

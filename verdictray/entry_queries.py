@@ -956,6 +956,73 @@ FROM documents GROUP BY lang
 """
 
 
+def _media_with_lang(sf_dir: str):
+    from .multimodal import text_as_media
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def wrap(b):
+        return text_as_media(b, "text", "doc_id").append_column("lang", b["lang"])
+
+    return docs.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sample → decode pipeline (stub codecs, real wiring): each
+    payload explodes to 4 deterministic frame slices (lang rides through
+    the stage), DecodeStage turns frames into features + n_bytes, grouped
+    per-lang frame count and byte totals. The fake sampler's byte
+    accounting is exact: frame j = payload[j*step:(j+1)*step] with
+    step = max(1, len//4), so total bytes = least(len, 4*greatest(len//4,1))."""
+    from ray.data.aggregate import Count, Sum
+
+    from .multimodal import decode_features, sample_frames
+
+    frames = sample_frames(_media_with_lang(sf_dir), n_frames=4,
+                           batch_size=16, concurrency=2)
+    feats = decode_features(frames, batch_size=64, concurrency=2)
+    return (feats.select_columns(["lang", "n_bytes"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_frames"),
+                       Sum("n_bytes", alias_name="total_frame_bytes")))
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT lang, CAST(4 * count(*) AS BIGINT) AS n_frames,
+       CAST(sum(LEAST(octet_length(encode(text)),
+                      4 * GREATEST(octet_length(encode(text)) // 4, 1)))
+            AS BIGINT) AS total_frame_bytes
+FROM documents GROUP BY lang
+"""
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Resize → decode pipeline (stub codec): ResizeStage rewrites every
+    payload to exactly target_w*target_h*3 bytes and stamps the metadata,
+    so the per-lang byte accounting is exact (count * 64*64*3)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .multimodal import ResizeStage, decode_features
+
+    resized = _media_with_lang(sf_dir).map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"target_w": 64, "target_h": 64},
+        batch_size=64, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=2)
+    feats = decode_features(resized, batch_size=64, concurrency=2)
+    return (feats.select_columns(["lang", "n_bytes"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_media"),
+                       Sum("n_bytes", alias_name="total_resized_bytes")))
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT lang, count(*) AS n_media,
+       CAST(count(*) * 64 * 64 * 3 AS BIGINT) AS total_resized_bytes
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -996,6 +1063,8 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "neardup_drop_stats": q_neardup_drop_stats,
     "multimodal_features_by_lang": q_multimodal_features,
+    "multimodal_frames_by_lang": q_multimodal_frames,
+    "multimodal_resize_by_lang": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -1019,6 +1088,8 @@ ORACLES = {
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,
     "multimodal_features_by_lang": SQL_MULTIMODAL,
+    "multimodal_frames_by_lang": SQL_MULTIMODAL_FRAMES,
+    "multimodal_resize_by_lang": SQL_MULTIMODAL_RESIZE,
     # exact-by-construction at the driver's sf0.01 (r3): sparse HLL below
     # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,

@@ -146,7 +146,9 @@ class ResizeStage:
 
 class FrameSampleStage:
     """Actor-pool map_batches flat-map stage: one video payload row →
-    ``n_frames`` frame payload rows (media_id preserved, frame_idx added).
+    ``n_frames`` frame payload rows. ALL non-payload columns (media_id,
+    lang, metadata, …) pass through — replicated by a vectorized Arrow
+    take — and ``frame_idx`` is appended.
 
     codec="fake": frames are deterministic equal-length slices of the
     payload (a real sampler seeks keyframes — plug ffmpeg in __init__).
@@ -166,20 +168,21 @@ class FrameSampleStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames, idxs = [], [], []
-        for mid, b in zip(batch[self.id_col].to_pylist(),
-                          batch[self.payload_col].to_pylist()):
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        frames = []  # byte slicing is inherently per-payload
+        for b in payloads:
             b = b or b""
             step = max(1, len(b) // self.n_frames)
-            for j in range(self.n_frames):
-                ids.append(mid)
-                idxs.append(j)
-                frames.append(b[j * step:(j + 1) * step])
-        return pa.table({
-            self.id_col: pa.array(ids, pa.int64()),
-            "frame_idx": pa.array(idxs, pa.int32()),
-            self.payload_col: pa.array(frames, pa.binary()),
-        })
+            frames.extend(b[j * step:(j + 1) * step]
+                          for j in range(self.n_frames))
+        rep = batch.drop_columns([self.payload_col]).take(
+            pa.array(np.repeat(np.arange(n), self.n_frames)))
+        rep = rep.append_column(
+            "frame_idx",
+            pa.array(np.tile(np.arange(self.n_frames, dtype=np.int32), n)))
+        return rep.append_column(self.payload_col,
+                                 pa.array(frames, pa.binary()))
 
 
 def sample_frames(ds, n_frames: int = 4, payload_col: str = "payload",
