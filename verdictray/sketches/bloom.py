@@ -173,7 +173,7 @@ class BloomFilter(Sketch):
         )
 
     # ---------------------------------------------------------------- merge
-    def merge(self, other: "BloomFilter") -> "BloomFilter":
+    def _check_compat(self, other: "BloomFilter") -> None:
         if (
             not isinstance(other, BloomFilter)
             or other.m_bits != self.m_bits
@@ -181,6 +181,49 @@ class BloomFilter(Sketch):
             or other.seed != self.seed
         ):
             raise ValueError("can only merge Blooms with identical (capacity, fpp, seed)")
+
+    def merge_many(self, others: list["BloomFilter"]) -> "BloomFilter":
+        """K-way merge. Sparse inputs fold in ONE union instead of a
+        pairwise union1d ladder (the ladder re-sorts the accumulated array
+        per input: ~k/2 x the data volume for k inputs). When the sparse
+        hash arrays are pairwise-DISJOINT SORTED RANGES — exactly what the
+        salted merge's hash-range shards produce — the union is a plain
+        concatenation and the true unique count is the sum of lengths, so
+        the promotion decision stays exact (order-invariance requires
+        promotion keyed on the true deduped size) with no sort at all.
+        Dense inputs then OR in vectorized."""
+        sparse_arrays: list[np.ndarray] = []
+        dense: list[BloomFilter] = []
+        for o in others:
+            self._check_compat(o)
+            self.n_added += o.n_added
+            if o.bits is not None:
+                dense.append(o)
+            elif len(o._sparse):
+                sparse_arrays.append(o._sparse)
+        if self.bits is None:
+            arrays = ([self._sparse] if len(self._sparse) else []) + sparse_arrays
+            if arrays:
+                arrays.sort(key=lambda a: int(a[0]))
+                if all(arrays[i][-1] < arrays[i + 1][0]
+                       for i in range(len(arrays) - 1)):
+                    u = np.concatenate(arrays)  # disjoint sorted ranges
+                else:
+                    u = np.unique(np.concatenate(arrays))
+                self._sparse = u
+                if len(u) > self._sparse_limit:
+                    self._promote()
+            sparse_arrays = []
+        if dense and self.bits is None:
+            self._promote()
+        for o in dense:
+            np.bitwise_or(self.bits, o.bits, out=self.bits)
+        for a in sparse_arrays:  # self already dense
+            self._set_dense_from_base(a)
+        return self
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        self._check_compat(other)
         if other.bits is not None and self.bits is None:
             self._promote()
         if self.bits is not None:

@@ -133,6 +133,22 @@ class FusedHashSketch(Sketch):
         hll, cms, bloom = self._dense
         self._components_add(hll, cms, bloom, uniq, cnt)
 
+    def promote_if_projected_dense(self, n_shards: int) -> bool:
+        """Hash-shard-aware early promotion (the salted merge's Stage A):
+        this sketch holds one of ``n_shards`` disjoint hash-range shards of
+        a key, so the KEY's projected unique count is ~n_shards x ours — if
+        that projection crosses the promote limit, the key's final state is
+        dense anyway and materializing the components NOW moves the scatter
+        cost into the per-shard (parallel) task instead of the single
+        per-key reduce. Promoting early cannot change the final split()
+        output: component state is an order-invariant function of the
+        (hash, count) multiset. Returns True if promotion happened."""
+        if self._dense is None and len(self._hashes) > self._promote_limit // max(
+                1, n_shards):
+            self._promote()
+            return True
+        return False
+
     def _track_candidates(self, reps: np.ndarray, cnt: np.ndarray) -> None:
         cap = 4 * self.hh_capacity
         if len(reps) > cap:
@@ -220,12 +236,17 @@ class FusedHashSketch(Sketch):
                 self._dense_add(o._hashes, o._counts)
         if dense and self._dense is None:
             self._promote()
-        for o in dense:
+        if dense:
+            # component-level K-WAY folds: dense HLLs reduce-max in one op,
+            # dense/disjoint-sparse Blooms merge via BloomFilter.merge_many
+            # (the hash-range-sharded Stage-B hot path — a pairwise ladder
+            # here re-sorted the hot key's accumulated hash array per
+            # shard); CMS tables are KiB-sized adds, pairwise is fine
             hll, cms, bloom = self._dense
-            ohll, ocms, obloom = o._dense
-            hll.merge(ohll)
-            cms.merge(ocms)
-            bloom.merge(obloom)
+            hll.merge_many([o._dense[0] for o in dense])
+            for o in dense:
+                cms.merge(o._dense[1])
+            bloom.merge_many([o._dense[2] for o in dense])
         return self
 
     # ---------------------------------------------------------------- output

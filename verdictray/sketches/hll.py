@@ -110,6 +110,32 @@ class HyperLogLog(Sketch):
         return self._regs is None
 
     # ---------------------------------------------------------------- merge
+    def merge_many(self, others: list["HyperLogLog"]) -> "HyperLogLog":
+        """K-way merge: dense inputs fold in one vectorized reduce-max;
+        sparse inputs union ONCE instead of a pairwise union1d ladder.
+        Promotion stays keyed on the true deduped size (order-invariant
+        representation, same rule as merge)."""
+        dense, sparse_arrays = [], []
+        for o in others:
+            if not isinstance(o, HyperLogLog) or o.p != self.p or o.seed != self.seed:
+                raise ValueError("can only merge HLLs with identical (p, seed)")
+            if o._regs is not None:
+                dense.append(o)
+            elif len(o._sparse):
+                sparse_arrays.append(o._sparse)
+        if sparse_arrays and self._regs is None:
+            self._merge_sparse(np.concatenate(sparse_arrays))
+            sparse_arrays = []
+        if dense and self._regs is None:
+            self._promote()
+        if dense:
+            np.maximum.reduce([self._regs] + [o._regs for o in dense],
+                              out=self._regs)
+        for a in sparse_arrays:  # self already dense
+            idx, rho = self._idx_rho_from_h(a)
+            np.maximum.at(self._regs, idx.astype(np.int64), rho)
+        return self
+
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if not isinstance(other, HyperLogLog) or other.p != self.p or other.seed != self.seed:
             raise ValueError("can only merge HLLs with identical (p, seed)")

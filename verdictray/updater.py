@@ -57,6 +57,26 @@ class SketchUpdater:
         self._blob_cols = partial_blob_cols(spec)
         self._metrics_dir = metrics_dir or spec.metrics_dir
         self._salts = salts  # >0 → emit a _salt column for the two-stage merge
+        # fused + salts>1 → HASH-RANGE sharding: each per-key unique-hash
+        # array splits into `salts` disjoint range shards (searchsorted on
+        # the already-sorted uniques, ~free) and one partial row is emitted
+        # per (key, shard). Stage A's (key, _salt) groups then own disjoint
+        # hash ranges, so the global per-key unique happens ONCE, in
+        # parallel across shards — and hot shards can materialize dense
+        # components there (promote_if_projected_dense), leaving Stage B a
+        # vectorized max/add/OR instead of the serial per-hot-key
+        # concat-unique + scatter tail (measured ~5 s for a 4.6M-distinct
+        # key; BASELINE.md §Scaling).
+        self._shard_mode = salts > 1 and "fused_blob" in self._blob_cols
+        if self._shard_mode:
+            self._shard_bounds = (np.arange(1, salts, dtype=np.uint64)
+                                  * np.uint64((1 << 64) // salts))
+            # value sketches (KLL/t-digest) are not hash-shardable; their
+            # full state rides shard 0 and empty states pad the other rows
+            self._empty_value_blobs = {
+                c: self._factories[c]().to_bytes()
+                for c in self._blob_cols if c != "fused_blob"
+            }
         self._blocks_seen = 0
         if self._metrics_dir:
             import os
@@ -101,10 +121,15 @@ class SketchUpdater:
         hash_cols = {self._cols[k] for k in ("hll", "cms", "bloom")}
         base_np = {name: hash_base(col_np[name]) for name in hash_cols}
         out_keys: list[str] = []
+        out_salts: list[int] = []
         out_blobs: dict[str, list[bytes]] = {c: [] for c in self._blob_cols}
         for i, start in enumerate(boundaries):
             end = boundaries[i + 1] if i + 1 < len(boundaries) else len(sorted_keys)
             sel = order[start:end]
+            if self._shard_mode:
+                self._emit_shards(sorted_keys[start], sel, col_np, base_np,
+                                  out_keys, out_salts, out_blobs)
+                continue
             out_keys.append(sorted_keys[start])
             # dedupe the item-hash slice ONCE; HLL/CMS/Bloom all consume the
             # unique set (duplicates cannot change any of them) — one sort
@@ -143,11 +168,14 @@ class SketchUpdater:
         if self._metrics_dir:
             self._emit_metrics(block, len(out_keys), time.monotonic() - t0)
         cols = {key_col: pa.array(out_keys, pa.string())}
-        if self._salts:
-            # any block→salt assignment yields the same final merged state
-            # (merge associativity); hashing the block's first row spreads
-            # each key's partials over the salt domain deterministically
-            # and works in both actor and per-batch-task mode
+        if self._shard_mode:
+            cols["_salt"] = pa.array(out_salts, pa.int32())
+        elif self._salts:
+            # non-fused fallback: block-random salting. Any block→salt
+            # assignment yields the same final merged state (merge
+            # associativity); hashing the block's first row spreads each
+            # key's partials over the salt domain deterministically and
+            # works in both actor and per-batch-task mode
             from .sketches.hashing import hash64
 
             first = block[self._cols["hll"]][0].as_py()
@@ -156,6 +184,36 @@ class SketchUpdater:
             cols["_salt"] = pa.array([salt] * len(out_keys), pa.int32())
         cols.update({c: pa.array(v, pa.binary()) for c, v in out_blobs.items()})
         return pa.table(cols)
+
+    def _emit_shards(self, key, sel, col_np, base_np, out_keys, out_salts,
+                     out_blobs) -> None:
+        """Hash-range-sharded partial rows for one key slice: `salts` rows,
+        shard s owning base hashes in [s, s+1) x 2^64/salts. Disjoint
+        ranges make Stage A's (key, _salt) reduces partition the key's
+        unique-hash work exactly once; raw-row count, heavy-hitter
+        candidates and the value sketches (KLL/t-digest) ride shard 0."""
+        hash_col = self._cols["hll"]
+        raw = base_np[hash_col][sel]
+        bu, first_ix, cnt = np.unique(raw, return_index=True, return_counts=True)
+        cuts = np.searchsorted(bu, self._shard_bounds)
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(bu)]])
+        value_blobs = {}
+        for c in self._empty_value_blobs:
+            sk = self._factories[c]()
+            sk.update(col_np[self._cols[c.removesuffix("_blob")]][sel])
+            value_blobs[c] = sk.to_bytes()
+        for s in range(self._salts):
+            sk = self._factories["fused_blob"]()
+            sk.update_unique(bu[starts[s]:ends[s]], cnt[starts[s]:ends[s]],
+                             reps=None, n_raw=len(raw) if s == 0 else 0)
+            if s == 0 and self._spec.hh_capacity:
+                sk._track_candidates(col_np[hash_col][sel][first_ix], cnt)
+            out_keys.append(key)
+            out_salts.append(s)
+            out_blobs["fused_blob"].append(sk.to_bytes())
+            for c, empty in self._empty_value_blobs.items():
+                out_blobs[c].append(value_blobs[c] if s == 0 else empty)
 
     def _emit_metrics(self, block: pa.Table, n_keys: int, secs: float) -> None:
         import json
@@ -182,7 +240,17 @@ def build_sketches_actor_pool(ds, spec: SketchJobSpec, concurrency=(2, 8),
                `salts` parallel reduce tasks — at 10^12-row scale a dominant
                language contributes ~one partial per input block (millions),
                which must not serialize through a single reduce task.
-      Stage B: groupby(key) merges the ≤`salts` survivors per key (tiny).
+               In fused mode the salt is a HASH-RANGE shard (updater emits
+               one partial per (key, shard), disjoint hash ranges): each
+               reduce owns its range outright, the global per-key unique
+               happens once instead of once per salt plus a re-unique, and
+               shards of projected-dense keys materialize their component
+               sketches here in parallel (promote_if_projected_dense).
+      Stage B: groupby(key) merges the ≤`salts` survivors per key — for
+               hot keys a vectorized register-max/table-add/bitmap-OR of
+               the pre-materialized dense shards, no longer the serial
+               concat-unique + scatter tail (~5 s per 4.6M-distinct key,
+               the r2 scaling limiter; BASELINE.md §Scaling).
 
     ``updater_mode`` picks the physical mapping of the updater stage:
 
@@ -249,12 +317,21 @@ def build_sketches_actor_pool(ds, spec: SketchJobSpec, concurrency=(2, 8),
     # reduce task — measured as a ~12 s CPU-count-invariant wall at 16M
     # rows. map_groups hands each group's rows to one task in one table;
     # merge_many does one concatenate + one sort.
+    shard_mode = spec.salts > 1 and fused_active(spec)
     stage_a = partials.groupby(
         [spec.group_key, "_salt"], num_partitions=min(32, spec.salts * 2),
     ).map_groups(
-        _merge_group_fn(spec.group_key, cols, extra_cols=["_salt"]),
+        _merge_group_fn(spec.group_key, cols, extra_cols=["_salt"],
+                        force_promote_shards=spec.salts if shard_mode else 0),
         batch_format="pyarrow",
     )
+    if spec.stage_partials:
+        # same starvation logic as the partials staging above, one stage
+        # later: Stage B's sort-shuffle map tasks otherwise run concurrent
+        # with (and preempt) the Stage-A merge tasks under small CPU
+        # budgets. Stage A output is ≤ groups x salts rows — pinning it is
+        # cheap at any scale.
+        stage_a = stage_a.materialize()
     merged = stage_a.groupby(spec.group_key, num_partitions=16).map_groups(
         _merge_group_fn(spec.group_key, cols,
                         split_fused=fused_active(spec)),
@@ -279,16 +356,24 @@ def merge_sketch_blobs(blobs: list[bytes]):
 
 
 def _merge_group_fn(key_col: str, cols: list[str], extra_cols: list[str] = (),
-                    split_fused: bool = False):
+                    split_fused: bool = False, force_promote_shards: int = 0):
     """Per-group merge task: one output row per group with merged blobs;
     optionally splits the fused blob into the canonical component blobs
-    (so the final stage emits the 5-column schema directly)."""
+    (so the final stage emits the 5-column schema directly).
+
+    ``force_promote_shards``: Stage A under hash-range sharding — this
+    group holds one of N disjoint hash-range shards of its key, so if the
+    key's projected total would promote, materialize the dense components
+    HERE (parallel across shards) and hand Stage B a vectorized
+    max/add/OR merge instead of the serial per-hot-key scatter."""
 
     def merge_group(g: pa.Table) -> pa.Table:
         out: dict[str, list] = {key_col: [g[key_col][0].as_py()]}
         for e in extra_cols:
             out[e] = [g[e][0].as_py()]
         merged = {c: merge_sketch_blobs(g[c].to_pylist()) for c in cols}
+        if force_promote_shards and "fused_blob" in merged:
+            merged["fused_blob"].promote_if_projected_dense(force_promote_shards)
         if split_fused:
             hll, cms, bloom = merged.pop("fused_blob").split()
             out["hll_blob"] = [hll.to_bytes()]
