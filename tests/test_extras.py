@@ -245,6 +245,39 @@ class TestText:
         ])}))
         assert t["lang_pred"].to_pylist() == ["en", "de", "fr", "es", "und"]
 
+    def test_explode_tokens_matches_duckdb_unnest(self):
+        import duckdb
+
+        from verdictray.text import explode_tokens
+
+        texts = ["One two  TWO", "  padded text ", "", "a\nb\tc"]
+        langs = ["en", "en", "fr", "de"]
+        t = explode_tokens(pa.table({"text": pa.array(texts),
+                                     "lang": pa.array(langs)}))
+        got = sorted(zip(t["lang"].to_pylist(), t["token"].to_pylist()))
+        want = []
+        for s, lg in zip(texts, langs):
+            rows = duckdb.sql(
+                rf"select unnest(regexp_split_to_array(lower('{s}'), '\s+'))"
+            ).fetchall()
+            want += [(lg, r[0]) for r in rows if r[0] != ""]
+        assert got == sorted(want)
+
+    def test_token_counts_combine_preserves_totals(self):
+        """The per-batch (lang, token) combine must give the same totals as
+        raw explode regardless of how rows are batched."""
+        import pandas as pd
+
+        from verdictray.text import explode_tokens, token_counts
+
+        t = pa.table({"text": pa.array(["a b a", "b c", "a"]),
+                      "lang": pa.array(["en", "en", "fr"])})
+        raw = explode_tokens(t).to_pandas().groupby(["lang", "token"]).size()
+        combined = pd.concat([token_counts(t.slice(i, 1)).to_pandas()
+                              for i in range(len(t))]) \
+            .groupby(["lang", "token"])["n"].sum()
+        assert dict(raw) == dict(combined)
+
     def test_quality_score_orders_sensibly(self):
         from verdictray.text import with_quality_features
 

@@ -119,6 +119,105 @@ class TestAsofJoin:
         assert out["payload"].isna().all()
 
 
+class TestRangeJoin:
+    def test_matches_duckdb_interval_join(self, ray_session, sf01_dir):
+        """Pair multiplicity must equal DuckDB's non-equi join, including
+        intervals that span time-bucket boundaries."""
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from verdictray.window import range_join
+
+        events = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                                 columns=["event_id", "ts"])
+
+        def mk(b):
+            lo = b.filter(pc.equal(b["event_type"], pa.scalar("error")))["ts"]
+            return pa.table({"lo": lo}).append_column(
+                "hi", pa.compute.add(lo, pa.scalar(900_000_000, pa.duration("us"))))
+
+        wins = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                               columns=["ts", "event_type"]) \
+            .map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+        # bucket width (600 s) deliberately NOT the interval span (900 s):
+        # every interval straddles buckets, exercising the replication path
+        out = range_join(events, wins, ts_col="ts", lo_col="lo", hi_col="hi",
+                         bucket_width_s=600, buckets=8).to_pandas()
+        truth = duckdb.sql(f"""
+            SELECT e.event_id, count(*) AS n
+            FROM '{sf01_dir}/events.parquet' e
+            JOIN (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+                  FROM '{sf01_dir}/events.parquet' WHERE event_type = 'error') w
+              ON e.ts >= w.lo AND e.ts < w.hi
+            GROUP BY 1
+        """).df()
+        got = out.groupby("event_id").size().to_dict()
+        want = dict(zip(truth.event_id, truth.n))
+        assert got == want
+
+    def test_rejects_column_clash(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from verdictray.window import range_join
+
+        side = rd.from_arrow(pa.table({
+            "ts": pa.array([dt.datetime(2024, 1, 1)], pa.timestamp("us"))}))
+        with pytest.raises(ValueError, match="disjoint"):
+            range_join(side, side, ts_col="ts", lo_col="ts", hi_col="ts",
+                       bucket_width_s=60)
+
+
+class TestSessionize:
+    def test_matches_sql_window_definition(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.window import sessionize
+
+        ds = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+        sess = sessionize(ds, key="user_id", ts_col="ts", gap_s=1800,
+                          buckets=8).to_pandas()
+        truth = duckdb.sql(f"""
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM '{sf01_dir}/events.parquet'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM d GROUP BY 1
+        """).df()
+        got = sess.groupby("user_id")["session_seq"].agg(["max", "size"])
+        want = truth.set_index("user_id")
+        assert dict(got["max"]) == dict(want["n_sessions"])
+        assert dict(got["size"]) == dict(want["n_events"])
+
+    def test_gap_boundary_is_strict(self, ray_session):
+        """A gap of exactly gap_s stays in the same session (matches SQL
+        ``>``); one microsecond more starts a new one."""
+        import datetime as dt
+
+        import ray.data as rd
+
+        from verdictray.window import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(["a", "a", "a"], pa.string()),
+            "ts": pa.array([t0, t0 + dt.timedelta(seconds=60),
+                            t0 + dt.timedelta(seconds=120, microseconds=1)],
+                           pa.timestamp("us")),
+        }))
+        out = sessionize(ds, key="k", ts_col="ts", gap_s=60, buckets=2) \
+            .to_pandas().sort_values("ts")
+        assert list(out["session_seq"]) == [1, 1, 2]
+
+
 class TestWindowUnitsAndNegatives:
     """ADVICE r2: non-us timestamp units and pre-epoch timestamps."""
 

@@ -536,6 +536,74 @@ GROUP BY e.event_type
 """
 
 
+def q_events_in_purchase_windows(sf_dir: str):
+    """Distributed range (interval) join (window.range_join): every event
+    falling inside any [purchase_ts, purchase_ts + 10 min) window, with
+    exact pair multiplicity; per-type pair count + distinct-event count.
+    Time-bucketed shuffle (bucket width = window span, so interval
+    replication factor ≤ 2), 32 coarse groups, vectorized per-group merge."""
+    from ray.data.aggregate import Count
+
+    from .window import range_join
+
+    events = _t(sf_dir, "events", ["event_id", "ts", "event_type"])
+    def mk_windows(b: pa.Table) -> pa.Table:
+        lo = b.filter(pc.equal(b["event_type"], pa.scalar("purchase")))["ts"]
+        hi = pc.add(lo, pa.scalar(600_000_000, pa.duration("us")))
+        return pa.table({"lo": lo, "hi": hi})
+
+    windows = _t(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        mk_windows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = range_join(events, windows, ts_col="ts", lo_col="lo", hi_col="hi",
+                       bucket_width_s=600, buckets=32)
+    per_type = pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_matches"),
+        ExactDistinct(on="event_id", alias_name="nd_events"))
+    return per_type
+
+
+SQL_EVENTS_RANGE_JOIN = """
+SELECT e.event_type, count(*) AS n_matches,
+       CAST(count(DISTINCT e.event_id) AS BIGINT) AS nd_events
+FROM events e
+JOIN (SELECT ts AS lo, ts + INTERVAL 10 MINUTE AS hi
+      FROM events WHERE event_type = 'purchase') w
+  ON e.ts >= w.lo AND e.ts < w.hi
+GROUP BY e.event_type
+"""
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (window.sessionize, 30-min gap): per-key
+    session sequence numbers from one hash-bucket shuffle + a vectorized
+    in-bucket pass, then per-user session/event counts via plain groupby
+    (session_seq is 1-based, so max == count of sessions)."""
+    from ray.data.aggregate import Count, Max
+
+    from .window import sessionize
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    sess = sessionize(ds, key="user_id", ts_col="ts", gap_s=1800, buckets=32)
+    out = sess.groupby("user_id").aggregate(
+        Max("session_seq", alias_name="n_sessions"),
+        Count(alias_name="n_events"))
+    return out
+
+
+SQL_USER_SESSIONS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
 # ===================================================================
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
@@ -726,6 +794,44 @@ SQL_TOKEN_COUNTS = r"""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
+"""
+
+
+def q_top_tokens_by_lang(sf_dir: str):
+    """Token explode → global term counts → top-5 terms per lang.
+    text.token_counts pre-aggregates (lang, token) per BATCH inside
+    map_batches, so the wide groupby shuffles one row per distinct term
+    per batch, not one per token occurrence; top-k per lang is a per-group
+    head over the (small) distinct-term table with a (count desc, token
+    asc) tiebreak on both sides."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .text import token_counts
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    counts = (ds.map_batches(token_counts, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby(["lang", "token"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "token"], ascending=[False, True]).head(5)
+
+    out = counts.groupby("lang").map_groups(top5, batch_format="pandas")
+    return out.sort(["lang", "n", "token"], descending=[False, True, False])
+
+
+SQL_TOP_TOKENS = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT lang, token, count(*) AS n FROM toks WHERE token <> '' GROUP BY 1, 2
+)
+SELECT lang, token, n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) <= 5
+ORDER BY lang, n DESC, token ASC
 """
 
 
@@ -1041,6 +1147,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sliding_1h_30m": q_events_sliding,
     "events_asof_signup": q_events_asof_signup,
+    "events_in_purchase_windows": q_events_in_purchase_windows,
+    "user_sessions": q_user_sessions,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -1051,6 +1159,7 @@ QUERIES = {
     "hll_union_rollup": q_hll_union_rollup,
     "calibration_report": q_calibration_report,
     "token_counts_by_lang": q_token_counts_by_lang,
+    "top_tokens_by_lang": q_top_tokens_by_lang,
     "fingerprint_distinct_by_lang": q_fingerprint_distinct,
     "doc_quality_by_lang": q_doc_quality,
     "lang_id_distribution": q_lang_id,
@@ -1085,7 +1194,10 @@ ORACLES = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sliding_1h_30m": SQL_EVENTS_SLIDING,
     "events_asof_signup": SQL_EVENTS_ASOF,
+    "events_in_purchase_windows": SQL_EVENTS_RANGE_JOIN,
+    "user_sessions": SQL_USER_SESSIONS,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
+    "top_tokens_by_lang": SQL_TOP_TOKENS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,
     "multimodal_features_by_lang": SQL_MULTIMODAL,
     "multimodal_frames_by_lang": SQL_MULTIMODAL_FRAMES,

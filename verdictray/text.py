@@ -30,6 +30,40 @@ def with_token_count(batch: pa.Table, col: str = "text",
     return batch.append_column(out_col, pc.cast(n, pa.int64()))
 
 
+def explode_tokens(batch: pa.Table, col: str = "text",
+                   keep: tuple[str, ...] = ("lang",),
+                   out_col: str = "token") -> pa.Table:
+    """Explode each document into one row per lowercased whitespace-run
+    token (empty tokens from leading/trailing whitespace dropped, so no
+    trim-semantics dependence). Matches DuckDB
+    ``unnest(regexp_split_to_array(lower(text), '\\s+')) ... WHERE token <> ''``.
+
+    Pure vectorized Arrow: split_pattern_regex → list_flatten, with the
+    kept columns replicated by list length. Output row count differs from
+    input — map_batches handles that natively, and per-batch combining
+    (see token_counts below) keeps the downstream shuffle narrow."""
+    lists = pc.split_pattern_regex(pc.utf8_lower(batch[col]), pattern=r"\s+")
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), lens))
+    cols = {c: pc.take(batch[c], idx) for c in keep}
+    cols[out_col] = flat
+    t = pa.table(cols)
+    return t.filter(pc.not_equal(t[out_col], pa.scalar("")))
+
+
+def token_counts(batch: pa.Table, col: str = "text",
+                 keep: tuple[str, ...] = ("lang",),
+                 out_col: str = "token") -> pa.Table:
+    """explode_tokens + a per-batch (keep, token) count combine — the
+    map-side pre-aggregation that keeps the global token groupby shuffling
+    one row per distinct (group, token) per BATCH instead of one per token
+    occurrence."""
+    t = explode_tokens(batch, col=col, keep=keep, out_col=out_col)
+    g = t.group_by(list(keep) + [out_col]).aggregate([([], "count_all")])
+    return g.rename_columns(list(g.schema.names)[:-1] + ["n"])
+
+
 _STOPWORDS = r"\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b"
 
 

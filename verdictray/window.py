@@ -185,3 +185,127 @@ def asof_join(left, right, on: str, ts_left: str, ts_right: str,
         return out
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+# -------------------------------------------------------------- range join
+def range_join(left, right, ts_col: str, lo_col: str, hi_col: str,
+               bucket_width_s: int, buckets: int = 32):
+    """Interval (range) join: one output row per (left row, right interval)
+    pair with ``lo <= ts < hi``. Non-equi joins have no Ray Data builtin;
+    the distributed shape here is time bucketing:
+
+    - time is cut into fixed buckets of ``bucket_width_s``;
+    - a left row lands in exactly ONE time bucket; a right interval
+      replicates into every bucket it overlaps (replication factor =
+      span/bucket_width + 1 — explicit and caller-controlled, so pick
+      ``bucket_width_s`` on the order of the typical interval span);
+    - time buckets hash into ``buckets`` coarse shuffle groups so the task
+      count stays bounded regardless of the time range; inside a group ONE
+      vectorized pandas merge on the exact time-bucket id + a mask filter
+      emits the pairs.
+
+    Because a left row exists in exactly one time bucket, a replicated
+    interval can never double-match it — multiplicity is exact. Column
+    names of the two sides must be disjoint. Partitioning assumption: the
+    pairs of one coarse group fit a task; raise ``buckets`` (or shrink
+    ``bucket_width_s``) for denser streams."""
+    lschema, rschema = left.schema(), right.schema()
+    clash = set(lschema.names) & set(rschema.names)
+    if clash:
+        raise ValueError(f"range_join requires disjoint column names; both sides have {sorted(clash)}")
+    tick = _ts_ticks_per_second(dict(zip(lschema.names, lschema.types))[ts_col])
+    w = bucket_width_s * tick
+    all_cols = list(zip(lschema.names, lschema.types))
+    all_cols += list(zip(rschema.names, rschema.types))
+
+    def pad(batch: pa.Table, side: str, tb: np.ndarray) -> pa.Table:
+        batch = batch.append_column("_tb", pa.array(tb, pa.int64()))
+        g = (hash64(batch["_tb"], seed=41) % np.uint64(buckets)).astype(np.int64)
+        batch = batch.append_column("_g", pa.array(g))
+        batch = batch.append_column("_side", pa.array([side] * len(batch), pa.string()))
+        for name, typ in all_cols:
+            if name not in batch.schema.names:
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+        return batch.select([n for n, _ in all_cols] + ["_tb", "_g", "_side"])
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pad(batch, "l", np.floor_divide(ts, w))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        lo = pc.cast(batch[lo_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hi = pc.cast(batch[hi_col], pa.int64()).to_numpy(zero_copy_only=False)
+        first = np.floor_divide(lo, w)
+        # hi is exclusive: the last covered bucket holds hi-1
+        last = np.floor_divide(np.maximum(hi - 1, lo), w)
+        reps = (last - first + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        rep = batch.take(pa.array(idx))
+        offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        return pad(rep, "r", np.repeat(first, reps) + offs)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_lcols = list(lschema.names)
+    out_rcols = list(rschema.names)
+    int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["_side"] == "l"][out_lcols + ["_tb"]]
+        rrows = g[g["_side"] == "r"][out_rcols + ["_tb"]]
+        for df in (lrows, rrows):  # typed union nulls promote ints to float
+            for c in df.columns:
+                if c in int_cols and df[c].dtype.kind == "f":
+                    df[c] = df[c].astype(
+                        "int64" if df[c].notna().all() else "Int64")
+        out = lrows.merge(rrows, on="_tb")
+        mask = (out[ts_col] >= out[lo_col]) & (out[ts_col] < out[hi_col])
+        return out[mask].drop(columns=["_tb"])
+
+    return lt.union(rt).groupby("_g").map_groups(join_group, batch_format="pandas")
+
+
+# ------------------------------------------------------------- sessionize
+def sessionize(ds, key: str, ts_col: str, gap_s: int, buckets: int = 32,
+               out_col: str = "session_seq"):
+    """Gap-based sessionization: append a per-key 1-based session sequence
+    number — a new session starts at a key's first event or when the gap
+    since the key's previous event EXCEEDS ``gap_s`` (strict, matching SQL
+    ``ts - lag(ts) > INTERVAL``). Rows with equal (key, ts) always share a
+    session, so the result is order-deterministic.
+
+    Distributed shape: ONE hash-bucket shuffle on the key, then a single
+    vectorized pass per bucket (sort by (key, ts), boolean break vector,
+    cumulative-sum re-based per key) numbers ALL keys in the bucket at
+    once — no per-key tasks. Partitioning assumption: one key's rows fit a
+    task (same as asof_join); size ``buckets`` to the stream."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch[key], seed=53) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    gap = np.timedelta64(gap_s, "s")
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        if not len(g):
+            g[out_col] = np.array([], dtype=np.int64)
+            return g.drop(columns=["_bucket"])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy()
+        n = len(g)
+        newkey = np.empty(n, dtype=bool)
+        newkey[0] = True
+        newkey[1:] = k[1:] != k[:-1]
+        brk = newkey.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap
+        cs = np.cumsum(brk)
+        # session_seq = sessions-so-far minus sessions before this key's run
+        run_start = np.maximum.accumulate(np.where(newkey, cs - 1, 0))
+        g[out_col] = (cs - run_start).astype(np.int64)
+        return g.drop(columns=["_bucket"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(number, batch_format="pandas")
