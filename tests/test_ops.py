@@ -218,3 +218,27 @@ def test_sketch_updater_empty_block():
         expect = [spec.group_key] + (["_salt"] if salts else []) \
             + list(partial_blob_cols(spec))
         assert out.schema.names == expect
+
+
+def test_grouped_quantiles_exact_matches_duckdb(ray_session, sf_dir):
+    """quantile_disc returns actual data values — bit-exact equality."""
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import grouped_quantiles_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_quantiles_exact(ds, keys=["l_returnflag"],
+                                  value_col="l_extendedprice",
+                                  phis=[0.1, 0.5, 0.9]).to_pandas()
+    truth = duckdb.sql(f"""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, [0.1, 0.5, 0.9]) AS qs
+        FROM '{sf_dir}/lineitem.parquet' GROUP BY 1
+    """).df()
+    want = {(r.l_returnflag, phi): r.qs[i]
+            for r in truth.itertuples()
+            for i, phi in enumerate([0.1, 0.5, 0.9])}
+    got = {(r.l_returnflag, r.phi): r.est for r in out.itertuples()}
+    assert got == want

@@ -218,6 +218,43 @@ class TestSessionize:
         assert list(out["session_seq"]) == [1, 1, 2]
 
 
+class TestRollingAgg:
+    def test_matches_sql_rows_frame(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.window import rolling_agg
+
+        ds = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+        out = rolling_agg(ds, key="user_id", ts_col="ts", value_col="value",
+                          window_rows=3, aggs=("count", "min", "max"),
+                          buckets=8).to_pandas()
+        truth = duckdb.sql(f"""
+            SELECT event_id,
+                   count(*) OVER w AS c, min(value) OVER w AS lo,
+                   max(value) OVER w AS hi
+            FROM '{sf01_dir}/events.parquet'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """).df().set_index("event_id")
+        got = out.set_index("event_id")
+        assert len(got) == len(truth)
+        truth = truth.reindex(got.index)
+        assert (got["rolling_count"].astype(int) == truth["c"]).all()
+        assert (got["rolling_min"] == truth["lo"]).all()
+        assert (got["rolling_max"] == truth["hi"]).all()
+
+    def test_rejects_unknown_agg(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.window import rolling_agg
+
+        ds = rd.from_arrow(pa.table({"k": ["a"], "ts": pa.array(
+            [0], pa.timestamp("us")), "v": [1.0]}))
+        with pytest.raises(ValueError, match="unsupported"):
+            rolling_agg(ds, "k", "ts", "v", 3, aggs=("median",))
+
+
 class TestWindowUnitsAndNegatives:
     """ADVICE r2: non-us timestamp units and pre-epoch timestamps."""
 

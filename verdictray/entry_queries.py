@@ -604,6 +604,71 @@ FROM d GROUP BY user_id
 """
 
 
+def q_events_rolling_sum(sf_dir: str):
+    """Frame-based rolling window aggregate (window.rolling_agg): per-user
+    5-row rolling sum of the event value, ordered by ts (unique per user).
+    Values are converted to exact integer micros BEFORE the rolling sum on
+    both sides, so the result is bit-stable regardless of each engine's
+    internal rolling-sum algorithm."""
+    from .window import rolling_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_micros(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(1e6)), **_ROUND),
+                    pa.int64())
+        return b.drop_columns(["value"]).append_column("v_micros", v)
+
+    ds = ds.map_batches(to_micros, batch_format="pyarrow", zero_copy_batch=True)
+    out = rolling_agg(ds, key="user_id", ts_col="ts", value_col="v_micros",
+                      window_rows=5, aggs=("sum", "count"), buckets=32)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        roll = pc.divide(b["rolling_sum"], pa.scalar(1e6))
+        return pa.table({
+            "event_id": b["event_id"],
+            "roll_sum": pc.round(roll, ndigits=4, **_ROUND),
+            "n_in_frame": pc.cast(b["rolling_count"], pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING = """
+SELECT event_id,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0, 4)
+         AS roll_sum,
+       count(*) OVER w AS n_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_price_quantiles_exact(sf_dir: str):
+    """EXACT per-group discrete quantiles (ops.grouped_quantiles_exact) —
+    the exact counterpart of kll_price_quantiles on the same grouping:
+    quantile_disc returns actual data values, so the oracle hash-matches
+    bit-for-bit. Use this path while one group's values fit a task; the
+    KLL query is the sketch path for when they don't."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return ops.grouped_quantiles_exact(
+        ds, keys=["l_returnflag"], value_col="l_extendedprice",
+        phis=[0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+SQL_PRICE_QUANTILES_EXACT = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_disc(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS qs
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, p.phi, qs[p.i] AS est
+FROM q CROSS JOIN (VALUES (1, 0.01), (2, 0.25), (3, 0.5),
+                   (4, 0.75), (5, 0.99)) p(i, phi)
+"""
+
+
 # ===================================================================
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
@@ -1149,6 +1214,8 @@ QUERIES = {
     "events_asof_signup": q_events_asof_signup,
     "events_in_purchase_windows": q_events_in_purchase_windows,
     "user_sessions": q_user_sessions,
+    "events_rolling_sum": q_events_rolling_sum,
+    "price_quantiles_exact": q_price_quantiles_exact,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -1196,6 +1263,8 @@ ORACLES = {
     "events_asof_signup": SQL_EVENTS_ASOF,
     "events_in_purchase_windows": SQL_EVENTS_RANGE_JOIN,
     "user_sessions": SQL_USER_SESSIONS,
+    "events_rolling_sum": SQL_EVENTS_ROLLING,
+    "price_quantiles_exact": SQL_PRICE_QUANTILES_EXACT,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "top_tokens_by_lang": SQL_TOP_TOKENS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,

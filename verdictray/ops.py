@@ -19,6 +19,7 @@ import hashlib
 import json
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -194,3 +195,29 @@ def project(ds, columns: list[str]):
     """Column pruning — keep the streamed rows narrow after feature
     derivation (wide `content` strings dominate memory, SURVEY.md §7)."""
     return ds.select_columns(columns)
+
+
+# ---------------------------------------------------- exact grouped quantiles
+def grouped_quantiles_exact(ds, keys: list[str], value_col: str,
+                            phis: list[float], out_col: str = "est"):
+    """EXACT per-group discrete quantiles: for each phi, the smallest group
+    value whose cumulative share >= phi (SQL ``quantile_disc``; numpy's
+    ``inverted_cdf`` method — an actual data value, so results are
+    bit-stable with no float arithmetic). This is the exact counterpart of
+    the KLL sketch path for the same grouping: use it when one group's
+    values fit a task (the groupby-shuffle co-locates each group); switch
+    to KllAgg when they don't. One shuffle, one vectorized np.quantile per
+    group for ALL phis at once."""
+    phis_arr = np.asarray(sorted(phis), dtype=np.float64)
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.quantile(g[value_col].to_numpy(), phis_arr,
+                           method="inverted_cdf")
+        out = {k: np.repeat(g[k].iloc[:1].to_numpy(), len(phis_arr))
+               for k in keys}
+        out["phi"] = phis_arr
+        out[out_col] = vals
+        return pd.DataFrame(out)
+
+    narrow = ds.select_columns(keys + [value_col])
+    return narrow.groupby(keys).map_groups(qtiles, batch_format="pandas")

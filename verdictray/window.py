@@ -309,3 +309,44 @@ def sessionize(ds, key: str, ts_col: str, gap_s: int, buckets: int = 32,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(number, batch_format="pandas")
+
+
+# ------------------------------------------------------------ rolling agg
+def rolling_agg(ds, key: str, ts_col: str, value_col: str, window_rows: int,
+                aggs: tuple[str, ...] = ("sum", "mean"), buckets: int = 32):
+    """Frame-based rolling window aggregate: for every row, aggregate
+    ``value_col`` over the frame ROWS BETWEEN window_rows-1 PRECEDING AND
+    CURRENT ROW within its key, ordered by ``ts_col`` (SQL
+    ``agg(v) OVER (PARTITION BY key ORDER BY ts ROWS ...)``; ordering must
+    be unique per key for the result to be well-defined — same caveat as
+    the SQL form). Appends one ``rolling_<agg>`` column per requested agg
+    (sum, mean, min, max, count).
+
+    Distributed shape: identical to sessionize — ONE hash-bucket shuffle on
+    the key, then pandas' C rolling kernels over the whole sorted bucket
+    with per-key frames (groupby(key).rolling), no per-key tasks.
+    Partitioning assumption: one key's rows fit a task."""
+    allowed = {"sum", "mean", "min", "max", "count"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch[key], seed=59) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        g = g.drop(columns=["_bucket"])
+        if len(g):
+            r = g.groupby(key, sort=False)[value_col].rolling(
+                window_rows, min_periods=1)
+            for a in aggs:
+                g[f"rolling_{a}"] = getattr(r, a)().to_numpy()
+        else:
+            for a in aggs:
+                g[f"rolling_{a}"] = np.array([], dtype=np.float64)
+        return g
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(roll, batch_format="pandas")
