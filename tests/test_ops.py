@@ -242,3 +242,24 @@ def test_grouped_quantiles_exact_matches_duckdb(ray_session, sf_dir):
             for i, phi in enumerate([0.1, 0.5, 0.9])}
     got = {(r.l_returnflag, r.phi): r.est for r in out.itertuples()}
     assert got == want
+
+
+def test_pivot_counts_matches_conditional_sql(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import pivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    out = pivot_counts(ds, keys=["user_id"], pivot_col="event_type",
+                       categories=["click", "error"]).to_pandas() \
+        .set_index("user_id").sort_index()
+    truth = duckdb.sql(f"""
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+        FROM '{sf_dir}/events.parquet' GROUP BY 1
+    """).df().set_index("user_id").sort_index()
+    assert (out["n_click"] == truth["n_click"]).all()
+    assert (out["n_error"] == truth["n_error"]).all()

@@ -657,6 +657,26 @@ def q_price_quantiles_exact(sf_dir: str):
         phis=[0.01, 0.25, 0.5, 0.75, 0.99])
 
 
+def q_user_event_pivot(sf_dir: str):
+    """Pivot (ops.pivot_counts): per-user event counts, one column per
+    event_type — conditional aggregation, single shuffle."""
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+    return ops.pivot_counts(ds, keys=["user_id"], pivot_col="event_type",
+                            categories=["click", "view", "purchase",
+                                        "signup", "error"])
+
+
+SQL_USER_EVENT_PIVOT = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 SQL_PRICE_QUANTILES_EXACT = """
 WITH q AS (
   SELECT l_returnflag,
@@ -1216,6 +1236,7 @@ QUERIES = {
     "user_sessions": q_user_sessions,
     "events_rolling_sum": q_events_rolling_sum,
     "price_quantiles_exact": q_price_quantiles_exact,
+    "user_event_pivot": q_user_event_pivot,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -1265,6 +1286,7 @@ ORACLES = {
     "user_sessions": SQL_USER_SESSIONS,
     "events_rolling_sum": SQL_EVENTS_ROLLING,
     "price_quantiles_exact": SQL_PRICE_QUANTILES_EXACT,
+    "user_event_pivot": SQL_USER_EVENT_PIVOT,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "top_tokens_by_lang": SQL_TOP_TOKENS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,

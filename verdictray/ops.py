@@ -197,6 +197,29 @@ def project(ds, columns: list[str]):
     return ds.select_columns(columns)
 
 
+# ----------------------------------------------------------------- pivot
+def pivot_counts(ds, keys: list[str], pivot_col: str, categories: list[str],
+                 prefix: str = "n_"):
+    """Pivot a categorical column into per-category count columns (SQL
+    ``sum(CASE WHEN pivot = c THEN 1 END)``): one indicator column per
+    category derived vectorized inside map_batches, then ONE groupby
+    shuffle summing all indicators at once. Categories must be enumerated
+    up front (the schema of a distributed pipeline is static); values
+    outside ``categories`` count into none of the columns."""
+    from ray.data.aggregate import Sum
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keys + [pivot_col])
+        for c in categories:
+            ind = pc.cast(pc.equal(batch[pivot_col], pa.scalar(c)), pa.int64())
+            batch = batch.append_column(f"{prefix}{c}", pc.fill_null(ind, 0))
+        return batch.drop_columns([pivot_col])
+
+    wide = ds.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+    return wide.groupby(keys).aggregate(
+        *[Sum(f"{prefix}{c}", alias_name=f"{prefix}{c}") for c in categories])
+
+
 # ---------------------------------------------------- exact grouped quantiles
 def grouped_quantiles_exact(ds, keys: list[str], value_col: str,
                             phis: list[float], out_col: str = "est"):
