@@ -263,3 +263,39 @@ def test_pivot_counts_matches_conditional_sql(ray_session, sf_dir):
     """).df().set_index("user_id").sort_index()
     assert (out["n_click"] == truth["n_click"]).all()
     assert (out["n_error"] == truth["n_error"]).all()
+
+
+def test_read_corpus_any_formats_agree(ray_session, tmp_path):
+    """csv and jsonl sources must yield the same rows as parquet, with
+    column pruning applied (and validation failing fast on bad schema)."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from verdictray.io import read_corpus_any
+
+    df = pd.DataFrame({
+        "repo": ["r1", "r1", "r2"],
+        "path": ["a.py", "b.py", "c.py"],
+        "commit": ["c1", "c2", "c3"],
+        "lang": ["py", "py", "go"],
+        "content": ["print(1)", "print(2)", "package main"],
+    })
+    df.to_parquet(tmp_path / "c.parquet")
+    df.to_csv(tmp_path / "c.csv", index=False)
+    df.to_json(tmp_path / "c.jsonl", orient="records", lines=True)
+
+    want = df[["lang", "content"]].sort_values("content").reset_index(drop=True)
+    for fmt, fname in [("parquet", "c.parquet"), ("csv", "c.csv"),
+                       ("jsonl", "c.jsonl")]:
+        got = read_corpus_any(str(tmp_path / fname), fmt=fmt,
+                              columns=["lang", "content"]) \
+            .to_pandas().sort_values("content").reset_index(drop=True)
+        assert sorted(got.columns) == ["content", "lang"], fmt
+        assert got[["lang", "content"]].equals(want), fmt
+
+    with pytest.raises(ValueError, match="missing"):
+        read_corpus_any(str(tmp_path / "c.csv"), fmt="csv",
+                        columns=["lang", "nope"])
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        read_corpus_any(str(tmp_path / "c.csv"), fmt="xml")

@@ -39,16 +39,20 @@ def read_corpus(path: str, columns: list[str] | None = None,
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
-def _first_parquet_file(path: str) -> str:
+def _first_file(path: str, suffix: str) -> str:
     import os
 
     if os.path.isdir(path):
         for root, _dirs, files in os.walk(path):
             for f in sorted(files):
-                if f.endswith(".parquet"):
+                if f.endswith(suffix):
                     return os.path.join(root, f)
-        raise FileNotFoundError(f"no parquet files under {path}")
+        raise FileNotFoundError(f"no {suffix} files under {path}")
     return path
+
+
+def _first_parquet_file(path: str) -> str:
+    return _first_file(path, ".parquet")
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwargs) -> rd.Dataset:
@@ -56,6 +60,71 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None, **kwarg
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kwargs)
+
+
+def read_corpus_any(path: str, fmt: str = "parquet",
+                    columns: list[str] | None = None,
+                    validate: bool = True, **kwargs) -> rd.Dataset:
+    """Format-dispatching corpus read: parquet (preferred — real column
+    pruning at the read), csv, or jsonl. CSV prunes via Arrow's
+    include_columns (per-file projection during parse — still avoids
+    materializing unread columns as Ray blocks); JSONL parses whole
+    records, so pruning happens immediately post-read via select_columns —
+    the wide columns never survive past the first operator but DO leave
+    storage (documented cost; convert to parquet for the scale path)."""
+    if fmt == "parquet":
+        return read_corpus(path, columns=columns, validate=validate, **kwargs)
+    if fmt == "csv":
+        from pyarrow import csv as pa_csv
+
+        if columns:
+            if validate:
+                # sniff the header locally so a bad projection fails fast
+                # with a clear error instead of inside a read task
+                with pa_csv.open_csv(_first_file(path, ".csv")) as r:
+                    have = set(r.schema.names)
+                missing = set(columns) - have
+                if missing:
+                    raise ValueError(
+                        f"corpus at {path} missing columns {sorted(missing)}")
+        # the corpus contract is all-string columns; pin them so CSV type
+        # inference can't turn numeric-looking content into int64
+        types = {c: pa.string() for c in (columns or CORPUS_COLUMNS)}
+        kwargs.setdefault(
+            "convert_options",
+            pa_csv.ConvertOptions(
+                include_columns=list(columns) if columns else None,
+                column_types=types))
+        ds = rd.read_csv(path, **kwargs)
+    elif fmt in ("json", "jsonl"):
+        ds = rd.read_json(path, lines=(fmt == "jsonl"), **kwargs)
+        if columns:
+            ds = ds.select_columns(list(columns))
+        want_str = [c for c in (columns or CORPUS_COLUMNS)]
+
+        def pin_strings(b: pa.Table) -> pa.Table:
+            # corpus contract: all-string columns — JSON numbers (e.g. a
+            # commit of digits) must not arrive as int64
+            for c in want_str:
+                if c in b.schema.names and not (
+                        pa.types.is_string(b[c].type)
+                        or pa.types.is_large_string(b[c].type)):
+                    i = b.schema.get_field_index(c)
+                    b = b.set_column(i, c, b[c].cast(pa.string()))
+            return b
+
+        ds = ds.map_batches(pin_strings, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        raise ValueError(f"unknown corpus format {fmt!r}; "
+                         "expected parquet, csv, json or jsonl")
+    if validate:
+        schema = ds.schema()
+        want = set(columns) if columns else set(CORPUS_COLUMNS)
+        missing = want - set(schema.names)
+        if missing:
+            raise ValueError(f"corpus at {path} missing columns {sorted(missing)}")
+    return ds
 
 
 def write_estimates(ds: rd.Dataset, out_dir: str, **kwargs) -> None:
