@@ -443,9 +443,12 @@ def drop_neardups(ds, pairs, id_col: str, mode: str = "auto",
         drop_ref = ray.put(drop)
 
         def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             dropped = ray.get(drop_ref)
-            mask = np.array([i not in dropped for i in batch[id_col].to_pylist()])
-            return batch.filter(pa.array(mask))
+            drop_set = pa.array(list(dropped))
+            mask = pc.invert(pc.is_in(batch[id_col], value_set=drop_set))
+            return batch.filter(pc.fill_null(mask, True))
 
         return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
