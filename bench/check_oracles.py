@@ -43,8 +43,11 @@ def main(sf_dir: str) -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = {n for n in os.environ.get("VR_ONLY", "").split(",") if n}
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as e:  # noqa: BLE001

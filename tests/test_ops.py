@@ -299,3 +299,54 @@ def test_read_corpus_any_formats_agree(ray_session, tmp_path):
                         columns=["lang", "nope"])
     with pytest.raises(ValueError, match="unknown corpus format"):
         read_corpus_any(str(tmp_path / "c.csv"), fmt="xml")
+
+
+def test_count_matches_includes_zero_match_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.join import count_matches
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3, 4]}))
+    right = rd.from_arrow(pa.table({"r": [2, 2, 2, 4, 7]}))
+    got = (count_matches(left, right, "k", "r", buckets=4).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": [1, 2, 3, 4], "n_matches": [0, 3, 0, 1]})
+    assert (got.values == want.values).all()
+
+
+def test_grouped_corr_matches_numpy(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import grouped_corr
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    got = grouped_corr(ds, ["l_returnflag"], "l_quantity", "l_extendedprice",
+                       out_col="r", ndigits=6).to_pandas().set_index("l_returnflag")
+    raw = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                          columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    for flag, g in raw.groupby("l_returnflag"):
+        want = np.corrcoef(g.l_quantity, g.l_extendedprice)[0, 1]
+        assert abs(got.loc[flag, "r"] - want) < 1e-5
+        assert got.loc[flag, "n"] == len(g)
+
+
+def test_sample_sha_is_engine_portable_and_chunk_invariant(ray_session):
+    import hashlib
+
+    from verdictray.ops import sample_sha
+
+    keys = list(range(1000))
+    t = pa.table({"k": keys})
+    kept = sample_sha(t, "k", "2")["k"].to_pylist()
+    want = [k for k in keys
+            if hashlib.sha256(str(k).encode()).hexdigest() < "2"]
+    assert kept == want
+    assert 0 < len(kept) < 1000
+    # chunk-invariance: same membership regardless of batch boundaries
+    parts = [sample_sha(t.slice(i, 100), "k", "2")["k"].to_pylist()
+             for i in range(0, 1000, 100)]
+    assert [k for p in parts for k in p] == want

@@ -294,3 +294,48 @@ class TestWindowUnitsAndNegatives:
         with pytest.raises(TypeError, match="timestamp"):
             with_tumbling_window(pa.table({"ts": pa.array([1, 2], pa.int64())}),
                                  width_s=60)
+
+
+class TestConsecutiveGaps:
+    def test_gaps_match_duckdb_lag(self, ray_session, sf01_dir):
+        import duckdb
+        import ray.data as rd
+
+        from verdictray.window import consecutive_gaps
+
+        ds = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_id", "event_type"])
+        got = consecutive_gaps(ds, key="user_id", ts_col="ts",
+                               tiebreak="event_id", attrs=["event_type", "user_id"],
+                               out_col="gap_us", buckets=8).to_pandas()
+        want = duckdb.sql(
+            f"with e as (select user_id, event_type, epoch_us(ts) - "
+            f"lag(epoch_us(ts)) over (partition by user_id order by ts, event_id) gap_us "
+            f"from '{sf01_dir}/events.parquet') "
+            f"select user_id, event_type, gap_us from e where gap_us is not null"
+        ).df()
+        key = ["user_id", "gap_us", "event_type"]
+        a = got[key].sort_values(key).reset_index(drop=True)
+        b = want[key].sort_values(key).reset_index(drop=True)
+        assert len(a) == len(b)
+        assert (a.values == b.values).all()
+
+    def test_ms_unit_rescaled_to_native_ticks(self, ray_session):
+        import datetime as dt
+
+        import ray.data as rd
+
+        from verdictray.window import consecutive_gaps
+
+        t = pa.table({
+            "k": ["a", "a", "b"],
+            "ts": pa.array([dt.datetime(2024, 1, 1, 0, 0, 0),
+                            dt.datetime(2024, 1, 1, 0, 0, 2),
+                            dt.datetime(2024, 1, 1)], pa.timestamp("ms")),
+            "i": [1, 2, 3],
+        })
+        out = consecutive_gaps(rd.from_arrow(t), key="k", ts_col="ts",
+                               tiebreak="i", attrs=["k"], out_col="gap",
+                               buckets=2).to_pandas()
+        # one gap (a's pair), 2 s = 2000 ms ticks
+        assert out["gap"].tolist() == [2000]

@@ -689,6 +689,161 @@ FROM q CROSS JOIN (VALUES (1, 0.01), (2, 0.25), (3, 0.5),
 """
 
 
+def q_orders_per_customer_hist(sf_dir: str):
+    """LEFT-join surface (join.count_matches): order count per customer
+    INCLUDING zero-order customers, folded to a histogram. The per-key
+    count is fused into the join bucket (one shuffle; no joined-row
+    materialization), then a tiny groupby builds the histogram."""
+    from ray.data.aggregate import Count
+
+    from .join import count_matches
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    per_cust = count_matches(cust, orders, "c_custkey", "o_custkey")
+    out = (per_cust.groupby("n_matches")
+           .aggregate(Count(alias_name="n_customers"))
+           .sort("n_matches"))
+
+    def ren(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["n_orders", "n_customers"])
+
+    return out.map_batches(ren, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_ORDERS_PER_CUSTOMER_HIST = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey) t
+GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Exact grouped Pearson correlation (ops.grouped_corr): five-sums
+    partials through built-in Sums — only (flag, 6 doubles) per block
+    cross the shuffle."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    return ops.grouped_corr(ds, ["l_returnflag"], "l_quantity",
+                            "l_extendedprice", out_col="corr_qty_price",
+                            ndigits=4).sort("l_returnflag")
+
+
+SQL_LINEITEM_CORR = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_docs_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP): per-lang doc counts plus
+    an ALL grand-total row. The total derives from the already-grouped
+    ≤|langs|-row result (bounded driver-side fold — at any scale the
+    second level re-aggregates the first level's output, never the
+    input)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    per = (ds.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="total_chars")))
+    t = pa.Table.from_pandas(per.to_pandas(), preserve_index=False)
+    t = t.select(["lang", "n_docs", "total_chars"])
+    total = pa.table({
+        "lang": pa.array(["ALL"], pa.string()),
+        "n_docs": pa.array([pc.sum(t["n_docs"]).as_py() or 0], pa.int64()),
+        "total_chars": pa.array([pc.sum(t["total_chars"]).as_py() or 0], pa.int64()),
+    })
+    return pa.concat_tables([t.cast(total.schema), total]).sort_by("lang")
+
+
+SQL_DOCS_ROLLUP = """
+SELECT coalesce(lang, 'ALL') AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang) ORDER BY lang
+"""
+
+
+def q_event_gap_stats(sf_dir: str):
+    """LAG-equivalent: per-event-type stats over the gap to the same
+    user's previous event (window.consecutive_gaps: one hash-bucket
+    shuffle + vectorized sort/diff per bucket). avg_gap_s is the same
+    int64-sum / int64-count / 1e6 expression on both sides, so the double
+    is bit-identical."""
+    from ray.data.aggregate import Count, Sum
+
+    from .window import consecutive_gaps
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    gaps = consecutive_gaps(ds, key="user_id", ts_col="ts",
+                            tiebreak="event_id", attrs=["event_type"],
+                            out_col="gap_us")
+    agg = (gaps.groupby("event_type")
+           .aggregate(Count(alias_name="n_gaps"),
+                      Sum("gap_us", alias_name="sum_gap_us"))
+           .sort("event_type"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.divide(pc.cast(b["sum_gap_us"], pa.float64()),
+                      pc.cast(b["n_gaps"], pa.float64())),
+            pa.scalar(1_000_000.0))
+        return b.append_column(
+            "avg_gap_s", pc.round(avg, ndigits=6, **_ROUND))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENT_GAP_STATS = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000, 6)
+         AS avg_gap_s
+FROM e WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_orders_sample_stats(sf_dir: str):
+    """Engine-portable deterministic sample (ops.sample_sha): keep orders
+    whose sha256(orderkey-as-string) hex sorts below '2' (~1/8), then
+    exact per-status stats in integer cents. The filter is a pure row
+    function, so the oracle reproduces the exact row set."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = ops.sample_sha(b, "o_orderkey", "2")
+        cents = pc.cast(
+            pc.round(pc.multiply(b["o_totalprice"], pa.scalar(100.0)), **_ROUND),
+            pa.int64())
+        return pa.table({"o_orderstatus": b["o_orderstatus"], "cents": cents})
+
+    return (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="total_cents"))
+            .sort("o_orderstatus"))
+
+
+SQL_ORDERS_SAMPLE_STATS = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders WHERE sha256(CAST(o_orderkey AS VARCHAR)) < '2'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 # ===================================================================
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
@@ -1237,6 +1392,11 @@ QUERIES = {
     "events_rolling_sum": q_events_rolling_sum,
     "price_quantiles_exact": q_price_quantiles_exact,
     "user_event_pivot": q_user_event_pivot,
+    "orders_per_customer_hist": q_orders_per_customer_hist,
+    "lineitem_corr_by_flag": q_lineitem_corr,
+    "docs_rollup": q_docs_rollup,
+    "event_gap_stats": q_event_gap_stats,
+    "orders_sample_stats": q_orders_sample_stats,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -1287,6 +1447,11 @@ ORACLES = {
     "events_rolling_sum": SQL_EVENTS_ROLLING,
     "price_quantiles_exact": SQL_PRICE_QUANTILES_EXACT,
     "user_event_pivot": SQL_USER_EVENT_PIVOT,
+    "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,
+    "lineitem_corr_by_flag": SQL_LINEITEM_CORR,
+    "docs_rollup": SQL_DOCS_ROLLUP,
+    "event_gap_stats": SQL_EVENT_GAP_STATS,
+    "orders_sample_stats": SQL_ORDERS_SAMPLE_STATS,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "top_tokens_by_lang": SQL_TOP_TOKENS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,

@@ -86,3 +86,45 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
         return out
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def count_matches(left, right, left_on: str, right_on: str, buckets: int = 32):
+    """LEFT-join match count per left key: Dataset of (left_on, n_matches),
+    one row per distinct left key, n_matches = 0 when the right side has no
+    matching row (SQL ``LEFT JOIN .. GROUP BY left_on`` with
+    ``count(right_key)``).
+
+    Distributed shape: the aggregation is FUSED into the join bucket — both
+    sides are bucketed by key hash (one shuffle total), and inside each
+    bucket the right side collapses to per-key counts via one vectorized
+    value_counts before mapping onto the left keys. Nothing resembling the
+    joined row set is ever materialized, so a 1:N key with millions of
+    matches costs O(N) ints in one task, not N output rows + a second
+    shuffle."""
+    lt = (left.select_columns([left_on])
+          .map_batches(_count_tag("l", left_on, buckets),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    rt = (right.select_columns([right_on])
+          .map_batches(_count_tag("r", right_on, buckets),
+                       batch_format="pyarrow", zero_copy_batch=True))
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lkeys = g.loc[g["_side"] == "l", "_key"].unique()
+        rcounts = g.loc[g["_side"] == "r", "_key"].value_counts()
+        n = rcounts.reindex(lkeys, fill_value=0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({left_on: lkeys, "n_matches": n})
+
+    return (lt.union(rt).groupby("_bucket")
+            .map_groups(count_bucket, batch_format="pandas"))
+
+
+def _count_tag(side: str, on: str, buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        bucket = (hash64(batch[on], seed=17) % np.uint64(buckets)).astype(np.int64)
+        return pa.table({
+            "_key": batch[on],
+            "_bucket": pa.array(bucket),
+            "_side": pa.array([side] * len(batch), pa.string()),
+        })
+
+    return fn

@@ -143,6 +143,21 @@ def add_salt(batch: pa.Table, on: str = "content_sha256", salts: int = 16,
     return batch.append_column(out_col, pa.array(salt))
 
 
+def sample_sha(batch: pa.Table, on: str, hex_lt: str) -> pa.Table:
+    """Portable deterministic sample: keep rows where the hex sha256 of
+    ``on`` (cast to its decimal string form) sorts below ``hex_lt``.
+    Hex-lexicographic compare == numeric compare, so ``hex_lt="2"`` keeps
+    ~2/16 of rows. Unlike ``deterministic_sample`` (xxhash-based, faster),
+    membership here is reproducible by ANY engine with sha256 — the DuckDB
+    oracle uses ``WHERE sha256(CAST(k AS VARCHAR)) < '2'`` verbatim, and a
+    resharded/resumed run keeps the identical row set."""
+    keys = batch[on]
+    if not (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)):
+        keys = pc.cast(keys, pa.string())
+    hexes = sha256_hex_column(keys)
+    return batch.filter(pc.less(hexes, pa.scalar(hex_lt)))
+
+
 def deterministic_sample(batch: pa.Table, on: str = "content_sha256",
                          rate: float = 0.1, seed: int = 1234) -> pa.Table:
     """Seeded hash-based row sample — the reproducible "sampled reference
@@ -244,3 +259,59 @@ def grouped_quantiles_exact(ds, keys: list[str], value_col: str,
 
     narrow = ds.select_columns(keys + [value_col])
     return narrow.groupby(keys).map_groups(qtiles, batch_format="pandas")
+
+
+# --------------------------------------------------------- grouped corr
+def grouped_corr(ds, keys: list[str], x: str, y: str,
+                 out_col: str = "corr", ndigits: int = 4):
+    """Exact grouped Pearson correlation of two numeric columns via the
+    five-sums identity: per-batch derived products feed built-in Sum/Count
+    aggregates (map-side partial combine — only (keys, 6 doubles) cross the
+    shuffle), then one vectorized pass over the small grouped result
+    computes r = (n·Σxy − Σx·Σy) / √((n·Σx² − Σx²ₛ)(n·Σy² − Σy²ₛ)).
+
+    Numerics: raw-moment sums cancel catastrophically only when |r|'s
+    variance term is ~1e-8 of the squared-sum magnitude; at double
+    precision that needs n·mean² / variance ≳ 1e12 — far beyond the
+    rounded output's sensitivity here. For ill-conditioned columns at
+    extreme scale, shift x/y by an approximate mean first (the identity is
+    shift-invariant). Output is rounded to ``ndigits`` (match the oracle's
+    ``round(corr(x,y), n)``)."""
+    from ray.data.aggregate import Count, Sum
+
+    def derive(b: pa.Table) -> pa.Table:
+        fx = pc.cast(b[x], pa.float64())
+        fy = pc.cast(b[y], pa.float64())
+        cols = {k: b[k] for k in keys}
+        cols.update({"_x": fx, "_y": fy,
+                     "_xy": pc.multiply(fx, fy),
+                     "_x2": pc.multiply(fx, fx),
+                     "_y2": pc.multiply(fy, fy)})
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("_x", alias_name="_sx"), Sum("_y", alias_name="_sy"),
+            Sum("_xy", alias_name="_sxy"),
+            Sum("_x2", alias_name="_sx2"), Sum("_y2", alias_name="_sy2"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.float64)
+        sx = np.asarray(b["_sx"]); sy = np.asarray(b["_sy"])
+        cov = n * np.asarray(b["_sxy"]) - sx * sy
+        vx = n * np.asarray(b["_sx2"]) - sx * sx
+        vy = n * np.asarray(b["_sy2"]) - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = cov / np.sqrt(vx * vy)
+        out = {k: b[k] for k in keys}
+        out["n"] = b["n"]
+        out[out_col] = pc.round(pa.array(r, pa.float64()), ndigits=ndigits,
+                                round_mode="half_towards_infinity")
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -350,3 +350,62 @@ def rolling_agg(ds, key: str, ts_col: str, value_col: str, window_rows: int,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(roll, batch_format="pandas")
+
+
+# ------------------------------------------------------- consecutive gaps
+def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
+                     attrs: list[str] | None = None, buckets: int = 32,
+                     out_col: str = "gap_ticks"):
+    """Per-key consecutive-event gaps (SQL ``ts - lag(ts) OVER (PARTITION
+    BY key ORDER BY ts, tiebreak)``): one output row per input row that has
+    a predecessor with the same key, carrying ``attrs`` of the LATER row
+    plus the gap in the timestamp column's native ticks (int64; us for
+    timestamp[us]). ``tiebreak`` must make (key, ts, tiebreak) unique so
+    the ordering — and therefore the result — is deterministic.
+
+    Distributed shape: the sessionize pattern — ONE hash-bucket shuffle on
+    the key, then a single vectorized sort+diff pass numbers every key in
+    the bucket at once (first-row-per-key rows masked out); no per-key
+    tasks, no window state. Partitioning assumption: one key's rows fit a
+    task."""
+    attrs = attrs or []
+    cols = [key, ts_col, tiebreak] + [a for a in attrs if a not in (key, ts_col, tiebreak)]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        batch = batch.select(cols)
+        b = (hash64(batch[key], seed=61) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    out_cols = attrs + [out_col]
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak], kind="mergesort").reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({c: np.array([], dtype=np.int64) for c in out_cols})
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = k[1:] == k[:-1]
+        d = np.empty(len(g), dtype=np.int64)
+        d[0] = 0
+        d[1:] = ts[1:] - ts[:-1]
+        out = g.loc[same, attrs].reset_index(drop=True)
+        out[out_col] = d[same]
+        return out[out_cols]
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    sch = ds.schema()  # ray.data.Schema: parallel .names / .types lists
+    ticks = _ts_ticks_per_second(sch.types[sch.names.index(ts_col)])
+    res = tagged.groupby("_bucket").map_groups(gaps, batch_format="pandas")
+    if ticks != 1_000_000_000:
+        # pandas promoted to ns above; scale back to native ticks
+        factor = 1_000_000_000 // ticks
+
+        def rescale(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index(out_col)
+            return b.set_column(i, out_col,
+                                pc.divide(b[out_col], pa.scalar(factor, pa.int64())))
+
+        res = res.map_batches(rescale, batch_format="pyarrow", zero_copy_batch=True)
+    return res
