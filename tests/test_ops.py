@@ -350,3 +350,37 @@ def test_sample_sha_is_engine_portable_and_chunk_invariant(ray_session):
     parts = [sample_sha(t.slice(i, 100), "k", "2")["k"].to_pylist()
              for i in range(0, 1000, 100)]
     assert [k for p in parts for k in p] == want
+
+
+def test_sample_per_group_is_block_invariant_and_matches_bruteforce(ray_session, sf_dir):
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import sample_per_group
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "doc_id"])
+    want = (
+        docs.assign(_sha=[hashlib.sha256(str(i).encode()).hexdigest()
+                          for i in docs.doc_id])
+        .sort_values(["lang", "_sha", "doc_id"])
+        .groupby("lang", sort=True).head(7)[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    )
+    for nblocks in (1, 5):
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["lang", "doc_id"],
+                             override_num_blocks=nblocks)
+        got = (sample_per_group(ds, "lang", "doc_id", 7).to_pandas()
+               .sort_values(["lang", "doc_id"]).reset_index(drop=True))
+        assert (got.values == want.values).all(), f"nblocks={nblocks}"
+
+
+def test_with_regex_counts_flag_vs_count_semantics(ray_session):
+    from verdictray.text import with_regex_counts
+
+    t = pa.table({"s": ["aa aa aa", "bb", ""]})
+    out = with_regex_counts(t, "s", {"n_aa": r"aa", "aa_flag": r"aa"})
+    assert out["n_aa"].to_pylist() == [3, 0, 0]
+    assert out["aa_flag"].to_pylist() == [1, 0, 0]

@@ -844,6 +844,62 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_regex_counts_by_lang(sf_dir: str):
+    """Vectorized regex feature extraction (text.with_regex_counts): per
+    lang, total occurrences of an RE2 pattern + docs containing a term.
+    RE2 on both sides (Arrow kernels / DuckDB regexp_*) makes the counts
+    oracle-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from .text import with_regex_counts
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = with_regex_counts(b, "text", {
+            "er_words": r"[a-z]+er\b",
+            "has_join_flag": r"\bjoin\b",
+        })
+        return b.drop_columns(["text"])
+
+    return (ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("er_words", alias_name="n_er_words"),
+                       Sum("has_join_flag", alias_name="n_docs_with_join"))
+            .sort("lang"))
+
+
+SQL_REGEX_COUNTS = r"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_extract_all(text, '[a-z]+er\b'))) AS BIGINT)
+         AS n_er_words,
+       CAST(sum(CASE WHEN regexp_matches(text, '\bjoin\b') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_with_join
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_stratified_docs_sample(sf_dir: str):
+    """Deterministic stratified sample (ops.sample_per_group): 10 docs per
+    lang by smallest sha256(doc_id) — map-side top-k combiner before the
+    shuffle, oracle-reproducible via QUALIFY row_number()."""
+    from .ops import sample_per_group
+
+    ds = _t(sf_dir, "documents", ["lang", "doc_id"])
+    return sample_per_group(ds, key="lang", id_col="doc_id", k=10).sort(
+        ["lang", "doc_id"])
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) <= 10
+ORDER BY lang, doc_id
+"""
+
+
 # ===================================================================
 # Sketch queries (approximate → rows-only driver check; bounds in pytest)
 # ===================================================================
@@ -1397,6 +1453,8 @@ QUERIES = {
     "docs_rollup": q_docs_rollup,
     "event_gap_stats": q_event_gap_stats,
     "orders_sample_stats": q_orders_sample_stats,
+    "regex_counts_by_lang": q_regex_counts_by_lang,
+    "stratified_docs_sample": q_stratified_docs_sample,
     "hll_users_by_type": q_hll_users_by_type,
     "hll_global_users": q_hll_global_users,
     "kll_price_quantiles": q_kll_price_quantiles,
@@ -1452,6 +1510,8 @@ ORACLES = {
     "docs_rollup": SQL_DOCS_ROLLUP,
     "event_gap_stats": SQL_EVENT_GAP_STATS,
     "orders_sample_stats": SQL_ORDERS_SAMPLE_STATS,
+    "regex_counts_by_lang": SQL_REGEX_COUNTS,
+    "stratified_docs_sample": SQL_STRATIFIED_SAMPLE,
     "token_counts_by_lang": SQL_TOKEN_COUNTS,
     "top_tokens_by_lang": SQL_TOP_TOKENS,
     "fingerprint_distinct_by_lang": SQL_FINGERPRINT,

@@ -315,3 +315,36 @@ def grouped_corr(ds, keys: list[str], x: str, y: str,
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------- stratified sampling
+def sample_per_group(ds, key: str, id_col: str, k: int):
+    """Deterministic stratified sample: the k rows per group whose
+    sha256(id-as-string) hex sorts smallest (ties broken by id) — the SQL
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY sha256(id), id)
+    <= k`` row set, reproducible by any engine.
+
+    Distributed shape: a map-side combiner keeps at most k rows per
+    (batch, group) BEFORE the shuffle, so only ~k · groups · blocks narrow
+    (key, id, hash) rows move; the per-group reduce re-applies the same
+    top-k. Output columns: (key, id_col)."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if not pa.types.is_string(ids.type):
+            ids = pc.cast(ids, pa.string())
+        t = pa.table({key: b[key], id_col: b[id_col],
+                      "_sha": sha256_hex_column(ids)})
+        df = t.to_pandas()
+        df = df.sort_values([key, "_sha", id_col], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(key, sort=False).head(k),
+                                    preserve_index=False)
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_sha", id_col], kind="mergesort").head(k)
+        return g[[key, id_col]]
+
+    return (ds.select_columns([key, id_col])
+            .map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(key)
+            .map_groups(group_topk, batch_format="pandas"))

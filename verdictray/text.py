@@ -164,3 +164,21 @@ def with_fingerprint(batch: pa.Table, col: str = "text",
                      out_col: str = "fingerprint") -> pa.Table:
     fp = fingerprint64(batch[col])
     return batch.append_column(out_col, pa.array(fp.astype(np.int64)))
+
+
+def with_regex_counts(batch: pa.Table, col: str,
+                      patterns: dict[str, str]) -> pa.Table:
+    """Append one int64 column per named RE2 pattern: non-overlapping match
+    count within each row's text (Arrow's count_substring_regex and
+    DuckDB's regexp_extract_all share RE2 leftmost-non-overlapping
+    semantics, so a SQL oracle can reproduce the counts verbatim). For a
+    match-indicator column, use a pattern under a name ending in
+    ``_flag`` — emitted as 0/1 via match_substring_regex (cheaper than
+    counting when only presence matters)."""
+    for name, pat in patterns.items():
+        if name.endswith("_flag"):
+            vals = pc.cast(pc.match_substring_regex(batch[col], pat), pa.int64())
+        else:
+            vals = pc.cast(pc.count_substring_regex(batch[col], pat), pa.int64())
+        batch = batch.append_column(name, vals)
+    return batch
