@@ -225,3 +225,21 @@ def test_fused_equals_unfused_actor_path(ray_session, corpus, spec):
         cb = Sketch.from_bytes(unfused.loc[lang, "cms_blob"])
         assert ca.n == cb.n
         assert (ca.dense_table() == cb.dense_table()).all()
+
+
+def test_updater_preserves_nonstring_key_dtype(ray_session):
+    """Partial-output key dtype must follow the input schema in BOTH the
+    empty and non-empty paths (ADVICE r2 covered only the empty path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from verdictray import ops
+    from verdictray.pipeline import SketchJobSpec
+    from verdictray.updater import SketchUpdater
+
+    t = pa.table({"gk": pa.array(np.arange(200) % 5, pa.int64()),
+                  "content": [f"doc-{i}" for i in range(200)]})
+    t = ops.derive_features(ops.with_sha256(t))
+    u = SketchUpdater(SketchJobSpec(input_path="", group_key="gk", salts=0))
+    assert u(t).schema.field("gk").type == pa.int64()
+    assert u(t.slice(0, 0)).schema.field("gk").type == pa.int64()

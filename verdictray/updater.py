@@ -167,7 +167,9 @@ class SketchUpdater:
         self._blocks_seen += 1
         if self._metrics_dir:
             self._emit_metrics(block, len(out_keys), time.monotonic() - t0)
-        cols = {key_col: pa.array(out_keys, pa.string())}
+        # key dtype follows the input schema (a non-string group key
+        # hardcoded to string would fail the downstream union/groupby)
+        cols = {key_col: pa.array(out_keys, block.schema.field(key_col).type)}
         if self._shard_mode:
             cols["_salt"] = pa.array(out_salts, pa.int32())
         elif self._salts:
