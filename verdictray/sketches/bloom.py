@@ -22,6 +22,21 @@ import numpy as np
 from .base import Sketch, _Reader, _Writer, register
 from .hashing import _to_numpy
 
+# Per-process scratch buffers for the promotion scatter (one per kind,
+# grown to the largest size seen). Warm Ray workers promote many shards;
+# reusing the m_bits-sized boolean and the position temp keeps repeat
+# promotions free of fresh-page faults. Plain module state is safe: Ray
+# tasks in one worker process run serially.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch(kind: str, n: int, dtype) -> np.ndarray:
+    buf = _SCRATCH.get(kind)
+    if buf is None or len(buf) < n or buf.dtype != np.dtype(dtype):
+        buf = np.empty(n, dtype=dtype)
+        _SCRATCH[kind] = buf
+    return buf[:n]
+
 
 @register
 class BloomFilter(Sketch):
@@ -70,8 +85,11 @@ class BloomFilter(Sketch):
         from .hashing import derive64
 
         m = np.uint64(self.m_bits)
-        h1m = (derive64(base, self.seed) % m).astype(np.int64)
-        h2m = ((derive64(base, self.seed + 1) | np.uint64(1)) % m).astype(np.int64)
+        # the mod result is a fresh array and every value is < m < 2^63,
+        # so reinterpreting as int64 (view) replaces two more same-sized
+        # allocations (astype copies)
+        h1m = (derive64(base, self.seed) % m).view(np.int64)
+        h2m = ((derive64(base, self.seed + 1) | np.uint64(1)) % m).view(np.int64)
         return h1m, h2m
 
     @property
@@ -103,10 +121,20 @@ class BloomFilter(Sketch):
         # duplicate-safe and fully vectorized, while ufunc.at crawls at
         # ~10M ops/s — 6.9s -> ~0.6s for a 4.6M-item promotion (k=7).
         # packbits(bitorder="little") matches the bits[pos>>3] |= 1<<(pos&7)
-        # layout exactly.
-        seen = np.zeros(self.m_bits, dtype=bool)
+        # layout exactly. The m_bits-sized boolean buffer and the position
+        # temporary are cached per process: a big promotion inside a warm
+        # Ray worker then touches no fresh pages (first-touch faults cost
+        # ~70 µs/page on this VM — BASELINE.md §controls), and every j
+        # iteration reuses ONE temp via out= instead of allocating two
+        # arrays per hash function.
+        seen = _scratch("seen", self.m_bits, bool)
+        seen[:] = False
+        tmp = _scratch("pos", len(h1m), np.int64)
         for j in range(self.k):
-            seen[(h1m + j * h2m) % self.m_bits] = True
+            np.multiply(h2m, j, out=tmp)
+            np.add(tmp, h1m, out=tmp)
+            np.mod(tmp, self.m_bits, out=tmp)
+            seen[tmp] = True
         np.bitwise_or(self.bits, np.packbits(seen, bitorder="little"),
                       out=self.bits)
 

@@ -36,8 +36,12 @@ _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = x.astype(np.uint64, copy=True)
+def _splitmix64(x: np.ndarray, copy: bool = True) -> np.ndarray:
+    """``copy=False`` finalizes in place — callers that own ``x`` (it is a
+    fresh temporary) skip one array allocation. First-touch page faults
+    cost ~70 µs/page on this environment's VM (BASELINE.md §controls), so
+    avoidable large allocations dominate cold hash kernels."""
+    x = x.astype(np.uint64, copy=copy)
     x ^= x >> np.uint64(30)
     x *= _MIX1
     x ^= x >> np.uint64(27)
@@ -104,7 +108,11 @@ def derive64(base: np.ndarray, seed: int) -> np.ndarray:
     independent families (Kirsch–Mitzenmacher quality)."""
     if seed == 0:
         return base
-    return _splitmix64(base + np.uint64((int(seed) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)))
+    # base + seed·golden materializes a fresh temporary; finalize it in
+    # place rather than allocating a second same-sized array
+    return _splitmix64(
+        base + np.uint64((int(seed) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)),
+        copy=False)
 
 
 def hash64(values, seed: int = 0) -> np.ndarray:
