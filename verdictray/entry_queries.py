@@ -1150,7 +1150,10 @@ SELECT lang, count(DISTINCT text) AS nd_fp FROM documents GROUP BY lang
 
 
 def q_doc_quality(sf_dir: str):
-    """Quality scoring features (rows-only: heuristic floats)."""
+    """Quality scoring features per lang, hash-verified against a DuckDB
+    re-derivation: the heuristic is deterministic arithmetic over RE2
+    regex counts, and both engines use RE2, so the oracle reproduces it
+    exactly (SQL_DOC_QUALITY)."""
     from ray.data.aggregate import Count, Mean
 
     from .text import with_quality_features
@@ -1166,8 +1169,37 @@ def q_doc_quality(sf_dir: str):
                            batch_format="pyarrow")
 
 
+SQL_DOC_QUALITY = r"""
+WITH f AS (
+  SELECT lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(
+             text, '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b'
+         )) AS DOUBLE) AS stops
+  FROM documents
+), r AS (
+  SELECT lang,
+         punct / greatest(n_chars, 1.0) AS punct_ratio,
+         stops / greatest(n_tokens, 1.0) AS stop_ratio,
+         least(n_chars / 200.0, 1.0) AS len_term
+  FROM f
+)
+SELECT lang, count(*) AS n,
+       round(avg((len_term
+                  + (1.0 - least(punct_ratio * 4.0, 1.0))
+                  + least(stop_ratio * 5.0, 1.0)) / 3.0), 4) AS avg_quality,
+       round(avg(stop_ratio), 4) AS avg_stop_ratio
+FROM r GROUP BY lang
+"""
+
+
 def q_lang_id(sf_dir: str):
-    """Marker-n-gram language ID distribution (rows-only: heuristic)."""
+    """Marker-n-gram language ID distribution, hash-verified against a
+    DuckDB re-derivation (SQL_LANG_ID): marker occurrences are
+    non-overlapping substring counts (replace-diff in SQL), winner is the
+    first-max language in (en, de, fr, es) order — np.argmax semantics."""
     from ray.data.aggregate import Count
 
     from .text import with_lang_id
@@ -1176,6 +1208,42 @@ def q_lang_id(sf_dir: str):
     ds = ds.map_batches(with_lang_id, batch_format="pyarrow", zero_copy_batch=True)
     return ds.select_columns(["lang_pred"]).groupby("lang_pred").aggregate(
         Count(alias_name="n"))
+
+
+def _sql_marker_score(markers: list[str]) -> str:
+    terms = [
+        f"(length(t) - length(replace(t, '{m}', ''))) // {len(m)}"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+def _sql_lang_id() -> str:
+    # mirrors text._LANG_MARKERS + np.argmax first-max tie-break exactly
+    from .text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    scores = ",\n         ".join(
+        f"{_sql_marker_score(_LANG_MARKERS[lg])} AS s_{lg}" for lg in langs
+    )
+    all_s = ", ".join(f"s_{lg}" for lg in langs)
+    cases = []
+    for i, lg in enumerate(langs):
+        rest = [f"s_{lg} >= s_{o}" for o in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lg}'")
+    case_sql = "\n            ".join(cases)
+    return f"""
+WITH s AS (
+  SELECT {scores}
+  FROM (SELECT lower(text) AS t FROM documents)
+)
+SELECT CASE WHEN greatest({all_s}) = 0 THEN 'und'
+            {case_sql}
+       END AS lang_pred,
+       count(*) AS n
+FROM s GROUP BY lang_pred
+"""
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -1518,6 +1586,10 @@ ORACLES = {
     "multimodal_features_by_lang": SQL_MULTIMODAL,
     "multimodal_frames_by_lang": SQL_MULTIMODAL_FRAMES,
     "multimodal_resize_by_lang": SQL_MULTIMODAL_RESIZE,
+    # deterministic text heuristics: both engines run RE2, so the scores
+    # re-derive exactly in SQL
+    "doc_quality_by_lang": SQL_DOC_QUALITY,
+    "lang_id_distribution": _sql_lang_id(),
     # exact-by-construction at the driver's sf0.01 (r3): sparse HLL below
     # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
