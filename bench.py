@@ -23,6 +23,27 @@ import subprocess
 import sys
 import time
 
+# Optional allocator tuning (VR_ALLOC_TUNING=1; applied BEFORE any
+# pyarrow/ray import so the env is inherited by every Ray worker): route
+# Arrow allocations through the system allocator and keep freed heap pages
+# backed (1 GiB mmap/trim thresholds) instead of returning them to the OS,
+# plus jemalloc decay -1 in every worker. Measured on this host's
+# PATHOLOGICAL phase (first-touch faults ~70 us/page, ~300 MiB/s box-wide
+# straw — BASELINE.md §Scaling r3): 16M-row/32-CPU headline 91.7 s
+# (default, cold) → 35-51 s with retention. Measured on the same host's
+# HEALTHY phase an hour later (interleaved A/B): default 18-21 s vs
+# retention 44-89 s at 32 CPUs — 32 retained worker heaps create their own
+# memory pressure once faults are cheap again. Default therefore stays the
+# allocator default; the knob exists for hosts pinned in the pathological
+# regime.
+if os.environ.get("VR_ALLOC_TUNING"):
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # glibc reads these at process start: they take effect in the Ray
+    # workers (forked after ray.init inherits this env), not this driver —
+    # the driver does no batch compute.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
@@ -66,11 +87,30 @@ def prepare_corpus() -> str:
     return path
 
 
+def _tune_allocator():
+    """Per-process half of the allocator tuning (driver + every Ray worker
+    via worker_process_setup_hook): disable jemalloc dirty-page decay so
+    any allocation still routed through Arrow's jemalloc keeps its arena
+    pages backed between tasks. See the module-top env block for the
+    rationale and measurements."""
+    import pyarrow as _pa
+
+    try:
+        _pa.jemalloc_set_decay_ms(-1)
+    except Exception:
+        pass  # non-jemalloc build
+
+
 def run_benchmarks() -> dict:
     import ray
 
+    init_kwargs = {}
+    if os.environ.get("VR_ALLOC_TUNING"):
+        _tune_allocator()
+        init_kwargs["runtime_env"] = {
+            "worker_process_setup_hook": _tune_allocator}
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", **init_kwargs)
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -166,6 +166,58 @@ def test_hash_join_matches_duckdb(ray_session, sf_dir):
     assert (a.values == b.values).all()
 
 
+def test_semi_anti_join_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.join import semi_anti_join
+
+    import pyarrow.compute as _pc
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    # halve the right side so the anti result is non-empty
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]) \
+        .map_batches(lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(b["o_custkey"], 1), 0)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    for how, op in (("semi", ""), ("anti", "NOT")):
+        got = semi_anti_join(cust, orders, "c_custkey", "o_custkey",
+                             how=how, buckets=8).to_pandas()
+        exact = duckdb.sql(
+            f"select c_custkey, c_mktsegment from '{sf_dir}/customer.parquet' c "
+            f"where {op} exists (select 1 from '{sf_dir}/orders.parquet' o "
+            f"where o.o_custkey = c.c_custkey and o.o_custkey % 2 = 0)"
+        ).df()
+        assert len(exact) > 0, how
+        assert len(got) == len(exact), how
+        a = got.sort_values("c_custkey").reset_index(drop=True)
+        b = exact.sort_values("c_custkey").reset_index(drop=True)
+        assert (a["c_custkey"].values == b["c_custkey"].values).all(), how
+        assert str(a["c_custkey"].dtype) == str(b["c_custkey"].dtype), how
+    with pytest.raises(ValueError, match="semi.*anti"):
+        semi_anti_join(cust, orders, "c_custkey", "o_custkey", how="left")
+
+
+def test_line_stats_kernel_exact():
+    """with_line_stats vs a per-row Python re-derivation."""
+    import pyarrow as pa
+
+    from verdictray.text import with_line_stats
+
+    texts = ["a\nb\na", "", "x", "l1\nl1\nl1\nl1", "one\ntwo\nthree\n",
+             "\n\n", "sameline"]
+    batch = pa.table({"text": texts})
+    out = with_line_stats(batch)
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        assert out["n_lines"][i].as_py() == len(lines), t
+        dup = 1.0 - len(set(lines)) / len(lines)
+        assert abs(out["dup_line_frac"][i].as_py() - dup) < 1e-12, t
+        mean = sum(len(x) for x in lines) / len(lines)
+        assert abs(out["mean_line_len"][i].as_py() - mean) < 1e-12, t
+
+
 def test_hash_join_rejects_overlapping_columns(ray_session, sf_dir):
     import ray.data as rd
 

@@ -1246,6 +1246,81 @@ FROM s GROUP BY lang_pred
 """
 
 
+def q_line_stats(sf_dir: str):
+    """Gopher-style repetition quality per lang (dup-line fraction, line
+    lengths), hash-verified against a DuckDB unnest re-derivation
+    (SQL_LINE_STATS) — the distinct count is exact-string, no hashing."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    from .text import with_line_stats
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    ds = ds.map_batches(with_line_stats, batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.select_columns(["lang", "n_lines", "dup_line_frac", "mean_line_len"])
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Mean("dup_line_frac", alias_name="avg_dup_line_frac"),
+                      Mean("mean_line_len", alias_name="avg_line_len"),
+                      Max("n_lines", alias_name="max_lines")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        batch = _round_cols({"avg_dup_line_frac": 4, "avg_line_len": 4})(batch)
+        i = batch.schema.get_field_index("max_lines")
+        return batch.set_column(i, "max_lines", pc.cast(batch["max_lines"], pa.int64()))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_LINE_STATS = """
+WITH lines AS (
+  SELECT doc_id, lang, unnest(str_split(text, chr(10))) AS line
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, any_value(lang) AS lang, count(*) AS n_lines,
+         count(DISTINCT line) AS n_uniq, avg(length(line)) AS mean_len
+  FROM lines GROUP BY doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(1.0 - CAST(n_uniq AS DOUBLE) / n_lines), 4) AS avg_dup_line_frac,
+       round(avg(mean_len), 4) AS avg_line_len,
+       CAST(max(n_lines) AS BIGINT) AS max_lines
+FROM per_doc GROUP BY lang
+"""
+
+
+def q_decontaminated_docs(sf_dir: str):
+    """Eval-set decontamination via the EXACT distributed anti-join
+    (join.semi_anti_join): drop every non-'de' document whose text appears
+    verbatim among the 'de' documents (stand-in eval set), count the
+    survivors per lang. One bucketed shuffle; only left rows + right keys
+    travel. Hash-verified against DuckDB NOT EXISTS (SQL_DECONTAM)."""
+    from ray.data.aggregate import Count
+
+    from .join import semi_anti_join
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    train = docs.map_batches(
+        lambda b: b.filter(pc.not_equal(b["lang"], pa.scalar("de"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    evalset = docs.map_batches(
+        lambda b: pa.table({"eval_text": b.filter(
+            pc.equal(b["lang"], pa.scalar("de")))["text"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    kept = semi_anti_join(train, evalset, left_on="text", right_on="eval_text",
+                          how="anti", buckets=16)
+    return kept.groupby("lang").aggregate(Count(alias_name="n_kept"))
+
+
+SQL_DECONTAM = """
+SELECT lang, count(*) AS n_kept
+FROM documents d
+WHERE lang <> 'de'
+  AND NOT EXISTS (SELECT 1 FROM documents e
+                  WHERE e.lang = 'de' AND e.text = d.text)
+GROUP BY lang
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup pairs over documents (rows-only; recall/
     precision asserted in tests/test_extras.py on the corpus with known
@@ -1537,6 +1612,8 @@ QUERIES = {
     "fingerprint_distinct_by_lang": q_fingerprint_distinct,
     "doc_quality_by_lang": q_doc_quality,
     "lang_id_distribution": q_lang_id,
+    "line_stats_by_lang": q_line_stats,
+    "decontaminated_docs_by_lang": q_decontaminated_docs,
     "minhash_dedup_pairs": q_minhash_dedup,
     "simhash_dedup_pairs": q_simhash_dedup,
     "embedding_neardup_pairs": q_embedding_neardup,
@@ -1590,6 +1667,8 @@ ORACLES = {
     # re-derive exactly in SQL
     "doc_quality_by_lang": SQL_DOC_QUALITY,
     "lang_id_distribution": _sql_lang_id(),
+    "line_stats_by_lang": SQL_LINE_STATS,
+    "decontaminated_docs_by_lang": SQL_DECONTAM,
     # exact-by-construction at the driver's sf0.01 (r3): sparse HLL below
     # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,

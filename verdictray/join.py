@@ -118,6 +118,61 @@ def count_matches(left, right, left_on: str, right_on: str, buckets: int = 32):
             .map_groups(count_bucket, batch_format="pandas"))
 
 
+def semi_anti_join(left, right, left_on: str, right_on: str,
+                   how: str = "semi", buckets: int = 32):
+    """Exact distributed semi/anti join: left rows whose key IS ("semi") /
+    is NOT ("anti") present in the right side — SQL ``WHERE [NOT] EXISTS``.
+
+    The exact counterpart of the approximate Bloom filter pair
+    (query.semi_join_bloom / anti_join_bloom): same single-shuffle bucket
+    pattern as hash_join, but the right side is projected to its key
+    column at the map stage and collapsed to the bucket's distinct-key set
+    before probing, so no joined row set and no right payload ever
+    materialize — the shuffle carries left rows + right keys only. Use the
+    Bloom pair when a ~fpp false-match rate is acceptable and the right
+    side is huge; use this when the answer must be exact (e.g. eval-set
+    decontamination of a training corpus)."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    lschema = left.schema()
+    if "_rkey" in lschema.names:
+        raise ValueError("left side may not carry a '_rkey' column")
+    rschema = right.schema()
+    rkey_type = dict(zip(rschema.names, rschema.types))[right_on]
+    all_cols = list(zip(lschema.names, lschema.types)) + [("_rkey", rkey_type)]
+    lt = left.map_batches(_tag("l", left_on, buckets, all_cols),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+    def project_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"_rkey": batch[right_on]})
+
+    rt = (right.map_batches(project_right, batch_format="pyarrow",
+                            zero_copy_batch=True)
+          .map_batches(_tag("r", "_rkey", buckets, all_cols),
+                       batch_format="pyarrow", zero_copy_batch=True))
+
+    lcols = list(lschema.names)
+    keep = how == "semi"
+    int_cols = {n for n, t in zip(lschema.names, lschema.types)
+                if pa.types.is_integer(t)}
+
+    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g.loc[g["_side"] == "l", lcols]
+        rkeys = g.loc[g["_side"] == "r", "_rkey"].unique()
+        mask = lrows[left_on].isin(rkeys)
+        out = lrows[mask if keep else ~mask]
+        # the union's typed-null padding (right rows carry nulls in left
+        # columns) promotes ints to float64 in the group block; the left
+        # rows themselves are null-free, so restore the declared dtypes
+        for name in int_cols:
+            if out[name].dtype.kind == "f":
+                out = out.assign(**{name: out[name].astype("int64")})
+        return out
+
+    return (lt.union(rt).groupby("_bucket")
+            .map_groups(probe_bucket, batch_format="pandas"))
+
+
 def _count_tag(side: str, on: str, buckets: int):
     def fn(batch: pa.Table) -> pa.Table:
         bucket = (hash64(batch[on], seed=17) % np.uint64(buckets)).astype(np.int64)

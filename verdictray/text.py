@@ -92,6 +92,33 @@ def with_quality_features(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("quality_score", score)
 
 
+# ------------------------------------------------------------------ lines
+def with_line_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition features per document: ``n_lines``,
+    ``dup_line_frac`` (1 − distinct/total lines — high values flag the
+    boilerplate/repetition that repetition-quality filters drop) and
+    ``mean_line_len`` (chars). Vectorized: one split_pattern over the
+    batch, per-doc reductions via reduceat / a single hashed groupby —
+    no per-document Python loop. Exact-string distinct (no hashing), so
+    the DuckDB oracle (SQL_LINE_STATS) reproduces it exactly."""
+    import pandas as pd
+
+    lists = pc.split_pattern(batch[col], pattern="\n")
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    line_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    mean_len = np.add.reduceat(line_len, starts) / lens
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    # exact per-doc distinct-line counts: one C-level hashed groupby
+    nuniq = (pd.Series(flat.to_pandas(), copy=False)
+             .groupby(doc_idx, sort=True).nunique().to_numpy())
+    dup_frac = 1.0 - nuniq / lens
+    batch = batch.append_column("n_lines", pa.array(lens, pa.int64()))
+    batch = batch.append_column("dup_line_frac", pa.array(dup_frac, pa.float64()))
+    return batch.append_column("mean_line_len", pa.array(mean_len, pa.float64()))
+
+
 # ------------------------------------------------------------------ lang id
 # marker substrings per language (deterministic, vectorized via
 # count_substring; a tiny stand-in for real char-n-gram profiles)
