@@ -255,6 +255,57 @@ class TestRollingAgg:
             rolling_agg(ds, "k", "ts", "v", 3, aggs=("median",))
 
 
+class TestRollingRangeAgg:
+    def test_matches_sql_range_frame(self, ray_session, sf01_dir):
+        import ray.data as rd
+
+        from verdictray.window import rolling_range_agg
+
+        ds = rd.read_parquet(f"{sf01_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+        out = rolling_range_agg(ds, key="user_id", ts_col="ts",
+                                value_col="value", width_s=1800,
+                                aggs=("count",), buckets=8).to_pandas()
+        truth = duckdb.sql(f"""
+            SELECT event_id, count(*) OVER w AS c
+            FROM '{sf01_dir}/events.parquet'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING
+                         AND CURRENT ROW)
+        """).df().set_index("event_id")
+        got = out.set_index("event_id")
+        assert len(got) == len(truth)
+        truth = truth.reindex(got.index)
+        assert (got["rolling_count"].astype(int) == truth["c"]).all()
+
+    def test_peer_rows_included_like_sql(self, ray_session):
+        """Duplicate timestamps: RANGE frames include ALL peers of the
+        current row (SQL semantics), not just preceding positions."""
+        import datetime as dt
+
+        import ray.data as rd
+
+        from verdictray.window import rolling_range_agg
+
+        base = dt.datetime(2024, 1, 1)
+        rows = pa.table({
+            "k": ["u"] * 4,
+            "ts": pa.array([base, base, base + dt.timedelta(seconds=5),
+                            base + dt.timedelta(seconds=100)],
+                           pa.timestamp("us")),
+            "v": pa.array([1, 10, 100, 1000], pa.int64()),
+        })
+        out = (rolling_range_agg(rd.from_arrow(rows).repartition(2), "k",
+                                 "ts", "v", width_s=10,
+                                 aggs=("sum", "count"), buckets=2)
+               .to_pandas().sort_values(["ts", "v"]).reset_index(drop=True))
+        # both t=0 rows see BOTH peers (sum 11); t=5 sees all three;
+        # t=100 is alone (width 10)
+        assert out["rolling_sum"].tolist() == [11, 11, 111, 1000]
+        assert out["rolling_count"].tolist() == [2, 2, 3, 1]
+        assert out["rolling_sum"].dtype.kind == "i"  # int column → exact int64
+
+
 class TestWindowUnitsAndNegatives:
     """ADVICE r2: non-us timestamp units and pre-epoch timestamps."""
 

@@ -645,6 +645,52 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q_events_rolling_range(sf_dir: str):
+    """Time-based RANGE-frame rolling sum (window.rolling_range_agg):
+    per-user sum/count of purchase values within the trailing 1 hour,
+    peers included — hash-verified vs DuckDB's RANGE BETWEEN INTERVAL
+    frame. Integer-micros conversion on both sides keeps the float sum
+    bit-stable (same trick as events_rolling_sum)."""
+    from .window import rolling_range_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value",
+                               "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], pa.scalar("purchase")))
+        v = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(1e6)), **_ROUND),
+                    pa.int64())
+        return (b.drop_columns(["value", "event_type"])
+                .append_column("v_micros", v))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = rolling_range_agg(ds, key="user_id", ts_col="ts",
+                            value_col="v_micros", width_s=3600,
+                            aggs=("sum", "count"), buckets=32)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        roll = pc.divide(b["rolling_sum"], pa.scalar(1e6))
+        return pa.table({
+            "event_id": b["event_id"],
+            "roll_1h_sum": pc.round(roll, ndigits=4, **_ROUND),
+            "n_in_hour": pc.cast(b["rolling_count"], pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_RANGE = """
+SELECT event_id,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0, 4)
+         AS roll_1h_sum,
+       count(*) OVER w AS n_in_hour
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_price_quantiles_exact(sf_dir: str):
     """EXACT per-group discrete quantiles (ops.grouped_quantiles_exact) —
     the exact counterpart of kll_price_quantiles on the same grouping:
@@ -1589,6 +1635,7 @@ QUERIES = {
     "events_in_purchase_windows": q_events_in_purchase_windows,
     "user_sessions": q_user_sessions,
     "events_rolling_sum": q_events_rolling_sum,
+    "events_rolling_1h_range": q_events_rolling_range,
     "price_quantiles_exact": q_price_quantiles_exact,
     "user_event_pivot": q_user_event_pivot,
     "orders_per_customer_hist": q_orders_per_customer_hist,
@@ -1648,6 +1695,7 @@ ORACLES = {
     "events_in_purchase_windows": SQL_EVENTS_RANGE_JOIN,
     "user_sessions": SQL_USER_SESSIONS,
     "events_rolling_sum": SQL_EVENTS_ROLLING,
+    "events_rolling_1h_range": SQL_EVENTS_ROLLING_RANGE,
     "price_quantiles_exact": SQL_PRICE_QUANTILES_EXACT,
     "user_event_pivot": SQL_USER_EVENT_PIVOT,
     "orders_per_customer_hist": SQL_ORDERS_PER_CUSTOMER_HIST,

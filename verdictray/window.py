@@ -352,6 +352,78 @@ def rolling_agg(ds, key: str, ts_col: str, value_col: str, window_rows: int,
     return tagged.groupby("_bucket").map_groups(roll, batch_format="pandas")
 
 
+# ------------------------------------------------- range-frame rolling agg
+def rolling_range_agg(ds, key: str, ts_col: str, value_col: str, width_s: int,
+                      aggs: tuple[str, ...] = ("sum", "count"),
+                      buckets: int = 32):
+    """Time-based rolling window aggregate with SQL RANGE-frame semantics:
+    for every row, aggregate ``value_col`` over the rows of the same key
+    whose ts lies in ``[ts − width_s, ts]`` — including BOTH endpoints and
+    all CURRENT-ROW PEERS (rows sharing the row's exact timestamp), exactly
+    like ``agg(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    INTERVAL width_s SECONDS PRECEDING AND CURRENT ROW)``. Peers make this
+    well-defined under duplicate timestamps (pandas' time-based rolling is
+    position-based and would NOT match SQL there).
+
+    Aggs: sum, mean, count. Integer value columns accumulate in exact
+    int64 (use the integer-micros trick for bit-stable float sums).
+
+    Distributed shape: one hash-bucket shuffle on the key (same as
+    sessionize/rolling_agg), then per-bucket vectorized frames — a prefix
+    sum plus two np.searchsorted calls per key segment; no per-row Python.
+    Partitioning assumption: one key's rows fit a task."""
+    allowed = {"sum", "mean", "count"}
+    bad = set(aggs) - allowed
+    if bad:
+        raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
+    width_ticks_of = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        _ts_ticks_per_second(batch.schema.field(ts_col).type)  # validate
+        b = (hash64(batch[key], seed=59) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+        g = g.drop(columns=["_bucket"])
+        if not len(g):
+            for a in aggs:
+                g[f"rolling_{a}"] = np.array([], dtype=np.float64)
+            return g
+        ts_np = g[ts_col].to_numpy()
+        unit = np.datetime_data(ts_np.dtype)[0]
+        width = width_s * width_ticks_of[unit]
+        tsi = ts_np.view("int64")
+        v = g[value_col].to_numpy()
+        exact_int = v.dtype.kind in "iu"
+        acc = v.astype(np.int64) if exact_int else v.astype(np.float64)
+        cs = np.concatenate([[0], np.cumsum(acc)])
+        keys_np = g[key].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys_np[1:] != keys_np[:-1]]))
+        ends = np.concatenate([starts[1:], [len(g)]])
+        lo = np.empty(len(g), dtype=np.int64)
+        hi = np.empty(len(g), dtype=np.int64)
+        # one vectorized searchsorted pair per key segment (keys per
+        # bucket << rows per bucket)
+        for s, e in zip(starts, ends):
+            seg = tsi[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - width, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        sums = cs[hi] - cs[lo]
+        cnt = hi - lo
+        if "sum" in aggs:
+            g["rolling_sum"] = sums
+        if "mean" in aggs:
+            g["rolling_mean"] = sums / cnt
+        if "count" in aggs:
+            g["rolling_count"] = cnt
+        return g
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(roll, batch_format="pandas")
+
+
 # ------------------------------------------------------- consecutive gaps
 def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
                      attrs: list[str] | None = None, buckets: int = 32,
