@@ -214,6 +214,42 @@ class TestSimilarity:
 
 
 # ------------------------------------------------------------------ text
+class TestCurate:
+    def test_end_to_end_curation(self, ray_session):
+        """curate.curate_documents: quality filter drops junk, exact dedup
+        keeps the min-id copy, near-dup drop keeps one cluster rep."""
+        import ray.data as rd
+
+        from verdictray.curate import curate_documents
+
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "runs into the forest to find some food for the winter, "
+                "because it is a hungry fox that likes to eat in the cold")
+        other = ("a completely different document about the weather in "
+                 "the mountains where it snows a lot during the winter "
+                 "and the rivers freeze over for months at a time there")
+        rows = {
+            1: good,
+            2: other,
+            3: good.replace("hungry", "clever"),   # near-dup of 1
+            4: "!!!???!!!***(((%%%)))!!!???",       # low quality -> dropped
+            5: other,                                # exact dup of 2
+            6: "same line\n" * 50,                   # repetitive -> dropped
+            7: "the small house is on the hill and it has a red roof "
+               "with a chimney that smokes in the evening when it is cold",
+        }
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "lang": pa.array(["en"] * len(rows)),
+            "text": pa.array(list(rows.values())),
+        })).repartition(3)
+        kept = sorted(curate_documents(ds, minhash_threshold=0.5,
+                                       shingle_k=8).to_pandas().doc_id)
+        # 4 & 6 fail quality; 5 loses exact dedup to 2; 3 loses the
+        # near-dup cluster to 1 (min-id representative)
+        assert kept == [1, 2, 7]
+
+
 class TestText:
     def test_token_count_matches_duckdb(self):
         import duckdb

@@ -446,6 +446,8 @@ def drop_neardups(ds, pairs, id_col: str, mode: str = "auto",
             import pyarrow.compute as pc
 
             dropped = ray.get(drop_ref)
+            if not dropped:  # empty list would build a null-typed array
+                return batch
             drop_set = pa.array(list(dropped))
             mask = pc.invert(pc.is_in(batch[id_col], value_set=drop_set))
             return batch.filter(pc.fill_null(mask, True))

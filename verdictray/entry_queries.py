@@ -1367,6 +1367,84 @@ GROUP BY lang
 """
 
 
+def q_curated_exact(sf_dir: str):
+    """Quality filter + exact dedup (the SQL-expressible prefix of the
+    curation pipeline, curate.py): per-lang doc/token counts of the
+    surviving set, hash-verified against a DuckDB re-derivation of the
+    whole composition — quality scoring, line stats, min-id dedup."""
+    from ray.data.aggregate import Count, Sum
+
+    from .curate import quality_filter
+    from .ops import dedup_exact_narrow
+    from .text import with_token_count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    kept = dedup_exact_narrow(quality_filter(ds), content_col="text",
+                              id_col="doc_id", join_buckets=16)
+    tok = kept.map_batches(lambda b: with_token_count(b, col="text"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return (tok.select_columns(["lang", "n_tokens"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="total_tokens")))
+
+
+SQL_CURATED_EXACT = r"""
+WITH ls AS (
+  SELECT doc_id, count(*) AS n_lines, count(DISTINCT line) AS n_uniq
+  FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS line
+        FROM documents)
+  GROUP BY doc_id
+), feat AS (
+  SELECT d.doc_id, d.lang, d.text,
+         CAST(length(d.text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS DOUBLE)
+           AS n_toks,
+         CAST(len(regexp_extract_all(d.text, '[^\w\s]')) AS DOUBLE) AS punct,
+         CAST(len(regexp_extract_all(
+             d.text, '\b(the|a|an|and|or|of|to|in|is|it|for|on|with|as|at|by)\b'
+         )) AS DOUBLE) AS stops,
+         1.0 - CAST(ls.n_uniq AS DOUBLE) / ls.n_lines AS dup_line_frac
+  FROM documents d JOIN ls USING (doc_id)
+), kept AS (
+  SELECT doc_id, lang, text FROM feat
+  WHERE (least(n_chars / 200.0, 1.0)
+         + (1.0 - least(punct / greatest(n_chars, 1.0) * 4.0, 1.0))
+         + least(stops / greatest(n_toks, 1.0) * 5.0, 1.0)) / 3.0 >= 0.25
+    AND dup_line_frac <= 0.9
+), winners AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+)
+SELECT k.lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(k.text), '\s+'))) AS BIGINT)
+         AS total_tokens
+FROM kept k JOIN winners w ON k.doc_id = w.doc_id
+GROUP BY k.lang
+"""
+
+
+def q_curated_docs_stats(sf_dir: str):
+    """FULL curation pipeline (curate.curate_documents: quality filter →
+    exact dedup → MinHash near-dup drop): per-lang doc/token counts of
+    the curated corpus. Rows-only by design — the MinHash stage is
+    approximate; its recall/precision is bound-asserted in
+    tests/test_extras.py and the exact prefix is hash-verified by
+    curated_exact_by_lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from .curate import curate_documents
+    from .text import with_token_count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    curated = curate_documents(ds)
+    tok = curated.map_batches(lambda b: with_token_count(b, col="text"),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return (tok.select_columns(["lang", "n_tokens"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="total_tokens")))
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash+LSH near-dup pairs over documents (rows-only; recall/
     precision asserted in tests/test_extras.py on the corpus with known
@@ -1661,6 +1739,8 @@ QUERIES = {
     "lang_id_distribution": q_lang_id,
     "line_stats_by_lang": q_line_stats,
     "decontaminated_docs_by_lang": q_decontaminated_docs,
+    "curated_exact_by_lang": q_curated_exact,
+    "curated_docs_stats": q_curated_docs_stats,
     "minhash_dedup_pairs": q_minhash_dedup,
     "simhash_dedup_pairs": q_simhash_dedup,
     "embedding_neardup_pairs": q_embedding_neardup,
@@ -1717,6 +1797,7 @@ ORACLES = {
     "lang_id_distribution": _sql_lang_id(),
     "line_stats_by_lang": SQL_LINE_STATS,
     "decontaminated_docs_by_lang": SQL_DECONTAM,
+    "curated_exact_by_lang": SQL_CURATED_EXACT,
     # exact-by-construction at the driver's sf0.01 (r3): sparse HLL below
     # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,

@@ -27,33 +27,55 @@ from .sketches.hashing import hash64
 
 
 # --------------------------------------------------------------- sha256
-def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+def sha256_hex_column(col: pa.ChunkedArray | pa.Array) -> pa.Array | pa.ChunkedArray:
     """Per-row sha256 hex of a string column, reading the Arrow buffers
-    directly (no intermediate Python strings for the content)."""
+    directly (no intermediate Python strings for the content).
+
+    Output construction is also buffer-level: raw digests accumulate into
+    ONE contiguous scratch buffer per chunk, hex-encode in a single
+    binascii.hexlify call, and the Arrow string array is assembled from
+    that buffer plus an arange offsets vector — 3 allocations per chunk
+    instead of one 64-char Python str + list slot + Arrow copy PER ROW
+    (~2 GB of transient Python objects per 16M-row run in the hottest
+    stage of the flagship job)."""
+    import binascii
+
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    out: list[str] = []
+    parts: list[pa.Array] = []
     for chunk in chunks:
         t = chunk.type
+        n = len(chunk)
         large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
         plain = pa.types.is_string(t) or pa.types.is_binary(t)
-        if chunk.null_count or not (large or plain):
+        # int32 utf8 offsets cap one output chunk at 2^31 bytes (33M rows
+        # of 64-hex) — Ray blocks are orders of magnitude smaller
+        if chunk.null_count or not (large or plain) or 64 * (n + 1) >= 2**31:
             # null-aware / unknown-layout fallback: per-row bytes round-trip
             bin_t = pa.large_binary() if large else pa.binary()
-            for b in chunk.cast(bin_t).to_pylist():
-                out.append(hashlib.sha256(b).hexdigest() if b is not None else None)
+            out = [hashlib.sha256(b).hexdigest() if b is not None else None
+                   for b in chunk.cast(bin_t).to_pylist()]
+            parts.append(pa.array(out, type=pa.string()))
             continue
         bufs = chunk.buffers()
         # large_string/large_binary carry int64 offsets; reading them as
         # int32 would silently hash empty slices for every row.
         off_dtype = np.int64 if large else np.int32
-        offs = np.frombuffer(bufs[1], dtype=off_dtype, count=chunk.offset + len(chunk) + 1)
+        offs = np.frombuffer(bufs[1], dtype=off_dtype, count=chunk.offset + n + 1)
         data = memoryview(bufs[2])
         o = chunk.offset
-        out.extend(
-            hashlib.sha256(data[offs[o + i] : offs[o + i + 1]]).hexdigest()
-            for i in range(len(chunk))
-        )
-    return pa.array(out, type=pa.string())
+        digests = bytearray(32 * n)
+        dv = memoryview(digests)
+        _sha = hashlib.sha256
+        for i in range(n):
+            dv[32 * i : 32 * i + 32] = _sha(data[offs[o + i] : offs[o + i + 1]]).digest()
+        hexbytes = binascii.hexlify(digests)
+        out_offs = np.arange(0, 64 * (n + 1), 64, dtype=np.int32)
+        parts.append(pa.Array.from_buffers(
+            pa.utf8(), n,
+            [None, pa.py_buffer(out_offs), pa.py_buffer(hexbytes)]))
+    if len(parts) == 1:
+        return parts[0]
+    return pa.chunked_array(parts, type=pa.string())
 
 
 def with_sha256(batch: pa.Table, content_col: str = "content",
