@@ -1177,6 +1177,98 @@ ORDER BY lang, n DESC, token ASC
 """
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """TF-IDF top-3 terms per lang, hash-verified vs DuckDB
+    (SQL_TFIDF). Fully distributed shape:
+
+      tf  — text.token_counts map-side combine → groupby((lang, token))
+            Sum: one row per distinct (lang, term) per batch shuffles;
+      df  — per-batch distinct (token, doc_id) pairs → groupby(token)
+            ExactDistinct(doc_id): 8-byte hashes shuffle, not doc ids;
+      join — tf ⋈ df on token via the bucketed hash_join (both sides are
+            vocabulary-sized — no broadcast assumption);
+      top-k — per-lang head over the scored vocab table.
+
+    Ranking uses the UNROUNDED score with a (score desc, token asc)
+    tiebreak; exact tf/df ties yield bit-equal scores on both engines, so
+    the ranking is deterministic and engine-portable. Scores round to 4
+    decimals only for display."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+    from .text import explode_tokens, token_counts
+    from .udaf import ExactDistinct
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    total_docs = ds.count()
+
+    tf = (ds.map_batches(token_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby(["lang", "token"])
+          .aggregate(Sum("n", alias_name="tf")))
+
+    def tok_doc_pairs(b: pa.Table) -> pa.Table:
+        t = explode_tokens(b, keep=("doc_id",), out_col="df_token")
+        # per-batch dedupe: one (token, doc) row per batch, not per occurrence
+        return t.group_by(["df_token", "doc_id"]).aggregate([])
+
+    df = (ds.map_batches(tok_doc_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("df_token")
+          .aggregate(ExactDistinct(on="doc_id", alias_name="df")))
+
+    joined = hash_join(tf, df, "token", "df_token", buckets=16)
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        tfv = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tfv * np.log(float(total_docs) / dfv)
+        return pa.table({"lang": b["lang"], "token": b["token"],
+                         "_score": pa.array(s, pa.float64())})
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_score", "token"],
+                          ascending=[False, True]).head(3)
+        g["tfidf"] = g["_score"].round(4)
+        return g[["lang", "token", "tfidf"]]
+
+    out = scored.groupby("lang").map_groups(top3, batch_format="pandas")
+    return out.sort(["lang", "tfidf", "token"], descending=[False, True, False])
+
+
+SQL_TFIDF = r"""
+WITH tok AS (
+  SELECT lang, doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents
+), tok2 AS (
+  SELECT * FROM tok WHERE token <> ''
+), tf AS (
+  SELECT lang, token, count(*) AS tf FROM tok2 GROUP BY lang, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY token
+), scored AS (
+  SELECT tf.lang, tf.token,
+         tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df)
+           AS s,
+         row_number() OVER (
+           PARTITION BY tf.lang
+           ORDER BY tf.tf * ln((SELECT CAST(count(*) AS DOUBLE)
+                                FROM documents) / df.df) DESC, tf.token
+         ) AS rn
+  FROM tf JOIN df USING (token)
+)
+SELECT lang, token, round(s, 4) AS tfidf
+FROM scored WHERE rn <= 3
+"""
+
+
 def q_fingerprint_distinct(sf_dir: str):
     """Rabin polynomial fingerprints: distinct fingerprints == distinct
     texts (collision ~2^-64) — so the count(DISTINCT text) oracle holds."""
@@ -1741,6 +1833,7 @@ QUERIES = {
     "decontaminated_docs_by_lang": q_decontaminated_docs,
     "curated_exact_by_lang": q_curated_exact,
     "curated_docs_stats": q_curated_docs_stats,
+    "tfidf_top_terms_by_lang": q_tfidf_top_terms,
     "minhash_dedup_pairs": q_minhash_dedup,
     "simhash_dedup_pairs": q_simhash_dedup,
     "embedding_neardup_pairs": q_embedding_neardup,
@@ -1798,6 +1891,7 @@ ORACLES = {
     "line_stats_by_lang": SQL_LINE_STATS,
     "decontaminated_docs_by_lang": SQL_DECONTAM,
     "curated_exact_by_lang": SQL_CURATED_EXACT,
+    "tfidf_top_terms_by_lang": SQL_TFIDF,
     # exact-by-construction at the driver's sf0.01 (r3): sparse HLL below
     # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
