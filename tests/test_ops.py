@@ -199,6 +199,19 @@ def test_semi_anti_join_matches_duckdb(ray_session, sf_dir):
         semi_anti_join(cust, orders, "c_custkey", "o_custkey", how="left")
 
 
+def test_line_stats_empty_batch():
+    """Fully-filtered (empty) batches must pass through with the typed
+    output schema — reduceat cannot take an empty slice list."""
+    import pyarrow as pa
+
+    from verdictray.text import with_line_stats
+
+    out = with_line_stats(pa.table({"text": pa.array([], pa.string())}))
+    assert len(out) == 0
+    assert out.schema.field("n_lines").type == pa.int64()
+    assert out.schema.field("dup_line_frac").type == pa.float64()
+
+
 def test_line_stats_kernel_exact():
     """with_line_stats vs a per-row Python re-derivation."""
     import pyarrow as pa

@@ -103,6 +103,10 @@ def with_line_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     the DuckDB oracle (SQL_LINE_STATS) reproduces it exactly."""
     import pandas as pd
 
+    if len(batch) == 0:  # reduceat needs ≥1 slice; emit typed empties
+        batch = batch.append_column("n_lines", pa.array([], pa.int64()))
+        batch = batch.append_column("dup_line_frac", pa.array([], pa.float64()))
+        return batch.append_column("mean_line_len", pa.array([], pa.float64()))
     lists = pc.split_pattern(batch[col], pattern="\n")
     lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(lists)

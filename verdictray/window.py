@@ -387,8 +387,11 @@ def rolling_range_agg(ds, key: str, ts_col: str, value_col: str, width_s: int,
         g = g.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
         g = g.drop(columns=["_bucket"])
         if not len(g):
+            sum_dt = (np.int64 if g[value_col].dtype.kind in "iu"
+                      else np.float64)
+            dtypes = {"sum": sum_dt, "mean": np.float64, "count": np.int64}
             for a in aggs:
-                g[f"rolling_{a}"] = np.array([], dtype=np.float64)
+                g[f"rolling_{a}"] = np.array([], dtype=dtypes[a])
             return g
         ts_np = g[ts_col].to_numpy()
         unit = np.datetime_data(ts_np.dtype)[0]
