@@ -279,6 +279,60 @@ class TestTDigest:
         assert rt.quantile(0.5) == t.quantile(0.5)
 
 
+# --------------------------------------------------------------- hashing
+class TestFixedWidthHashFastPath:
+    """hash_base's buffer-level SipHash path must be bit-identical to the
+    pandas object path for every layout — sketch placement, salting, join
+    bucketing and sampling all depend on one universal hash."""
+
+    def test_equal_across_widths_and_layouts(self):
+        import string
+
+        import pyarrow as pa
+
+        from verdictray.sketches.hashing import (_arrow_fixed_width_bytes,
+                                                 hash_base)
+
+        rng = np.random.default_rng(7)
+        for width in [1, 3, 7, 8, 9, 16, 17, 64]:
+            strs = ["".join(rng.choice(list(string.printable[:94]), width))
+                    for _ in range(257)]
+            arr = pa.array(strs, pa.string())
+            want = hash_base(np.array(strs, dtype=object))
+            assert np.array_equal(hash_base(arr), want), width
+            assert np.array_equal(hash_base(arr.slice(5, 101)), want[5:106])
+            chunked = pa.chunked_array([arr.slice(0, 50), arr.slice(50, 207)])
+            assert np.array_equal(hash_base(chunked), want), width
+            assert np.array_equal(hash_base(arr.cast(pa.large_string())), want)
+        # chunking inside the kernel is seam-free
+        big = pa.array([f"{i:064d}" for i in range(20_000)])
+        assert np.array_equal(
+            hash_base(big), hash_base(np.array(big.to_pylist(), dtype=object)))
+
+    def test_variable_width_and_nulls_fall_back(self):
+        import pyarrow as pa
+
+        from verdictray.sketches.hashing import (_arrow_fixed_width_bytes,
+                                                 hash_base)
+
+        var = pa.array(["ab", "abc", "a"])
+        assert _arrow_fixed_width_bytes(var) is None
+        assert np.array_equal(
+            hash_base(var), hash_base(np.array(["ab", "abc", "a"], dtype=object)))
+        withnull = pa.array(["aaaa", None, "bbbb"])
+        assert _arrow_fixed_width_bytes(withnull) is None
+
+    def test_binary_fixed_width(self):
+        import pyarrow as pa
+
+        from verdictray.sketches.hashing import hash_base
+
+        vals = [b"12345678", b"abcdefgh", b"\x00" * 8]
+        assert np.array_equal(
+            hash_base(pa.array(vals, pa.binary())),
+            hash_base(np.array(vals, dtype=object)))
+
+
 # ------------------------------------------------------------------ nulls
 class TestNullSemantics:
     """Sketch updates follow SQL aggregate semantics: NULLs are ignored."""

@@ -23,6 +23,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .pipeline import SketchJobSpec, fused_active, partial_blob_cols
 from .sketches import BloomFilter, CountMin, FusedHashSketch, HyperLogLog, KLL, TDigest
@@ -101,36 +102,48 @@ class SketchUpdater:
                 fields.append(("_salt", pa.int32()))
             fields += [(c, pa.binary()) for c in self._blob_cols]
             return pa.table({n: pa.array([], t) for n, t in fields})
-        keys = block[key_col].to_numpy(zero_copy_only=False)
-        order = np.argsort(keys, kind="stable")
-        sorted_keys = keys[order]
+        # group the block by key via dictionary codes: the argsort runs on
+        # int32 codes (no per-row Python key objects, ~10x faster compare)
+        # and key VALUES materialize once per distinct key, not per row
+        enc = pc.dictionary_encode(block[key_col].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        key_values = enc.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
         boundaries = np.flatnonzero(
-            np.concatenate([[True], sorted_keys[1:] != sorted_keys[:-1]])
+            np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
         )
-        # one Arrow→numpy conversion per needed column per batch; per-key
-        # slices are then cheap fancy-indexing (block.take per key would
-        # rebuild Arrow tables and re-convert inside every sketch update)
-        col_np = {
-            name: block[name].to_numpy(zero_copy_only=False)
-            for name in set(self._cols.values())
-        }
         # the three hash-sketches share one base hash of the item column,
-        # computed once per batch (they derive seeded variants internally)
+        # computed once per batch (they derive seeded variants internally).
+        # Hash from the ARROW column: fixed-width strings (sha256 hex) take
+        # the buffer-level SipHash fast path — no per-row Python objects
         from .sketches.hashing import derive64, hash_base
 
         hash_cols = {self._cols[k] for k in ("hll", "cms", "bloom")}
-        base_np = {name: hash_base(col_np[name]) for name in hash_cols}
+        base_np = {name: hash_base(block[name]) for name in hash_cols}
+        # one Arrow→numpy conversion per column needed as VALUES (the
+        # value sketches' numeric inputs; the hash column only when
+        # heavy-hitter candidates need representative values); per-key
+        # slices are then cheap fancy-indexing
+        value_cols = {c for k, c in self._cols.items()
+                      if k not in ("hll", "cms", "bloom")}
+        if self._spec.hh_capacity:
+            value_cols |= hash_cols
+        col_np = {
+            name: block[name].to_numpy(zero_copy_only=False)
+            for name in value_cols
+        }
         out_keys: list[str] = []
         out_salts: list[int] = []
         out_blobs: dict[str, list[bytes]] = {c: [] for c in self._blob_cols}
         for i, start in enumerate(boundaries):
-            end = boundaries[i + 1] if i + 1 < len(boundaries) else len(sorted_keys)
+            end = boundaries[i + 1] if i + 1 < len(boundaries) else len(sorted_codes)
             sel = order[start:end]
             if self._shard_mode:
-                self._emit_shards(sorted_keys[start], sel, col_np, base_np,
+                self._emit_shards(key_values[sorted_codes[start]], sel, col_np, base_np,
                                   out_keys, out_salts, out_blobs)
                 continue
-            out_keys.append(sorted_keys[start])
+            out_keys.append(key_values[sorted_codes[start]])
             # dedupe the item-hash slice ONCE; HLL/CMS/Bloom all consume the
             # unique set (duplicates cannot change any of them) — one sort
             # per key-slice instead of one per sketch
