@@ -3,6 +3,7 @@ deterministic sampling, anti-join, approx dedup filter, HLL intersection,
 as_aggregate extension hook, estimates write path, calibration flow."""
 
 import numpy as np
+import pandas.testing as pdt
 import pyarrow as pa
 import pytest
 
@@ -449,3 +450,106 @@ def test_with_regex_counts_flag_vs_count_semantics(ray_session):
     out = with_regex_counts(t, "s", {"n_aa": r"aa", "aa_flag": r"aa"})
     assert out["n_aa"].to_pylist() == [3, 0, 0]
     assert out["aa_flag"].to_pylist() == [1, 0, 0]
+
+
+def test_grouped_moments_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import grouped_moments
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    mine = (grouped_moments(ds, ["l_returnflag"], "l_quantity", ndigits=4)
+            .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    exact = duckdb.sql(
+        f"select l_returnflag, count(*) as n, round(avg(l_quantity),4) as mean_v, "
+        f"round(var_samp(l_quantity),4) as var_v, round(stddev_samp(l_quantity),4) as std_v, "
+        f"round(skewness(l_quantity),4) as skew_v, round(kurtosis(l_quantity),4) as kurt_v "
+        f"from '{sf_dir}/lineitem.parquet' group by 1 order by 1"
+    ).df()
+    pdt.assert_frame_equal(mine[exact.columns], exact, check_dtype=False)
+
+
+def test_grouped_moments_tiny_groups_null_not_crash(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import grouped_moments
+
+    # n=2: var defined, skew (needs n>=3) and kurt (n>=4) must be null
+    ds = rd.from_arrow(pa.table({"k": ["a", "a", "b", "b", "b", "b"],
+                                 "v": [1.0, 3.0, 1.0, 2.0, 4.0, 9.0]}))
+    out = grouped_moments(ds, ["k"], "v").to_pandas().set_index("k")
+    assert out.loc["a", "var_v"] == 2.0
+    assert np.isnan(out.loc["a", "skew_v"]) and np.isnan(out.loc["a", "kurt_v"])
+    assert np.isfinite(out.loc["b", "kurt_v"])
+
+
+def test_extrema_per_group_min_and_block_invariance(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import extrema_per_group
+
+    cols = ["event_type", "user_id", "event_id", "value"]
+    base = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    exact = duckdb.sql(
+        f"select event_type, user_id, event_id, value from ("
+        f"select *, row_number() over (partition by event_type "
+        f"order by value asc, user_id, event_id) rn from "
+        f"(select event_type, user_id, event_id, value from '{sf_dir}/events.parquet')) "
+        f"where rn = 1 order by event_type"
+    ).df()
+    for blocks in (1, 7):
+        ds = base.repartition(blocks)
+        mine = (extrema_per_group(ds, ["event_type"], "value",
+                                  ["user_id", "event_id"], mode="min")
+                .to_pandas().sort_values("event_type").reset_index(drop=True))
+        pdt.assert_frame_equal(mine[exact.columns], exact, check_dtype=False)
+
+
+def test_histogram_fixed_negative_values_floor(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import histogram_fixed
+
+    # floor (not truncation): -0.5 must land in bucket -1, not 0
+    ds = rd.from_arrow(pa.table({"v": [-0.5, -10.0, 0.0, 9.99, 10.0, 25.0]}))
+    out = histogram_fixed(ds, "v", width=10.0).to_pandas().set_index("bucket")
+    assert out.loc[-1, "n"] == 2 and out.loc[0, "n"] == 2 and out.loc[1, "n"] == 1
+    assert out.loc[2, "sum_value"] == 25.0
+    assert out.loc[-1, "bucket_lo"] == -10.0
+
+
+def test_hash_join_left_and_outer_match_duckdb(ray_session, sf_dir):
+    import duckdb
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from verdictray.join import hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    # halve the right side so unmatched LEFT rows exist; keep odd custkeys
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: b.filter(
+            _pc.equal(_pc.bit_wise_and(b["o_custkey"], 1), 1)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    sql_right = (f"(select o_orderkey, o_custkey, o_totalprice from "
+                 f"'{sf_dir}/orders.parquet' where o_custkey % 2 = 1)")
+    for how, sql_how in (("left", "left"), ("outer", "full outer")):
+        mine = hash_join(cust, orders, "c_custkey", "o_custkey",
+                         buckets=8, how=how).to_pandas()
+        exact = duckdb.sql(
+            f"select c_custkey, c_mktsegment, o_orderkey, o_custkey, o_totalprice "
+            f"from '{sf_dir}/customer.parquet' {sql_how} join {sql_right} o "
+            f"on c_custkey = o_custkey"
+        ).df()
+        assert len(mine) == len(exact), how
+        key = ["c_custkey", "o_orderkey"]
+        a = mine[exact.columns].sort_values(key).reset_index(drop=True)
+        b = exact.sort_values(key).reset_index(drop=True)
+        pdt.assert_frame_equal(a.astype("object").where(a.notna(), None),
+                               b.astype("object").where(b.notna(), None))

@@ -1784,6 +1784,78 @@ FROM documents GROUP BY lang
 """
 
 
+# ===================================================================
+# r3 session-2 additions: moments, argmax, histogram, outer join
+# ===================================================================
+def q_lineitem_dispersion(sf_dir: str):
+    """Exact grouped dispersion/shape stats (var/std/skew/kurtosis with
+    SQL bias corrections) via raw power sums — map-side combined, only
+    (key, 5 numbers) cross the shuffle."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return ops.grouped_moments(ds, ["l_returnflag"], "l_quantity", ndigits=4)
+
+
+SQL_LINEITEM_DISPERSION = """
+SELECT l_returnflag, count(*) AS n,
+       round(avg(l_quantity), 4)         AS mean_v,
+       round(var_samp(l_quantity), 4)    AS var_v,
+       round(stddev_samp(l_quantity), 4) AS std_v,
+       round(skewness(l_quantity), 4)    AS skew_v,
+       round(kurtosis(l_quantity), 4)    AS kurt_v
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_max_value_event_per_type(sf_dir: str):
+    """Exact argmax row per group (the full winning row, not just the max):
+    per-block top-1 combiner, then a bounded per-group pick."""
+    ds = _t(sf_dir, "events", ["event_type", "user_id", "event_id", "value"])
+    return ops.extrema_per_group(ds, ["event_type"], "value",
+                                 ["user_id", "event_id"], mode="max")
+
+
+SQL_MAX_VALUE_EVENT = """
+SELECT event_type, user_id, event_id, value FROM (
+  SELECT event_type, user_id, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, user_id, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_orders_price_histogram(sf_dir: str):
+    """Fixed-width histogram over order totals: derived bucket column +
+    one map-side-combined groupby (count + exact integer-cents sum)."""
+    ds = _t(sf_dir, "orders", ["o_totalprice"])
+    return ops.histogram_fixed(ds, "o_totalprice", width=50_000.0)
+
+
+SQL_ORDERS_PRICE_HISTOGRAM = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000.0 AS bucket_lo,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM orders GROUP BY 1
+"""
+
+
+def q_customer_order_rows(sf_dir: str):
+    """LEFT OUTER join materializing null-padded rows (customers with no
+    orders survive with null order columns) — the bucketed single-shuffle
+    hash_join with how='left'."""
+    from .join import hash_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return hash_join(cust, orders, "c_custkey", "o_custkey", how="left")
+
+
+SQL_CUSTOMER_ORDER_ROWS = """
+SELECT c_custkey, c_mktsegment, o_orderkey, o_custkey, o_totalprice
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -1845,6 +1917,10 @@ QUERIES = {
     "multimodal_features_by_lang": q_multimodal_features,
     "multimodal_frames_by_lang": q_multimodal_frames,
     "multimodal_resize_by_lang": q_multimodal_resize,
+    "lineitem_dispersion_by_flag": q_lineitem_dispersion,
+    "max_value_event_per_type": q_max_value_event_per_type,
+    "orders_price_histogram": q_orders_price_histogram,
+    "customer_order_rows": q_customer_order_rows,
 }
 
 ORACLES = {
@@ -1897,6 +1973,10 @@ ORACLES = {
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
     "hll_global_users": SQL_HLL_GLOBAL_USERS,
     "ann_topk": SQL_ANN_TOPK,
+    "lineitem_dispersion_by_flag": SQL_LINEITEM_DISPERSION,
+    "max_value_event_per_type": SQL_MAX_VALUE_EVENT,
+    "orders_price_histogram": SQL_ORDERS_PRICE_HISTOGRAM,
+    "customer_order_rows": SQL_CUSTOMER_ORDER_ROWS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py
