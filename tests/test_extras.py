@@ -600,3 +600,37 @@ class TestMultimodalStages:
         feats = decode_features(frames, concurrency=1).to_pandas()
         assert len(feats) == 8
         assert {"features", "n_bytes"} <= set(feats.columns)
+
+
+class TestEntropyVocab:
+    def test_token_entropy_known_answer(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from verdictray.text import token_entropy
+
+        # "a a b" per doc → counts a:4, b:2 → H = ln6 − (4ln4 + 2ln2)/6
+        ds = rd.from_arrow(pa.table({
+            "lang": ["py", "py"], "text": ["a a b", "b A a"]}))
+        out = token_entropy(ds, keep=("lang",)).to_pandas()
+        h = np.log(6) - (4 * np.log(4) + 2 * np.log(2)) / 6
+        assert out.loc[0, "total_tokens"] == 6
+        assert out.loc[0, "distinct_tokens"] == 2
+        assert abs(out.loc[0, "entropy"] - round(h, 4)) < 1e-9
+
+    def test_build_vocab_rank_min_count_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.text import build_vocab
+
+        ds = rd.from_arrow(pa.table({
+            "text": ["x x x y y z", "y x w", "q"]})).repartition(2)
+        out = build_vocab(ds, size=2, min_count=2).to_pandas()
+        # counts: x=4, y=3, z=1, w=1, q=1 → vocab [x, y]; z/w/q cut
+        assert list(out["token"]) == ["x", "y"]
+        assert list(out["token_id"]) == [1, 2]
+        assert list(out["cnt"]) == [4, 3]
+        # tie-break: equal counts rank alphabetically
+        ds2 = rd.from_arrow(pa.table({"text": ["b a", "a b"]}))
+        out2 = build_vocab(ds2, size=2, min_count=1).to_pandas()
+        assert list(out2["token"]) == ["a", "b"]

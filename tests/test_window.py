@@ -390,3 +390,39 @@ class TestConsecutiveGaps:
                                buckets=2).to_pandas()
         # one gap (a's pair), 2 s = 2000 ms ticks
         assert out["gap"].tolist() == [2000]
+
+
+class TestCumulativeAgg:
+    def test_matches_duckdb_running_total(self, ray_session, sf_dir):
+        import duckdb
+        import pandas.testing as pdt
+        import ray.data as rd
+
+        from verdictray.window import cumulative_agg
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+        def micros(b):
+            import pyarrow.compute as pc
+            v = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(1e6)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+            return b.drop_columns(["value"]).append_column("v", v)
+
+        for blocks in (1, 5):
+            out = cumulative_agg(
+                ds.map_batches(micros, batch_format="pyarrow",
+                               zero_copy_batch=True).repartition(blocks),
+                key="user_id", ts_col="ts", value_col="v",
+                tiebreak=["event_id"], buckets=8).to_pandas()
+            mine = (out[["event_id", "cum_sum", "row_idx"]]
+                    .sort_values("event_id").reset_index(drop=True))
+            exact = duckdb.sql(
+                f"select event_id, sum(CAST(round(value*1000000) AS BIGINT)) "
+                f"over w as cum_sum, CAST(row_number() over w AS BIGINT) as row_idx "
+                f"from '{sf_dir}/events.parquet' "
+                f"window w as (partition by user_id order by ts, event_id "
+                f"rows unbounded preceding) order by event_id"
+            ).df()
+            pdt.assert_frame_equal(mine, exact, check_dtype=False)

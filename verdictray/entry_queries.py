@@ -1856,6 +1856,98 @@ FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 """
 
 
+def q_events_cumulative(sf_dir: str):
+    """Running-total window (SUM ... ROWS UNBOUNDED PRECEDING + row_number)
+    per user: one hash-bucket shuffle, vectorized cumsum/cumcount per
+    bucket. Values go through exact integer micros on both sides so the
+    running sums are bit-stable (rolling_sum precedent)."""
+    from .window import cumulative_agg
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_micros(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], pa.scalar(1e6)), **_ROUND),
+                    pa.int64())
+        return b.drop_columns(["value"]).append_column("v_micros", v)
+
+    ds = ds.map_batches(to_micros, batch_format="pyarrow", zero_copy_batch=True)
+    out = cumulative_agg(ds, key="user_id", ts_col="ts",
+                         value_col="v_micros", tiebreak=["event_id"])
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "cum_value": pc.round(pc.divide(pc.cast(b["cum_sum"], pa.float64()),
+                                            pa.scalar(1e6)),
+                                  ndigits=4, **_ROUND),
+            "row_idx": pc.cast(b["row_idx"], pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_CUMULATIVE = """
+SELECT event_id,
+       round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0, 4)
+         AS cum_value,
+       CAST(row_number() OVER w AS BIGINT) AS row_idx
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def q_token_entropy_by_lang(sf_dir: str):
+    """Shannon entropy of each language's token distribution — exact, via
+    H = ln(S) − Σ c·ln c / S over per-(lang, token) counts; map-side
+    combined at both levels."""
+    from .text import token_entropy
+
+    return token_entropy(_t(sf_dir, "documents", ["lang", "text"]),
+                         text_col="text", keep=("lang",), ndigits=4)
+
+
+SQL_TOKEN_ENTROPY = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT lang, token, count(*) AS c FROM toks WHERE token <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS total_tokens,
+       count(*) AS distinct_tokens,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+FROM tc GROUP BY lang
+"""
+
+
+def q_vocab_top_terms(sf_dir: str):
+    """Frequency-ranked vocabulary build (token → contiguous id by count
+    desc, token asc) — bounded finalize over the ≤ size result only."""
+    from .text import build_vocab
+
+    return build_vocab(_t(sf_dir, "documents", ["text"]),
+                       text_col="text", size=200, min_count=2)
+
+
+SQL_VOCAB_TOP_TERMS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents
+), tc AS (
+  SELECT token, count(*) AS cnt FROM toks WHERE token <> ''
+  GROUP BY 1 HAVING count(*) >= 2
+), r AS (
+  SELECT token, CAST(cnt AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+           AS token_id
+  FROM tc
+)
+SELECT * FROM r WHERE token_id <= 200
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -1921,6 +2013,9 @@ QUERIES = {
     "max_value_event_per_type": q_max_value_event_per_type,
     "orders_price_histogram": q_orders_price_histogram,
     "customer_order_rows": q_customer_order_rows,
+    "events_cumulative_by_user": q_events_cumulative,
+    "token_entropy_by_lang": q_token_entropy_by_lang,
+    "vocab_top_terms": q_vocab_top_terms,
 }
 
 ORACLES = {
@@ -1977,6 +2072,9 @@ ORACLES = {
     "max_value_event_per_type": SQL_MAX_VALUE_EVENT,
     "orders_price_histogram": SQL_ORDERS_PRICE_HISTOGRAM,
     "customer_order_rows": SQL_CUSTOMER_ORDER_ROWS,
+    "events_cumulative_by_user": SQL_EVENTS_CUMULATIVE,
+    "token_entropy_by_lang": SQL_TOKEN_ENTROPY,
+    "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

@@ -213,3 +213,95 @@ def with_regex_counts(batch: pa.Table, col: str,
             vals = pc.cast(pc.count_substring_regex(batch[col], pat), pa.int64())
         batch = batch.append_column(name, vals)
     return batch
+
+
+# ------------------------------------------------------- token entropy
+def token_entropy(ds, text_col: str = "text",
+                  keep: tuple[str, ...] = ("lang",), ndigits: int = 4):
+    """Shannon entropy (nats) of each group's token distribution, plus
+    total/distinct token counts — a standard corpus-diversity diagnostic.
+    Computed exactly from the identity  H = ln(S) − Σ c·ln(c) / S  over
+    per-(group, token) counts c with S = Σ c, so no per-token probability
+    column ever materializes.
+
+    Distributed shape: token_counts pre-aggregates (group, token) per
+    batch inside map_batches (the shuffle carries distinct terms per
+    batch, not token occurrences); a second map-side-combined groupby over
+    the distinct-term table reduces to (group, 3 numbers). Float policy:
+    c·ln(c) sums are rounded on both sides (grouped_corr precedent)."""
+    from ray.data.aggregate import Count, Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return token_counts(batch, col=text_col, keep=keep)
+
+    per_term = (
+        ds.select_columns(list(keep) + [text_col])
+        .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(list(keep) + ["token"])
+        .aggregate(Sum("n", alias_name="c"))
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c"], dtype=np.float64)
+        cols = {k: b[k] for k in keep}
+        cols["c"] = b["c"]
+        cols["_clnc"] = pa.array(c * np.log(c), pa.float64())
+        return pa.table(cols)
+
+    agg = (per_term.map_batches(derive, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby(list(keep))
+           .aggregate(Count(alias_name="distinct_tokens"),
+                      Sum("c", alias_name="total_tokens"),
+                      Sum("_clnc", alias_name="_L")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["total_tokens"], dtype=np.float64)
+        ent = np.log(s) - np.asarray(b["_L"]) / s
+        out = {k: b[k] for k in keep}
+        out["total_tokens"] = pc.cast(b["total_tokens"], pa.int64())
+        out["distinct_tokens"] = b["distinct_tokens"]
+        out["entropy"] = pc.round(pa.array(ent, pa.float64()), ndigits=ndigits,
+                                  round_mode="half_towards_infinity")
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ vocabulary build
+def build_vocab(ds, text_col: str = "text", size: int = 1000,
+                min_count: int = 1):
+    """Frequency-ranked vocabulary: global token counts → the ``size``
+    most frequent tokens with count ≥ min_count, assigned contiguous ids
+    1..V by (count desc, token asc) — the table a tokenizer-training or
+    token-id-mapping stage consumes.
+
+    Distributed shape: per-batch token counts (map-side combine) → one
+    groupby(token) sum → distributed sort + limit(size). Only the id
+    assignment touches the driver, over the BOUNDED ≤ size result (the
+    same bounded-finalize policy as top-k); everything upstream streams."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        return token_counts(batch, col=text_col, keep=())
+
+    per_term = (
+        ds.select_columns([text_col])
+        .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="cnt"))
+    )
+
+    def keep_min(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["cnt"], pa.scalar(min_count)))
+
+    ranked = (per_term.map_batches(keep_min, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .sort(["cnt", "token"], descending=[True, False])
+              .limit(size))
+    small = ranked.to_pandas()  # bounded: ≤ size rows by construction
+    small["token_id"] = np.arange(1, len(small) + 1, dtype=np.int64)
+    small["cnt"] = small["cnt"].astype(np.int64)
+    return rd.from_pandas(small)

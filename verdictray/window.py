@@ -484,3 +484,43 @@ def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
 
         res = res.map_batches(rescale, batch_format="pyarrow", zero_copy_batch=True)
     return res
+
+
+# ---------------------------------------------------- cumulative aggregates
+def cumulative_agg(ds, key: str, ts_col: str, value_col: str,
+                   tiebreak: list[str] | None = None, buckets: int = 32):
+    """Running (cumulative) aggregate per key: for every row, the sum of
+    ``value_col`` and the 1-based row index over all rows of the same key
+    up to and including it, ordered by (ts, tiebreak...) — SQL
+    ``sum(v) OVER (PARTITION BY key ORDER BY ts, tie... ROWS UNBOUNDED
+    PRECEDING)`` and ``row_number() OVER (...)``. Pass an integer value
+    column (e.g. exact micros) for a bit-stable, order-independent result;
+    tiebreak columns must make the ordering unique per key.
+
+    Distributed shape: same as rolling_agg — ONE hash-bucket shuffle on
+    the key, then vectorized sort + groupby(key).cumsum()/cumcount() over
+    the whole bucket. Partitioning assumption: one key's rows fit a task.
+    Appends ``cum_sum`` and ``row_idx``."""
+    tiebreak = tiebreak or []
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch[key], seed=61) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    order = [key, ts_col] + tiebreak
+
+    def accumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        g = g.drop(columns=["_bucket"])
+        if len(g):
+            grp = g.groupby(key, sort=False)
+            g["cum_sum"] = grp[value_col].cumsum()
+            g["row_idx"] = grp.cumcount().to_numpy() + 1
+        else:
+            g["cum_sum"] = np.array([], dtype=np.float64)
+            g["row_idx"] = np.array([], dtype=np.int64)
+        return g
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(accumulate,
+                                                batch_format="pandas")
