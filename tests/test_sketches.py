@@ -8,6 +8,7 @@ parameter-edge tests (sparse→dense HLL promotion boundary, CMS sizing from
 import math
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from verdictray.sketches import (
@@ -523,3 +524,94 @@ class TestAdviceR2Fixes:
         out = up(empty)
         assert len(out) == 0
         assert out.schema.field("g").type == pa.int64()
+
+
+class TestMisraGries:
+    def _zipf(self, n=20000, mod=500, seed=7):
+        rng = np.random.default_rng(seed)
+        return rng.zipf(1.5, n) % mod
+
+    def test_exact_when_capacity_covers_domain(self):
+        from collections import Counter
+
+        from verdictray.sketches import MisraGries
+
+        data = self._zipf()
+        mg = MisraGries(k=1000)
+        for chunk in np.array_split(data, 7):
+            mg.update(chunk)
+        assert mg.decremented == 0
+        assert dict(mg.counters) == dict(Counter(data.tolist()))
+
+    def test_undercount_bound_and_heavy_hitter_guarantee(self):
+        from collections import Counter
+
+        from verdictray.sketches import MisraGries
+
+        data = self._zipf()
+        true = Counter(data.tolist())
+        mg = MisraGries(k=20)
+        mg.update(data)
+        # deterministic MG invariant: est in [f - n/(k+1), f]
+        assert mg.error_bound() <= mg.n // (mg.k + 1) + 1
+        for item, est in mg.counters.items():
+            assert est <= true[item]
+            assert true[item] - est <= mg.error_bound()
+        # any item with f > n/(k+1) must survive
+        thresh = mg.n / (mg.k + 1)
+        for item, f in true.items():
+            if f > thresh:
+                assert item in mg.counters, (item, f, thresh)
+
+    def test_merge_matches_single_pass_and_respects_bound(self):
+        from collections import Counter
+
+        from verdictray.sketches import MisraGries
+
+        data = self._zipf()
+        true = Counter(data.tolist())
+        parts = np.array_split(data, 5)
+        # two merge orders: left fold and pairwise tree
+        fold = MisraGries(k=24)
+        for p in parts:
+            s = MisraGries(k=24); s.update(p); fold.merge(s)
+        sks = []
+        for p in parts:
+            s = MisraGries(k=24); s.update(p); sks.append(s)
+        while len(sks) > 1:
+            a = sks.pop(0); b = sks.pop(0)
+            sks.append(a.merge(b))
+        tree = sks[0]
+        for sk in (fold, tree):
+            assert sk.n == len(data)
+            assert sk.error_bound() <= sk.n // (sk.k + 1) + 1
+            for item, est in sk.counters.items():
+                assert est <= true[item] <= est + sk.error_bound()
+
+    def test_serialization_roundtrip_int_and_str(self):
+        from verdictray.sketches import MisraGries, Sketch
+
+        mg = MisraGries(k=20)
+        mg.update(self._zipf())
+        rt = Sketch.from_bytes(mg.to_bytes())
+        assert (rt.counters, rt.n, rt.decremented, rt.k) == \
+            (mg.counters, mg.n, mg.decremented, mg.k)
+        ms = MisraGries(k=3)
+        ms.update(np.array(["a", "b", "a", "c", "d", "a", "b"]))
+        rts = Sketch.from_bytes(ms.to_bytes())
+        assert rts.counters == ms.counters and rts.n == ms.n
+
+    def test_as_aggregate_distributed_exact(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.sketches import MisraGries, Sketch
+        from verdictray.udaf import as_aggregate
+
+        vals = np.repeat(np.arange(30, dtype=np.int64), np.arange(1, 31))
+        ds = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+        row = ds.aggregate(as_aggregate(MisraGries, on="v",
+                                        alias_name="blob", output="blob",
+                                        k=64))
+        sk = Sketch.from_bytes(row["blob"])
+        assert sk.decremented == 0
+        assert sk.top_k(2) == [(29, 30), (28, 29)]

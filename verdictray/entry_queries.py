@@ -1948,6 +1948,36 @@ SELECT * FROM r WHERE token_id <= 200
 """
 
 
+def q_mg_top_users(sf_dir: str):
+    """Misra–Gries heavy hitters over user_id: deterministic
+    undercount-only counterpart of the CMS top-k (overcount-only). At
+    sf0.01 the user domain (~150) sits far below k=1024, so no decrement
+    ever fires and the counters are EXACT → SQL oracle (the same
+    exact-at-small-scale trick as the CMS/sparse-HLL oracles). The merged
+    summary is O(k); the top-20 finalize reads one blob."""
+    import pandas as pd
+
+    from .sketches import MisraGries, Sketch
+    from .udaf import as_aggregate
+
+    ds = _t(sf_dir, "events", ["user_id"])
+    row = ds.aggregate(as_aggregate(
+        MisraGries, on="user_id", alias_name="blob", output="blob", k=1024))
+    top = Sketch.from_bytes(row["blob"]).top_k(20)
+    return pd.DataFrame({
+        "user_id": pd.array([t[0] for t in top], dtype="int64"),
+        "n_events": pd.array([t[1] for t in top], dtype="int64"),
+    })
+
+
+SQL_MG_TOP_USERS = """
+SELECT user_id, n_events FROM (
+  SELECT user_id, count(*) AS n_events,
+         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY user_id) WHERE rn <= 20
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -2016,6 +2046,7 @@ QUERIES = {
     "events_cumulative_by_user": q_events_cumulative,
     "token_entropy_by_lang": q_token_entropy_by_lang,
     "vocab_top_terms": q_vocab_top_terms,
+    "mg_top_users": q_mg_top_users,
 }
 
 ORACLES = {
@@ -2075,6 +2106,7 @@ ORACLES = {
     "events_cumulative_by_user": SQL_EVENTS_CUMULATIVE,
     "token_entropy_by_lang": SQL_TOKEN_ENTROPY,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "mg_top_users": SQL_MG_TOP_USERS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

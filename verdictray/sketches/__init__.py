@@ -13,6 +13,7 @@ from .fused import FusedHashSketch
 from .hashing import hash64
 from .hll import HyperLogLog
 from .kll import KLL
+from .mg import MisraGries
 from .tdigest import TDigest
 
 SKETCH_TYPES = {
@@ -20,6 +21,7 @@ SKETCH_TYPES = {
     "cms": CountMin,
     "bloom": BloomFilter,
     "kll": KLL,
+    "mg": MisraGries,
     "tdigest": TDigest,
 }
 
@@ -30,6 +32,7 @@ __all__ = [
     "BloomFilter",
     "KLL",
     "TDigest",
+    "MisraGries",
     "hash64",
     "merge_sketches",
     "SKETCH_TYPES",
