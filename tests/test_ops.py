@@ -553,3 +553,39 @@ def test_hash_join_left_and_outer_match_duckdb(ray_session, sf_dir):
         b = exact.sort_values(key).reset_index(drop=True)
         pdt.assert_frame_equal(a.astype("object").where(a.notna(), None),
                                b.astype("object").where(b.notna(), None))
+
+
+def test_set_op_all_modes_match_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import set_op
+
+    la = pd.DataFrame({"k": ["a", "a", "b", "c", "c"], "v": [1, 1, 2, 3, 3]})
+    rb = pd.DataFrame({"k": ["b", "c", "d"], "v": [2, 9, 4]})
+    L = rd.from_pandas(la).repartition(2)
+    R = rd.from_pandas(rb).repartition(2)
+    duckdb.register("la", la)
+    duckdb.register("rb", rb)
+    for how, sql in (("intersect", "INTERSECT"), ("except_", "EXCEPT"),
+                     ("union", "UNION")):
+        mine = (set_op(L, R, ["k", "v"], how=how).to_pandas()
+                .sort_values(["k", "v"]).reset_index(drop=True))
+        exact = duckdb.sql(
+            f"SELECT k, v FROM la {sql} SELECT k, v FROM rb "
+            f"ORDER BY k, v").df()
+        assert mine.values.tolist() == exact.values.tolist(), how
+
+
+def test_grouped_quantiles_cont_interpolates(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import grouped_quantiles_cont
+
+    ds = rd.from_arrow(pa.table({"k": ["g"] * 5, "v": [0.0, 1.0, 2.0, 3.0, 4.0]}))
+    out = grouped_quantiles_cont(ds, ["k"], "v", [0.125, 0.5]).to_pandas()
+    out = out.set_index("phi")
+    # 0.125 of 4 intervals → 0.5 (between the 1st and 2nd order statistic)
+    assert out.loc[0.125, "est"] == 0.5
+    assert out.loc[0.5, "est"] == 2.0

@@ -1978,6 +1978,83 @@ SELECT user_id, n_events FROM (
 """
 
 
+def q_price_quantiles_cont(sf_dir: str):
+    """EXACT per-group CONTINUOUS (interpolated) quantiles — the
+    quantile_cont twin of price_quantiles_exact; rounded on both sides."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return ops.grouped_quantiles_cont(
+        ds, keys=["l_returnflag"], value_col="l_extendedprice",
+        phis=[0.01, 0.25, 0.5, 0.75, 0.99])
+
+
+SQL_PRICE_QUANTILES_CONT = """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, [0.01, 0.25, 0.5, 0.75, 0.99]) AS qs
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS phi,
+       round(unnest(qs), 4) AS est
+FROM q
+"""
+
+
+def q_users_click_no_purchase(sf_dir: str):
+    """Distributed EXCEPT DISTINCT (ops.set_op) at user-day granularity:
+    (user, day) pairs with a click but no purchase — presence flags
+    combined map-side, one shuffle, vectorized finish mask."""
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def only(event_type):
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], pa.scalar(event_type)))
+            return pa.table({
+                "user_id": b["user_id"],
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+            })
+        return fn
+
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    buys = ev.map_batches(only("purchase"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return ops.set_op(clicks, buys, ["user_id", "day"], how="except_")
+
+
+SQL_USERS_CLICK_NO_PURCHASE = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+def q_users_signup_and_error(sf_dir: str):
+    """Distributed INTERSECT DISTINCT (ops.set_op): users present in BOTH
+    the signup and error event streams."""
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def only(event_type):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], pa.scalar(event_type)))
+        return fn
+
+    signups = ev.map_batches(only("signup"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    errors = ev.map_batches(only("error"), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return ops.set_op(signups, errors, ["user_id"], how="intersect")
+
+
+SQL_USERS_SIGNUP_AND_ERROR = """
+SELECT user_id FROM events WHERE event_type = 'signup'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -2047,6 +2124,9 @@ QUERIES = {
     "token_entropy_by_lang": q_token_entropy_by_lang,
     "vocab_top_terms": q_vocab_top_terms,
     "mg_top_users": q_mg_top_users,
+    "price_quantiles_cont": q_price_quantiles_cont,
+    "users_click_no_purchase": q_users_click_no_purchase,
+    "users_signup_and_error": q_users_signup_and_error,
 }
 
 ORACLES = {
@@ -2107,6 +2187,9 @@ ORACLES = {
     "token_entropy_by_lang": SQL_TOKEN_ENTROPY,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "mg_top_users": SQL_MG_TOP_USERS,
+    "price_quantiles_cont": SQL_PRICE_QUANTILES_CONT,
+    "users_click_no_purchase": SQL_USERS_CLICK_NO_PURCHASE,
+    "users_signup_and_error": SQL_USERS_SIGNUP_AND_ERROR,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

@@ -511,3 +511,77 @@ def histogram_fixed(ds, value_col: str, width: float,
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- continuous (interpolated) quantiles
+def grouped_quantiles_cont(ds, keys: list[str], value_col: str,
+                           phis: list[float], out_col: str = "est",
+                           ndigits: int = 4):
+    """EXACT per-group CONTINUOUS quantiles with linear interpolation
+    between adjacent order statistics (SQL ``quantile_cont`` / numpy's
+    default ``linear`` method) — the interpolated twin of
+    grouped_quantiles_exact (inverted_cdf). Same distributed shape: one
+    groupby shuffle co-locates each group, one vectorized np.quantile for
+    ALL phis. Interpolation arithmetic is float → output rounded on both
+    sides (grouped_corr float policy)."""
+    phis_arr = np.asarray(sorted(phis), dtype=np.float64)
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.quantile(g[value_col].to_numpy(dtype=np.float64), phis_arr,
+                           method="linear")
+        out = {k: np.repeat(g[k].iloc[:1].to_numpy(), len(phis_arr))
+               for k in keys}
+        out["phi"] = phis_arr
+        out[out_col] = np.round(vals, ndigits)
+        return pd.DataFrame(out)
+
+    narrow = ds.select_columns(keys + [value_col])
+    return narrow.groupby(keys).map_groups(qtiles, batch_format="pandas")
+
+
+# --------------------------------------------------------------- set ops
+def set_op(left, right, columns: list[str], how: str):
+    """Distributed SQL set operations on row sets: ``intersect`` /
+    ``except_`` / ``union`` with DISTINCT semantics over ``columns``.
+
+    Shape: project both sides to the op columns, tag the source side with
+    a 0/1 presence flag, and run ONE map-side-combined groupby over the
+    full key (Max of each side's flag) — rows travel once, pre-aggregated
+    per batch, and the finish filter is a vectorized mask:
+      intersect: in_left AND in_right;  except_: in_left AND NOT in_right;
+      union: everything. No join, no pandas, no per-group tasks."""
+    from ray.data.aggregate import Max
+
+    if how not in ("intersect", "except_", "union"):
+        raise ValueError(f"how must be intersect/except_/union, got {how!r}")
+
+    def tag(side_left: bool):
+        lv, rv = (1, 0) if side_left else (0, 1)
+
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {c: b[c] for c in columns}
+            n = len(b)
+            cols["_l"] = pa.array(np.full(n, lv, dtype=np.int8))
+            cols["_r"] = pa.array(np.full(n, rv, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.select_columns(columns).map_batches(
+        tag(True), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns(columns).map_batches(
+        tag(False), batch_format="pyarrow", zero_copy_batch=True)
+    agg = (lt.union(rt).groupby(columns)
+           .aggregate(Max("_l", alias_name="_inl"),
+                      Max("_r", alias_name="_inr")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if how == "intersect":
+            mask = pc.and_(pc.equal(b["_inl"], 1), pc.equal(b["_inr"], 1))
+            b = b.filter(mask)
+        elif how == "except_":
+            mask = pc.and_(pc.equal(b["_inl"], 1), pc.equal(b["_inr"], 0))
+            b = b.filter(mask)
+        return b.select(columns)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
