@@ -589,3 +589,31 @@ def test_grouped_quantiles_cont_interpolates(ray_session):
     # 0.125 of 4 intervals → 0.5 (between the 1st and 2nd order statistic)
     assert out.loc[0.125, "est"] == 0.5
     assert out.loc[0.5, "est"] == 2.0
+
+
+def test_grouping_sets_matches_duckdb_rollup_and_cube(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import grouping_sets_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+    # explicit ROLLUP-shaped grouping sets (not the full cube)
+    mine = grouping_sets_counts(
+        ds, keys=["o_orderstatus", "o_orderpriority"],
+        sets=[["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        value_col="o_totalprice").to_pandas()
+    exact = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority, "
+        f"CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS BIGINT)"
+        f" AS grouping_id, count(*) AS n, "
+        f"sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS sum_value "
+        f"FROM '{sf_dir}/orders.parquet' "
+        f"GROUP BY ROLLUP (o_orderstatus, o_orderpriority)").df()
+    key = ["grouping_id", "o_orderstatus", "o_orderpriority"]
+    a = (mine[exact.columns].sort_values(key).reset_index(drop=True)
+         .astype("object"))
+    b = exact.sort_values(key).reset_index(drop=True).astype("object")
+    pdt.assert_frame_equal(a.where(a.notna(), None), b.where(b.notna(), None))

@@ -2055,6 +2055,26 @@ SELECT user_id FROM events WHERE event_type = 'error'
 """
 
 
+def q_orders_cube(sf_dir: str):
+    """Full CUBE over (status, priority) with SQL GROUPING() bitmask ids
+    and exact cents sums — ops.grouping_sets_counts, one shuffle, map-side
+    combined despite the 4× grouping-set replication."""
+    ds = _t(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return ops.grouping_sets_counts(
+        ds, keys=["o_orderstatus", "o_orderpriority"],
+        value_col="o_totalprice")
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS grouping_id,
+       count(*) AS n,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -2127,6 +2147,7 @@ QUERIES = {
     "price_quantiles_cont": q_price_quantiles_cont,
     "users_click_no_purchase": q_users_click_no_purchase,
     "users_signup_and_error": q_users_signup_and_error,
+    "orders_cube": q_orders_cube,
 }
 
 ORACLES = {
@@ -2190,6 +2211,7 @@ ORACLES = {
     "price_quantiles_cont": SQL_PRICE_QUANTILES_CONT,
     "users_click_no_purchase": SQL_USERS_CLICK_NO_PURCHASE,
     "users_signup_and_error": SQL_USERS_SIGNUP_AND_ERROR,
+    "orders_cube": SQL_ORDERS_CUBE,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

@@ -585,3 +585,81 @@ def set_op(left, right, columns: list[str], how: str):
         return b.select(columns)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- grouping sets / CUBE
+# NB: not NUL-framed — Ray's sort shuffle round-trips string keys through
+# numpy unicode arrays, which silently truncate TRAILING NULs
+_GS_SENTINEL = "\x01__ALL__\x01"
+
+
+def grouping_sets_counts(ds, keys: list[str], sets: list[list[str]] | None = None,
+                         value_col: str | None = None):
+    """GROUPING SETS / CUBE / ROLLUP in one distributed shape: every row is
+    replicated once per grouping set inside map_batches with the rolled-up
+    (absent) key columns masked to a sentinel, plus a ``grouping_id``
+    bitmask with the SQL ``GROUPING_ID`` convention — the FIRST listed key
+    is the most significant bit (bit |keys|−1−i set ⇔ keys[i] rolled up);
+    then ONE map-side-combined groupby over (keys..., grouping_id) computes
+    count (+ exact integer-cents sum of ``value_col`` if given), and the
+    finish pass converts sentinels back to nulls — the SQL CUBE output.
+
+    ``sets=None`` means the full CUBE (all 2^|keys| subsets). Replication
+    factor = |sets| on the map side, but Ray's built-in aggregates combine
+    per block before the shuffle, so the wire carries distinct key combos
+    per block, not rows. Keys must be string-typed (the sentinel lives in
+    the value domain; the control-char framing collides with no real category)."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Count, Sum
+
+    if sets is None:
+        sets = [list(c) for r in range(len(keys), -1, -1)
+                for c in combinations(keys, r)]
+    gids = [sum((1 << (len(keys) - 1 - i))
+                for i, k in enumerate(keys) if k not in s)
+            for s in sets]
+
+    def replicate(b: pa.Table) -> pa.Table:
+        pieces = []
+        for s, gid in zip(sets, gids):
+            cols = {}
+            for k in keys:
+                if k in s:
+                    cols[k] = b[k]
+                else:
+                    cols[k] = pa.array(
+                        np.full(len(b), _GS_SENTINEL, dtype=object),
+                        pa.string())
+            cols["grouping_id"] = pa.array(
+                np.full(len(b), gid, dtype=np.int64))
+            if value_col is not None:
+                cols["_cents"] = pc.cast(
+                    pc.round(pc.multiply(pc.cast(b[value_col], pa.float64()),
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"), pa.int64())
+            pieces.append(pa.table(cols))
+        return pa.concat_tables(pieces)
+
+    aggs = [Count(alias_name="n")]
+    if value_col is not None:
+        aggs.append(Sum("_cents", alias_name="_sc"))
+    agg = (ds.select_columns(keys + ([value_col] if value_col else []))
+           .map_batches(replicate, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(keys + ["grouping_id"])
+           .aggregate(*aggs))
+
+    def finish(b: pa.Table) -> pa.Table:
+        out = {}
+        for k in keys:
+            mask = pc.equal(b[k], pa.scalar(_GS_SENTINEL))
+            out[k] = pc.if_else(mask, pa.scalar(None, pa.string()), b[k])
+        out["grouping_id"] = b["grouping_id"]
+        out["n"] = b["n"]
+        if value_col is not None:
+            out["sum_value"] = pc.divide(pc.cast(b["_sc"], pa.float64()),
+                                         pa.scalar(100.0))
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
