@@ -634,3 +634,65 @@ class TestEntropyVocab:
         ds2 = rd.from_arrow(pa.table({"text": ["b a", "a b"]}))
         out2 = build_vocab(ds2, size=2, min_count=1).to_pandas()
         assert list(out2["token"]) == ["a", "b"]
+
+
+class TestEditDistJoin:
+    def test_levenshtein_leq_banded_matches_duckdb(self):
+        import duckdb
+        import numpy as np
+
+        from verdictray.dedup import levenshtein_leq
+
+        rng = np.random.default_rng(11)
+        alpha = list("abcde")
+        for _ in range(500):
+            a = "".join(rng.choice(alpha, rng.integers(0, 9)))
+            b = "".join(rng.choice(alpha, rng.integers(0, 9)))
+            true = duckdb.sql(f"select levenshtein('{a}','{b}')").fetchone()[0]
+            for d in (1, 2, 3):
+                assert levenshtein_leq(a, b, d) == (true if true <= d else None)
+
+    def test_pairs_exact_vs_bruteforce_d1_and_d2(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.dedup import editdist_neardup_pairs
+
+        # substitution, deletion, insertion, and far-apart strings
+        names = ["alpha", "alpho", "alph", "alphax", "beta", "betta",
+                 "gamma", "gamm", "delta", "zeta", "zzzzz"]
+        df = pd.DataFrame({"id": range(len(names)), "name": names})
+        ds = rd.from_pandas(df).repartition(3)
+        duckdb.register("names_t", df)
+        for d in (1, 2):
+            mine = (editdist_neardup_pairs(ds, "name", "id", max_dist=d)
+                    .to_pandas().sort_values(["id_a", "id_b"])
+                    .reset_index(drop=True))
+            exact = duckdb.sql(
+                f"select a.id as id_a, b.id as id_b, "
+                f"CAST(levenshtein(a.name, b.name) AS BIGINT) as dist "
+                f"from names_t a join names_t b on a.id < b.id "
+                f"and levenshtein(a.name, b.name) <= {d} "
+                f"order by id_a, id_b").df()
+            assert mine.values.tolist() == exact.values.tolist(), d
+
+    def test_overfull_bucket_dropped_and_logged(self, ray_session, tmp_path):
+        import json
+
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.dedup import editdist_neardup_pairs
+
+        # 10 identical strings: one variant bucket of size 10 > max_bucket
+        df = pd.DataFrame({"id": range(10), "name": ["same"] * 10})
+        ds = rd.from_pandas(df)
+        mdir = str(tmp_path / "m")
+        out = editdist_neardup_pairs(ds, "name", "id", max_dist=1,
+                                     max_bucket=5, metrics_dir=mdir
+                                     ).to_pandas()
+        assert len(out) == 0
+        recs = [json.loads(line) for p in __import__("pathlib").Path(mdir).glob("*.jsonl")
+                for line in open(p)]
+        assert any(r.get("algo") == "editdist" for r in recs)

@@ -76,6 +76,21 @@ def _rename_cols(ds, mapping: dict[str, str]):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _empty_pairs_if_schemaless(pairs):
+    """A zero-candidate pair Dataset (every bucket dropped/size-1) loses
+    its schema in the groupby→aggregate path, and hash_join needs one.
+    Materialize the pair set (it is ≪ corpus by LSH construction — and the
+    downstream joins would pull it fully anyway) and return a typed empty
+    (id_a, id_b) Dataset in the degenerate case, else the materialized set."""
+    import ray.data as rd
+
+    mat = pairs.materialize()
+    if mat.schema(fetch_if_missing=False) is None or mat.count() == 0:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64())})), True
+    return mat, False
+
+
 def _distinct_pairs(pairs, extra: str | None = None):
     """Distinct candidate pairs via ONE vectorized sort-based aggregate.
 
@@ -276,7 +291,15 @@ def _verify_pairs_join(ds, uniq_pairs, text_col, id_col, threshold, shingle_k,
     corpus streams through each join narrow (id + text only) and the pair
     set — already ≪ corpus by LSH construction — is the only thing carried
     across both."""
+    import ray.data as rd
+
     from .join import hash_join
+
+    uniq_pairs, no_candidates = _empty_pairs_if_schemaless(uniq_pairs)
+    if no_candidates:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64()),
+                                       "jaccard": pa.array([], pa.float64())}))
 
     corpus = ds.select_columns([id_col, text_col])
     corp_a = _rename_cols(corpus, {id_col: "_ja", text_col: "_text_a"})
@@ -743,3 +766,149 @@ def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
         })
 
     return j.map_batches(cosine_verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ edit distance
+def levenshtein_leq(a: str, b: str, d: int):
+    """Exact Levenshtein distance if ≤ d, else None — banded DP, O(len·d)
+    cells with an early exit when a whole band row exceeds d. The verify
+    kernel for editdist_neardup_pairs (strings there are short keys —
+    names/titles — so a per-pair scalar DP over the bounded candidate set
+    is the right cost shape; a vectorized batch DP would pay len_max² on
+    every pair)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > d:
+        return None
+    if a == b:
+        return 0
+    big = d + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [big] * (lb + 1)
+        cur[0] = i
+        lo = max(1, i - d)
+        hi = min(lb, i + d)
+        best = i if i <= d else big  # column 0 is in the band when i <= d
+        ai = a[i - 1]
+        for j in range(lo, hi + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            v = prev[j - 1] + cost
+            if prev[j] + 1 < v:
+                v = prev[j] + 1
+            if cur[j - 1] + 1 < v:
+                v = cur[j - 1] + 1
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > d:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= d else None
+
+
+def _deletion_variants(s: str, d: int) -> set:
+    """s plus every string reachable by ≤ d character deletions (the
+    SymSpell neighborhood): lev(a, b) ≤ d  ⇒  the two neighborhoods
+    intersect (delete the ≤ d differing alignment positions from each)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1:])
+        frontier = nxt - out
+        out |= nxt
+    return out
+
+
+def editdist_neardup_pairs(ds, text_col: str, id_col: str, max_dist: int = 1,
+                           max_bucket: int = 200, join_buckets: int = 16,
+                           metrics_dir: str | None = None):
+    """Edit-distance similarity join: pairs (id_a < id_b, dist ≤ max_dist)
+    by exact Levenshtein — SQL ``JOIN ON levenshtein(a, b) <= d`` without
+    the quadratic cross product.
+
+    Blocking is the SymSpell deletion neighborhood: each string emits its
+    ≤ max_dist-deletion variants as (variant_hash, id) rows — hashes only,
+    never the variant text, so the shuffle carries 16 B × (len·d choose d)
+    per row; any pair within distance d shares ≥ 1 variant bucket
+    (guaranteed candidate recall). Buckets over ``max_bucket`` are dropped
+    AND logged (the minhash/simhash observability contract). Candidates
+    dedupe via one vectorized aggregate, texts re-attach via two bucketed
+    hash joins, and the banded DP verifies inside the join tasks — nothing
+    driver-side. Intended for short key-like strings (names, titles,
+    paths); neighborhood size grows ~len^d, so document-length inputs
+    should block on a fingerprint instead (minhash path)."""
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+
+    def variant_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_pylist()
+        vs: list[str] = []
+        vids: list[int] = []
+        for t, i in zip(texts, ids):
+            for v in _deletion_variants(t or "", max_dist):
+                vs.append(v)
+                vids.append(i)
+        vh = hash64(pa.array(vs, pa.string()), seed=97).astype(np.int64)
+        return pa.table({"vh": pa.array(vh),
+                         id_col: pa.array(vids, pa.int64())})
+
+    variant_ds = ds.select_columns([id_col, text_col]).map_batches(
+        variant_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group[id_col].to_pylist()))
+        if len(ids) > max_bucket:
+            _log_dropped_bucket(metrics_dir, "editdist",
+                                (int(group["vh"][0].as_py()),),
+                                len(ids), max_bucket)
+        if len(ids) < 2 or len(ids) > max_bucket:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64())})
+
+    candidates = variant_ds.groupby("vh").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    uniq_pairs, no_candidates = _empty_pairs_if_schemaless(
+        _distinct_pairs(candidates))
+    if no_candidates:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                       "id_b": pa.array([], pa.int64()),
+                                       "dist": pa.array([], pa.int64())}))
+
+    from .join import hash_join
+
+    corpus = ds.select_columns([id_col, text_col])
+    corp_a = _rename_cols(corpus, {id_col: "_ja", text_col: "_text_a"})
+    corp_b = _rename_cols(corpus, {id_col: "_jb", text_col: "_text_b"})
+    j = hash_join(uniq_pairs, corp_a, "id_a", "_ja", buckets=join_buckets)
+    j = j.drop_columns(["_ja"])
+    j = hash_join(j, corp_b, "id_b", "_jb", buckets=join_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        keep_a, keep_b, dists = [], [], []
+        for a, b, ta, tb in zip(batch["id_a"].to_pylist(),
+                                batch["id_b"].to_pylist(),
+                                batch["_text_a"].to_pylist(),
+                                batch["_text_b"].to_pylist()):
+            dist = levenshtein_leq(ta or "", tb or "", max_dist)
+            if dist is not None:
+                keep_a.append(a)
+                keep_b.append(b)
+                dists.append(dist)
+        return pa.table({"id_a": pa.array(keep_a, pa.int64()),
+                         "id_b": pa.array(keep_b, pa.int64()),
+                         "dist": pa.array(dists, pa.int64())})
+
+    return j.map_batches(verify, batch_format="pyarrow")

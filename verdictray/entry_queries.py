@@ -2075,6 +2075,28 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_customer_name_editdist(sf_dir: str):
+    """Edit-distance similarity join (dedup.editdist_neardup_pairs):
+    customer-name pairs within Levenshtein 1 via SymSpell
+    deletion-neighborhood blocking (hash-only shuffle, guaranteed
+    candidate recall) + banded-DP verify inside bucketed joins. Exact, so
+    the quadratic SQL levenshtein join is the oracle."""
+    from .dedup import editdist_neardup_pairs
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist_neardup_pairs(ds, "c_name", "c_custkey", max_dist=1,
+                                  max_bucket=500)
+
+
+SQL_CUSTOMER_NAME_EDITDIST = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -2148,6 +2170,7 @@ QUERIES = {
     "users_click_no_purchase": q_users_click_no_purchase,
     "users_signup_and_error": q_users_signup_and_error,
     "orders_cube": q_orders_cube,
+    "customer_name_editdist": q_customer_name_editdist,
 }
 
 ORACLES = {
@@ -2212,6 +2235,7 @@ ORACLES = {
     "users_click_no_purchase": SQL_USERS_CLICK_NO_PURCHASE,
     "users_signup_and_error": SQL_USERS_SIGNUP_AND_ERROR,
     "orders_cube": SQL_ORDERS_CUBE,
+    "customer_name_editdist": SQL_CUSTOMER_NAME_EDITDIST,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py
