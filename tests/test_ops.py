@@ -617,3 +617,47 @@ def test_grouping_sets_matches_duckdb_rollup_and_cube(ray_session, sf_dir):
          .astype("object"))
     b = exact.sort_values(key).reset_index(drop=True).astype("object")
     pdt.assert_frame_equal(a.where(a.notna(), None), b.where(b.notna(), None))
+
+
+def test_profile_numeric_matches_pandas_and_rounds_half_away(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import profile_numeric
+
+    df = pd.DataFrame({
+        "a": [2.0, 3.0, None, 1.0],       # mean 2.0, one null
+        "b": [1.5, 1.5, 2.5, 2.5],        # 2 distinct
+    })
+    out = (profile_numeric(rd.from_pandas(df).repartition(2), ["a", "b"])
+           .to_pandas().set_index("column"))
+    assert out.loc["a", "n"] == 4 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    assert (out.loc["a", "min_v"], out.loc["a", "max_v"]) == (1.0, 3.0)
+    assert out.loc["a", "mean_v"] == 2.0
+    assert out.loc["b", "n_null"] == 0 and out.loc["b", "n_distinct"] == 2
+    # half-away-from-zero rounding (SQL), not banker's: mean([2,3])=2.5
+    out0 = (profile_numeric(rd.from_pandas(pd.DataFrame({"x": [2.0, 3.0]})),
+                            ["x"], ndigits=0).to_pandas())
+    assert out0.loc[0, "mean_v"] == 3.0
+
+
+def test_profile_numeric_matches_duckdb_on_lineitem(ray_session, sf_dir):
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.ops import profile_numeric
+
+    cols = ["l_quantity", "l_extendedprice"]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    mine = (profile_numeric(ds, cols).to_pandas()
+            .sort_values("column").reset_index(drop=True))
+    exact = duckdb.sql(" union all ".join(
+        f"select '{c}' as \"column\", CAST(count(*) AS BIGINT) n, "
+        f"CAST(sum(case when {c} is null then 1 else 0 end) AS BIGINT) n_null, "
+        f"CAST(count(distinct {c}) AS BIGINT) n_distinct, "
+        f"round(min({c}),4) min_v, round(max({c}),4) max_v, "
+        f"round(avg({c}),4) mean_v from '{sf_dir}/lineitem.parquet'"
+        for c in cols)).df().sort_values("column").reset_index(drop=True)
+    pdt.assert_frame_equal(mine, exact, check_dtype=False)

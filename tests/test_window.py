@@ -426,3 +426,56 @@ class TestCumulativeAgg:
                 f"rows unbounded preceding) order by event_id"
             ).df()
             pdt.assert_frame_equal(mine, exact, check_dtype=False)
+
+
+class TestFunnelCounts:
+    def test_strict_order_semantics(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.window import funnel_counts
+
+        t0 = pd.Timestamp("2024-01-01")
+        s = pd.Timedelta(seconds=1)
+        rows = [
+            # u1: full ordered funnel
+            ("u1", t0, "signup"), ("u1", t0 + s, "click"),
+            ("u1", t0 + 2 * s, "purchase"),
+            # u2: click BEFORE signup -> stops at signup
+            ("u2", t0 + s, "signup"), ("u2", t0, "click"),
+            ("u2", t0 + 2 * s, "purchase"),
+            # u3: signup+click, no purchase
+            ("u3", t0, "signup"), ("u3", t0 + s, "click"),
+            # u4: purchase only -> never entered the funnel
+            ("u4", t0, "purchase"),
+            # u5: click at SAME ts as signup -> strict '>' excludes
+            ("u5", t0, "signup"), ("u5", t0, "click"),
+        ]
+        ds = rd.from_pandas(pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_type"])).repartition(3)
+        out = funnel_counts(ds, "user_id", "ts", "event_type",
+                            stages=["signup", "click", "purchase"]).to_pandas()
+        assert out["stage"].tolist() == ["signup", "click", "purchase"]
+        assert out["n_users"].tolist() == [4, 2, 1]
+
+    def test_matches_duckdb_on_sf_events(self, ray_session, sf_dir):
+        import duckdb
+
+        import ray.data as rd
+
+        from verdictray.window import funnel_counts
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        out = funnel_counts(ds, "user_id", "ts", "event_type",
+                            stages=["signup", "click", "purchase"]).to_pandas()
+        exact = duckdb.sql(
+            f"with m as (select user_id, "
+            f"min(case when event_type='signup' then ts end) t0, "
+            f"min(case when event_type='click' then ts end) t1, "
+            f"min(case when event_type='purchase' then ts end) t2 "
+            f"from '{sf_dir}/events.parquet' group by user_id) "
+            f"select count(t0) n0, sum(case when t1>t0 then 1 else 0 end) n1, "
+            f"sum(case when t1>t0 and t2>t1 then 1 else 0 end) n2 from m"
+        ).fetchone()
+        assert out["n_users"].tolist() == [int(x) for x in exact]

@@ -2097,6 +2097,62 @@ FROM customer a JOIN customer b
 """
 
 
+def q_signup_funnel(sf_dir: str):
+    """Ordered conversion funnel (window.funnel_counts): users whose first
+    signup < first click < first purchase, per prefix — two
+    map-side-combined aggregates, O(1) driver result."""
+    from .window import funnel_counts
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         stages=["signup", "click", "purchase"])
+
+
+SQL_SIGNUP_FUNNEL = """
+WITH m AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id)
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'signup',
+   (SELECT CAST(count(t0) AS BIGINT) FROM m)),
+  (CAST(1 AS BIGINT), 'click',
+   (SELECT CAST(sum(CASE WHEN t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) FROM m)),
+  (CAST(2 AS BIGINT), 'purchase',
+   (SELECT CAST(sum(CASE WHEN t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END)
+                AS BIGINT) FROM m))
+) AS f(stage_idx, stage, n_users)
+"""
+
+
+def q_lineitem_profile(sf_dir: str):
+    """Table profiling (ops.profile_numeric): per-column
+    n/nulls/distinct/min/max/mean in one streaming pass — the describe()
+    surface, exact, long format."""
+    return ops.profile_numeric(
+        _t(sf_dir, "lineitem",
+           ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+        cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _profile_sql_one(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+       round(min({col}), 4) AS min_v, round(max({col}), 4) AS max_v,
+       round(avg({col}), 4) AS mean_v
+FROM lineitem"""
+
+
+SQL_LINEITEM_PROFILE = " UNION ALL ".join(
+    _profile_sql_one(c)
+    for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -2171,6 +2227,8 @@ QUERIES = {
     "users_signup_and_error": q_users_signup_and_error,
     "orders_cube": q_orders_cube,
     "customer_name_editdist": q_customer_name_editdist,
+    "signup_funnel": q_signup_funnel,
+    "lineitem_profile": q_lineitem_profile,
 }
 
 ORACLES = {
@@ -2236,6 +2294,8 @@ ORACLES = {
     "users_signup_and_error": SQL_USERS_SIGNUP_AND_ERROR,
     "orders_cube": SQL_ORDERS_CUBE,
     "customer_name_editdist": SQL_CUSTOMER_NAME_EDITDIST,
+    "signup_funnel": SQL_SIGNUP_FUNNEL,
+    "lineitem_profile": SQL_LINEITEM_PROFILE,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

@@ -663,3 +663,67 @@ def grouping_sets_counts(ds, keys: list[str], sets: list[list[str]] | None = Non
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ table profiling
+def profile_numeric(ds, cols: list[str], ndigits: int = 4):
+    """Data-profiling summary of numeric columns in long format: one row
+    per column with (n, n_null, n_distinct, min_v, max_v, mean_v) — the
+    ``describe()`` surface a pipeline author runs before trusting a new
+    table.
+
+    ONE streaming pass: per-batch derived is-null ints + built-in
+    Count/Sum/Min/Max + the 8-byte-hash ExactDistinct UDAF for every
+    column, all combined map-side in a single global aggregate; the
+    reshape to long format touches only the O(|cols|) result row."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .udaf import ExactDistinct
+
+    def derive(b: pa.Table) -> pa.Table:
+        out = {c: pc.cast(b[c], pa.float64()) for c in cols}
+        for c in cols:
+            out[f"_null_{c}"] = pc.cast(pc.is_null(b[c]), pa.int64())
+        return pa.table(out)
+
+    aggs = [Count(alias_name="_n")]
+    for c in cols:
+        aggs += [
+            Sum(f"_null_{c}", alias_name=f"_nn_{c}"),
+            Min(c, alias_name=f"_min_{c}"),
+            Max(c, alias_name=f"_max_{c}"),
+            Sum(c, alias_name=f"_sum_{c}"),
+            ExactDistinct(c, alias_name=f"_nd_{c}"),
+        ]
+    row = (ds.select_columns(cols)
+           .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+           .aggregate(*aggs))
+
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    def _round_half_away(x: float) -> float:
+        # SQL round() is half-away-from-zero on the scaled double; Python's
+        # round() is banker's (25.40225 → .4022 vs DuckDB .4023).
+        scale = 10.0 ** ndigits
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+    n = int(row["_n"])
+    recs = []
+    for c in cols:
+        nn = int(row[f"_nn_{c}"] or 0)
+        valid = n - nn
+        recs.append({
+            "column": c, "n": n, "n_null": nn,
+            "n_distinct": int(row[f"_nd_{c}"]),
+            "min_v": _round_half_away(float(row[f"_min_{c}"])),
+            "max_v": _round_half_away(float(row[f"_max_{c}"])),
+            "mean_v": _round_half_away(float(row[f"_sum_{c}"]) / valid)
+            if valid else None,
+        })
+    df = pd.DataFrame(recs)
+    for ic in ("n", "n_null", "n_distinct"):
+        df[ic] = df[ic].astype("int64")
+    return rd.from_pandas(df)

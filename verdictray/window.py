@@ -524,3 +524,58 @@ def cumulative_agg(ds, key: str, ts_col: str, value_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(accumulate,
                                                 batch_format="pandas")
+
+
+# ----------------------------------------------------------- funnel analysis
+def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
+                  stages: list[str]):
+    """Ordered-funnel analysis: for each prefix of ``stages``, how many
+    users performed every stage in strict temporal order (first occurrence
+    of stage i strictly after the first occurrence of stage i−1) — the SQL
+    min(CASE WHEN type=s THEN ts END)-per-user + chained-comparison shape.
+
+    Distributed: first-occurrence timestamps per (user, stage) via one
+    map-side-combined groupby of conditional-null Min aggregates (ts as
+    int64 ticks; nulls skipped by Min); prefix flags derive vectorized per
+    batch; one global Sum per stage collapses to |stages| numbers. The
+    per-user table never leaves the cluster and the final row is O(1)."""
+    from ray.data.aggregate import Min, Sum
+
+    import pandas as pd
+    import ray.data as rd
+
+    def derive(b: pa.Table) -> pa.Table:
+        ticks = pc.cast(b[ts_col], pa.int64())
+        cols = {user_col: b[user_col]}
+        for i, s in enumerate(stages):
+            cols[f"_ts{i}"] = pc.if_else(
+                pc.equal(b[type_col], pa.scalar(s)), ticks,
+                pa.scalar(None, pa.int64()))
+        return pa.table(cols)
+
+    per_user = (
+        ds.select_columns([user_col, ts_col, type_col])
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(user_col)
+        .aggregate(*[Min(f"_ts{i}", alias_name=f"_m{i}")
+                     for i in range(len(stages))])
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        reached = pc.is_valid(b["_m0"])
+        out = {"_f0": pc.cast(reached, pa.int64())}
+        for i in range(1, len(stages)):
+            step = pc.greater(b[f"_m{i}"], b[f"_m{i-1}"])
+            step = pc.fill_null(step, False)
+            reached = pc.and_(reached, step)
+            out[f"_f{i}"] = pc.cast(reached, pa.int64())
+        return pa.table(out)
+
+    row = per_user.map_batches(flags, batch_format="pyarrow").aggregate(
+        *[Sum(f"_f{i}", alias_name=f"n{i}") for i in range(len(stages))])
+    return rd.from_pandas(pd.DataFrame({
+        "stage_idx": pd.array(range(len(stages)), dtype="int64"),
+        "stage": stages,
+        "n_users": pd.array([int(row[f"n{i}"] or 0)
+                             for i in range(len(stages))], dtype="int64"),
+    }))
