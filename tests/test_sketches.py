@@ -615,3 +615,97 @@ class TestMisraGries:
         sk = Sketch.from_bytes(row["blob"])
         assert sk.decremented == 0
         assert sk.top_k(2) == [(29, 30), (28, 29)]
+
+
+class TestKMV:
+    def test_exact_below_saturation(self):
+        from verdictray.sketches import KMV
+
+        sk = KMV(k=1024)
+        sk.update(np.arange(500))
+        sk.update(np.arange(250, 600))  # overlapping second batch
+        assert not sk.saturated and sk.theta == 1.0
+        assert sk.estimate() == 600.0
+
+    def test_estimator_within_3sigma_when_saturated(self):
+        from verdictray.sketches import KMV
+
+        rng = np.random.default_rng(7)
+        bound = 3 / np.sqrt(2046)
+        for trial in range(6):
+            vals = np.unique(rng.integers(0, 1 << 60, 200_000))
+            sk = KMV(k=2048, seed=trial)
+            for chunk in np.array_split(vals, 7):
+                sk.update(chunk)
+            assert abs(sk.estimate() / len(vals) - 1) < bound, trial
+
+    def test_set_ops_match_exact_within_sampling_error(self):
+        from verdictray.sketches import KMV
+
+        rng = np.random.default_rng(3)
+        a = np.unique(rng.integers(0, 1 << 50, 300_000))
+        b = np.unique(np.concatenate(
+            [a[:120_000], rng.integers(1 << 50, 1 << 51, 200_000)]))
+        ka, kb = KMV(k=4096), KMV(k=4096)
+        ka.update(a)
+        kb.update(b)
+        inter = len(np.intersect1d(a, b))
+        diff = len(np.setdiff1d(a, b))
+        uni = len(np.union1d(a, b))
+        # theta-framework sampling error: generous 5/sqrt(k) envelope
+        tol = 5 / np.sqrt(4096)
+        assert abs(ka.intersection(kb) / inter - 1) < tol
+        assert abs(ka.difference(kb) / diff - 1) < tol
+        assert abs(ka.union_estimate(kb) / uni - 1) < tol
+
+    def test_set_ops_exact_when_unsaturated(self):
+        from verdictray.sketches import KMV
+
+        a = KMV(k=8192)
+        b = KMV(k=8192)
+        a.update(np.arange(0, 3000))
+        b.update(np.arange(2000, 5000))
+        assert a.intersection(b) == 1000.0
+        assert a.difference(b) == 2000.0
+        assert b.difference(a) == 2000.0
+        assert a.union_estimate(b) == 5000.0
+
+    def test_merge_split_invariant_byte_identical(self):
+        from verdictray.sketches import KMV, Sketch
+
+        data = np.random.default_rng(9).integers(0, 1 << 40, 50_000)
+        one = KMV(k=256)
+        one.update(data)
+        parts = []
+        for chunk in np.array_split(data, 11):
+            s = KMV(k=256)
+            s.update(chunk)
+            parts.append(s)
+        # tree merge order
+        while len(parts) > 1:
+            parts.append(parts.pop(0).merge(parts.pop(0)))
+        assert parts[0].to_bytes() == one.to_bytes()
+        rt = Sketch.from_bytes(one.to_bytes())
+        assert isinstance(rt, KMV)
+        assert rt.estimate() == one.estimate()
+        assert rt.to_bytes() == one.to_bytes()
+
+    def test_incompatible_merge_raises(self):
+        import pytest as _pytest
+
+        from verdictray.sketches import KMV
+
+        a, b, c = KMV(k=64), KMV(k=128), KMV(k=64, seed=5)
+        with _pytest.raises(ValueError):
+            a.merge(b)
+        with _pytest.raises(ValueError):
+            a.intersection(c)
+
+    def test_null_and_string_updates(self):
+        import pyarrow as _pa
+
+        from verdictray.sketches import KMV
+
+        sk = KMV(k=512)
+        sk.update(_pa.array(["a", "b", None, "a", "c"]))
+        assert sk.estimate() == 3.0

@@ -2153,6 +2153,69 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_kmv_set_cardinalities(sf_dir: str):
+    """Theta-framework set-operation cardinalities (sketches/kmv.py) over
+    (user, day) activity sets: |click ∩ purchase|, both differences, and
+    |click ∪ purchase| — the set-op surface HLL's inclusion–exclusion
+    intersection can't answer with bounded error. ONE map-side-combined
+    groupby builds a bounded O(k) KMV blob per event type; the four set
+    ops read two blobs on the driver. At sf0.01 the (user, day) domain
+    (~5k) sits far below k=65536, so every sketch is UNSATURATED and the
+    estimates are exact → SQL oracle (the sparse-HLL/CMS/MG trick)."""
+    import pandas as pd
+
+    from .sketches import KMV, Sketch
+    from .udaf import as_aggregate
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["event_type"],
+                        value_set=pa.array(["click", "purchase"]))
+        b = b.filter(mask)
+        key = pc.binary_join_element_wise(
+            pc.cast(b["user_id"], pa.string()), pa.scalar("|"),
+            pc.strftime(b["ts"], format="%Y-%m-%d"), pa.scalar(""))
+        return pa.table({"event_type": b["event_type"], "key": key})
+
+    rows = (ev.map_batches(derive, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(as_aggregate(KMV, on="key", alias_name="blob",
+                                    output="blob", k=65536))
+            .take_all())
+    sk = {r["event_type"]: Sketch.from_bytes(r["blob"]) for r in rows}
+    c, p = sk["click"], sk["purchase"]
+    out = [
+        ("click_and_purchase", c.intersection(p)),
+        ("click_not_purchase", c.difference(p)),
+        ("purchase_not_click", p.difference(c)),
+        ("click_or_purchase", c.union_estimate(p)),
+    ]
+    return pd.DataFrame({
+        "op": [t[0] for t in out],
+        "n_keys": pd.array([int(round(t[1])) for t in out], dtype="int64"),
+    })
+
+
+SQL_KMV_SET_CARDINALITIES = """
+WITH c AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+           FROM events WHERE event_type = 'purchase')
+SELECT * FROM (VALUES
+  ('click_and_purchase', (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT * FROM c INTERSECT SELECT * FROM p))),
+  ('click_not_purchase', (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT * FROM c EXCEPT SELECT * FROM p))),
+  ('purchase_not_click', (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT * FROM p EXCEPT SELECT * FROM c))),
+  ('click_or_purchase', (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT * FROM c UNION SELECT * FROM p)))
+) AS t(op, n_keys)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -2229,6 +2292,7 @@ QUERIES = {
     "customer_name_editdist": q_customer_name_editdist,
     "signup_funnel": q_signup_funnel,
     "lineitem_profile": q_lineitem_profile,
+    "kmv_set_cardinalities": q_kmv_set_cardinalities,
 }
 
 ORACLES = {
@@ -2296,6 +2360,7 @@ ORACLES = {
     "customer_name_editdist": SQL_CUSTOMER_NAME_EDITDIST,
     "signup_funnel": SQL_SIGNUP_FUNNEL,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
+    "kmv_set_cardinalities": SQL_KMV_SET_CARDINALITIES,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py
