@@ -696,3 +696,48 @@ class TestEditDistJoin:
         recs = [json.loads(line) for p in __import__("pathlib").Path(mdir).glob("*.jsonl")
                 for line in open(p)]
         assert any(r.get("algo") == "editdist" for r in recs)
+
+
+class TestRedaction:
+    def test_rules_fire_in_order_and_counts(self, ray_session):
+        from verdictray.text import redact_text
+
+        b = pa.table({"t": [
+            "mail bob.smith+x@corp.example.com from 10.0.3.7 "
+            "call +1-415-555-0199 ref 12345",
+            "no pii here",
+            "a@b.io and c@d.org",
+            "+4930123456789 twice +4930123456789",
+        ]})
+        out = redact_text(b, "t", count=True)
+        assert out["t_redacted"].to_pylist() == [
+            "mail <EMAIL> from <IP> call <PHONE> ref <NUM>",
+            "no pii here",
+            "<EMAIL> and <EMAIL>",
+            "<PHONE> twice <PHONE>",
+        ]
+        assert out["n_email"].to_pylist() == [1, 0, 2, 0]
+        assert out["n_ipv4"].to_pylist() == [1, 0, 0, 0]
+        assert out["n_phone"].to_pylist() == [1, 0, 0, 2]
+        # the number fallback only counts digits earlier rules left behind
+        assert out["n_number"].to_pylist() == [1, 0, 0, 0]
+
+    def test_matches_duckdb_regexp_replace_chain_fuzz(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from verdictray.text import PII_RULES, redact_text
+
+        rng = np.random.default_rng(4)
+        frags = ["x", "9", ".", "@", "a@b.co", "1.2.3.4", "+12345678901",
+                 " ", "u7@e.io", "256.1.1.1", "..", "@@", "7.8"]
+        texts = ["".join(rng.choice(frags, rng.integers(1, 12)))
+                 for _ in range(300)]
+        mine = redact_text(pa.table({"t": texts}), "t")["t_redacted"].to_pylist()
+        expr = "t"
+        for _, pat, repl in PII_RULES:
+            expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        duckdb.register("fuzz_t", __import__("pandas").DataFrame({"t": texts}))
+        exact = [r[0] for r in
+                 duckdb.sql(f"select {expr} from fuzz_t").fetchall()]
+        assert mine == exact

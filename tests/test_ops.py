@@ -661,3 +661,31 @@ def test_profile_numeric_matches_duckdb_on_lineitem(ray_session, sf_dir):
         f"round(avg({c}),4) mean_v from '{sf_dir}/lineitem.parquet'"
         for c in cols)).df().sort_values("column").reset_index(drop=True)
     pdt.assert_frame_equal(mine, exact, check_dtype=False)
+
+
+def test_fit_transform_scaler_zscore_and_minmax(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import fit_scaler, transform_scaled
+
+    x = np.array([1.0, 2.0, 3.0, 4.0, 10.0])
+    df = pd.DataFrame({"x": x, "flat": [7.0] * 5, "holey": [1.0, None, 3.0, None, 5.0]})
+    ds = rd.from_pandas(df).repartition(3)
+    stats = fit_scaler(ds, ["x", "flat", "holey"])
+    assert stats["x"]["n"] == 5
+    assert abs(stats["x"]["mean"] - x.mean()) < 1e-12
+    assert abs(stats["x"]["std"] - x.std()) < 1e-9  # population std
+    assert stats["holey"]["n"] == 3 and stats["holey"]["mean"] == 3.0
+
+    z = (transform_scaled(ds, stats, ["x"], method="zscore", suffix="_z")
+         .to_pandas().sort_values("x"))
+    np.testing.assert_allclose(z["x_z"].to_numpy(),
+                               (np.sort(x) - x.mean()) / x.std(), rtol=1e-12)
+    mm = (transform_scaled(ds, stats, ["x", "flat"], method="minmax")
+          .to_pandas().sort_values("x"))
+    np.testing.assert_allclose(mm["x_scaled"].to_numpy(),
+                               (np.sort(x) - 1.0) / 9.0, rtol=1e-12)
+    # degenerate column (max == min) scales to null, never a zero-division
+    assert mm["flat_scaled"].isna().all()

@@ -2153,6 +2153,113 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_pii_redaction_stats(sf_dir: str):
+    """PII scrubbing (text.redact_text): mask emails / IPv4s / numbers with
+    ordered global RE2 replaces, counting what each rule redacted. The
+    test tables carry no real PII, so the log line is derived
+    deterministically from integer columns on BOTH sides (engine and
+    oracle) — the oracle then verifies the exact replacement semantics,
+    not a no-op. Vectorized end-to-end; one count shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    from .text import redact_text
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def derive(b: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            pa.scalar("u"), pc.cast(b["user_id"], pa.string()),
+            pa.scalar("@example.com from 10.0."),
+            pc.cast(pc.bit_wise_and(b["user_id"], pa.scalar(255, pa.int64())),
+                    pa.string()),
+            pa.scalar("."),
+            pc.cast(pc.bit_wise_and(b["event_id"], pa.scalar(255, pa.int64())),
+                    pa.string()),
+            pa.scalar(""))
+        return pa.table({"event_type": b["event_type"], "line": line})
+
+    red = (ev.map_batches(derive, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .map_batches(lambda b: redact_text(b, "line", count=True),
+                        batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["event_type", "line_redacted"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("n_email", alias_name="emails"),
+                      Sum("n_ipv4", alias_name="ips"),
+                      Sum("n_number", alias_name="numbers")))
+    return red
+
+
+SQL_PII_REDACTION_STATS = """
+WITH l AS (
+  SELECT event_type,
+         'u' || CAST(user_id AS VARCHAR) || '@example.com from 10.0.' ||
+         CAST(user_id % 256 AS VARCHAR) || '.' ||
+         CAST(event_id % 256 AS VARCHAR) AS line
+  FROM events)
+SELECT event_type,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(line,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\+\\d[\\d().-]{7,}\\d', '<PHONE>', 'g'),
+    '\\d+', '<NUM>', 'g') AS line_redacted,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(len(regexp_extract_all(line,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+    AS emails,
+  CAST(sum(len(regexp_extract_all(regexp_replace(line,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS ips,
+  CAST(sum(len(regexp_extract_all(regexp_replace(regexpreplace2.r,
+    '\\+\\d[\\d().-]{7,}\\d', '<PHONE>', 'g'), '\\d+'))) AS BIGINT)
+    AS numbers
+FROM l, LATERAL (SELECT regexp_replace(regexp_replace(line,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS r)
+    AS regexpreplace2
+GROUP BY event_type, line_redacted
+"""
+
+
+def q_lineitem_zscore_by_flag(sf_dir: str):
+    """ML-preprocessing fit/transform (ops.fit_scaler + transform_scaled):
+    global z-score stats fitted in one aggregate pass, applied as a
+    vectorized batch transform (stats ride the closure — O(1) broadcast),
+    then a grouped summary of the scaled columns. Oracle re-derives
+    (x − μ)/σ_pop in SQL."""
+    cols = ["l_extendedprice", "l_quantity"]
+    ds = _t(sf_dir, "lineitem", ["l_returnflag"] + cols)
+    stats = ops.fit_scaler(ds, cols)
+    scaled = ops.transform_scaled(ds, stats, cols, method="zscore",
+                                  suffix="_z")
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    out = (scaled.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"),
+        Mean("l_extendedprice_z", alias_name="z_price_mean"),
+        Min("l_extendedprice_z", alias_name="z_price_min"),
+        Max("l_extendedprice_z", alias_name="z_price_max"),
+        Mean("l_quantity_z", alias_name="z_qty_mean"),
+    ))
+    return out.map_batches(_round_cols(
+        {c: 4 for c in ["z_price_mean", "z_price_min", "z_price_max",
+                        "z_qty_mean"]}), batch_format="pyarrow")
+
+
+SQL_LINEITEM_ZSCORE_BY_FLAG = """
+WITH s AS (
+  SELECT avg(l_extendedprice) mp, stddev_pop(l_extendedprice) sp,
+         avg(l_quantity) mq, stddev_pop(l_quantity) sq
+  FROM lineitem)
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(avg((l_extendedprice - mp) / sp), 4) AS z_price_mean,
+       round(min((l_extendedprice - mp) / sp), 4) AS z_price_min,
+       round(max((l_extendedprice - mp) / sp), 4) AS z_price_max,
+       round(avg((l_quantity - mq) / sq), 4) AS z_qty_mean
+FROM lineitem, s GROUP BY l_returnflag
+"""
+
+
 def q_kmv_set_cardinalities(sf_dir: str):
     """Theta-framework set-operation cardinalities (sketches/kmv.py) over
     (user, day) activity sets: |click ∩ purchase|, both differences, and
@@ -2293,6 +2400,8 @@ QUERIES = {
     "signup_funnel": q_signup_funnel,
     "lineitem_profile": q_lineitem_profile,
     "kmv_set_cardinalities": q_kmv_set_cardinalities,
+    "lineitem_zscore_by_flag": q_lineitem_zscore_by_flag,
+    "pii_redaction_stats": q_pii_redaction_stats,
 }
 
 ORACLES = {
@@ -2361,6 +2470,8 @@ ORACLES = {
     "signup_funnel": SQL_SIGNUP_FUNNEL,
     "lineitem_profile": SQL_LINEITEM_PROFILE,
     "kmv_set_cardinalities": SQL_KMV_SET_CARDINALITIES,
+    "lineitem_zscore_by_flag": SQL_LINEITEM_ZSCORE_BY_FLAG,
+    "pii_redaction_stats": SQL_PII_REDACTION_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

@@ -727,3 +727,82 @@ def profile_numeric(ds, cols: list[str], ndigits: int = 4):
     for ic in ("n", "n_null", "n_distinct"):
         df[ic] = df[ic].astype("int64")
     return rd.from_pandas(df)
+
+
+# --------------------------------------------------------- feature scaling
+def fit_scaler(ds, cols: list[str]) -> dict:
+    """Fit global scaling statistics (mean, population std, min, max,
+    valid-count) for each column in ONE map-side-combined aggregate pass —
+    the fit half of the classic ML fit/transform preprocessing pair. The
+    result is an O(|cols|) dict meant to be captured by the transform
+    closure (a broadcast constant, never re-shipped per batch)."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def derive(b: pa.Table) -> pa.Table:
+        out = {}
+        for c in cols:
+            x = pc.cast(b[c], pa.float64())
+            out[c] = x
+            out[f"_sq_{c}"] = pc.multiply(x, x)
+            out[f"_v_{c}"] = pc.cast(pc.is_valid(x), pa.int64())
+        return pa.table(out)
+
+    aggs = []
+    for c in cols:
+        aggs += [Sum(c, alias_name=f"_s_{c}"),
+                 Sum(f"_sq_{c}", alias_name=f"_ss_{c}"),
+                 Sum(f"_v_{c}", alias_name=f"_n_{c}"),
+                 Min(c, alias_name=f"_min_{c}"),
+                 Max(c, alias_name=f"_max_{c}")]
+    row = (ds.select_columns(cols)
+           .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+           .aggregate(*aggs))
+    stats = {}
+    for c in cols:
+        n = int(row[f"_n_{c}"] or 0)
+        if n == 0:
+            stats[c] = {"n": 0, "mean": None, "std": None,
+                        "min": None, "max": None}
+            continue
+        mean = float(row[f"_s_{c}"]) / n
+        var = max(float(row[f"_ss_{c}"]) / n - mean * mean, 0.0)
+        stats[c] = {"n": n, "mean": mean, "std": math.sqrt(var),
+                    "min": float(row[f"_min_{c}"]),
+                    "max": float(row[f"_max_{c}"])}
+    return stats
+
+
+def transform_scaled(ds, stats: dict, cols: list[str],
+                     method: str = "zscore", suffix: str = "_scaled"):
+    """Apply fitted scaling statistics: ``zscore`` → (x − μ)/σ, ``minmax``
+    → (x − min)/(max − min). Appends ``<col><suffix>`` float64 columns;
+    vectorized Arrow kernels per batch, stats ride in the task closure
+    (O(|cols|) floats — cheaper than any broadcast machinery). Degenerate
+    columns (σ=0 or max=min) scale to null, matching SQL x/0 → null."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown scaling method {method!r}")
+    plan = {}
+    for c in cols:
+        s = stats[c]
+        if method == "zscore":
+            center, spread = s["mean"], s["std"]
+        else:
+            center = s["min"]
+            spread = (s["max"] - s["min"]) if s["min"] is not None else None
+        plan[c] = (center, spread if spread else None)
+
+    def scale(b: pa.Table) -> pa.Table:
+        for c in cols:
+            center, spread = plan[c]
+            if center is None or spread is None:
+                col = pa.nulls(len(b), pa.float64())
+            else:
+                x = pc.cast(b[c], pa.float64())
+                col = pc.divide(pc.subtract(x, pa.scalar(center)),
+                                pa.scalar(spread))
+            b = b.append_column(f"{c}{suffix}", col)
+        return b
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)

@@ -305,3 +305,41 @@ def build_vocab(ds, text_col: str = "text", size: int = 1000,
     small["token_id"] = np.arange(1, len(small) + 1, dtype=np.int64)
     small["cnt"] = small["cnt"].astype(np.int64)
     return rd.from_pandas(small)
+
+
+# ------------------------------------------------------------- PII redaction
+# Ordered RE2 rules: specific → general, so '<EMAIL>'/'<IP>' fire before the
+# bare-number fallback eats their digits. RE2 is the shared engine of
+# pyarrow.compute's *_substring_regex kernels AND DuckDB's regexp_replace,
+# so a SQL oracle can reproduce the exact same replacements.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d().-]{7,}\d", "<PHONE>"),
+    ("number", r"\d+", "<NUM>"),
+]
+
+
+def redact_text(batch: pa.Table, col: str,
+                rules: list[tuple[str, str, str]] | None = None,
+                out_col: str | None = None,
+                count: bool = False) -> pa.Table:
+    """Mask PII-shaped substrings (training-data scrubbing): apply each
+    ``(name, RE2 pattern, replacement)`` rule in order with a global
+    vectorized replace. ``count=True`` additionally appends one int64
+    ``n_<name>`` column per rule with the number of replacements that rule
+    made in each row (counted BEFORE its replacement runs, AFTER all
+    earlier rules — i.e. what the rule actually redacted). Pure batch
+    transform; compose via ``ds.map_batches(partial(redact_text, ...))``."""
+    rules = PII_RULES if rules is None else rules
+    text = batch[col]
+    counts = {}
+    for name, pat, repl in rules:
+        if count:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64())
+        text = pc.replace_substring_regex(text, pat, repl)
+    batch = batch.append_column(out_col or f"{col}_redacted", text)
+    for cname, vals in counts.items():
+        batch = batch.append_column(cname, vals)
+    return batch
