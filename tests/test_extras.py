@@ -741,3 +741,50 @@ class TestRedaction:
         exact = [r[0] for r in
                  duckdb.sql(f"select {expr} from fuzz_t").fetchall()]
         assert mine == exact
+
+
+class TestPackSequences:
+    def _packed(self, ray_session, n=2000, budget=128, buckets=8, parts=5,
+                seed=2):
+        import pandas as pd
+        import ray.data as rd
+
+        from verdictray.curate import pack_sequences
+
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "n_tokens": rng.integers(1, 200, n).astype(np.int64),
+        })
+        ds = rd.from_pandas(df).repartition(parts)
+        out = pack_sequences(ds, budget=budget, buckets=buckets).to_pandas()
+        return df, out, budget
+
+    def test_every_doc_exactly_once_and_budget_respected(self, ray_session):
+        df, out, budget = self._packed(ray_session)
+        assert sorted(out["doc_id"]) == sorted(df["doc_id"])
+        merged = out.merge(df, on="doc_id", suffixes=("", "_true"))
+        assert (merged["n_tokens"] == merged["n_tokens_true"]).all()
+        sums = out.groupby("pack_id").agg(
+            tot=("n_tokens", "sum"), n=("doc_id", "size"),
+            over=("oversize", "any"))
+        # oversize docs (> budget) sit alone in their own flagged pack
+        assert (sums.loc[sums["over"], "n"] == 1).all()
+        assert (sums.loc[~sums["over"], "tot"] <= budget).all()
+        assert (out["oversize"] == (out["n_tokens"] > budget)).to_numpy().all()
+
+    def test_deterministic_under_block_layout(self, ray_session):
+        _, a, _ = self._packed(ray_session, parts=1)
+        _, b, _ = self._packed(ray_session, parts=11)
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_ffd_pack_count_near_optimal(self, ray_session):
+        df, out, budget = self._packed(ray_session, n=5000, buckets=8)
+        n_packs = out["pack_id"].nunique()
+        over = df["n_tokens"] > budget  # forced single-doc packs
+        rest = int(df.loc[~over, "n_tokens"].sum())
+        lower = int(over.sum()) + -(-rest // budget)  # ceil on packable mass
+        # FFD ≤ 11/9·OPT + 1 per bucket; cross-bucket waste ≤ 1 bin/bucket
+        assert lower <= n_packs <= int(over.sum() + -(-rest // budget) * 11 / 9) + 2 * 8

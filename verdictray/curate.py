@@ -25,6 +25,7 @@ No reference implementation exists (/root/reference is empty — SURVEY.md §0).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -69,3 +70,64 @@ def curate_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
                                 verify_mode="join", join_buckets=join_buckets)
     return drop_neardups(exact, pairs, id_col=id_col,
                          join_buckets=join_buckets)
+
+
+# ----------------------------------------------------------- sequence packing
+def pack_sequences(ds, budget: int, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens", buckets: int = 64):
+    """Pack documents into training sequences of at most ``budget`` tokens
+    (LLM sample packing): first-fit-decreasing within deterministic hash
+    buckets, so packing parallelizes bucket-per-task and the assignment is
+    invariant to block layout. Returns (id, n_tokens, pack_id, oversize)
+    rows — every input doc exactly once; every pack's total ≤ budget
+    except single-doc ``oversize`` packs for docs longer than the budget
+    (flagged, never silently truncated).
+
+    Scale shape: ONE hash shuffle of (id, n_tokens) — 16 B/doc, text never
+    travels; the packer is a per-bucket greedy (bin packing is inherently
+    sequential, but each doc's step is one vectorized capacity scan, and
+    bucket count × bucket size is tunable). FFD guarantees ≤ 11/9·OPT + 1
+    bins per bucket (Johnson 1973); cross-bucket waste is bounded by one
+    partial bin per bucket — at 100 TB, buckets ≫ cores keeps every core
+    busy and the waste fraction ~buckets·budget/total_tokens ≈ 0.
+
+    pack_id = bucket·2^32 + local index: globally unique without any
+    cross-bucket coordination."""
+    from .sketches.hashing import hash64
+
+    def tag(b: pa.Table) -> pa.Table:
+        bucket = (hash64(b[id_col], seed=31) % np.uint64(buckets)).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            tokens_col: pc.cast(b[tokens_col], pa.int64()),
+            "_bucket": pa.array(bucket),
+        })
+
+    def pack(group: pa.Table) -> pa.Table:
+        bucket = int(group["_bucket"][0].as_py())
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        toks = group[tokens_col].to_numpy(zero_copy_only=False)
+        # decreasing tokens, id tiebreak → deterministic under any layout
+        order = np.lexsort((ids, -toks))
+        ids, toks = ids[order], toks[order]
+        pack_local = np.empty(len(ids), dtype=np.int64)
+        remaining = np.empty(0, dtype=np.int64)  # open bins, index = local id
+        for i, t in enumerate(toks):
+            fit = np.nonzero(remaining >= t)[0]
+            if len(fit):
+                j = int(fit[0])  # first fit
+                remaining[j] -= t
+            else:
+                j = len(remaining)
+                remaining = np.append(remaining, max(budget - t, 0))
+            pack_local[i] = j
+        base = bucket << 32
+        return pa.table({
+            id_col: pa.array(ids),
+            tokens_col: pa.array(toks),
+            "pack_id": pa.array(pack_local + base),
+            "oversize": pa.array(toks > budget),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(pack, batch_format="pyarrow")

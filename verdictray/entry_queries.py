@@ -2153,6 +2153,46 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_packed_docs_stats(sf_dir: str):
+    """LLM sample packing (curate.pack_sequences): pack documents into
+    ≤512-token training sequences with bucketed first-fit-decreasing, then
+    summarize. Bin packing is stateful-greedy, not SQL-expressible →
+    rows-only; assignment invariants (exactly-once, budget cap,
+    layout-determinism, FFD bound) are asserted in
+    tests/test_extras.py::TestPackSequences."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .curate import pack_sequences
+    from .text import with_token_count
+
+    budget = 512
+    ds = (_t(sf_dir, "documents", ["doc_id", "text"])
+          .map_batches(lambda b: with_token_count(b, "text"),
+                       batch_format="pyarrow", zero_copy_batch=True)
+          .select_columns(["doc_id", "n_tokens"]))
+    packed = pack_sequences(ds, budget=budget, buckets=16)
+    row = packed.aggregate(
+        Count(alias_name="n_docs"),
+        ExactDistinct("pack_id", alias_name="n_packs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Sum("oversize", alias_name="n_oversize"),
+        Max("n_tokens", alias_name="max_doc_tokens"),
+    )
+    n_packs = int(row["n_packs"])
+    return pd.DataFrame({
+        "n_docs": pd.array([int(row["n_docs"])], dtype="int64"),
+        "n_packs": pd.array([n_packs], dtype="int64"),
+        "total_tokens": pd.array([int(row["total_tokens"])], dtype="int64"),
+        "n_oversize": pd.array([int(row["n_oversize"] or 0)], dtype="int64"),
+        "max_doc_tokens": pd.array([int(row["max_doc_tokens"])],
+                                   dtype="int64"),
+        "utilization": [round(int(row["total_tokens"])
+                              / (n_packs * budget), 4)],
+    })
+
+
 def q_pii_redaction_stats(sf_dir: str):
     """PII scrubbing (text.redact_text): mask emails / IPv4s / numbers with
     ordered global RE2 replaces, counting what each rule redacted. The
@@ -2402,6 +2442,7 @@ QUERIES = {
     "kmv_set_cardinalities": q_kmv_set_cardinalities,
     "lineitem_zscore_by_flag": q_lineitem_zscore_by_flag,
     "pii_redaction_stats": q_pii_redaction_stats,
+    "packed_docs_stats": q_packed_docs_stats,
 }
 
 ORACLES = {
