@@ -689,3 +689,39 @@ def test_fit_transform_scaler_zscore_and_minmax(ray_session):
                                (np.sort(x) - 1.0) / 9.0, rtol=1e-12)
     # degenerate column (max == min) scales to null, never a zero-division
     assert mm["flat_scaled"].isna().all()
+
+
+def test_sample_weighted_per_group_bias_and_block_invariance(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import sample_weighted_per_group
+
+    # 100 groups; in each, doc 0 has weight 10000 vs 1 for the other 19 —
+    # E-S inclusion prob for the heavy item is ~1, so it must appear in
+    # nearly every group's sample (statistical property, deterministic
+    # under the sha-derived uniforms)
+    rows = []
+    for g in range(100):
+        for i in range(20):
+            rows.append((f"g{g}", g * 100 + i, 10_000.0 if i == 0 else 1.0))
+    df = pd.DataFrame(rows, columns=["grp", "id", "w"])
+    ds = rd.from_pandas(df).repartition(7)
+    out = sample_weighted_per_group(ds, "grp", "id", "w", k=3).to_pandas()
+    assert (out.groupby("grp").size() == 3).all()
+    heavy_hits = (out["id"] % 100 == 0).sum()
+    assert heavy_hits >= 95, heavy_hits
+
+    # block-layout invariance: same rows regardless of partitioning
+    out1 = (sample_weighted_per_group(rd.from_pandas(df), "grp", "id", "w",
+                                      k=3).to_pandas()
+            .sort_values(["grp", "id"]).reset_index(drop=True))
+    out7 = out.sort_values(["grp", "id"]).reset_index(drop=True)
+    assert out1.equals(out7)
+
+    # zero/null weights are never sampled
+    df2 = pd.DataFrame({"grp": ["a"] * 4, "id": [1, 2, 3, 4],
+                        "w": [0.0, None, -1.0, 5.0]})
+    out2 = sample_weighted_per_group(rd.from_pandas(df2), "grp", "id", "w",
+                                     k=10).to_pandas()
+    assert out2["id"].tolist() == [4]

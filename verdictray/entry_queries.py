@@ -2153,6 +2153,28 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_weighted_docs_sample(sf_dir: str):
+    """Weighted sample without replacement (ops.sample_weighted_per_group,
+    Efraimidis–Spirakis): 5 docs per lang with inclusion probability ∝
+    n_chars; the uniform comes from sha256(doc_id) so the SQL oracle
+    reproduces the EXACT row set (pow-key order re-derived verbatim)."""
+    ds = _t(sf_dir, "documents", ["lang", "doc_id", "n_chars"])
+    return ops.sample_weighted_per_group(ds, key="lang", id_col="doc_id",
+                                         weight_col="n_chars", k=5)
+
+
+SQL_WEIGHTED_DOCS_SAMPLE = """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY pow(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13)
+                      AS BIGINT) / 4503599627370496.0,
+              1.0 / n_chars) DESC, doc_id) AS rn
+  FROM documents WHERE n_chars > 0)
+WHERE rn <= 5
+"""
+
+
 def q_packed_docs_stats(sf_dir: str):
     """LLM sample packing (curate.pack_sequences): pack documents into
     ≤512-token training sequences with bucketed first-fit-decreasing, then
@@ -2443,6 +2465,7 @@ QUERIES = {
     "lineitem_zscore_by_flag": q_lineitem_zscore_by_flag,
     "pii_redaction_stats": q_pii_redaction_stats,
     "packed_docs_stats": q_packed_docs_stats,
+    "weighted_docs_sample": q_weighted_docs_sample,
 }
 
 ORACLES = {
@@ -2513,6 +2536,7 @@ ORACLES = {
     "kmv_set_cardinalities": SQL_KMV_SET_CARDINALITIES,
     "lineitem_zscore_by_flag": SQL_LINEITEM_ZSCORE_BY_FLAG,
     "pii_redaction_stats": SQL_PII_REDACTION_STATS,
+    "weighted_docs_sample": SQL_WEIGHTED_DOCS_SAMPLE,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

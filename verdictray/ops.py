@@ -806,3 +806,68 @@ def transform_scaled(ds, stats: dict, cols: list[str],
         return b
 
     return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- weighted sampling (E-S A-Res)
+def _sha_uniform(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Engine-portable uniform in [0, 1): the first 13 hex digits (52 bits
+    — exactly a float64 mantissa) of sha256(id-as-string), over 16^13.
+    Any engine reproduces it: DuckDB spells the identical value as
+    ``CAST('0x' || substr(sha256(CAST(id AS VARCHAR)), 1, 13) AS BIGINT)
+    / 4503599627370496.0``. The hex→int parse is vectorized over the
+    fixed-width (n, 64) byte view of the hex column."""
+    from .sketches.hashing import _arrow_fixed_width_bytes
+
+    if not (pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type)):
+        ids = pc.cast(ids, pa.string())
+    hexes = sha256_hex_column(ids)
+    if isinstance(hexes, pa.ChunkedArray):
+        hexes = hexes.combine_chunks()
+    mat = _arrow_fixed_width_bytes(hexes)[:, :13].astype(np.uint64)
+    # ASCII hex digit -> value: '0'-'9' minus 48, 'a'-'f' minus 87
+    vals = mat - np.uint64(48) - np.uint64(39) * (mat >= np.uint64(97))
+    out = np.zeros(len(vals), dtype=np.uint64)
+    for i in range(13):
+        out = (out << np.uint64(4)) | vals[:, i]
+    return out.astype(np.float64) / float(1 << 52)
+
+
+def sample_weighted_per_group(ds, key: str, id_col: str, weight_col: str,
+                              k: int):
+    """Weighted sample WITHOUT replacement, k rows per group, inclusion
+    probability proportional to weight (Efraimidis–Spirakis A-Res, IPL
+    2006): each row draws key u^(1/w) from a uniform u and the k LARGEST
+    keys win. u comes from sha256(id) (_sha_uniform), so membership is a
+    pure row function — engine-portable (the oracle re-derives the exact
+    row set in SQL), reshard/resume-stable, and mergeable: top-k by key is
+    an associative combiner, applied map-side per batch BEFORE the
+    shuffle, so only ~k · groups · blocks narrow rows travel. Rows with
+    null or non-positive weight are excluded (they have probability 0)."""
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        w = pc.cast(b[weight_col], pa.float64())
+        mask = pc.fill_null(pc.greater(w, pa.scalar(0.0)), False)
+        b = pa.table({key: b[key], id_col: b[id_col],
+                      "_w": w}).filter(mask)
+        if len(b) == 0:
+            return pa.table({key: b[key], id_col: b[id_col],
+                             "_key": pa.array([], pa.float64())})
+        u = _sha_uniform(b[id_col])
+        es = np.power(u, 1.0 / b["_w"].to_numpy(zero_copy_only=False))
+        t = pa.table({key: b[key], id_col: b[id_col], "_key": pa.array(es)})
+        df = t.to_pandas()
+        df = df.sort_values([key, "_key", id_col], kind="mergesort",
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby(key, sort=False).head(k),
+                                    preserve_index=False)
+
+    def group_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_key", id_col], kind="mergesort",
+                          ascending=[False, True]).head(k)
+        return g[[key, id_col]]
+
+    return (ds.select_columns([key, id_col, weight_col])
+            .map_batches(local_topk, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(key)
+            .map_groups(group_topk, batch_format="pandas"))
