@@ -725,3 +725,49 @@ def test_sample_weighted_per_group_bias_and_block_invariance(ray_session):
     out2 = sample_weighted_per_group(rd.from_pandas(df2), "grp", "id", "w",
                                      k=10).to_pandas()
     assert out2["id"].tolist() == [4]
+
+
+def test_split_by_hash_disjoint_exhaustive_and_proportional(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.ops import split_by_hash
+
+    df = pd.DataFrame({"id": range(20_000)})
+    ds = rd.from_pandas(df).repartition(5)
+    out = split_by_hash(ds, "id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    # exhaustive: every row assigned exactly one split
+    assert len(out) == 20_000 and out["split"].notna().all()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # stable: identical assignment under a different layout
+    out1 = (split_by_hash(rd.from_pandas(df), "id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1})
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out1.equals(out.sort_values("id").reset_index(drop=True))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_by_hash(ds, "id", {"a": 0.5, "b": 0.4})
+
+
+def test_unpivot_matches_pandas_melt(ray_session):
+    import pandas as pd
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.ops import unpivot, unpivot_keep_nulls
+
+    df = pd.DataFrame({"k": ["a", "b", "c"], "x": [1.0, None, 3.0],
+                       "y": [4.0, 5.0, 6.0]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = (unpivot(ds, ["k"], ["x", "y"]).to_pandas()
+           .sort_values(["k", "name"]).reset_index(drop=True))
+    ref = (df.melt(id_vars=["k"], value_vars=["x", "y"], var_name="name")
+           .dropna(subset=["value"])
+           .sort_values(["k", "name"]).reset_index(drop=True))
+    pdt.assert_frame_equal(out, ref)
+    withnulls = unpivot_keep_nulls(ds, ["k"], ["x", "y"]).to_pandas()
+    assert len(withnulls) == 6 and withnulls["value"].isna().sum() == 1

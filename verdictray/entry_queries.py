@@ -2153,6 +2153,56 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_docs_split_counts(sf_dir: str):
+    """Deterministic train/val/test split (ops.split_by_hash): 80/10/10 by
+    sha-uniform of doc_id — engine-portable, reshard-stable, no shuffle;
+    the oracle re-derives the assignment from the same sha expression."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    split = ops.split_by_hash(
+        ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupby(["split", "lang"]).aggregate(Count(alias_name="n"))
+
+
+SQL_DOCS_SPLIT_COUNTS = """
+WITH u AS (
+  SELECT lang,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13)
+              AS BIGINT) / 4503599627370496.0 AS uu
+  FROM documents)
+SELECT CASE WHEN uu < 0.8 THEN 'train' WHEN uu < 0.9 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY split, lang
+"""
+
+
+def q_lineitem_unpivoted_stats(sf_dir: str):
+    """Wide → long reshape (ops.unpivot) then per-measure totals; oracle
+    re-derives the melt as a UNION ALL."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_tax"])
+    long = ops.unpivot(ds, id_cols=[],
+                       value_cols=["l_quantity", "l_discount", "l_tax"])
+    out = long.groupby("name").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total"))
+    return out.map_batches(_round_cols({"total": 2}), batch_format="pyarrow")
+
+
+SQL_LINEITEM_UNPIVOTED_STATS = """
+SELECT name, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+FROM (
+  SELECT 'l_quantity' AS name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+) WHERE value IS NOT NULL GROUP BY name
+"""
+
+
 def q_weighted_docs_sample(sf_dir: str):
     """Weighted sample without replacement (ops.sample_weighted_per_group,
     Efraimidis–Spirakis): 5 docs per lang with inclusion probability ∝
@@ -2466,6 +2516,8 @@ QUERIES = {
     "pii_redaction_stats": q_pii_redaction_stats,
     "packed_docs_stats": q_packed_docs_stats,
     "weighted_docs_sample": q_weighted_docs_sample,
+    "docs_split_counts": q_docs_split_counts,
+    "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
 ORACLES = {
@@ -2537,6 +2589,8 @@ ORACLES = {
     "lineitem_zscore_by_flag": SQL_LINEITEM_ZSCORE_BY_FLAG,
     "pii_redaction_stats": SQL_PII_REDACTION_STATS,
     "weighted_docs_sample": SQL_WEIGHTED_DOCS_SAMPLE,
+    "docs_split_counts": SQL_DOCS_SPLIT_COUNTS,
+    "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness
     # are asserted vs DuckDB/numpy in tests/test_e2e.py and tests/test_extras.py

@@ -871,3 +871,64 @@ def sample_weighted_per_group(ds, key: str, id_col: str, weight_col: str,
                          zero_copy_batch=True)
             .groupby(key)
             .map_groups(group_topk, batch_format="pandas"))
+
+
+# --------------------------------------------------- train/val/test split
+def split_by_hash(ds, id_col: str, fractions: dict[str, float],
+                  out_col: str = "split"):
+    """Deterministic dataset split (train/val/test): each row lands in the
+    named fraction whose cumulative-probability interval contains its
+    sha-derived uniform (_sha_uniform — a pure function of the id, so the
+    split is engine-portable, reshard-stable, and disjoint-exhaustive by
+    construction; the SQL oracle re-derives the assignment verbatim).
+    Fractions must sum to ~1. Stateless map — no shuffle."""
+    names = list(fractions)
+    cuts = np.cumsum([fractions[n] for n in names])
+    if abs(cuts[-1] - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {cuts[-1]}")
+    cuts[-1] = np.inf  # float-sum slack can strand u ≈ 1.0
+
+    def assign(b: pa.Table) -> pa.Table:
+        u = _sha_uniform(b[id_col])
+        idx = np.searchsorted(cuts, u, side="right")
+        return b.append_column(
+            out_col, pa.DictionaryArray.from_arrays(
+                pa.array(idx, pa.int32()), pa.array(names, pa.string())
+            ).cast(pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------- unpivot / melt
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value"):
+    """Wide → long reshape (SQL UNPIVOT / pandas melt): one output row per
+    (input row, value column). Pure vectorized batch transform — ids
+    repeat via Arrow take on a tiled index, values concat + cast to a
+    common float64; nulls dropped like SQL UNPIVOT (use INCLUDE NULLS
+    semantics by passing drop_null=False)."""
+    return _unpivot_impl(ds, id_cols, value_cols, name_col, value_col, True)
+
+
+def unpivot_keep_nulls(ds, id_cols: list[str], value_cols: list[str],
+                       name_col: str = "name", value_col: str = "value"):
+    """UNPIVOT INCLUDE NULLS variant."""
+    return _unpivot_impl(ds, id_cols, value_cols, name_col, value_col, False)
+
+
+def _unpivot_impl(ds, id_cols, value_cols, name_col, value_col, drop_null):
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        idx = pa.array(np.tile(np.arange(n, dtype=np.int64), len(value_cols)))
+        out = {c: pc.take(b[c], idx) for c in id_cols}
+        out[name_col] = pa.array(np.repeat(value_cols, n), pa.string())
+        vals = pa.chunked_array([
+            pc.cast(b[c], pa.float64()) for c in value_cols])
+        out[value_col] = vals
+        t = pa.table(out)
+        if drop_null:
+            t = t.filter(pc.is_valid(t[value_col]))
+        return t
+
+    return (ds.select_columns(id_cols + value_cols)
+            .map_batches(melt, batch_format="pyarrow", zero_copy_batch=True))
