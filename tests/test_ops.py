@@ -771,3 +771,29 @@ def test_unpivot_matches_pandas_melt(ray_session):
     pdt.assert_frame_equal(out, ref)
     withnulls = unpivot_keep_nulls(ds, ["k"], ["x", "y"]).to_pandas()
     assert len(withnulls) == 6 and withnulls["value"].isna().sum() == 1
+
+
+def test_topk_per_group_matches_duckdb_and_block_invariant(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import topk_per_group
+
+    cols = ["o_orderpriority", "o_totalprice", "o_orderkey"]
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    exact = duckdb.sql(
+        f"select o_orderpriority, o_totalprice, o_orderkey from ("
+        f"select *, row_number() over (partition by o_orderpriority "
+        f"order by o_totalprice desc, o_orderkey) rn from "
+        f"'{sf_dir}/orders.parquet') where rn <= 3 "
+        f"order by o_orderpriority, o_totalprice desc, o_orderkey"
+    ).df()
+    for blocks in (1, 7):
+        ds = base.repartition(blocks)
+        mine = (topk_per_group(ds, ["o_orderpriority"], "o_totalprice",
+                               ["o_orderkey"], k=3)
+                .to_pandas()
+                .sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                             ascending=[True, False, True])
+                .reset_index(drop=True))
+        pdt.assert_frame_equal(mine[exact.columns], exact, check_dtype=False)

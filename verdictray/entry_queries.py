@@ -2153,6 +2153,29 @@ SQL_LINEITEM_PROFILE = " UNION ALL ".join(
     for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_top_orders_per_priority(sf_dir: str):
+    """Generic exact top-k rows per group (ops.topk_per_group): the 3
+    highest-value orders per priority; map-side top-k combiner before the
+    shuffle (hot groups cost O(k·blocks))."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice",
+                               "o_orderkey"])
+    out = ops.topk_per_group(ds, keys=["o_orderpriority"],
+                             value_col="o_totalprice",
+                             tiebreak=["o_orderkey"], k=3)
+    return out.map_batches(_round_cols({"o_totalprice": 2}),
+                           batch_format="pyarrow")
+
+
+SQL_TOP_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, round(o_totalprice, 2) AS o_totalprice, o_orderkey
+FROM (
+  SELECT o_orderpriority, o_totalprice, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
 def q_docs_split_counts(sf_dir: str):
     """Deterministic train/val/test split (ops.split_by_hash): 80/10/10 by
     sha-uniform of doc_id — engine-portable, reshard-stable, no shuffle;
@@ -2517,6 +2540,7 @@ QUERIES = {
     "packed_docs_stats": q_packed_docs_stats,
     "weighted_docs_sample": q_weighted_docs_sample,
     "docs_split_counts": q_docs_split_counts,
+    "top_orders_per_priority": q_top_orders_per_priority,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2590,6 +2614,7 @@ ORACLES = {
     "pii_redaction_stats": SQL_PII_REDACTION_STATS,
     "weighted_docs_sample": SQL_WEIGHTED_DOCS_SAMPLE,
     "docs_split_counts": SQL_DOCS_SPLIT_COUNTS,
+    "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

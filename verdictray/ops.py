@@ -932,3 +932,29 @@ def _unpivot_impl(ds, id_cols, value_cols, name_col, value_col, drop_null):
 
     return (ds.select_columns(id_cols + value_cols)
             .map_batches(melt, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# ------------------------------------------------------- top-k rows per group
+def topk_per_group(ds, keys: list[str], value_col: str,
+                   tiebreak: list[str], k: int, mode: str = "max"):
+    """Exact top-k ROWS per group — the SQL ``row_number() OVER (PARTITION
+    BY keys ORDER BY value [DESC], tiebreak...) <= k`` row set (ascending
+    tiebreaks make the set unique and engine-portable). Generalizes
+    extrema_per_group (k=1) with the same scale shape: a per-batch
+    vectorized top-k combiner shrinks every block to ≤ k rows per key
+    BEFORE the shuffle, so hot groups cost O(k · n_blocks), never
+    O(group size)."""
+    if mode not in ("max", "min"):
+        raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")
+    order = [mode == "min"] + [True] * len(tiebreak)
+    by = [value_col] + tiebreak
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(by, ascending=order, kind="mergesort")
+                 .groupby(keys, sort=False).head(k))
+
+    cols = list(dict.fromkeys(keys + by))
+    return (ds.select_columns(cols)
+            .map_batches(topk, batch_format="pandas")
+            .groupby(keys)
+            .map_groups(topk, batch_format="pandas"))
