@@ -2,6 +2,8 @@
 similarity search, text analysis, multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
+import pandas.testing as pdt
 import pyarrow as pa
 import pytest
 
@@ -788,3 +790,77 @@ class TestPackSequences:
         lower = int(over.sum()) + -(-rest // budget)  # ceil on packable mass
         # FFD ≤ 11/9·OPT + 1 per bucket; cross-bucket waste ≤ 1 bin/bucket
         assert lower <= n_packs <= int(over.sum() + -(-rest // budget) * 11 / 9) + 2 * 8
+
+
+class TestSubstringDupStats:
+    """Exact substring-span dedup (dedup.substring_dup_stats)."""
+
+    def test_matches_duckdb_and_block_invariant(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from verdictray.dedup import substring_dup_stats
+
+        W = 8
+        exact = duckdb.sql(f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM '{sf_dir}/documents.parquet'),
+            pos AS (
+              SELECT doc_id, lang, t,
+                     unnest(generate_series(1, greatest(len(t)-{W}+1, 0))) AS i
+              FROM toks),
+            wins AS (
+              SELECT DISTINCT doc_id, lang,
+                     array_to_string(list_slice(t, i, i+{W}-1), ' ') AS w
+              FROM pos),
+            dup AS (SELECT lang, w FROM wins GROUP BY lang, w
+                    HAVING count(DISTINCT doc_id) >= 2),
+            aff AS (SELECT wins.lang, wins.doc_id FROM wins
+                    JOIN dup ON wins.lang = dup.lang AND wins.w = dup.w)
+            SELECT a.lang, a.n_shared_windows, b.n_docs_affected
+            FROM (SELECT lang, CAST(count(*) AS BIGINT) n_shared_windows
+                  FROM dup GROUP BY lang) a
+            JOIN (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT)
+                         n_docs_affected FROM aff GROUP BY lang) b
+            USING (lang) ORDER BY lang""").df()
+        base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+        for blocks in (1, 7):
+            out = (substring_dup_stats(base.repartition(blocks), "text",
+                                       "doc_id", ["lang"], window=W)
+                   .to_pandas().sort_values("lang").reset_index(drop=True))
+            pdt.assert_frame_equal(out, exact, check_dtype=False)
+
+    def test_window_boundaries_and_cross_doc_masking(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.dedup import substring_dup_stats
+
+        # doc 0/1 share a 3-token span; doc 2 ends with the first 2 tokens
+        # and doc 3 starts with the last — a window crossing their boundary
+        # would fabricate a third match if masking were wrong
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["x a b c y", "z a b c w", "q r a b", "c s t u"],
+            "lang": ["en"] * 4,
+        })
+        out = substring_dup_stats(rd.from_pandas(df).repartition(4), "text",
+                                  "doc_id", ["lang"], window=3)
+        res = out.to_pandas()
+        assert len(res) == 1
+        assert res.loc[0, "n_shared_windows"] == 1  # only "a b c"
+        assert res.loc[0, "n_docs_affected"] == 2
+
+    def test_short_docs_and_empty_groups(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.dedup import substring_dup_stats
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "a b"],
+                           "lang": ["en", "en"]})
+        out = substring_dup_stats(rd.from_pandas(df), "text", "doc_id",
+                                  ["lang"], window=3).to_pandas()
+        assert len(out) == 0  # no doc long enough for a single window

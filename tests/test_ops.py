@@ -797,3 +797,64 @@ def test_topk_per_group_matches_duckdb_and_block_invariant(ray_session, sf_dir):
                              ascending=[True, False, True])
                 .reset_index(drop=True))
         pdt.assert_frame_equal(mine[exact.columns], exact, check_dtype=False)
+
+
+def test_bucket_joins_exact_above_2_53(ray_session):
+    """Regression: the bucketed joins must compare int64 keys exactly.
+    The pandas union-padding path promoted int64 → float64, which rounds
+    above 2^53 — keys differing only in the low ~11 bits (e.g. 64-bit
+    span/fingerprint hashes that mix a small group discriminator into the
+    low bits) then compared equal and fabricated matches."""
+    import ray.data as rd
+
+    from verdictray.join import hash_join, semi_anti_join
+
+    base = (1 << 62) + (1 << 20)
+    # left keys k, k+5: float64-identical at this magnitude, int-distinct
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([base, base + 5, 12345], pa.int64()),
+        "v": pa.array([1, 2, 3], pa.int64())}))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([base, 99], pa.int64()),
+        "w": pa.array([10, 20], pa.int64())}))
+
+    semi = semi_anti_join(left, right, "k", "rk", how="semi").to_pandas()
+    assert semi["k"].tolist() == [base]          # k+5 must NOT match
+    anti = semi_anti_join(left, right, "k", "rk", how="anti").to_pandas()
+    assert sorted(anti["k"].tolist()) == [12345, base + 5]
+
+    j = hash_join(left, right, "k", "rk").to_pandas()
+    assert j["k"].tolist() == [base] and j["w"].tolist() == [10]
+    lj = hash_join(left, right, "k", "rk", how="left").to_pandas()
+    assert sorted(lj["k"].tolist()) == [12345, base, base + 5]
+    matched = lj.loc[lj["k"] == base, "w"]
+    assert matched.tolist() == [10]
+    assert lj.loc[lj["k"] == base + 5, "w"].isna().all()
+    # exact values survive the non-inner join's nullable-int path
+    assert lj["k"].tolist() == [int(x) for x in lj["k"].tolist()]
+
+
+def test_grouped_linreg_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import grouped_linreg
+
+    exact = duckdb.sql(
+        f"select l_returnflag, count(*)::BIGINT n, "
+        f"round(regr_slope(l_extendedprice, l_quantity), 6) slope, "
+        f"round(regr_intercept(l_extendedprice, l_quantity), 6) intercept, "
+        f"round(regr_r2(l_extendedprice, l_quantity), 6) r2 "
+        f"from '{sf_dir}/lineitem.parquet' group by 1 order by 1").df()
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"]).repartition(5)
+    mine = (grouped_linreg(ds, ["l_returnflag"], "l_quantity",
+                           "l_extendedprice")
+            .to_pandas().sort_values("l_returnflag").reset_index(drop=True))
+    pdt.assert_frame_equal(mine[exact.columns], exact, check_dtype=False)
+    # degenerate group: constant x ⇒ slope/r2 NULL like regr_slope
+    tiny = rd.from_arrow(pa.table({"g": ["a", "a"], "x": [2.0, 2.0],
+                                   "y": [1.0, 3.0]}))
+    t = grouped_linreg(tiny, ["g"], "x", "y").to_pandas()
+    assert t["slope"].isna().all() and t["r2"].isna().all()

@@ -912,3 +912,175 @@ def editdist_neardup_pairs(ds, text_col: str, id_col: str, max_dist: int = 1,
                          "dist": pa.array(dists, pa.int64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------- exact substring-span dedup
+class WindowHasher:
+    """Per-batch stage: explode each document into 64-bit rolling hashes of
+    every ``window`` consecutive whitespace tokens, distinct per doc —
+    the candidate unit of exact substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": duplicated
+    ≥W-token spans across documents).
+
+    Fully vectorized: one regex split per batch (Arrow kernel), per-token
+    polynomial fingerprints via the flat-buffer prefix-sum path
+    (text._fingerprint_flat), then the window hash as W shifted
+    multiply-adds over the flat token-hash array with doc-boundary
+    masking. Output rows are (win_hash:int64, doc:id, group cols) — 8 B of
+    hash per token through the shuffle, never text."""
+
+    def __init__(self, text_col: str, id_col: str,
+                 group_cols: tuple[str, ...] = (), window: int = 8):
+        if window < 2:
+            raise ValueError("window must be ≥ 2 tokens")
+        self.text_col, self.id_col = text_col, id_col
+        self.group_cols = tuple(group_cols)
+        self.window = window
+        # descending powers for the window polynomial (any odd base works;
+        # reuse the fingerprint base)
+        self.wpow = _powers(window)[:window][::-1].copy()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from .text import _fingerprint_flat
+
+        W = self.window
+        col = batch[self.text_col].combine_chunks()
+        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(col),
+                                       pattern=r"\s+")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        n_tok = int(lens.sum())
+        empty = pa.table(
+            {"win_hash": pa.array([], pa.int64()),
+             self.id_col: batch[self.id_col].slice(0, 0),
+             **{g: batch[g].slice(0, 0) for g in self.group_cols}})
+        if n_tok < W:
+            return empty
+        # per-token fingerprints from the flat token buffer
+        bufs = flat.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32,
+                             count=flat.offset + n_tok + 1)
+        rel = offs[flat.offset:].astype(np.int64)
+        data = (np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1]))
+                if bufs[2] is not None else np.empty(0, np.uint8))
+        h = np.empty(n_tok, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            _fingerprint_flat(data, rel, h, 0)
+            # rolling window hash over the flat array: W shifted mul-adds
+            m = n_tok - W + 1
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(W):
+                acc += h[j : j + m] * self.wpow[j]
+        # a window is valid iff it does not cross a doc boundary
+        doc_ix = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        valid = doc_ix[:m] == doc_ix[W - 1 :]
+        acc, starts = acc[valid], doc_ix[:m][valid]
+        if not len(acc):
+            return empty
+        # distinct (doc, window) per batch — a doc never spans batches,
+        # so downstream Count() == distinct-doc count per window
+        order = np.lexsort((acc, starts))
+        acc, starts = acc[order], starts[order]
+        keep = np.empty(len(acc), dtype=bool)
+        keep[0] = True
+        keep[1:] = (acc[1:] != acc[:-1]) | (starts[1:] != starts[:-1])
+        acc, starts = acc[keep], starts[keep]
+        ix = pa.array(starts)
+        return pa.table(
+            {"win_hash": pa.array(acc.view(np.int64)),
+             self.id_col: pc.take(batch[self.id_col], ix),
+             **{g: pc.take(batch[g], ix) for g in self.group_cols}})
+
+
+def substring_dup_stats(ds, text_col: str, id_col: str,
+                        group_cols: list[str] | None = None,
+                        window: int = 8, min_docs: int = 2,
+                        join_buckets: int = 16):
+    """Per-group stats of exactly-duplicated ``window``-token spans shared
+    by ≥ ``min_docs`` distinct documents: ``n_shared_windows`` (distinct
+    duplicated spans) and ``n_docs_affected`` (docs containing at least
+    one). The drop/masking action is a trivial follow-up (semi-join docs
+    against the affected set); the stats form is what the oracle verifies.
+
+    Scale shape: map-side the text explodes to one (hash, id) row per
+    token (distinct per doc) — linear, no text through the shuffle; one
+    groupby counts docs per span; affected docs come from an exact
+    semi-join of the span rows against the duplicated spans (bucketed,
+    join.semi_anti_join) followed by a distinct-doc count. Skew: a span
+    shared by millions of docs is one hot groupby key — counts are
+    map-side pre-reduced by the per-doc distinct, and the downstream
+    state is a counter, not a doc list."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .join import hash_join, semi_anti_join
+    from .text import fingerprint64
+    from .udaf import ExactDistinct
+
+    group_cols = list(group_cols or [])
+    if len(group_cols) != 1:
+        raise NotImplementedError("substring_dup_stats takes exactly one "
+                                  "group column (fold keys upstream)")
+    gcol = group_cols[0]
+    # plain-task map (NOT an actor pool): the hasher holds no real state
+    # (wpow is 8 multiplies), and this sub-DAG is consumed by two branches
+    # below — duplicated actor-pool operators reserve CPUs per pool and
+    # can starve the shuffle stages on small hosts
+    hasher = WindowHasher(text_col=text_col, id_col=id_col,
+                          group_cols=(gcol,), window=window)
+    rows = ds.select_columns([id_col, text_col, gcol]).map_batches(
+        hasher.__call__, batch_format="pyarrow", zero_copy_batch=True)
+
+    # mix the group into the span key so one int64 column is both the
+    # groupby key suffix and the semi-join key
+    def with_span_key(b: pa.Table) -> pa.Table:
+        k = _to_numpy(b["win_hash"]).view(np.uint64) * np.uint64(
+            1099511628211) + fingerprint64(b[gcol])
+        return b.append_column("_span_key", pa.array(k.view(np.int64)))
+
+    rows = rows.map_batches(with_span_key, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    # rows are distinct (doc, window) ⇒ Count == distinct docs per span
+    per_span = (rows.select_columns([gcol, "_span_key"])
+                .groupby([gcol, "_span_key"])
+                .aggregate(Count(alias_name="n_docs")))
+    # materialize the duplicated-span set: it is consumed by BOTH branches
+    # below, and it is the compressed result (one row per span duplicated
+    # ≥ min_docs times — orders of magnitude smaller than the corpus), so
+    # pinning it avoids re-running the scan+groupby; the raw span rows are
+    # deliberately NOT materialized (they are O(corpus tokens)) — the scan
+    # re-executes once per consuming branch instead
+    dup = per_span.filter(expr=f"n_docs >= {int(min_docs)}").materialize()
+
+    shared = (dup.groupby(gcol)
+              .aggregate(Count(alias_name="n_shared_windows")))
+
+    affected = semi_anti_join(
+        rows.select_columns([gcol, id_col, "_span_key"]),
+        dup.select_columns(["_span_key"]), "_span_key", "_span_key",
+        how="semi", buckets=join_buckets)
+    n_aff = (affected.groupby(gcol)
+             .aggregate(ExactDistinct(on=id_col,
+                                      alias_name="n_docs_affected")))
+
+    def rename_g(b: pa.Table) -> pa.Table:
+        return pa.table({"_g2": b[gcol],
+                         "n_docs_affected": b["n_docs_affected"]})
+
+    out = hash_join(shared, n_aff.map_batches(rename_g,
+                                              batch_format="pyarrow"),
+                    gcol, "_g2", buckets=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            gcol: b[gcol],
+            "n_shared_windows": pc.cast(b["n_shared_windows"], pa.int64()),
+            "n_docs_affected": pc.cast(b["n_docs_affected"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -2176,6 +2176,68 @@ FROM (
 """
 
 
+def q_lineitem_linreg_by_flag(sf_dir: str):
+    """Exact grouped simple linear regression (ops.grouped_linreg):
+    l_extendedprice regressed on l_quantity per returnflag — five-sums
+    partials, (keys, 6 doubles) through the shuffle, vectorized finish.
+    Matches SQL regr_slope/regr_intercept/regr_r2."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity",
+                                 "l_extendedprice"])
+    return ops.grouped_linreg(ds, ["l_returnflag"], x="l_quantity",
+                              y="l_extendedprice", ndigits=6)
+
+
+SQL_LINEITEM_LINREG = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_substring_dup_stats(sf_dir: str):
+    """Exact substring-span dedup stats (dedup.substring_dup_stats): per
+    lang, the number of distinct 8-token spans shared verbatim by ≥2 docs
+    and the number of docs containing at least one — the detection half of
+    Lee et al. 2022 substring dedup. Hashes travel through the shuffle
+    (8 B/token), never text; affected docs via bucketed exact semi-join."""
+    from .dedup import substring_dup_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = substring_dup_stats(ds, "text", "doc_id", ["lang"], window=8)
+    return out
+
+
+SQL_SUBSTRING_DUP_STATS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, lang, t,
+         unnest(generate_series(1, greatest(len(t) - 8 + 1, 0))) AS i
+  FROM toks
+), wins AS (
+  SELECT DISTINCT doc_id, lang,
+         array_to_string(list_slice(t, i, i + 8 - 1), ' ') AS w
+  FROM pos
+), dup AS (
+  SELECT lang, w FROM wins GROUP BY lang, w
+  HAVING count(DISTINCT doc_id) >= 2
+), aff AS (
+  SELECT wins.lang, wins.doc_id FROM wins
+  JOIN dup ON wins.lang = dup.lang AND wins.w = dup.w
+)
+SELECT a.lang, a.n_shared_windows, b.n_docs_affected
+FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_shared_windows
+      FROM dup GROUP BY lang) a
+JOIN (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+      FROM aff GROUP BY lang) b USING (lang)
+"""
+
+
 def q_docs_split_counts(sf_dir: str):
     """Deterministic train/val/test split (ops.split_by_hash): 80/10/10 by
     sha-uniform of doc_id — engine-portable, reshard-stable, no shuffle;
@@ -2541,6 +2603,8 @@ QUERIES = {
     "weighted_docs_sample": q_weighted_docs_sample,
     "docs_split_counts": q_docs_split_counts,
     "top_orders_per_priority": q_top_orders_per_priority,
+    "substring_dup_stats": q_substring_dup_stats,
+    "lineitem_linreg_by_flag": q_lineitem_linreg_by_flag,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2615,6 +2679,8 @@ ORACLES = {
     "weighted_docs_sample": SQL_WEIGHTED_DOCS_SAMPLE,
     "docs_split_counts": SQL_DOCS_SPLIT_COUNTS,
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
+    "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
+    "lineitem_linreg_by_flag": SQL_LINEITEM_LINREG,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

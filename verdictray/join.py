@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .sketches.hashing import hash64
 
@@ -52,6 +53,12 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
     """
     lschema = left.schema()
     rschema = right.schema()
+    if lschema is None or rschema is None:
+        # a side is empty with no typed blocks — the joined schema cannot
+        # be constructed; an inner/left-shaped result is empty (documented
+        # limitation: outer joins against a schema-less empty side also
+        # return the schema-less empty)
+        return left.limit(0) if lschema is not None else left
     overlap = set(lschema.names) & set(rschema.names)
     if overlap:
         raise ValueError(f"hash_join requires disjoint column names; shared: {overlap}")
@@ -69,23 +76,35 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
 
     int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["_side"] == "l"][lcols]
-        rrows = g[g["_side"] == "r"][rcols]
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        # split the sides at the ARROW level: converting the padded union
+        # block to pandas first would promote int64 columns (typed nulls →
+        # float64) and silently round values above 2^53 — fatal for
+        # 64-bit hash/fingerprint join keys. Side-filtered tables carry no
+        # padding nulls, so each side converts exactly.
+        side = g["_side"]
+        lrows = g.filter(pc.equal(side, "l")).select(lcols).to_pandas()
+        rrows = g.filter(pc.equal(side, "r")).select(rcols).to_pandas()
+        if how != "inner":
+            # non-inner joins introduce missing values on the unmatched
+            # side; pre-convert ints to the nullable extension dtype so
+            # the merge emits <NA> instead of float-promoting (exactness
+            # above 2^53 — including the key columns themselves)
+            for df in (lrows, rrows):
+                for name in df.columns:
+                    if name in int_cols:
+                        df[name] = df[name].astype("Int64")
         out = lrows.merge(rrows, left_on=left_on, right_on=right_on, how=how)
-        # the union's typed-null padding makes pandas promote int columns
-        # to float64 in the group block; restore the declared integer
-        # dtypes (nullable Int64 → Arrow int64) or downstream consumers —
-        # including a second hash_join keyed on these columns — see floats
         for name in out.columns:
-            if name in int_cols and out[name].dtype.kind == "f":
-                # plain int64 when null-free — the nullable extension dtype
-                # would leak into result schemas (Int64 vs int64)
-                out[name] = out[name].astype(
-                    "int64" if out[name].notna().all() else "Int64")
+            # plain int64 when null-free — the nullable extension dtype
+            # would leak into result schemas (Int64 vs int64)
+            if name in int_cols and out[name].dtype != np.int64 \
+                    and out[name].notna().all():
+                out[name] = out[name].astype("int64")
         return out
 
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket,
+                                                 batch_format="pyarrow")
 
 
 def count_matches(left, right, left_on: str, right_on: str, buckets: int = 32):
@@ -135,6 +154,11 @@ def semi_anti_join(left, right, left_on: str, right_on: str,
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
     lschema = left.schema()
+    if lschema is None:      # left is empty with no typed blocks: nothing
+        return left          # can match (semi) or survive (anti) anyway
+    if right.schema() is None:
+        # empty right: semi keeps nothing, anti keeps everything
+        return left.limit(0) if how == "semi" else left
     if "_rkey" in lschema.names:
         raise ValueError("left side may not carry a '_rkey' column")
     rschema = right.schema()
@@ -156,21 +180,23 @@ def semi_anti_join(left, right, left_on: str, right_on: str,
     int_cols = {n for n, t in zip(lschema.names, lschema.types)
                 if pa.types.is_integer(t)}
 
-    def probe_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g.loc[g["_side"] == "l", lcols]
-        rkeys = g.loc[g["_side"] == "r", "_rkey"].unique()
-        mask = lrows[left_on].isin(rkeys)
-        out = lrows[mask if keep else ~mask]
-        # the union's typed-null padding (right rows carry nulls in left
-        # columns) promotes ints to float64 in the group block; the left
-        # rows themselves are null-free, so restore the declared dtypes
-        for name in int_cols:
-            if out[name].dtype.kind == "f":
-                out = out.assign(**{name: out[name].astype("int64")})
-        return out
+    del int_cols  # Arrow-level probe: no pandas promotion to undo
+
+    def probe_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-level: the padded union block must NOT round-trip through
+        # pandas (typed nulls promote int64 → float64, which rounds 64-bit
+        # hash keys above 2^53 and fabricates matches). pc.is_in compares
+        # exact typed values.
+        side = g["_side"]
+        lrows = g.filter(pc.equal(side, "l")).select(lcols)
+        rkeys = g.filter(pc.equal(side, "r"))["_rkey"].combine_chunks()
+        mask = pc.is_in(lrows[left_on], value_set=rkeys)
+        if not keep:
+            mask = pc.invert(mask)
+        return lrows.filter(mask)
 
     return (lt.union(rt).groupby("_bucket")
-            .map_groups(probe_bucket, batch_format="pandas"))
+            .map_groups(probe_bucket, batch_format="pyarrow"))
 
 
 def _count_tag(side: str, on: str, buckets: int):

@@ -958,3 +958,59 @@ def topk_per_group(ds, keys: list[str], value_col: str,
             .map_batches(topk, batch_format="pandas")
             .groupby(keys)
             .map_groups(topk, batch_format="pandas"))
+
+
+# ------------------------------------------------- grouped linear regression
+def grouped_linreg(ds, keys: list[str], x: str, y: str, ndigits: int = 6):
+    """Exact grouped simple linear regression (y = slope·x + intercept) via
+    the same five-sums partials as grouped_corr: per-batch derived products
+    feed built-in Sum/Count aggregates (map-side combine — only
+    (keys, 6 doubles) cross the shuffle), then one vectorized pass computes
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept = ȳ − slope·x̄ and
+    r² = slope²·var_x/var_y — matching SQL regr_slope / regr_intercept /
+    regr_r2 (NULL when var_x = 0; r² NULL when var_y = 0). Output rounded
+    to ``ndigits`` to mirror the oracle's round(...)."""
+    from ray.data.aggregate import Count, Sum
+
+    def derive(b: pa.Table) -> pa.Table:
+        fx = pc.cast(b[x], pa.float64())
+        fy = pc.cast(b[y], pa.float64())
+        cols = {k: b[k] for k in keys}
+        cols.update({"_x": fx, "_y": fy,
+                     "_xy": pc.multiply(fx, fy),
+                     "_x2": pc.multiply(fx, fx),
+                     "_y2": pc.multiply(fy, fy)})
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("_x", alias_name="_sx"), Sum("_y", alias_name="_sy"),
+            Sum("_xy", alias_name="_sxy"),
+            Sum("_x2", alias_name="_sx2"), Sum("_y2", alias_name="_sy2"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"], dtype=np.float64)
+        sx = np.asarray(b["_sx"]); sy = np.asarray(b["_sy"])
+        cov = n * np.asarray(b["_sxy"]) - sx * sy
+        vx = n * np.asarray(b["_sx2"]) - sx * sx
+        vy = n * np.asarray(b["_sy2"]) - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(vx > 0, cov / vx, np.nan)
+            intercept = (sy - slope * sx) / n
+            r2 = np.where(vy > 0, np.where(vx > 0, cov * cov / (vx * vy),
+                                           np.nan), np.nan)
+        out = {k: b[k] for k in keys}
+        rnd = lambda a: pc.round(pa.array(a, pa.float64()), ndigits=ndigits,
+                                 round_mode="half_towards_infinity")
+        out["n"] = b["n"]
+        out["slope"] = rnd(slope)
+        out["intercept"] = rnd(intercept)
+        out["r2"] = rnd(r2)
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -172,22 +172,93 @@ def _powers(n: int) -> np.ndarray:
     return p
 
 
+def _inv_powers(n: int) -> np.ndarray:
+    # cached ascending powers of B^{-1} mod 2^64 (B is odd ⇒ invertible);
+    # Newton iteration doubles correct bits: x ← x·(2 − B·x)
+    global _INVPOW_CACHE
+    try:
+        if len(_INVPOW_CACHE) >= n:
+            return _INVPOW_CACHE
+    except NameError:
+        pass
+    x = np.uint64(1)
+    b = np.uint64(_FP_BASE)
+    with np.errstate(over="ignore"):
+        for _ in range(6):
+            x = x * (np.uint64(2) - b * x)
+    size = max(n, 4096)
+    p = np.empty(size, dtype=np.uint64)
+    p[0] = 1
+    np.multiply.accumulate(np.full(size - 1, x, dtype=np.uint64), out=p[1:])
+    _INVPOW_CACHE = p
+    return p
+
+
+# flat-buffer segments are hashed in bounded windows so the powers/prefix
+# scratch stays ~8 MiB regardless of block size
+_FP_SEGMENT = 1 << 20
+
+
+def _fingerprint_flat(buf: np.ndarray, rel: np.ndarray, out: np.ndarray,
+                      base: int) -> None:
+    """Hash every [rel[i], rel[i+1]) slice of a flat uint8 buffer into
+    ``out[base + i]`` with the same polynomial as the per-row definition,
+    fully vectorized via a weighted prefix sum: within a segment of length
+    L, A[j] = buf[j]·B^(L-1-j), S = cumprefix(A); a token's raw sum then
+    differs from its true hash only by the factor B^(L-end), removed with
+    the cached modular-inverse powers. Segments are aligned to row
+    boundaries; a row longer than the segment target becomes its own
+    segment (exact, just a bigger scratch)."""
+    n = len(rel) - 1
+    lo = 0
+    while lo < n:
+        hi = int(np.searchsorted(rel, rel[lo] + _FP_SEGMENT, side="left"))
+        hi = max(hi, lo + 1)
+        hi = min(hi, n)
+        start, end = int(rel[lo]), int(rel[hi])
+        L = end - start
+        seg = buf[start:end].astype(np.uint64)
+        pw = _powers(L + 1)
+        seg *= pw[L - 1 :: -1] if L else pw[:0]
+        s = np.zeros(L + 1, dtype=np.uint64)
+        np.cumsum(seg, out=s[1:])
+        r = rel[lo : hi + 1] - start
+        raw = s[r[1:]] - s[r[:-1]]
+        raw *= _inv_powers(L + 1)[L - r[1:]]
+        out[base + lo : base + hi] = raw
+        lo = hi
+
+
 def fingerprint64(texts: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Rabin-style polynomial fingerprint of each row's utf-8 bytes:
     H(s) = Σ s[i] · B^(n-1-i) mod 2^64 — a pure content function, so
-    distinct fingerprints == distinct texts up to ~2^-64 collisions."""
+    distinct fingerprints == distinct texts up to ~2^-64 collisions.
+    Buffer-level vectorized (one weighted prefix sum per ~1 MiB segment,
+    no per-row Python); nulls fingerprint to 0 as before."""
     chunks = texts.chunks if isinstance(texts, pa.ChunkedArray) else [texts]
     out = np.empty(sum(len(c) for c in chunks), dtype=np.uint64)
     i = 0
     for chunk in chunks:
-        for b in chunk.cast(pa.binary()).to_pylist():
-            if b is None:
-                out[i] = 0
-            else:
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                n = len(arr)
-                out[i] = (arr * _powers(n)[:n][::-1]).sum() if n else np.uint64(0)
-            i += 1
+        n = len(chunk)
+        t = chunk.type
+        large = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+        plain = pa.types.is_string(t) or pa.types.is_binary(t)
+        if not (large or plain):
+            chunk = chunk.cast(pa.string())
+            large, plain = False, True
+        bufs = chunk.buffers()
+        off_dtype = np.int64 if large else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dtype,
+                             count=chunk.offset + n + 1)
+        rel = offs[chunk.offset : chunk.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1])) \
+            if bufs[2] is not None else np.empty(0, np.uint8)
+        with np.errstate(over="ignore"):
+            _fingerprint_flat(data, rel, out, i)
+        if chunk.null_count:
+            mask = pc.is_null(chunk).to_numpy(zero_copy_only=False)
+            out[i : i + n][mask] = 0
+        i += n
     return out
 
 

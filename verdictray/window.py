@@ -165,26 +165,34 @@ def asof_join(left, right, on: str, ts_left: str, ts_right: str,
     out_rcols = [c for c in rcols if c != on]
     int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["_side"] == "l"][out_lcols].sort_values(ts_left,
-                                                            kind="mergesort")
-        rrows = g[g["_side"] == "r"][[on, ts_right_eff] +
-                                     [c for c in out_rcols if c != ts_right_eff]]
-        rrows = rrows.sort_values(ts_right_eff, kind="mergesort")
-        # same dtype-restoration concern as hash_join: the union's typed
-        # nulls promote ints to float in the pandas group block
-        for df in (lrows, rrows):
-            for c in df.columns:
-                if c in int_cols and df[c].dtype.kind == "f":
-                    # merge_asof keys reject the nullable extension dtype,
-                    # and side-filtered rows have no nulls anyway
-                    df[c] = df[c].astype(
-                        "int64" if df[c].notna().all() else "Int64")
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        # split sides at the ARROW level (see join.hash_join): converting
+        # the padded union block to pandas would float-promote int64
+        # columns and round values above 2^53
+        side = g["_side"]
+        lrows = (g.filter(pc.equal(side, "l")).select(out_lcols)
+                 .to_pandas().sort_values(ts_left, kind="mergesort"))
+        rrows = (g.filter(pc.equal(side, "r"))
+                 .select([on, ts_right_eff] +
+                         [c for c in out_rcols if c != ts_right_eff])
+                 .to_pandas().sort_values(ts_right_eff, kind="mergesort"))
+        # unmatched left rows get missing right values; pre-convert right
+        # non-key int columns to the nullable dtype so merge_asof emits
+        # <NA> instead of float-promoting (keys must stay plain int64 —
+        # merge_asof rejects extension keys; they are null-free per side)
+        for c in rrows.columns:
+            if c in int_cols and c not in (on, ts_right_eff):
+                rrows[c] = rrows[c].astype("Int64")
         out = pd.merge_asof(lrows, rrows, left_on=ts_left, right_on=ts_right_eff,
                             by=on, direction="backward")
+        for c in out.columns:  # restore plain int64 where null-free
+            if c in int_cols and out[c].dtype != np.int64 \
+                    and out[c].notna().all():
+                out[c] = out[c].astype("int64")
         return out
 
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket,
+                                                 batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- range join
@@ -252,19 +260,23 @@ def range_join(left, right, ts_col: str, lo_col: str, hi_col: str,
     out_rcols = list(rschema.names)
     int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lrows = g[g["_side"] == "l"][out_lcols + ["_tb"]]
-        rrows = g[g["_side"] == "r"][out_rcols + ["_tb"]]
-        for df in (lrows, rrows):  # typed union nulls promote ints to float
-            for c in df.columns:
-                if c in int_cols and df[c].dtype.kind == "f":
-                    df[c] = df[c].astype(
-                        "int64" if df[c].notna().all() else "Int64")
+    del int_cols  # Arrow-level side split: no pandas promotion to undo
+
+    def join_group(g: pa.Table) -> pd.DataFrame:
+        # Arrow-level side split (see join.hash_join): pandas-converting
+        # the padded union block would float-promote int64 columns; the
+        # inner merge itself introduces no missing values
+        side = g["_side"]
+        lrows = g.filter(pc.equal(side, "l")).select(out_lcols + ["_tb"]) \
+                 .to_pandas()
+        rrows = g.filter(pc.equal(side, "r")).select(out_rcols + ["_tb"]) \
+                 .to_pandas()
         out = lrows.merge(rrows, on="_tb")
         mask = (out[ts_col] >= out[lo_col]) & (out[ts_col] < out[hi_col])
         return out[mask].drop(columns=["_tb"])
 
-    return lt.union(rt).groupby("_g").map_groups(join_group, batch_format="pandas")
+    return lt.union(rt).groupby("_g").map_groups(join_group,
+                                                 batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- sessionize
