@@ -709,3 +709,44 @@ class TestKMV:
         sk = KMV(k=512)
         sk.update(_pa.array(["a", "b", None, "a", "c"]))
         assert sk.estimate() == 3.0
+
+
+def test_cms_inner_product_join_size_bound():
+    import numpy as np
+
+    from verdictray.sketches.cms import CountMin
+
+    rng = np.random.default_rng(7)
+    # zipf-ish key frequencies on both sides
+    ka = rng.zipf(1.5, 20000) % 500
+    kb = rng.zipf(1.3, 8000) % 500
+    fa = np.bincount(ka, minlength=500)
+    fb = np.bincount(kb, minlength=500)
+    true = int((fa * fb).sum())
+    a = CountMin(eps=1e-3, seed=3); a.update(ka.astype(np.int64))
+    b = CountMin(eps=1e-3, seed=3); b.update(kb.astype(np.int64))
+    est = a.inner_product(b)
+    assert est >= true                       # never an underestimate
+    assert est <= true + 1e-3 * len(ka) * len(kb)
+    # param mismatch must raise, not silently mis-estimate
+    c = CountMin(eps=1e-2, seed=3); c.update(kb.astype(np.int64))
+    with pytest.raises(ValueError):
+        a.inner_product(c)
+
+
+def test_cms_join_size_matches_exact_on_driver_tables(ray_session, sf_dir):
+    import duckdb
+
+    import ray.data as rd
+    from verdictray.query import cms_join_size
+
+    exact = duckdb.sql(
+        f"select count(*) from '{sf_dir}/orders.parquet' o "
+        f"join '{sf_dir}/customer.parquet' c on o.o_custkey = c.c_custkey"
+    ).fetchone()[0]
+    left = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    right = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+    r = cms_join_size(left, right, "o_custkey", "c_custkey", eps=1e-4)
+    assert r["est_join_size"] >= exact
+    assert r["est_join_size"] <= exact + r["eps_bound"]

@@ -479,3 +479,53 @@ class TestFunnelCounts:
             f"sum(case when t1>t0 and t2>t1 then 1 else 0 end) n2 from m"
         ).fetchone()
         assert out["n_users"].tolist() == [int(x) for x in exact]
+
+
+def test_ntile_agg_matches_duckdb_and_uneven_buckets(ray_session, sf_dir):
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.window import ntile_agg
+
+    exact = duckdb.sql(f"""
+        SELECT o_orderpriority, CAST(tile AS BIGINT) tile,
+               CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) sum_value
+        FROM (SELECT o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) c,
+                     ntile(4) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) tile
+              FROM '{sf_dir}/orders.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderpriority", "o_totalprice",
+                                    "o_orderkey"])
+
+    def cents(b):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        return _pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "c": _pc.cast(_pc.round(_pc.multiply(b["o_totalprice"], 100)),
+                          _pa.int64()),
+            "o_orderkey": b["o_orderkey"]})
+
+    for blocks in (1, 6):
+        ds = base.repartition(blocks).map_batches(cents,
+                                                  batch_format="pyarrow")
+        mine = (ntile_agg(ds, ["o_orderpriority"], "c", ["o_orderkey"], 4)
+                .to_pandas().sort_values(["o_orderpriority", "tile"])
+                .reset_index(drop=True))
+        pdt.assert_frame_equal(mine[exact.columns], exact, check_dtype=False)
+
+    # uneven split: 5 rows into 3 tiles → sizes 2,2,1 (SQL NTILE)
+    tiny = rd.from_arrow(pa.table({"g": ["x"] * 5,
+                                   "v": [10, 20, 30, 40, 50],
+                                   "t": [1, 2, 3, 4, 5]}))
+    out = (ntile_agg(tiny, ["g"], "v", ["t"], 3).to_pandas()
+           .sort_values("tile").reset_index(drop=True))
+    assert out["n"].tolist() == [2, 2, 1]
+    assert out["sum_value"].tolist() == [30, 70, 50]
+    # more tiles than rows: each row its own tile
+    out2 = ntile_agg(tiny, ["g"], "v", ["t"], 9).to_pandas()
+    assert sorted(out2["n"].tolist()) == [1] * 5

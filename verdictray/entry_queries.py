@@ -990,6 +990,14 @@ SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users_est FROM events
 """
 
 
+SQL_HLL_UNION_ROLLUP = """
+SELECT 'rollup' AS scope,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users_est FROM events
+UNION ALL
+SELECT 'direct', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+"""
+
+
 def q_kll_price_quantiles(sf_dir: str):
     """Per-group KLL quantiles of l_extendedprice (long format)."""
     ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
@@ -1069,9 +1077,14 @@ def q_hll_union_rollup(sf_dir: str):
     direct = _t(sf_dir, "events", ["user_id"]).aggregate(
         HllAgg(on="user_id", alias_name="nd")
     )["nd"]
+    # BIGINT rows: below the sparse-exact threshold both numbers equal the
+    # exact global distinct, so this hash-matches a SQL oracle at sf0.01
+    # (same reasoning as q_hll_users_by_type); at corpus scale both remain
+    # equal to each other (register-max associativity) within HLL's bound
     return pa.table({
         "scope": pa.array(["rollup", "direct"], pa.string()),
-        "nd_users_est": pa.array([merged.estimate(), direct], pa.float64()),
+        "nd_users_est": pa.array([round(merged.estimate()), round(direct)],
+                                 pa.int64()),
     })
 
 
@@ -2176,6 +2189,73 @@ FROM (
 """
 
 
+def q_cms_join_size_orders(sf_dir: str):
+    """Join-cardinality estimation WITHOUT the join (query.cms_join_size):
+    CM inner product of per-side key sketches — |orders ⋈ customer| from
+    two single-scan aggregates. Approximate (never under, over by
+    ≤ eps·Na·Nb w.p. ≥ 1−delta) → rows-only driver check; the bound is
+    asserted against the exact DuckDB join count in pytest."""
+    from .query import cms_join_size
+
+    left = _t(sf_dir, "orders", ["o_custkey"])
+    right = _t(sf_dir, "customer", ["c_custkey"])
+    r = cms_join_size(left, right, "o_custkey", "c_custkey", eps=1e-4)
+    return pa.table({
+        "n_left": pa.array([r["n_left"]], pa.int64()),
+        "n_right": pa.array([r["n_right"]], pa.int64()),
+        "est_join_size": pa.array([r["est_join_size"]], pa.int64()),
+        "eps_bound": pa.array([r["eps_bound"]], pa.float64()),
+    })
+
+
+def q_orders_price_ntile(sf_dir: str):
+    """Exact SQL NTILE(4) bucketing per priority (window.ntile_agg): rows
+    ranked by (o_totalprice, o_orderkey) — a total order, so the tile sums
+    are deterministic — with per-tile count and price sum."""
+    from .window import ntile_agg
+
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice",
+                               "o_orderkey"])
+
+    # sum in exact integer cents: float summation order differs between
+    # engines by a ulp, which survives round(, 2); integer sums are exact
+    # and divide to the identical double on both sides
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100)),
+                        pa.int64())
+        return pa.table({"o_orderpriority": b["o_orderpriority"],
+                         "o_cents": cents, "o_orderkey": b["o_orderkey"]})
+
+    out = ntile_agg(ds.map_batches(to_cents, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                    ["o_orderpriority"], "o_cents", ["o_orderkey"],
+                    n_tiles=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "tile": pc.cast(b["tile"], pa.int64()),
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value": pc.divide(pc.cast(b["sum_value"], pa.float64()),
+                                   pa.scalar(100.0)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORDERS_PRICE_NTILE = """
+SELECT o_orderpriority, tile, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS DOUBLE) / 100 AS sum_value
+FROM (SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS tile
+      FROM orders)
+GROUP BY o_orderpriority, tile
+"""
+
+
 def q_lineitem_linreg_by_flag(sf_dir: str):
     """Exact grouped simple linear regression (ops.grouped_linreg):
     l_extendedprice regressed on l_quantity per returnflag — five-sums
@@ -2605,6 +2685,8 @@ QUERIES = {
     "top_orders_per_priority": q_top_orders_per_priority,
     "substring_dup_stats": q_substring_dup_stats,
     "lineitem_linreg_by_flag": q_lineitem_linreg_by_flag,
+    "orders_price_ntile": q_orders_price_ntile,
+    "cms_join_size_orders": q_cms_join_size_orders,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2657,6 +2739,7 @@ ORACLES = {
     # m/4 hashes stores the full item-hash set; ann_topk is exact top-k
     "hll_users_by_type": SQL_HLL_USERS_BY_TYPE,
     "hll_global_users": SQL_HLL_GLOBAL_USERS,
+    "hll_union_rollup": SQL_HLL_UNION_ROLLUP,
     "ann_topk": SQL_ANN_TOPK,
     "lineitem_dispersion_by_flag": SQL_LINEITEM_DISPERSION,
     "max_value_event_per_type": SQL_MAX_VALUE_EVENT,
@@ -2681,6 +2764,7 @@ ORACLES = {
     "top_orders_per_priority": SQL_TOP_ORDERS_PER_PRIORITY,
     "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
     "lineitem_linreg_by_flag": SQL_LINEITEM_LINREG,
+    "orders_price_ntile": SQL_ORDERS_PRICE_NTILE,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

@@ -174,3 +174,31 @@ def estimate_vs_exact(estimates: pd.DataFrame, exact: pd.DataFrame,
         joined["error_bound"] > 0, np.inf
     )
     return joined
+
+
+def cms_join_size(left, right, left_on: str, right_on: str,
+                  eps: float = 1e-3, delta: float = 1e-2, seed: int = 0):
+    """Approximate equi-join cardinality WITHOUT running the join: build
+    one CMS per side over its join-key column (two streaming aggregates —
+    each side is scanned once, nothing is shuffled except KiB-sized sketch
+    partials) and take the CM inner-product estimate
+    (CountMin.inner_product). Returns a dict with the estimate, both input
+    counts and the published additive bound eps·N_left·N_right (holds with
+    probability ≥ 1 − delta; the estimate itself is never below the true
+    join size). The sketch-algebra answer to "how big would this join be"
+    — the planner-style use VerdictDB serves with scramble statistics."""
+    from .udaf import CmsAgg
+
+    la = left.aggregate(CmsAgg(on=left_on, alias_name="blob", eps=eps,
+                               delta=delta, seed=seed, output="blob"))
+    ra = right.aggregate(CmsAgg(on=right_on, alias_name="blob", eps=eps,
+                                delta=delta, seed=seed, output="blob"))
+    a = Sketch.from_bytes(la["blob"])
+    b = Sketch.from_bytes(ra["blob"])
+    est = a.inner_product(b)
+    return {
+        "n_left": int(a.n),
+        "n_right": int(b.n),
+        "est_join_size": int(est),
+        "eps_bound": float(eps) * a.n * b.n,
+    }

@@ -318,6 +318,25 @@ class CountMin(Sketch):
             self._truncate_candidates()
         return self
 
+    def inner_product(self, other: "CountMin") -> int:
+        """CM inner-product estimate (Cormode & Muthukrishnan 2005 §4.3):
+        min over depth rows of the rowwise dot product of the two counter
+        tables. For CMS built on the join keys of two relations this
+        estimates the EQUI-JOIN SIZE |A ⋈ B| = Σ_key f_A(key)·f_B(key):
+        never an underestimate, and ≤ true + eps·N_A·N_B with probability
+        ≥ 1 − delta. Both sketches must share (eps, delta, seed)."""
+        if (
+            not isinstance(other, CountMin)
+            or other.width != self.width
+            or other.depth != self.depth
+            or other.seed != self.seed
+        ):
+            raise ValueError(
+                "inner_product needs identical (eps, delta, seed)")
+        a = self.dense_table()
+        b = other.dense_table()
+        return int(np.einsum("ij,ij->i", a, b).min())
+
     def finalize(self) -> int:
         """Total stream count N (point queries via .query on the blob)."""
         return self.n

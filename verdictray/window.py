@@ -591,3 +591,52 @@ def funnel_counts(ds, user_col: str, ts_col: str, type_col: str,
         "n_users": pd.array([int(row[f"n{i}"] or 0)
                              for i in range(len(stages))], dtype="int64"),
     }))
+
+
+# ------------------------------------------------------------------ NTILE
+def ntile_agg(ds, keys: list[str], value_col: str, tiebreak: list[str],
+              n_tiles: int, aggs: dict[str, str] | None = None):
+    """Exact SQL NTILE bucketing with per-tile aggregates: rows of each
+    group are ranked by (value_col, *tiebreak) ascending — a TOTAL order,
+    so tile membership is deterministic and engine-portable — and split
+    into ``n_tiles`` buckets where the first count % n buckets hold one
+    extra row (SQL NTILE semantics). Output: one row per (keys, tile) with
+    n rows and the requested aggregates of value_col (default n + sum).
+
+    Distributed shape: one shuffle (groupby keys), one vectorized pandas
+    pass per group. NTILE is inherently a per-group total sort; at scale
+    the group must fit one task (same constraint as SQL engines'
+    partition-local window sort) — range-partition the value inside hot
+    groups first if a single group outgrows a task."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be ≥ 1")
+    aggs = aggs or {"n": "count", "sum_value": "sum"}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col] + tiebreak, kind="mergesort")
+        c = len(g)
+        n = min(n_tiles, max(c, 1))
+        size_small, n_big = divmod(c, n)
+        r = np.arange(c, dtype=np.int64)
+        cut = n_big * (size_small + 1)
+        tile = np.where(
+            r < cut,
+            r // max(size_small + 1, 1),
+            n_big + (r - cut) // max(size_small, 1),
+        ) + 1
+        g = g.assign(tile=tile)
+        out = {k: [] for k in keys}
+        res = {"tile": []}
+        for name in aggs:
+            res[name] = []
+        for t, sub in g.groupby("tile", sort=True):
+            for k in keys:
+                out[k].append(sub[k].iloc[0])
+            res["tile"].append(int(t))
+            for name, how in aggs.items():
+                v = sub[value_col]
+                res[name].append(len(sub) if how == "count"
+                                 else getattr(v, how)())
+        return pd.DataFrame({**out, **res})
+
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
