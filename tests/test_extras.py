@@ -864,3 +864,44 @@ class TestSubstringDupStats:
         out = substring_dup_stats(rd.from_pandas(df), "text", "doc_id",
                                   ["lang"], window=3).to_pandas()
         assert len(out) == 0  # no doc long enough for a single window
+
+
+class TestNgramDecontaminate:
+    def test_handcrafted_overlap_and_kept_set(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.dedup import ngram_decontaminate
+
+        train = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["the quick brown fox jumps high today",  # shares span
+                     "completely unrelated training text here now",
+                     "the quick brown fox differs from here on"],  # <3-tok
+        })
+        evalset = pd.DataFrame({
+            "eval_id": [100],
+            "eval_text": ["prefix the quick brown fox jumps high suffix"],
+        })
+        kept, contaminated = ngram_decontaminate(
+            rd.from_pandas(train).repartition(3), rd.from_pandas(evalset),
+            "text", "doc_id", "eval_text", "eval_id", window=5)
+        cdf = contaminated.to_pandas()
+        # doc 1 shares "the quick brown fox jumps" (and "quick brown fox
+        # jumps high") with the eval doc; doc 3 shares only a 4-token span
+        assert sorted(cdf["doc_id"].tolist()) == [1]
+        assert cdf.set_index("doc_id").loc[1, "n_shared_windows"] == 2
+        kdf = kept.to_pandas()
+        assert sorted(kdf["doc_id"].tolist()) == [2, 3]
+
+    def test_no_overlap_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        from verdictray.dedup import ngram_decontaminate
+
+        train = pd.DataFrame({"doc_id": [1], "text": ["a b c d e f"]})
+        ev = pd.DataFrame({"eval_id": [9], "eval_text": ["u v w x y z"]})
+        kept, cont = ngram_decontaminate(rd.from_pandas(train),
+                                         rd.from_pandas(ev), "text",
+                                         "doc_id", "eval_text", "eval_id",
+                                         window=3)
+        assert kept.count() == 1 and cont.count() == 0

@@ -3,6 +3,7 @@ deterministic sampling, anti-join, approx dedup filter, HLL intersection,
 as_aggregate extension hook, estimates write path, calibration flow."""
 
 import numpy as np
+import pandas as pd
 import pandas.testing as pdt
 import pyarrow as pa
 import pytest
@@ -858,3 +859,29 @@ def test_grouped_linreg_matches_duckdb(ray_session, sf_dir):
                                    "y": [1.0, 3.0]}))
     t = grouped_linreg(tiny, ["g"], "x", "y").to_pandas()
     assert t["slope"].isna().all() and t["r2"].isna().all()
+
+
+def test_mix_by_weights_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import frac_to_hex_threshold, mix_by_weights
+
+    assert frac_to_hex_threshold(1.0) == "g"
+    assert frac_to_hex_threshold(0.5) == "80000000"
+    assert frac_to_hex_threshold(0.0) == "00000000"
+
+    n = 4000
+    df = pd.DataFrame({"id": range(n),
+                       "g": ["a", "b", "c", "d"] * (n // 4)})
+    ds = rd.from_pandas(df)
+    w = {"a": 1.0, "b": 0.5, "c": 0.0}     # d falls to default=0.25
+    out = mix_by_weights(ds, "g", "id", w, default=0.25).to_pandas()
+    got = out.groupby("g").size().reindex(list("abcd"), fill_value=0)
+    assert got["a"] == n // 4                  # keep-all is exact
+    assert got["c"] == 0                       # keep-none is exact
+    assert abs(got["b"] / (n // 4) - 0.5) < 0.08   # sha-uniform rate
+    assert abs(got["d"] / (n // 4) - 0.25) < 0.08
+    # reshard-stable: identical row set under a different block layout
+    out2 = mix_by_weights(ds.repartition(7), "g", "id", w,
+                          default=0.25).to_pandas()
+    assert sorted(out2["id"]) == sorted(out["id"])

@@ -1084,3 +1084,41 @@ def substring_dup_stats(ds, text_col: str, id_col: str,
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_decontaminate(train, evalset, text_col: str, id_col: str,
+                        eval_text_col: str, eval_id_col: str,
+                        window: int = 8, join_buckets: int = 16):
+    """Eval-set decontamination at the N-GRAM level (the form real LLM
+    pipelines use — e.g. GPT-3/Gopher style n-gram overlap): a train doc
+    is contaminated if it shares ANY verbatim ``window``-token span with
+    any eval doc; returns (kept_train_ds, contaminated_ids_ds).
+
+    Distributed shape: both sides explode to (id, win_hash) rows via
+    WindowHasher (8 B of hash per token through the shuffle, text never
+    leaves the map stage), one exact bucketed semi-join marks contaminated
+    train ids, one distinct, one anti-join filters the train set. Compare
+    join.semi_anti_join on whole-text keys (q_decontaminated_docs) for the
+    verbatim-duplicate-only form."""
+    from ray.data.aggregate import Count
+
+    from .join import semi_anti_join
+
+    th = WindowHasher(text_col=text_col, id_col=id_col, group_cols=(),
+                      window=window)
+    eh = WindowHasher(text_col=eval_text_col, id_col=eval_id_col,
+                      group_cols=(), window=window)
+    trows = train.select_columns([id_col, text_col]).map_batches(
+        th.__call__, batch_format="pyarrow", zero_copy_batch=True)
+    erows = evalset.select_columns([eval_id_col, eval_text_col]).map_batches(
+        eh.__call__, batch_format="pyarrow", zero_copy_batch=True)
+
+    hits = semi_anti_join(trows, erows.select_columns(["win_hash"]),
+                          "win_hash", "win_hash", how="semi",
+                          buckets=join_buckets)
+    contaminated = (hits.groupby(id_col)
+                    .aggregate(Count(alias_name="n_shared_windows")))
+    kept = semi_anti_join(
+        train, contaminated.select_columns([id_col]), id_col, id_col,
+        how="anti", buckets=join_buckets)
+    return kept, contaminated

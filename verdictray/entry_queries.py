@@ -1472,6 +1472,78 @@ GROUP BY lang
 """
 
 
+def q_ngram_decontaminated_docs(sf_dir: str):
+    """N-gram-level eval-set decontamination (dedup.ngram_decontaminate):
+    drop every non-'de' doc sharing ANY verbatim 8-token span with a 'de'
+    doc (stand-in eval set) — the GPT-3/Gopher-style overlap rule, vs the
+    whole-text-equality form in q_decontaminated_docs. Hashes through the
+    shuffle, two exact bucketed joins; per-lang kept/dropped counts."""
+    from ray.data.aggregate import Count
+
+    from .dedup import ngram_decontaminate
+    from .join import hash_join
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    train = docs.map_batches(
+        lambda b: b.filter(pc.not_equal(b["lang"], pa.scalar("de"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    evalset = docs.map_batches(
+        lambda b: pa.table({
+            "eval_id": b.filter(pc.equal(b["lang"], pa.scalar("de")))["doc_id"],
+            "eval_text": b.filter(pc.equal(b["lang"], pa.scalar("de")))["text"],
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    kept, _ = ngram_decontaminate(train, evalset, "text", "doc_id",
+                                  "eval_text", "eval_id", window=8)
+    n_kept = kept.groupby("lang").aggregate(Count(alias_name="n_kept"))
+    n_tot = train.groupby("lang").aggregate(Count(alias_name="n_total"))
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({"_lang2": b["lang"], "n_total": b["n_total"]})
+
+    j = hash_join(n_kept, n_tot.map_batches(ren, batch_format="pyarrow"),
+                  "lang", "_lang2", buckets=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "n_kept": pc.cast(b["n_kept"], pa.int64()),
+            "n_dropped": pc.cast(pc.subtract(b["n_total"], b["n_kept"]),
+                                 pa.int64()),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_NGRAM_DECONTAM = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, lang, array_to_string(list_slice(t, i, i + 8 - 1), ' ') AS w
+  FROM (SELECT doc_id, lang, t,
+               unnest(generate_series(1, greatest(len(t) - 8 + 1, 0))) AS i
+        FROM toks)
+), contaminated AS (
+  SELECT DISTINCT w1.doc_id
+  FROM wins w1
+  WHERE w1.lang <> 'de'
+    AND EXISTS (SELECT 1 FROM wins e
+                WHERE e.lang = 'de' AND e.w = w1.w)
+)
+SELECT lang,
+       CAST(count(*) FILTER (doc_id NOT IN (SELECT doc_id FROM contaminated))
+            AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (doc_id IN (SELECT doc_id FROM contaminated))
+            AS BIGINT) AS n_dropped
+FROM documents
+WHERE lang <> 'de'
+GROUP BY lang
+HAVING count(*) FILTER (doc_id NOT IN (SELECT doc_id FROM contaminated)) > 0
+"""
+
+
 def q_curated_exact(sf_dir: str):
     """Quality filter + exact dedup (the SQL-expressible prefix of the
     curation pipeline, curate.py): per-lang doc/token counts of the
@@ -2189,6 +2261,46 @@ FROM (
 """
 
 
+_MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.125, "zh": 0.75}
+
+
+def q_docs_mixture_counts(sf_dir: str):
+    """Deterministic weighted corpus mixture (ops.mix_by_weights): per-lang
+    keep rates applied as a pure sha256(doc_id) predicate — the LLM
+    domain-reweighting step as one streaming map, no shuffle, no RNG
+    state. Per-lang surviving doc and token counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from .text import with_token_count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    mixed = ops.mix_by_weights(ds, "lang", "doc_id", _MIX_WEIGHTS)
+    mixed = mixed.map_batches(with_token_count, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = mixed.groupby("lang").aggregate(
+        Count(alias_name="n_kept"), Sum("n_tokens", alias_name="n_tokens"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"lang": b["lang"],
+                         "n_kept": pc.cast(b["n_kept"], pa.int64()),
+                         "n_tokens": pc.cast(b["n_tokens"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_DOCS_MIXTURE = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+FROM documents
+WHERE sha256(CAST(doc_id AS VARCHAR)) <
+      CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '80000000'
+                WHEN 'es' THEN '40000000' WHEN 'fr' THEN '20000000'
+                WHEN 'zh' THEN 'c0000000' ELSE '00000000' END
+GROUP BY lang
+"""
+
+
 def q_cms_join_size_orders(sf_dir: str):
     """Join-cardinality estimation WITHOUT the join (query.cms_join_size):
     CM inner product of per-side key sketches — |orders ⋈ customer| from
@@ -2687,6 +2799,8 @@ QUERIES = {
     "lineitem_linreg_by_flag": q_lineitem_linreg_by_flag,
     "orders_price_ntile": q_orders_price_ntile,
     "cms_join_size_orders": q_cms_join_size_orders,
+    "ngram_decontaminated_docs": q_ngram_decontaminated_docs,
+    "docs_mixture_counts": q_docs_mixture_counts,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2765,6 +2879,8 @@ ORACLES = {
     "substring_dup_stats": SQL_SUBSTRING_DUP_STATS,
     "lineitem_linreg_by_flag": SQL_LINEITEM_LINREG,
     "orders_price_ntile": SQL_ORDERS_PRICE_NTILE,
+    "ngram_decontaminated_docs": SQL_NGRAM_DECONTAM,
+    "docs_mixture_counts": SQL_DOCS_MIXTURE,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

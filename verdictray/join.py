@@ -30,6 +30,16 @@ import pyarrow.compute as pc
 from .sketches.hashing import hash64
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Normalize a Dataset.schema() type to pyarrow: pandas-block datasets
+    report numpy dtypes (object → string, the pandas text convention)."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t is object or t == np.object_:
+        return pa.string()
+    return pa.from_numpy_dtype(t)
+
+
 def _tag(side: str, on: str, buckets: int, all_cols: list[str]):
     def fn(batch: pa.Table) -> pa.Table:
         bucket = (hash64(batch[on], seed=17) % np.uint64(buckets)).astype(np.int64)
@@ -62,9 +72,9 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
     overlap = set(lschema.names) & set(rschema.names)
     if overlap:
         raise ValueError(f"hash_join requires disjoint column names; shared: {overlap}")
-    all_cols = list(zip(lschema.names, lschema.types)) + list(
-        zip(rschema.names, rschema.types)
-    )
+    all_cols = [(n, _arrow_type(t))
+                for n, t in list(zip(lschema.names, lschema.types))
+                + list(zip(rschema.names, rschema.types))]
     lt = left.map_batches(_tag("l", left_on, buckets, all_cols),
                           batch_format="pyarrow", zero_copy_batch=True)
     rt = right.map_batches(_tag("r", right_on, buckets, all_cols),
@@ -162,8 +172,10 @@ def semi_anti_join(left, right, left_on: str, right_on: str,
     if "_rkey" in lschema.names:
         raise ValueError("left side may not carry a '_rkey' column")
     rschema = right.schema()
-    rkey_type = dict(zip(rschema.names, rschema.types))[right_on]
-    all_cols = list(zip(lschema.names, lschema.types)) + [("_rkey", rkey_type)]
+    rkey_type = _arrow_type(dict(zip(rschema.names, rschema.types))[right_on])
+    all_cols = [(n, _arrow_type(t))
+                for n, t in zip(lschema.names, lschema.types)]
+    all_cols += [("_rkey", rkey_type)]
     lt = left.map_batches(_tag("l", left_on, buckets, all_cols),
                           batch_format="pyarrow", zero_copy_batch=True)
 
@@ -177,10 +189,6 @@ def semi_anti_join(left, right, left_on: str, right_on: str,
 
     lcols = list(lschema.names)
     keep = how == "semi"
-    int_cols = {n for n, t in zip(lschema.names, lschema.types)
-                if pa.types.is_integer(t)}
-
-    del int_cols  # Arrow-level probe: no pandas promotion to undo
 
     def probe_bucket(g: pa.Table) -> pa.Table:
         # Arrow-level: the padded union block must NOT round-trip through

@@ -1014,3 +1014,46 @@ def grouped_linreg(ds, keys: list[str], x: str, y: str, ndigits: int = 6):
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------- dataset mixing
+def frac_to_hex_threshold(frac: float, digits: int = 8) -> str:
+    """Map a keep-fraction to a sha256-hex prefix threshold: rows with
+    hex(sha256(key)) < threshold are kept. 'g' (> every hex char) keeps
+    all rows; '0'*digits keeps none. Any engine with sha256 reproduces the
+    identical membership (the sample_sha contract)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * 16 ** digits), f"0{digits}x")
+
+
+def mix_by_weights(ds, group_col: str, id_col: str, weights: dict,
+                   default: float = 0.0):
+    """Deterministic weighted dataset mixture (LLM-pipeline domain
+    up/down-sampling): keep each row with probability ``weights[group]``
+    (``default`` for unlisted groups), membership decided by
+    sha256(id) — engine-portable, reshard/resume-stable, NO shuffle and no
+    RNG state; the mixture is a pure row predicate evaluated in one
+    streaming map. Rates are exact in expectation and the driver oracle
+    re-derives the exact row set in SQL with the same CASE thresholds."""
+    thr = {g: frac_to_hex_threshold(w) for g, w in weights.items()}
+    dflt = frac_to_hex_threshold(default)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[id_col]
+        if not (pa.types.is_string(keys.type)
+                or pa.types.is_large_string(keys.type)):
+            keys = pc.cast(keys, pa.string())
+        hexes = sha256_hex_column(keys)
+        enc = pc.dictionary_encode(
+            batch[group_col].combine_chunks()
+            if isinstance(batch[group_col], pa.ChunkedArray)
+            else batch[group_col])
+        dict_thr = pa.array([thr.get(v.as_py(), dflt)
+                             for v in enc.dictionary], pa.string())
+        row_thr = dict_thr.take(enc.indices)
+        return batch.filter(pc.less(hexes, row_thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

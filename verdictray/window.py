@@ -141,8 +141,10 @@ def asof_join(left, right, on: str, ts_left: str, ts_right: str,
         ts_right_eff = ts_right
     rschema = right.schema()
 
-    all_cols = list(zip(lschema.names, lschema.types))
-    all_cols += [(n, t) for n, t in zip(rschema.names, rschema.types) if n != on]
+    from .join import _arrow_type
+    all_cols = [(n, _arrow_type(t)) for n, t in zip(lschema.names, lschema.types)]
+    all_cols += [(n, _arrow_type(t)) for n, t in zip(rschema.names, rschema.types)
+                 if n != on]
 
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
@@ -223,8 +225,9 @@ def range_join(left, right, ts_col: str, lo_col: str, hi_col: str,
         raise ValueError(f"range_join requires disjoint column names; both sides have {sorted(clash)}")
     tick = _ts_ticks_per_second(dict(zip(lschema.names, lschema.types))[ts_col])
     w = bucket_width_s * tick
-    all_cols = list(zip(lschema.names, lschema.types))
-    all_cols += list(zip(rschema.names, rschema.types))
+    from .join import _arrow_type
+    all_cols = [(n, _arrow_type(t)) for n, t in zip(lschema.names, lschema.types)]
+    all_cols += [(n, _arrow_type(t)) for n, t in zip(rschema.names, rschema.types)]
 
     def pad(batch: pa.Table, side: str, tb: np.ndarray) -> pa.Table:
         batch = batch.append_column("_tb", pa.array(tb, pa.int64()))
@@ -258,9 +261,6 @@ def range_join(left, right, ts_col: str, lo_col: str, hi_col: str,
 
     out_lcols = list(lschema.names)
     out_rcols = list(rschema.names)
-    int_cols = {n for n, t in all_cols if pa.types.is_integer(t)}
-
-    del int_cols  # Arrow-level side split: no pandas promotion to undo
 
     def join_group(g: pa.Table) -> pd.DataFrame:
         # Arrow-level side split (see join.hash_join): pandas-converting
