@@ -885,3 +885,19 @@ def test_mix_by_weights_rates_and_determinism(ray_session):
     out2 = mix_by_weights(ds.repartition(7), "g", "id", w,
                           default=0.25).to_pandas()
     assert sorted(out2["id"]) == sorted(out["id"])
+
+
+def test_mode_per_group_ties_and_block_invariance(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import mode_per_group
+
+    # group a: clear mode 5; group b: tie between 1 and 2 → smallest wins
+    df = pd.DataFrame({"k": list("aaaabbbb"),
+                       "v": [5, 5, 5, 9, 2, 2, 1, 1]})
+    for blocks in (1, 5):
+        out = (mode_per_group(rd.from_pandas(df).repartition(blocks),
+                              ["k"], "v")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out["v"].tolist() == [5, 1]
+        assert out["n"].tolist() == [3, 2]

@@ -470,6 +470,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hourly_users(sf_dir: str):
+    """Sketches composed with windows: per-hour DISTINCT user count via
+    the HLL UDAF over tumbling_window groups — the windowed-cardinality
+    query a streaming engine answers with sketch state. Sparse-exact below
+    m/4 hashes (true at the driver's per-hour cardinalities), so the
+    BIGINT rows hash-match count(DISTINCT ...); at corpus scale the same
+    query degrades gracefully to the 1.04/√m-bounded estimate."""
+    from .window import tumbling_window
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+    out = tumbling_window(ds, "ts", 3600).aggregate(
+        HllAgg(on="user_id", alias_name="nd_users_est"))
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.strftime(b["window_start"],
+                                        format="%Y-%m-%d %H:%M"),
+            "nd_users_est": pc.cast(pc.round(b["nd_users_est"]),
+                                    pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_HOURLY_USERS = """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M')
+           AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS nd_users_est
+FROM events GROUP BY 1
+"""
+
+
 def q_events_sliding(sf_dir: str):
     """Sliding windows (1 h wide, 30 min slide): each row assigned to its
     width/slide covering windows inside map_batches, then plain groupby —
@@ -2261,6 +2293,30 @@ FROM (
 """
 
 
+def q_lineitem_mode_qty(sf_dir: str):
+    """Exact grouped MODE (ops.mode_per_group): the most frequent
+    l_quantity per returnflag, smallest value winning ties — one counted
+    groupby plus the map-side extrema combiner."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = ops.mode_per_group(ds, ["l_returnflag"], "l_quantity")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "l_quantity": b["l_quantity"],
+                         "n": pc.cast(b["n"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_MODE_QTY = """
+SELECT l_returnflag, l_quantity, n FROM (
+  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY count(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity) WHERE rn = 1
+"""
+
+
 _MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "es": 0.25, "fr": 0.125, "zh": 0.75}
 
 
@@ -2728,6 +2784,7 @@ QUERIES = {
     "cms_event_type_counts": q_cms_event_type_counts,
     "cms_top_users_by_type": q_cms_top_users_by_type,
     "events_hourly": q_events_hourly,
+    "events_hourly_users": q_events_hourly_users,
     "events_sliding_1h_30m": q_events_sliding,
     "events_asof_signup": q_events_asof_signup,
     "events_in_purchase_windows": q_events_in_purchase_windows,
@@ -2801,6 +2858,7 @@ QUERIES = {
     "cms_join_size_orders": q_cms_join_size_orders,
     "ngram_decontaminated_docs": q_ngram_decontaminated_docs,
     "docs_mixture_counts": q_docs_mixture_counts,
+    "lineitem_mode_qty": q_lineitem_mode_qty,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2820,6 +2878,7 @@ ORACLES = {
     "cms_event_type_counts": SQL_CMS_EVENT_TYPE,
     "cms_top_users_by_type": SQL_CMS_TOP_USERS,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_hourly_users": SQL_EVENTS_HOURLY_USERS,
     "events_sliding_1h_30m": SQL_EVENTS_SLIDING,
     "events_asof_signup": SQL_EVENTS_ASOF,
     "events_in_purchase_windows": SQL_EVENTS_RANGE_JOIN,
@@ -2881,6 +2940,7 @@ ORACLES = {
     "orders_price_ntile": SQL_ORDERS_PRICE_NTILE,
     "ngram_decontaminated_docs": SQL_NGRAM_DECONTAM,
     "docs_mixture_counts": SQL_DOCS_MIXTURE,
+    "lineitem_mode_qty": SQL_LINEITEM_MODE_QTY,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

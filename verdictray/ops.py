@@ -1057,3 +1057,24 @@ def mix_by_weights(ds, group_col: str, id_col: str, weights: dict,
         return batch.filter(pc.less(hexes, row_thr))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ grouped mode
+def mode_per_group(ds, keys: list[str], value_col: str,
+                   count_col: str = "n"):
+    """Exact statistical MODE per group (most frequent value, smallest
+    value winning ties — deterministic and engine-portable): one
+    groupby((keys, value)) count — per-block partial counts combine
+    map-side, so a hot (key, value) pair shuffles one row per block — then
+    the existing extrema combiner picks the argmax row per key. Output:
+    keys, value_col (the mode), count_col."""
+    from ray.data.aggregate import Count
+
+    counts = (ds.select_columns(keys + [value_col])
+              .groupby(keys + [value_col])
+              .aggregate(Count(alias_name=count_col)))
+    out = extrema_per_group(counts, keys, count_col, [value_col],
+                            mode="max")
+    return out.map_batches(
+        lambda b: b.select(keys + [value_col, count_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
