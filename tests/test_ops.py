@@ -901,3 +901,30 @@ def test_mode_per_group_ties_and_block_invariance(ray_session):
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert out["v"].tolist() == [5, 1]
         assert out["n"].tolist() == [3, 2]
+
+
+def test_mix_by_weights_upsampling_epochs(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import mix_by_weights
+
+    n = 2000
+    df = pd.DataFrame({"id": range(n), "g": ["a", "b"] * (n // 2)})
+    ds = rd.from_pandas(df)
+    out = mix_by_weights(ds, "g", "id", {"a": 2.0, "b": 2.5},
+                         epoch_col="epoch").to_pandas()
+    per = out.groupby("g").size()
+    assert per["a"] == n                      # exactly 2 copies each
+    frac_b = per["b"] / (n // 2) - 2.0        # 2 copies + ~50% third
+    assert abs(frac_b - 0.5) < 0.1
+    # per-row copy counts are 2 or 3, epoch indices are 0..copies-1
+    cc = out.groupby(["g", "id"]).agg(n=("epoch", "size"),
+                                      mx=("epoch", "max"))
+    assert set(cc.loc["a", "n"]) == {2} and set(cc.loc["b", "n"]) <= {2, 3}
+    assert (cc["mx"] == cc["n"] - 1).all()
+    # reshard-stable multiset
+    out2 = mix_by_weights(ds.repartition(7), "g", "id", {"a": 2.0, "b": 2.5},
+                          epoch_col="epoch").to_pandas()
+    k = ["g", "id", "epoch"]
+    assert out.sort_values(k).reset_index(drop=True)[k].equals(
+        out2.sort_values(k).reset_index(drop=True)[k])

@@ -1030,16 +1030,22 @@ def frac_to_hex_threshold(frac: float, digits: int = 8) -> str:
 
 
 def mix_by_weights(ds, group_col: str, id_col: str, weights: dict,
-                   default: float = 0.0):
+                   default: float = 0.0, epoch_col: str | None = None):
     """Deterministic weighted dataset mixture (LLM-pipeline domain
-    up/down-sampling): keep each row with probability ``weights[group]``
+    up/down-sampling): keep each row with rate ``weights[group]``
     (``default`` for unlisted groups), membership decided by
     sha256(id) — engine-portable, reshard/resume-stable, NO shuffle and no
-    RNG state; the mixture is a pure row predicate evaluated in one
-    streaming map. Rates are exact in expectation and the driver oracle
-    re-derives the exact row set in SQL with the same CASE thresholds."""
-    thr = {g: frac_to_hex_threshold(w) for g, w in weights.items()}
-    dflt = frac_to_hex_threshold(default)
+    RNG state; the mixture is a pure row function evaluated in one
+    streaming map. Weights ABOVE 1 upsample by repetition (multi-epoch
+    mixing): a weight of 2.3 emits 2 full copies of every row plus a
+    deterministic 30% slice as a third — pass ``epoch_col`` to emit the
+    copy index (0-based) so downstream shuffles can decorrelate epochs.
+    Rates are exact in expectation and the driver oracle re-derives the
+    exact row set in SQL (CASE thresholds + UNION ALL per extra epoch)."""
+    full = {g: int(w) for g, w in weights.items()}
+    thr = {g: frac_to_hex_threshold(w - int(w)) for g, w in weights.items()}
+    dflt_full, dflt_thr = int(default), frac_to_hex_threshold(
+        default - int(default))
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = batch[id_col]
@@ -1047,14 +1053,28 @@ def mix_by_weights(ds, group_col: str, id_col: str, weights: dict,
                 or pa.types.is_large_string(keys.type)):
             keys = pc.cast(keys, pa.string())
         hexes = sha256_hex_column(keys)
+        col = batch[group_col]
         enc = pc.dictionary_encode(
-            batch[group_col].combine_chunks()
-            if isinstance(batch[group_col], pa.ChunkedArray)
-            else batch[group_col])
-        dict_thr = pa.array([thr.get(v.as_py(), dflt)
-                             for v in enc.dictionary], pa.string())
-        row_thr = dict_thr.take(enc.indices)
-        return batch.filter(pc.less(hexes, row_thr))
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)
+        gvals = [v.as_py() for v in enc.dictionary]
+        dict_thr = pa.array([thr.get(v, dflt_thr) for v in gvals],
+                            pa.string())
+        idx = enc.indices
+        row_thr = dict_thr.take(idx)
+        # copies = full epochs + 1 more where hex(sha(id)) < frac threshold
+        n_full = np.asarray(
+            pa.array([full.get(v, dflt_full) for v in gvals],
+                     pa.int64()).take(idx))
+        reps = n_full + np.asarray(pc.less(hexes, row_thr)).astype(np.int64)
+        take_ix = np.repeat(np.arange(len(batch), dtype=np.int64), reps)
+        out = batch.take(pa.array(take_ix))
+        if epoch_col is not None:
+            starts = np.cumsum(reps) - reps
+            epoch = np.arange(len(take_ix), dtype=np.int64) - np.repeat(
+                starts, reps)
+            out = out.append_column(epoch_col, pa.array(epoch))
+        return out
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
