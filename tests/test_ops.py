@@ -928,3 +928,18 @@ def test_mix_by_weights_upsampling_epochs(ray_session):
     k = ["g", "id", "epoch"]
     assert out.sort_values(k).reset_index(drop=True)[k].equals(
         out2.sort_values(k).reset_index(drop=True)[k])
+
+
+def test_string_agg_per_group_order_and_sep(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import string_agg_per_group
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"],
+                       "v": ["x", "y", "z", "q"],
+                       "o": [2, 1, 3, 1]})
+    for blocks in (1, 4):
+        out = (string_agg_per_group(rd.from_pandas(df).repartition(blocks),
+                                    ["k"], "v", ["o"], [True], sep="|")
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out["agg"].tolist() == ["z|x|y", "q"]

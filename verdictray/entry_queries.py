@@ -2293,6 +2293,33 @@ FROM (
 """
 
 
+def q_top_orders_concat(sf_dir: str):
+    """Ordered string_agg per group (ops.string_agg_per_group) composed
+    with the top-k cap — the scale-safe form: cap rows per group FIRST
+    (map-side top-k combiner), then concatenate the ≤k survivors."""
+    ds = _t(sf_dir, "orders", ["o_orderpriority", "o_totalprice",
+                               "o_orderkey"])
+    top = ops.topk_per_group(ds, keys=["o_orderpriority"],
+                             value_col="o_totalprice",
+                             tiebreak=["o_orderkey"], k=3)
+    return ops.string_agg_per_group(
+        top, ["o_orderpriority"], "o_orderkey",
+        order_by=["o_totalprice", "o_orderkey"],
+        descending=[True, False], sep=",", out_col="top_keys")
+
+
+SQL_TOP_ORDERS_CONCAT = """
+SELECT o_orderpriority,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_totalprice DESC, o_orderkey) AS top_keys
+FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) rn
+      FROM orders) WHERE rn <= 3
+GROUP BY o_orderpriority
+"""
+
+
 def q_lineitem_mode_qty(sf_dir: str):
     """Exact grouped MODE (ops.mode_per_group): the most frequent
     l_quantity per returnflag, smallest value winning ties — one counted
@@ -2859,6 +2886,7 @@ QUERIES = {
     "ngram_decontaminated_docs": q_ngram_decontaminated_docs,
     "docs_mixture_counts": q_docs_mixture_counts,
     "lineitem_mode_qty": q_lineitem_mode_qty,
+    "top_orders_concat": q_top_orders_concat,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2941,6 +2969,7 @@ ORACLES = {
     "ngram_decontaminated_docs": SQL_NGRAM_DECONTAM,
     "docs_mixture_counts": SQL_DOCS_MIXTURE,
     "lineitem_mode_qty": SQL_LINEITEM_MODE_QTY,
+    "top_orders_concat": SQL_TOP_ORDERS_CONCAT,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

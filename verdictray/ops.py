@@ -1098,3 +1098,25 @@ def mode_per_group(ds, keys: list[str], value_col: str,
     return out.map_batches(
         lambda b: b.select(keys + [value_col, count_col]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------------------- ordered string_agg
+def string_agg_per_group(ds, keys: list[str], value_col: str,
+                         order_by: list[str], descending: list[bool],
+                         sep: str = ",", out_col: str = "agg"):
+    """SQL ``string_agg(value, sep ORDER BY ...)`` per group: one shuffle,
+    one vectorized pandas pass per group. The concatenation is inherently
+    O(group size) in one task — for unbounded groups compose with
+    topk_per_group first (cap the rows, THEN concatenate), which is the
+    scale-safe form the registered query uses."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_by, ascending=[not d for d in descending],
+                          kind="mergesort")
+        out = {k: [g[k].iloc[0]] for k in keys}
+        out[out_col] = [sep.join(g[value_col].astype(str))]
+        return pd.DataFrame(out)
+
+    return (ds.select_columns(list(dict.fromkeys(keys + [value_col]
+                                                 + order_by)))
+            .groupby(keys).map_groups(per_group, batch_format="pandas"))
