@@ -905,3 +905,43 @@ class TestNgramDecontaminate:
                                          "doc_id", "eval_text", "eval_id",
                                          window=3)
         assert kept.count() == 1 and cont.count() == 0
+
+
+def test_window_hasher_equals_naive_reference_random():
+    """Seeded-random equivalence: WindowHasher's per-doc distinct window
+    hash count and cross-doc collision structure must match a naive
+    Python tokenize+tuple reference (unicode tokens included)."""
+    import numpy as np
+    import re
+
+    from verdictray.dedup import WindowHasher
+
+    rng = np.random.default_rng(11)
+    vocab = ["foo", "bar", "héllo", "日本", "x", "longer-token", "42", "β"]
+    docs = []
+    for _ in range(60):
+        n = int(rng.integers(0, 30))
+        docs.append(" ".join(rng.choice(vocab, n)) +
+                    ("  " if rng.random() < 0.3 else ""))
+    W = 4
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string()),
+                    "g": pa.array(["g"] * len(docs), pa.string())})
+    out = WindowHasher("text", "doc_id", ("g",), W)(tbl).to_pandas()
+
+    # naive reference: window tuples per doc
+    ref = {}
+    for i, d in enumerate(docs):
+        toks = [t for t in re.split(r"\s+", d.strip()) if t != ""]
+        ref[i] = {tuple(toks[j:j + W]) for j in range(len(toks) - W + 1)}
+    got_counts = out.groupby("doc_id").size().to_dict()
+    for i, wins in ref.items():
+        assert got_counts.get(i, 0) == len(wins), i
+    # collision structure: two docs share a hash iff they share a window
+    hmap = out.groupby("doc_id")["win_hash"].apply(set).to_dict()
+    for a in ref:
+        for b in ref:
+            if a < b:
+                share_ref = bool(ref[a] & ref[b])
+                share_hash = bool(hmap.get(a, set()) & hmap.get(b, set()))
+                assert share_ref == share_hash, (a, b)
