@@ -943,3 +943,33 @@ def test_string_agg_per_group_order_and_sep(ray_session):
                                     ["k"], "v", ["o"], [True], sep="|")
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert out["agg"].tolist() == ["z|x|y", "q"]
+
+
+def test_with_row_number_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.ops import with_row_number
+
+    exact = duckdb.sql(
+        f"select o_orderkey, row_number() over (order by o_totalprice desc, "
+        f"o_orderkey)::BIGINT rn from '{sf_dir}/orders.parquet' "
+        f"order by o_orderkey").df()
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+    for blocks in (1, 9):
+        out = (with_row_number(base.repartition(blocks), "o_totalprice",
+                               ["o_orderkey"], descending=True,
+                               out_col="rn", ranges=7)
+               .to_pandas().sort_values("o_orderkey")
+               .reset_index(drop=True))
+        pdt.assert_frame_equal(out[["o_orderkey", "rn"]], exact,
+                               check_dtype=False)
+    # ascending + duplicate order values crossing a boundary
+    df = pd.DataFrame({"k": [5, 5, 5, 5, 1, 9], "t": [6, 5, 4, 3, 2, 1]})
+    out = (with_row_number(rd.from_pandas(df), "k", ["t"], ranges=3,
+                           out_col="rn")
+           .to_pandas().sort_values("rn"))
+    assert out["k"].tolist() == [1, 5, 5, 5, 5, 9]
+    assert out["t"].tolist() == [2, 3, 4, 5, 6, 1]
+    assert out["rn"].tolist() == [1, 2, 3, 4, 5, 6]

@@ -2293,6 +2293,27 @@ FROM (
 """
 
 
+def q_orders_row_numbers(sf_dir: str):
+    """Exact global ROW_NUMBER over a total order (ops.with_row_number):
+    range-partition enumeration — boundaries from a deterministic hash
+    sample, exact per-range counts → prefix offsets, local sort + offset
+    per range. Full rows cross ONE shuffle; no global sort."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ops.with_row_number(ds, "o_totalprice", ["o_orderkey"],
+                              descending=True, out_col="rn", ranges=32)
+    return out.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"], "rn": b["rn"]}),
+        batch_format="pyarrow")
+
+
+SQL_ORDERS_ROW_NUMBERS = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS rn
+FROM orders
+"""
+
+
 def q_top_orders_concat(sf_dir: str):
     """Ordered string_agg per group (ops.string_agg_per_group) composed
     with the top-k cap — the scale-safe form: cap rows per group FIRST
@@ -2887,6 +2908,7 @@ QUERIES = {
     "docs_mixture_counts": q_docs_mixture_counts,
     "lineitem_mode_qty": q_lineitem_mode_qty,
     "top_orders_concat": q_top_orders_concat,
+    "orders_row_numbers": q_orders_row_numbers,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2970,6 +2992,7 @@ ORACLES = {
     "docs_mixture_counts": SQL_DOCS_MIXTURE,
     "lineitem_mode_qty": SQL_LINEITEM_MODE_QTY,
     "top_orders_concat": SQL_TOP_ORDERS_CONCAT,
+    "orders_row_numbers": SQL_ORDERS_ROW_NUMBERS,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

@@ -1120,3 +1120,88 @@ def string_agg_per_group(ds, keys: list[str], value_col: str,
     return (ds.select_columns(list(dict.fromkeys(keys + [value_col]
                                                  + order_by)))
             .groupby(keys).map_groups(per_group, batch_format="pandas"))
+
+
+# ------------------------------------------------------ global row numbers
+def with_row_number(ds, order_col: str, tiebreak: list[str],
+                    descending: bool = False, out_col: str = "row_number",
+                    ranges: int = 64, sample_limit: int = 10_000):
+    """Exact global ``row_number() OVER (ORDER BY order_col [DESC],
+    tiebreak...)`` (1-based) WITHOUT a global sort of the full rows — the
+    classic range-partition enumeration:
+
+    1. deterministic hash-sample of order_col → ``ranges-1`` boundary
+       values (driver-side, ≤ sample_limit values; boundary QUALITY only
+       affects balance, never correctness);
+    2. one counted groupby over range ids → exact per-range row counts →
+       prefix offsets (``ranges`` rows on the driver);
+    3. one groupby(range).map_groups: local sort by (order, tiebreak...)
+       + arange + the range's offset.
+
+    Equal order_col values always share a range (searchsorted on the
+    boundary array), so local rank + offset is the exact global rank; the
+    tiebreak columns must make the order total for a deterministic,
+    engine-portable output. Scale: full rows move through ONE shuffle
+    (the enumeration pass); the count pass moves only (range_id) ints."""
+    from ray.data.aggregate import Count
+
+    if descending is True:
+        pass  # handled in the local sort + reversed boundary mapping below
+
+    # 1. deterministic boundaries from a hash-based sample (order-free)
+    def sample_vals(batch: pa.Table) -> pa.Table:
+        col = batch[order_col]
+        h = hash64(col, seed=101)
+        keep = (h % np.uint64(997)) < np.uint64(97)   # ~10% sample
+        return pa.table({order_col: pc.cast(col, batch[order_col].type)}) \
+            .filter(pa.array(keep))
+
+    samp = (ds.select_columns([order_col])
+            .map_batches(sample_vals, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .limit(sample_limit).to_pandas())
+    vals = np.sort(samp[order_col].to_numpy())
+    if len(vals) >= ranges:
+        qs = np.linspace(0, len(vals) - 1, ranges + 1)[1:-1]
+        bounds = np.unique(vals[qs.astype(int)])
+    else:
+        bounds = np.unique(vals)
+    bounds_list = bounds.tolist()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].combine_chunks() if isinstance(
+            batch[order_col], pa.ChunkedArray) else batch[order_col]
+        arr = v.to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(np.asarray(bounds_list, dtype=arr.dtype),
+                              arr, side="right").astype(np.int64)
+        return batch.append_column("_range", pa.array(rid))
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # 2. exact counts per range → prefix offsets (tiny driver-side table)
+    counts = (tagged.select_columns(["_range"]).groupby("_range")
+              .aggregate(Count(alias_name="n")).to_pandas()
+              .sort_values("_range"))
+    # ranges are ordered by order_col ascending; descending output walks
+    # them in reverse
+    order = counts["_range"].to_numpy()
+    ns = counts["n"].to_numpy()
+    if descending:
+        order, ns = order[::-1], ns[::-1]
+    offsets = dict(zip(order.tolist(),
+                       (np.cumsum(ns) - ns).tolist()))
+
+    by = [order_col] + tiebreak
+    asc = [not descending] + [True] * len(tiebreak)
+
+    def enumerate_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        off = offsets[int(g["_range"].iloc[0])]
+        g = g.drop(columns=["_range"])
+        return g.assign(**{out_col: np.arange(1, len(g) + 1,
+                                              dtype=np.int64) + off})
+
+    # 3. one shuffle of the full rows, local sort + offset per range
+    return tagged.groupby("_range").map_groups(enumerate_group,
+                                               batch_format="pandas")
