@@ -145,12 +145,38 @@ def normalize_lang(batch: pa.Table, lang_col: str = "lang",
 
 def parse_props(batch: pa.Table, props_col: str = "props", key: str = "k",
                 out_col: str = "props_k") -> pa.Table:
-    """JSON-string column → typed value (driver events.props is JSON)."""
-    vals = [
-        (json.loads(s).get(key) if s is not None else None)
-        for s in batch[props_col].to_pylist()
-    ]
-    return batch.append_column(out_col, pa.array(vals))
+    """JSON-string column → typed value (driver events.props is JSON).
+
+    Vectorized: nulls fill to '{}', a per-row '\\n' is appended with one
+    Arrow kernel, and the combined chunk's contiguous DATA BUFFER is then
+    by construction an NDJSON document — parsed in one pyarrow.json call
+    (valid JSON cannot contain a raw newline, so the framing is safe).
+    Falls back to the per-row loop on malformed input."""
+    col = batch[props_col]
+    try:
+        import io as _io
+
+        import pyarrow.json as pj
+
+        filled = pc.fill_null(pc.cast(col, pa.string()), "{}")
+        framed = pc.binary_join_element_wise(filled, "", "\n")
+        arr = (framed.combine_chunks()
+               if isinstance(framed, pa.ChunkedArray) else framed)
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int32,
+                             count=arr.offset + len(arr) + 1)
+        ndjson = bufs[2].to_pybytes()[offs[arr.offset]:offs[-1]]
+        parsed = pj.read_json(_io.BytesIO(ndjson))
+        vals = (parsed[key] if key in parsed.schema.names
+                else pa.nulls(len(batch)))
+        if len(vals) != len(batch):
+            raise ValueError("row-count mismatch after NDJSON parse")
+    except Exception:  # malformed rows: exact per-row fallback
+        vals = pa.array([
+            (json.loads(s).get(key) if s is not None else None)
+            for s in col.to_pylist()
+        ])
+    return batch.append_column(out_col, vals)
 
 
 # --------------------------------------------------------------- salting / sampling
