@@ -973,3 +973,17 @@ def test_with_row_number_matches_duckdb(ray_session, sf_dir):
     assert out["k"].tolist() == [1, 5, 5, 5, 5, 9]
     assert out["t"].tolist() == [2, 3, 4, 5, 6, 1]
     assert out["rn"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_rank_table_ties_and_gaps(ray_session):
+    import ray.data as rd
+
+    from verdictray.ops import rank_table
+
+    df = pd.DataFrame({"v": [10, 10, 10, 20, 30, 30]})
+    out = (rank_table(rd.from_pandas(df).repartition(3), "v")
+           .to_pandas().sort_values("v").reset_index(drop=True))
+    assert out["n"].tolist() == [3, 1, 2]
+    assert out["dense_rank"].tolist() == [1, 2, 3]
+    assert out["rank"].tolist() == [1, 4, 5]          # gaps after ties
+    assert out["percent_rank"].tolist() == [0.0, 3 / 5, 4 / 5]

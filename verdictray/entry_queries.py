@@ -2293,6 +2293,31 @@ FROM (
 """
 
 
+def q_lineitem_qty_ranks(sf_dir: str):
+    """Exact SQL ranking functions (ops.rank_table): dense_rank, rank
+    (with gaps) and percent_rank over l_quantity, keyed by distinct value
+    — one counted groupby collapses 60k rows to 50, ranks are a prefix
+    sum. percent_rank is emitted unrounded: both engines perform the
+    identical IEEE division on identical integers."""
+    ds = _t(sf_dir, "lineitem", ["l_quantity"])
+    return ops.rank_table(ds, "l_quantity")
+
+
+SQL_LINEITEM_QTY_RANKS = """
+SELECT l_quantity, n, dense_rank, rank,
+       (rank - 1) / (total - 1.0) AS percent_rank
+FROM (
+  SELECT l_quantity, CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY l_quantity) AS BIGINT)
+             AS dense_rank,
+         CAST(1 + coalesce(sum(count(*)) OVER (ORDER BY l_quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS rank,
+         sum(count(*)) OVER () AS total
+  FROM lineitem GROUP BY l_quantity)
+"""
+
+
 def q_orders_row_numbers(sf_dir: str):
     """Exact global ROW_NUMBER over a total order (ops.with_row_number):
     range-partition enumeration — boundaries from a deterministic hash
@@ -2909,6 +2934,7 @@ QUERIES = {
     "lineitem_mode_qty": q_lineitem_mode_qty,
     "top_orders_concat": q_top_orders_concat,
     "orders_row_numbers": q_orders_row_numbers,
+    "lineitem_qty_ranks": q_lineitem_qty_ranks,
     "lineitem_unpivoted_stats": q_lineitem_unpivoted_stats,
 }
 
@@ -2993,6 +3019,7 @@ ORACLES = {
     "lineitem_mode_qty": SQL_LINEITEM_MODE_QTY,
     "top_orders_concat": SQL_TOP_ORDERS_CONCAT,
     "orders_row_numbers": SQL_ORDERS_ROW_NUMBERS,
+    "lineitem_qty_ranks": SQL_LINEITEM_QTY_RANKS,
     "lineitem_unpivoted_stats": SQL_LINEITEM_UNPIVOTED_STATS,
     # remaining sketch/heuristic/near-dup queries intentionally have no SQL
     # oracle (approximate or not SQL-expressible); their bounds/exactness

@@ -1231,3 +1231,41 @@ def with_row_number(ds, order_col: str, tiebreak: list[str],
     # 3. one shuffle of the full rows, local sort + offset per range
     return tagged.groupby("_range").map_groups(enumerate_group,
                                                batch_format="pandas")
+
+
+# ------------------------------------------------------------- rank table
+def rank_table(ds, order_col: str, ndigits: int | None = None):
+    """Exact SQL ranking functions over ONE order column, emitted as a
+    table keyed by distinct value: dense_rank, rank (with gaps),
+    percent_rank = (rank−1)/(N−1), and the value's row count n. Join the
+    result back on ``order_col`` (join.hash_join) to decorate rows.
+
+    Distributed shape: one counted groupby collapses the dataset to one
+    row per DISTINCT value (map-side combine), then the ranks are a
+    sort + prefix sum over that collapsed table — done driver-side here
+    (exact; bounded by the distinct-value count, the same bound any
+    rank-joining plan carries). For distinct counts beyond driver memory
+    compose with_row_number over the counts table and a distributed
+    prefix-sum instead."""
+    from ray.data.aggregate import Count
+
+    import ray.data as rd
+
+    counts = (ds.select_columns([order_col]).groupby(order_col)
+              .aggregate(Count(alias_name="n")).to_pandas())
+    counts = counts.sort_values(order_col, kind="mergesort").reset_index(
+        drop=True)
+    n = counts["n"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    rank = np.cumsum(n) - n + 1
+    dense = np.arange(1, len(counts) + 1, dtype=np.int64)
+    pct = (rank - 1) / max(total - 1, 1)
+    out = pd.DataFrame({
+        order_col: counts[order_col],
+        "n": n,
+        "dense_rank": dense,
+        "rank": rank,
+        "percent_rank": np.round(pct, ndigits) if ndigits is not None
+        else pct,
+    })
+    return rd.from_pandas(out)
