@@ -962,8 +962,12 @@ class WindowHasher:
         if n_tok < W:
             return empty
         # per-token fingerprints from the flat token buffer
+        # (large_string input ⇒ large flat array with int64 offsets;
+        # reading those as int32 would silently hash garbage slices)
         bufs = flat.buffers()
-        offs = np.frombuffer(bufs[1], dtype=np.int32,
+        off_dtype = (np.int64 if pa.types.is_large_string(flat.type)
+                     else np.int32)
+        offs = np.frombuffer(bufs[1], dtype=off_dtype,
                              count=flat.offset + n_tok + 1)
         rel = offs[flat.offset:].astype(np.int64)
         data = (np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1]))
