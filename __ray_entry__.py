@@ -26,9 +26,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from verdictray.entry_queries import QUERIES
+    # driver-priority order: the correctness driver caps at the first 50
+    # entries per round, so never-yet-driver-checked and newest queries
+    # lead (entry_queries.DRIVER_PRIORITY); no entry is dropped
+    from verdictray.entry_queries import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -947,6 +947,10 @@ class WindowHasher:
 
         W = self.window
         col = batch[self.text_col].combine_chunks()
+        # null text must coalesce to "" BEFORE splitting: a null list slot
+        # yields a null length, which numpy would carry as NaN → INT64_MIN
+        # and silently zero out the whole batch's windows
+        col = pc.fill_null(col, "")
         lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(col),
                                        pattern=r"\s+")
         flat = pc.list_flatten(lists)

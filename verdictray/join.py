@@ -64,10 +64,24 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
     lschema = left.schema()
     rschema = right.schema()
     if lschema is None or rschema is None:
-        # a side is empty with no typed blocks — the joined schema cannot
-        # be constructed; an inner/left-shaped result is empty (documented
-        # limitation: outer joins against a schema-less empty side also
-        # return the schema-less empty)
+        # a side is empty with no typed blocks, so the joined schema cannot
+        # be constructed. An empty result is only CORRECT when the empty
+        # side drives the join (inner, or the preserved side is the empty
+        # one); for any join that must preserve rows of the non-empty side
+        # we cannot synthesize the null-padded columns — refuse loudly
+        # instead of silently dropping those rows.
+        empty_is_correct = (
+            how == "inner"
+            or (how == "left" and lschema is None)
+            or (how == "right" and rschema is None)
+        )
+        if not empty_is_correct:
+            raise ValueError(
+                f"hash_join(how={how!r}): the "
+                f"{'left' if lschema is None else 'right'} side is empty "
+                "with no schema; the preserved side's rows cannot be "
+                "null-padded. Materialize a typed empty side or use an "
+                "inner join.")
         return left.limit(0) if lschema is not None else left
     overlap = set(lschema.names) & set(rschema.names)
     if overlap:

@@ -143,15 +143,43 @@ def normalize_lang(batch: pa.Table, lang_col: str = "lang",
     return batch.set_column(batch.schema.get_field_index(lang_col), lang_col, lang)
 
 
+def _normalize_props_type(vals, out_type):
+    """Pin parse_props' output type so the NDJSON fast path, the per-row
+    fallback, and every batch of one dataset agree (pyarrow.json infers
+    per batch: '2021-01-01' → timestamp in one batch, all-int vs mixed
+    numerics → int64 vs double across batches — both break downstream
+    block unification and diverge from json.loads semantics).
+
+    Rules with out_type=None: temporal inference is REJECTED (raises →
+    the caller's per-row json.loads fallback keeps such values as the
+    original strings, matching JSON semantics); any numeric → float64
+    (JSON numbers are doubles; stops int64/double flapping across
+    batches); untyped nulls → float64 nulls. Pass out_type explicitly
+    for string-valued or heterogeneous props."""
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if out_type is not None:
+        return pc.cast(vals, out_type)
+    t = vals.type
+    if pa.types.is_temporal(t):
+        raise TypeError("temporal inference — use per-row string parse")
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_null(t):
+        return pc.cast(vals, pa.float64())
+    return vals
+
+
 def parse_props(batch: pa.Table, props_col: str = "props", key: str = "k",
-                out_col: str = "props_k") -> pa.Table:
+                out_col: str = "props_k", out_type=None) -> pa.Table:
     """JSON-string column → typed value (driver events.props is JSON).
 
     Vectorized: nulls fill to '{}', a per-row '\\n' is appended with one
     Arrow kernel, and the combined chunk's contiguous DATA BUFFER is then
     by construction an NDJSON document — parsed in one pyarrow.json call
     (valid JSON cannot contain a raw newline, so the framing is safe).
-    Falls back to the per-row loop on malformed input."""
+    Falls back to the per-row loop on malformed input or when pyarrow's
+    type inference disagrees with json.loads semantics (date-shaped
+    strings). Output type is pinned by _normalize_props_type so every
+    batch and both parse paths yield one consistent dtype."""
     col = batch[props_col]
     try:
         import io as _io
@@ -171,11 +199,13 @@ def parse_props(batch: pa.Table, props_col: str = "props", key: str = "k",
                 else pa.nulls(len(batch)))
         if len(vals) != len(batch):
             raise ValueError("row-count mismatch after NDJSON parse")
-    except Exception:  # malformed rows: exact per-row fallback
+        vals = _normalize_props_type(vals, out_type)
+    except Exception:  # malformed rows / rejected inference: per-row exact
         vals = pa.array([
             (json.loads(s).get(key) if s is not None else None)
             for s in col.to_pylist()
         ])
+        vals = _normalize_props_type(vals, out_type)
     return batch.append_column(out_col, vals)
 
 
@@ -741,13 +771,16 @@ def profile_numeric(ds, cols: list[str], ndigits: int = 4):
     for c in cols:
         nn = int(row[f"_nn_{c}"] or 0)
         valid = n - nn
+        # an all-null column aggregates Min/Max/Sum to None — emit null
+        # stats rather than crashing the whole profile on float(None)
+        mn, mx = row[f"_min_{c}"], row[f"_max_{c}"]
         recs.append({
             "column": c, "n": n, "n_null": nn,
             "n_distinct": int(row[f"_nd_{c}"]),
-            "min_v": _round_half_away(float(row[f"_min_{c}"])),
-            "max_v": _round_half_away(float(row[f"_max_{c}"])),
+            "min_v": _round_half_away(float(mn)) if mn is not None else None,
+            "max_v": _round_half_away(float(mx)) if mx is not None else None,
             "mean_v": _round_half_away(float(row[f"_sum_{c}"]) / valid)
-            if valid else None,
+            if (valid and row[f"_sum_{c}"] is not None) else None,
         })
     df = pd.DataFrame(recs)
     for ic in ("n", "n_null", "n_distinct"):
@@ -1149,6 +1182,52 @@ def string_agg_per_group(ds, keys: list[str], value_col: str,
 
 
 # ------------------------------------------------------ global row numbers
+def _sample_range_bounds(ds, order_col: str, ranges: int,
+                         sample_limit: int) -> list:
+    """Deterministic hash-sampled range boundaries over ``order_col`` —
+    the shared step of every range-partition enumeration (with_row_number,
+    rank_table). Boundary QUALITY only affects balance, never correctness;
+    the driver holds ≤ sample_limit sampled values, nothing more."""
+
+    def sample_vals(batch: pa.Table) -> pa.Table:
+        col = batch[order_col]
+        h = hash64(col, seed=101)
+        keep = (h % np.uint64(997)) < np.uint64(97)   # ~10% sample
+        return pa.table({order_col: col}).filter(pa.array(keep))
+
+    samp = (ds.select_columns([order_col])
+            .map_batches(sample_vals, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .limit(sample_limit).to_pandas())
+    if order_col not in samp.columns or not len(samp):
+        # tiny input where the ~10% hash filter kept nothing: one range
+        # (correct, just unbalanced — balance never affects correctness)
+        return []
+    vals = np.sort(samp[order_col].to_numpy())
+    if len(vals) >= ranges:
+        qs = np.linspace(0, len(vals) - 1, ranges + 1)[1:-1]
+        bounds = np.unique(vals[qs.astype(int)])
+    else:
+        bounds = np.unique(vals)
+    return bounds.tolist()
+
+
+def _assign_range_fn(bounds_list: list, order_col: str):
+    """Batch fn appending ``_range`` = searchsorted(bounds, order_col).
+    Equal values always land in the same range, so per-range local order +
+    range offset reconstructs the exact global order."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].combine_chunks() if isinstance(
+            batch[order_col], pa.ChunkedArray) else batch[order_col]
+        arr = v.to_numpy(zero_copy_only=False)
+        rid = np.searchsorted(np.asarray(bounds_list, dtype=arr.dtype),
+                              arr, side="right").astype(np.int64)
+        return batch.append_column("_range", pa.array(rid))
+
+    return assign
+
+
 def with_row_number(ds, order_col: str, tiebreak: list[str],
                     descending: bool = False, out_col: str = "row_number",
                     ranges: int = 64, sample_limit: int = 10_000):
@@ -1175,35 +1254,10 @@ def with_row_number(ds, order_col: str, tiebreak: list[str],
         pass  # handled in the local sort + reversed boundary mapping below
 
     # 1. deterministic boundaries from a hash-based sample (order-free)
-    def sample_vals(batch: pa.Table) -> pa.Table:
-        col = batch[order_col]
-        h = hash64(col, seed=101)
-        keep = (h % np.uint64(997)) < np.uint64(97)   # ~10% sample
-        return pa.table({order_col: pc.cast(col, batch[order_col].type)}) \
-            .filter(pa.array(keep))
+    bounds_list = _sample_range_bounds(ds, order_col, ranges, sample_limit)
 
-    samp = (ds.select_columns([order_col])
-            .map_batches(sample_vals, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .limit(sample_limit).to_pandas())
-    vals = np.sort(samp[order_col].to_numpy())
-    if len(vals) >= ranges:
-        qs = np.linspace(0, len(vals) - 1, ranges + 1)[1:-1]
-        bounds = np.unique(vals[qs.astype(int)])
-    else:
-        bounds = np.unique(vals)
-    bounds_list = bounds.tolist()
-
-    def assign(batch: pa.Table) -> pa.Table:
-        v = batch[order_col].combine_chunks() if isinstance(
-            batch[order_col], pa.ChunkedArray) else batch[order_col]
-        arr = v.to_numpy(zero_copy_only=False)
-        rid = np.searchsorted(np.asarray(bounds_list, dtype=arr.dtype),
-                              arr, side="right").astype(np.int64)
-        return batch.append_column("_range", pa.array(rid))
-
-    tagged = ds.map_batches(assign, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    tagged = ds.map_batches(_assign_range_fn(bounds_list, order_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
 
     # 2. exact counts per range → prefix offsets (tiny driver-side table)
     counts = (tagged.select_columns(["_range"]).groupby("_range")
@@ -1234,38 +1288,93 @@ def with_row_number(ds, order_col: str, tiebreak: list[str],
 
 
 # ------------------------------------------------------------- rank table
-def rank_table(ds, order_col: str, ndigits: int | None = None):
+def rank_table(ds, order_col: str, ndigits: int | None = None,
+               finalize: str = "distributed", ranges: int = 64,
+               sample_limit: int = 10_000):
     """Exact SQL ranking functions over ONE order column, emitted as a
     table keyed by distinct value: dense_rank, rank (with gaps),
     percent_rank = (rank−1)/(N−1), and the value's row count n. Join the
     result back on ``order_col`` (join.hash_join) to decorate rows.
 
-    Distributed shape: one counted groupby collapses the dataset to one
-    row per DISTINCT value (map-side combine), then the ranks are a
-    sort + prefix sum over that collapsed table — done driver-side here
-    (exact; bounded by the distinct-value count, the same bound any
-    rank-joining plan carries). For distinct counts beyond driver memory
-    compose with_row_number over the counts table and a distributed
-    prefix-sum instead."""
-    from ray.data.aggregate import Count
+    Distributed shape (finalize="distributed", the default): one counted
+    groupby collapses the dataset to one row per DISTINCT value (map-side
+    combine; materialized to the OBJECT STORE — spillable, never the
+    driver — so the three consumers below don't recompute the big input
+    shuffle). Then ranks are a range-partition prefix-sum over that
+    collapsed table: sampled boundaries on the value → per-range
+    (row-count, Σn) aggregate → the driver holds only ``ranges`` offset
+    pairs → one groupby(range) pass emits dense_rank (local row index +
+    row offset), rank (local exclusive Σn + weight offset + 1) and
+    percent_rank. A near-unique order column — the case that OOMs a
+    driver-side finalize — never leaves the cluster.
+
+    finalize="driver" keeps the small-domain fast path (whole counts
+    table sorted/cumsum'd on the driver — fine when the distinct-value
+    count is known tiny, e.g. enum-like columns)."""
+    from ray.data.aggregate import Count, Sum
 
     import ray.data as rd
 
-    counts = (ds.select_columns([order_col]).groupby(order_col)
-              .aggregate(Count(alias_name="n")).to_pandas())
-    counts = counts.sort_values(order_col, kind="mergesort").reset_index(
-        drop=True)
-    n = counts["n"].to_numpy(dtype=np.int64)
-    total = int(n.sum())
-    rank = np.cumsum(n) - n + 1
-    dense = np.arange(1, len(counts) + 1, dtype=np.int64)
-    pct = (rank - 1) / max(total - 1, 1)
-    out = pd.DataFrame({
-        order_col: counts[order_col],
-        "n": n,
-        "dense_rank": dense,
-        "rank": rank,
-        "percent_rank": np.round(pct, ndigits) if ndigits is not None
-        else pct,
-    })
-    return rd.from_pandas(out)
+    counts_ds = (ds.select_columns([order_col]).groupby(order_col)
+                 .aggregate(Count(alias_name="n")))
+
+    if finalize == "driver":
+        counts = counts_ds.to_pandas()
+        counts = counts.sort_values(order_col, kind="mergesort") \
+            .reset_index(drop=True)
+        n = counts["n"].to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        rank = np.cumsum(n) - n + 1
+        dense = np.arange(1, len(counts) + 1, dtype=np.int64)
+        pct = (rank - 1) / max(total - 1, 1)
+        out = pd.DataFrame({
+            order_col: counts[order_col],
+            "n": n,
+            "dense_rank": dense,
+            "rank": rank,
+            "percent_rank": np.round(pct, ndigits) if ndigits is not None
+            else pct,
+        })
+        return rd.from_pandas(out)
+    if finalize != "distributed":
+        raise ValueError(f"finalize must be 'distributed' or 'driver', "
+                         f"got {finalize!r}")
+
+    # distinct-value table lives in the object store; consumed 3× below
+    counts_ds = counts_ds.materialize()
+    bounds = _sample_range_bounds(counts_ds, order_col, ranges,
+                                  sample_limit)
+    tagged = counts_ds.map_batches(_assign_range_fn(bounds, order_col),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    per_range = (tagged.select_columns(["_range", "n"]).groupby("_range")
+                 .aggregate(Count(alias_name="_rows"),
+                            Sum("n", alias_name="_w"))
+                 .to_pandas().sort_values("_range"))
+    rows = per_range["_rows"].to_numpy(dtype=np.int64)
+    w = per_range["_w"].to_numpy(dtype=np.int64)
+    total = int(w.sum())
+    rids = per_range["_range"].tolist()
+    row_off = dict(zip(rids, (np.cumsum(rows) - rows).tolist()))
+    w_off = dict(zip(rids, (np.cumsum(w) - w).tolist()))
+    denom = max(total - 1, 1)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True)
+        rid = int(g["_range"].iloc[0])
+        n = g["n"].to_numpy(dtype=np.int64)
+        rank = np.cumsum(n) - n + 1 + w_off[rid]
+        dense = np.arange(1, len(g) + 1, dtype=np.int64) + row_off[rid]
+        pct = (rank - 1) / denom
+        return pd.DataFrame({
+            order_col: g[order_col],
+            "n": n,
+            "dense_rank": dense,
+            "rank": rank,
+            "percent_rank": np.round(pct, ndigits) if ndigits is not None
+            else pct,
+        })
+
+    return tagged.groupby("_range").map_groups(finish,
+                                               batch_format="pandas")
