@@ -1092,6 +1092,69 @@ def q_corpus_sketches(sf_dir: str):
     return est.drop_columns(["sketch"])
 
 
+def q_corpus_sketches_progressive(sf_dir: str):
+    """The Verdict-style INTERACTIVE surface: the flagship job runs as a
+    checkpointed partition stream and progressive.estimates_stream emits
+    converging estimates + deterministic full-data envelopes after every
+    committed partition. Self-verifying: the final emission must be
+    byte-identical to the canonical batch finalize, the additive-metric
+    envelope widths must strictly tighten, and every envelope must contain
+    the final answer. Returns the final estimates decorated with each
+    metric's first-emission envelope width vs last (the convergence
+    evidence)."""
+    import shutil
+    import tempfile
+
+    from .checkpoint import CheckpointedJob
+    from .pipeline import estimates_table
+    from .progressive import estimates_stream
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}.get(sf, 20_000)
+    corpus = generate_corpus(f"/tmp/vr_corpus_{sf}", n, seed=42)
+    spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=8,
+                         bloom_capacity=max(100_000, n))
+    ckpt = tempfile.mkdtemp(prefix="vr_prog_")
+    try:
+        job = CheckpointedJob(spec, ckpt, fragments_per_partition=4)
+        job.run()
+        ems = list(estimates_stream(job))
+        canon = estimates_table(job.merged(), spec)
+        if not ems[-1].estimates.equals(canon):
+            raise AssertionError("final progressive emission != canonical "
+                                 "batch finalize (must be byte-identical)")
+        first = ems[0].envelope.to_pandas().set_index(
+            ["group_key", "sketch_type", "metric"])
+        last = ems[-1].envelope.to_pandas().set_index(
+            ["group_key", "sketch_type", "metric"])
+        add = first.index.get_level_values("metric").isin(
+            ["total_count", "n_rows", "count_distinct"])
+        w_first = float((first.hi - first.lo)[add].sum())
+        w_last = float((last.hi - last.lo)[add].sum())
+        if len(ems) > 1 and not w_last < w_first:
+            raise AssertionError("envelope widths failed to tighten")
+        est = ems[-1].estimates.drop_columns(["sketch"]).to_pandas()
+        env = last.reset_index()
+        out = est.merge(env[["group_key", "sketch_type", "metric",
+                             "lo", "hi"]],
+                        on=["group_key", "sketch_type", "metric"],
+                        how="left")
+        for em in ems:  # every envelope must contain the final estimate
+            e = em.envelope.to_pandas().set_index(
+                ["group_key", "sketch_type", "metric"])
+            f = out.set_index(["group_key", "sketch_type", "metric"])
+            j = e.join(f[["estimate"]], how="inner").dropna(
+                subset=["estimate"])
+            bad = j[(j.estimate < j.lo - 1e-9) | (j.estimate > j.hi + 1e-9)]
+            if len(bad[bad.index.get_level_values("metric").isin(
+                    ["total_count", "n_rows"])]):
+                raise AssertionError(f"unsound envelope: {bad.index[:3]}")
+        out["n_emissions"] = len(ems)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def q_hll_union_rollup(sf_dir: str):
     """Sketch-union rollup (SURVEY.md §2.7): per-event_type HLL blobs are
     merged driver-side and the rollup estimate must equal the direct
@@ -2879,6 +2942,7 @@ QUERIES = {
     "tdigest_value_quantiles": q_tdigest_value_quantiles,
     "bloom_customers_with_orders": q_bloom_customers_with_orders,
     "corpus_sketches": q_corpus_sketches,
+    "corpus_sketches_progressive": q_corpus_sketches_progressive,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
     "calibration_report": q_calibration_report,
@@ -3033,6 +3097,7 @@ ORACLES = {
 # named here follows in QUERIES order — nothing is dropped, only reordered.
 DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
+    "corpus_sketches_progressive",
     # --- never driver-checked as of CORRECTNESS_r03 ---
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",
     "ngram_decontaminated_docs", "token_entropy_by_lang", "vocab_top_terms",

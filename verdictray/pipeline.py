@@ -194,10 +194,11 @@ def merge_partials(partials: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
     return partials.groupby(spec.group_key, num_partitions=8).aggregate(*aggs)
 
 
-def finalize_estimates(merged: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
-    """Blob rows → long-format estimates table (SURVEY.md §1.1):
-    (group_key, sketch_type, metric, estimate, error_bound, sketch)."""
-
+def estimates_table(batch: pa.Table, spec: SketchJobSpec) -> pa.Table:
+    """ONE merged blob table → the long-format estimates table. The
+    table-level core of finalize_estimates, shared with the progressive
+    surface (progressive.estimates_stream) so a progressive run's final
+    emission is byte-identical to the batch finalize by construction."""
     phis = list(spec.phis)
 
     def to_rows(batch: pa.Table) -> pa.Table:
@@ -242,7 +243,14 @@ def finalize_estimates(merged: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
             }
         )
 
-    return merged.map_batches(to_rows, batch_format="pyarrow")
+    return to_rows(batch)
+
+
+def finalize_estimates(merged: rd.Dataset, spec: SketchJobSpec) -> rd.Dataset:
+    """Blob rows → long-format estimates table (SURVEY.md §1.1):
+    (group_key, sketch_type, metric, estimate, error_bound, sketch)."""
+    return merged.map_batches(lambda b: estimates_table(b, spec),
+                              batch_format="pyarrow")
 
 
 def build_sketches(spec: SketchJobSpec, ds: rd.Dataset | None = None,
