@@ -110,10 +110,13 @@ class BloomProbe:
 
 
 def semi_join_bloom(probe_ds, build_ds, probe_on: str, build_on: str,
-                    capacity: int, fpp: float = 0.01, concurrency: int = 4):
+                    capacity: int, fpp: float = 0.01, concurrency=(1, 4)):
     """probe_ds rows whose probe_on key (probably) appears in
     build_ds.build_on. Approximate: keeps ~fpp extra non-matching rows;
-    never drops a true match (zero false negatives)."""
+    never drops a true match (zero false negatives). concurrency is an
+    AUTOSCALING (min, max) pool: a fixed pool equal to the CPU count
+    reserves every CPU for idle actors and starves the upstream read
+    outright (observed deadlock at num_cpus=4)."""
     bloom = build_bloom(build_ds, on=build_on, capacity=capacity, fpp=fpp)
     return probe_ds.map_batches(
         BloomProbe,
@@ -125,7 +128,7 @@ def semi_join_bloom(probe_ds, build_ds, probe_on: str, build_on: str,
 
 
 def anti_join_bloom(probe_ds, build_ds, probe_on: str, build_on: str,
-                    capacity: int, fpp: float = 0.01, concurrency: int = 4):
+                    capacity: int, fpp: float = 0.01, concurrency=(1, 4)):
     """probe_ds rows whose key definitely does NOT appear in build_ds.
     Approximate: may drop ~fpp of true non-matches (false positives of the
     filter); kept rows are guaranteed non-matches."""

@@ -30,10 +30,12 @@ def ann_brute_force(ds, queries: np.ndarray, query_ids: np.ndarray,
                     exclude_self: bool = True) -> pa.Table:
     """Exact cosine top-k per query → (query_id, neighbor_id, rank, cosine).
 
-    Distributed: each batch emits its local top-k per query (k × n_queries
-    candidate rows per batch); the driver merges candidates exactly —
-    candidate volume is batches × queries × k, independent of corpus size.
-    """
+    Distributed end-to-end: each batch emits its local top-k per query
+    (k × n_queries candidate rows per batch), then a groupby(query_id)
+    map_groups reduce keeps each query's exact global top-k — candidate
+    volume PER TASK is bounded by k (never by block count; the r3 version
+    pulled batches × queries × k rows to the driver). Only the final
+    n_queries × k result rows reach the driver."""
     import ray
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -62,20 +64,29 @@ def ann_brute_force(ds, queries: np.ndarray, query_ids: np.ndarray,
     cand = ds.map_batches(
         lambda b: LocalTopK(q_ref, k)(b),
         batch_format="pyarrow", zero_copy_batch=True,
-    ).to_pandas()
+    )
 
-    # exact final merge of the small candidate set
-    out_rows = {"query_id": [], "neighbor_id": [], "rank": [], "cosine": []}
-    for qid, grp in cand.groupby("query_id"):
+    import pandas as pd
+
+    def topk_group(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
         if exclude_self:
-            grp = grp[grp.neighbor_id != qid]
-        grp = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        for rank, (_, r) in enumerate(grp.iterrows(), 1):
-            out_rows["query_id"].append(int(qid))
-            out_rows["neighbor_id"].append(int(r.neighbor_id))
-            out_rows["rank"].append(rank)
-            out_rows["cosine"].append(float(r.cosine))
-    return pa.table({k2: pa.array(v) for k2, v in out_rows.items()})
+            g = g[g.neighbor_id != qid]
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "query_id": np.full(len(g), qid, dtype=np.int64),
+            "neighbor_id": g.neighbor_id.to_numpy(dtype=np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "cosine": g.cosine.to_numpy(dtype=np.float64),
+        })
+
+    # exact distributed reduce: one shuffle of (batches × n_q × k)
+    # candidate rows, each reduce task holding ONE query's candidates
+    reduced = cand.groupby("query_id").map_groups(topk_group,
+                                                  batch_format="pandas")
+    out = reduced.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 class HyperplaneSigner:
