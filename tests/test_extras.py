@@ -327,12 +327,98 @@ class TestText:
 
 
 # ------------------------------------------------------------------ multimodal
+# NOTE: the toy codec factories below are defined INSIDE each test, not at
+# module level — cloudpickle serializes nested functions by value, while a
+# module-level function pickles as a reference to `test_extras`, which Ray
+# WORKERS cannot import (tests/ is only on the pytest driver's sys.path);
+# the worker then dies with a SYSTEM_ERROR and the actor pool restarts it
+# forever (observed as an infinite hang, not a failure).
 class TestMultimodal:
     def test_real_codec_is_stubbed(self):
-        from verdictray.multimodal import DecodeStage
+        from verdictray.multimodal import (DecodeStage, FrameSampleStage,
+                                           ResizeStage)
 
         with pytest.raises(NotImplementedError):
             DecodeStage(codec="real")
+        with pytest.raises(NotImplementedError):
+            ResizeStage(8, 8, codec="real")
+        with pytest.raises(NotImplementedError):
+            FrameSampleStage(codec="real")
+
+    def test_injected_decoder_through_actor_pool(self, ray_session):
+        """The codec seam (VERDICT r3 item 8): a user decoder_factory runs
+        once per actor and drives codec='real' end-to-end through the
+        actor-pool map_batches path. The factory is a NESTED function so
+        cloudpickle ships it by value (see module note above)."""
+        import ray.data as rd
+
+        from verdictray.multimodal import decode_features
+
+        def toy_decoder_factory():
+            def decode(b: bytes):
+                import numpy as np
+
+                return np.array([len(b), b[0] if b else 0,
+                                 b[-1] if b else 0, 1.0], dtype=np.float32)
+
+            return decode
+
+        payloads = [bytes([i]) * (i + 1) for i in range(40)]
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(range(40), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }))
+        out = decode_features(
+            ds, codec="real", feature_dim=4, batch_size=8, concurrency=2,
+            decoder_factory=toy_decoder_factory).to_pandas()
+        out = out.sort_values("media_id").reset_index(drop=True)
+        assert len(out) == 40
+        for i, f in enumerate(out.features):
+            exp = toy_decoder_factory()(payloads[i])
+            assert np.allclose(np.asarray(f), exp)
+
+        # a wrong-dimension decoder fails loudly, not silently (exercised
+        # WITHOUT the actor pool: a UserCodeException aborts execution,
+        # but a pool would also restart-loop a worker that dies outside
+        # user code, so keep the negative path local and deterministic)
+        from verdictray.multimodal import DecodeStage
+
+        tbl = pa.table({"media_id": pa.array([1], pa.int64()),
+                        "payload": pa.array([b"xy"], pa.binary())})
+        stage = DecodeStage(codec="real", feature_dim=7,
+                            decoder_factory=toy_decoder_factory)
+        with pytest.raises(ValueError, match="features"):
+            stage(tbl)
+
+    def test_injected_resizer_and_sampler(self, ray_session):
+        from verdictray.multimodal import FrameSampleStage, ResizeStage
+
+        def toy_resizer_factory():
+            def resize(b: bytes, w: int, h: int) -> bytes:
+                return b[: w * h * 3]
+
+            return resize
+
+        def toy_sampler_factory():
+            def sample(b: bytes, n: int):
+                step = max(1, len(b) // n)
+                return [b[i * step:(i + 1) * step] for i in range(n)]
+
+            return sample
+
+        tbl = pa.table({
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"abcdefgh", b"ij"], pa.binary()),
+        })
+        r = ResizeStage(2, 2, codec="real",
+                        resizer_factory=toy_resizer_factory)(tbl)
+        assert r["payload"].to_pylist() == [b"abcdefgh"[:12], b"ij"]
+        assert r["width"].to_pylist() == [2, 2]
+
+        s = FrameSampleStage(n_frames=2, codec="real",
+                             sampler_factory=toy_sampler_factory)(tbl)
+        assert len(s) == 4
+        assert s["payload"].to_pylist() == [b"abcd", b"efgh", b"i", b"j"]
 
     def test_fake_decode_deterministic_schema(self, ray_session):
         import ray.data as rd

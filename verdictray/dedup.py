@@ -32,6 +32,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .sketches.hashing import _to_numpy, hash64
 from .text import _powers
@@ -194,6 +195,107 @@ def ngram_jaccard(a: bytes, b: bytes, k: int = 5) -> float:
     return inter / (sa.size + sb.size - inter)
 
 
+def _side_shingles(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-byte-shingle hashes for a LIST of documents in one vectorized
+    pass → (doc_idx, hash) arrays. Bit-identical per doc to
+    _shingle_hashes (same polynomial, same n<k / n==0 edge semantics)."""
+    enc = [(t or "").encode() if isinstance(t, str) else (t or b"")
+           for t in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    n_docs = len(enc)
+    starts = np.concatenate(([0], np.cumsum(lens)))
+    doc_parts, hash_parts = [], []
+    # long docs (n >= k): one shifted-multiply-add pass over the flat
+    # buffer, windows crossing doc boundaries masked out
+    total = int(lens.sum())
+    if total >= k:
+        pw = _powers(k)[:k][::-1]
+        m = total - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc += flat[j: j + m] * pw[j]
+        doc_ix = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        valid = doc_ix[:m] == doc_ix[k - 1:]
+        doc_parts.append(doc_ix[:m][valid])
+        hash_parts.append(acc[valid])
+    # short docs (0 < n < k): one whole-string hash with length-n powers;
+    # empty docs hash to 0 — exactly _shingle_hashes' edge cases
+    short = np.flatnonzero(lens < k)
+    if len(short):
+        sh = np.zeros(len(short), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for s_i, di in enumerate(short):
+                n = int(lens[di])
+                if n:
+                    seg = flat[starts[di]:starts[di] + n]
+                    sh[s_i] = (seg * _powers(n)[:n][::-1]).sum()
+        doc_parts.append(short)
+        hash_parts.append(sh)
+    if not doc_parts:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64))
+    return np.concatenate(doc_parts), np.concatenate(hash_parts)
+
+
+def batch_ngram_jaccard(texts_a: list, texts_b: list, k: int = 5) -> np.ndarray:
+    """Vectorized ngram_jaccard over aligned text pairs: shingle both
+    sides in one flat-buffer pass each, then pack every row into ONE
+    sortable uint64 — pair id in the high 23 bits, a pair-salted 40-bit
+    remix of the shingle hash in the middle, the side flag in bit 0 — so
+    a single value np.sort groups rows by (pair, shingle) with side-a
+    rows leading each run. union(pair) = runs per pair, inter(pair) =
+    runs whose first row is side a AND last row is side b. No per-pair
+    Python, no argsort indirection.
+
+    Equality vs the scalar kernel: exact up to in-pair 40-bit remix
+    collisions (~n_shingles²/2⁴¹ ≈ 1e-9 per pair — the same accepted
+    fingerprint-collision regime as the scalar kernel's own 64-bit
+    shingle hashing; cross-pair collisions are impossible, the pair id
+    occupies disjoint bits). Property-tested against the scalar kernel.
+    Batches beyond 2²³ pairs recurse in slices."""
+    P = len(texts_a)
+    if P == 0:
+        return np.empty(0, dtype=np.float64)
+    if P > (1 << 23):
+        half = P // 2
+        return np.concatenate([
+            batch_ngram_jaccard(texts_a[:half], texts_b[:half], k),
+            batch_ngram_jaccard(texts_a[half:], texts_b[half:], k)])
+    da, ha = _side_shingles(texts_a, k)
+    db, hb = _side_shingles(texts_b, k)
+    doc = np.concatenate([da, db]).astype(np.uint64)
+    h = np.concatenate([ha, hb])
+    with np.errstate(over="ignore"):
+        # splitmix64 finalizer over (hash + pair-salt): decorrelates the
+        # polynomial hashes before truncating to 40 bits
+        m = h + doc * np.uint64(0x9E3779B97F4A7C15)
+        m = (m ^ (m >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        m = (m ^ (m >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        m ^= m >> np.uint64(31)
+    key = (doc << np.uint64(41)) | ((m >> np.uint64(24)) << np.uint64(1))
+    key[len(da):] |= np.uint64(1)   # side bit
+    key.sort()
+    grp = key >> np.uint64(1)
+    n = len(grp)
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    start[1:] = grp[1:] != grp[:-1]
+    end = np.empty(n, dtype=bool)
+    end[-1] = True
+    end[:-1] = start[1:]
+    run_doc = (key[start] >> np.uint64(41)).astype(np.int64)
+    # side bit is the low key bit: runs sort side-a (0) before side-b (1)
+    both = ((key[start] & np.uint64(1)) == 0) & ((key[end] & np.uint64(1)) == 1)
+    union = np.bincount(run_doc, minlength=P)
+    inter = np.bincount(run_doc[both], minlength=P)
+    # both sides empty shingle SETS cannot happen (empty text hashes to
+    # {0}), mirroring the scalar kernel's dead branch; guard anyway
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+
+
 def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                         max_bucket: int = 64, concurrency=None,
@@ -259,6 +361,22 @@ def minhash_dedup_pairs(ds, text_col: str, id_col: str, threshold: float = 0.8,
                               shingle_k, join_buckets)
 
 
+def _jaccard_pairs(ta: list, tb: list, k: int) -> np.ndarray:
+    """Adaptive dispatch between the vectorized batch kernel and the
+    scalar per-pair kernel. The batch kernel wins big (≈10×) on short
+    texts, where per-pair numpy call overhead dominates the scalar path;
+    on long documents the scalar path's per-doc numpy work is already
+    vectorized and the batch kernel's global sort only adds cost — so
+    dispatch on mean text length."""
+    P = len(ta)
+    if P >= 32:
+        mean_len = sum(len(t or "") for t in ta[:256]) / min(P, 256)
+        if mean_len <= 160:
+            return batch_ngram_jaccard(ta, tb, k)
+    return np.array([ngram_jaccard((a or "").encode(), (b or "").encode(), k)
+                     for a, b in zip(ta, tb)], dtype=np.float64)
+
+
 def _verify_pairs_broadcast(ds, uniq_pairs, text_col, id_col, threshold,
                             shingle_k):
     """Small-input fast path: one ray.put of the id→text dict, read by every
@@ -270,16 +388,15 @@ def _verify_pairs_broadcast(ds, uniq_pairs, text_col, id_col, threshold,
 
     def verify(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
-        keep_a, keep_b, sims = [], [], []
-        for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
-            sim = ngram_jaccard(lookup[a].encode(), lookup[b].encode(), shingle_k)
-            if sim >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(sim)
-        return pa.table({"id_a": pa.array(keep_a, pa.int64()),
-                         "id_b": pa.array(keep_b, pa.int64()),
-                         "jaccard": pa.array(sims, pa.float64())})
+        ids_a = batch["id_a"].to_pylist()
+        ids_b = batch["id_b"].to_pylist()
+        sims = _jaccard_pairs([lookup[a] for a in ids_a],
+                              [lookup[b] for b in ids_b], shingle_k)
+        keep = sims >= threshold
+        ix = pa.array(np.flatnonzero(keep))
+        return pa.table({"id_a": pc.take(batch["id_a"], ix),
+                         "id_b": pc.take(batch["id_b"], ix),
+                         "jaccard": pa.array(sims[keep], pa.float64())})
 
     return uniq_pairs.map_batches(verify, batch_format="pyarrow")
 
@@ -309,19 +426,13 @@ def _verify_pairs_join(ds, uniq_pairs, text_col, id_col, threshold, shingle_k,
     j = hash_join(j, corp_b, "id_b", "_jb", buckets=join_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep_a, keep_b, sims = [], [], []
-        for a, b, ta, tb in zip(batch["id_a"].to_pylist(),
-                                batch["id_b"].to_pylist(),
-                                batch["_text_a"].to_pylist(),
-                                batch["_text_b"].to_pylist()):
-            sim = ngram_jaccard((ta or "").encode(), (tb or "").encode(), shingle_k)
-            if sim >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(sim)
-        return pa.table({"id_a": pa.array(keep_a, pa.int64()),
-                         "id_b": pa.array(keep_b, pa.int64()),
-                         "jaccard": pa.array(sims, pa.float64())})
+        sims = _jaccard_pairs(batch["_text_a"].to_pylist(),
+                              batch["_text_b"].to_pylist(), shingle_k)
+        keep = sims >= threshold
+        ix = pa.array(np.flatnonzero(keep))
+        return pa.table({"id_a": pc.take(batch["id_a"], ix),
+                         "id_b": pc.take(batch["id_b"], ix),
+                         "jaccard": pa.array(sims[keep], pa.float64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
 
@@ -771,11 +882,10 @@ def _embedding_pairs_lsh(ds, vec_col: str, id_col: str, threshold: float,
 # ------------------------------------------------------------ edit distance
 def levenshtein_leq(a: str, b: str, d: int):
     """Exact Levenshtein distance if ≤ d, else None — banded DP, O(len·d)
-    cells with an early exit when a whole band row exceeds d. The verify
-    kernel for editdist_neardup_pairs (strings there are short keys —
-    names/titles — so a per-pair scalar DP over the bounded candidate set
-    is the right cost shape; a vectorized batch DP would pay len_max² on
-    every pair)."""
+    cells with an early exit when a whole band row exceeds d. The scalar
+    form of batch_levenshtein_leq (which runs the same band across all
+    pairs at once); the verify stage dispatches to the batch kernel for
+    large candidate batches and keeps this for small ones."""
     la, lb = len(a), len(b)
     if abs(la - lb) > d:
         return None
@@ -804,6 +914,105 @@ def levenshtein_leq(a: str, b: str, d: int):
             return None
         prev = cur
     return prev[lb] if prev[lb] <= d else None
+
+
+def batch_levenshtein_leq(texts_a: list, texts_b: list, d: int) -> np.ndarray:
+    """Vectorized levenshtein_leq over aligned string pairs: one banded DP
+    (width 2d+1) advanced row-by-row across ALL pairs simultaneously —
+    numpy column ops instead of per-pair Python. Returns int64 distances
+    with -1 where the scalar kernel returns None (> d). Values saturate at
+    d+1 inside the DP, which preserves every ≤ d answer exactly
+    (property-tested against levenshtein_leq)."""
+    P = len(texts_a)
+    out = np.full(P, -1, dtype=np.int64)
+    if P == 0:
+        return out
+    a_s = [(t or "") for t in texts_a]
+    b_s = [(t or "") for t in texts_b]
+    la = np.array([len(s) for s in a_s], dtype=np.int64)
+    lb = np.array([len(s) for s in b_s], dtype=np.int64)
+    feasible = np.abs(la - lb) <= d
+    # equal strings short-circuit (scalar kernel's a == b branch)
+    eq = np.array([x == y for x, y in zip(a_s, b_s)])
+    out[eq & feasible] = 0
+    todo = np.flatnonzero(feasible & ~eq)
+    if not len(todo):
+        return out
+    a_s = [a_s[i] for i in todo]
+    b_s = [b_s[i] for i in todo]
+    la_t, lb_t = la[todo], lb[todo]
+    n = len(todo)
+    lmax_a, lmax_b = int(la_t.max()), int(lb_t.max())
+    # codepoint matrices; -1 padding never equals a real codepoint. Built
+    # with ONE utf-32 decode of the joined strings + one scatter (utf-32-le
+    # is exactly 4 bytes per codepoint, so the join concatenates cleanly)
+    def _code_matrix(strs, lens, width):
+        m = np.full((n, width), -1, dtype=np.int64)
+        total = int(lens.sum())
+        if total:
+            flat = np.frombuffer("".join(strs).encode("utf-32-le"),
+                                 dtype=np.uint32).astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            cols = np.arange(total, dtype=np.int64) - starts[rows]
+            m[rows, cols] = flat
+        return m
+
+    a_m = _code_matrix(a_s, la_t, lmax_a + 1)
+    b_m = _code_matrix(b_s, lb_t, lmax_b + d + 2)
+
+    big = d + 1
+    W = 2 * d + 1
+    ans = np.full(n, big, dtype=np.int64)
+    o_arr = np.arange(-d, d + 1, dtype=np.int64)         # band offsets
+    t_arr = np.arange(W, dtype=np.int64)
+    # b padded with d leading sentinel columns so the per-row band slice
+    # b_pad[:, i-1 : i-1+W] is a contiguous view covering j-1 = i+o-1
+    b_pad = np.full((n, lmax_b + 2 * d + 2), -1, dtype=np.int64)
+    b_pad[:, d:d + b_m.shape[1]] = b_m
+    # band[:, t] = dp value at (i, j=i+o), o = t-d
+    band = np.full((n, W), big, dtype=np.int64)
+    for t in range(d, W):          # row 0: dp[0, j] = j for j in [0, d]
+        j = t - d
+        band[:, t] = np.where(j <= lb_t, min(j, big), big)
+    done0 = la_t == 0
+    if done0.any():                # answer read at (la, lb)
+        ans[done0] = band[done0, d + lb_t[done0]]
+    active_rows = int(la_t.max())
+    live = np.arange(n, dtype=np.int64)   # row → index into ans
+    for i in range(1, active_rows + 1):
+        ai = a_m[:, i - 1]
+        j_row = i + o_arr                                 # (W,)
+        b_slice = b_pad[:, i - 1:i - 1 + W]               # (n, W) view
+        # substitution + deletion, whole band at once
+        v = band + (ai[:, None] != b_slice)
+        v[:, :-1] = np.minimum(v[:, :-1], band[:, 1:] + 1)
+        # cell validity: 1 ≤ j ≤ lb and i ≤ la; invalid cells pin to big
+        valid = ((j_row[None, :] >= 1) & (j_row[None, :] <= lb_t[:, None])
+                 & (i <= la_t)[:, None])
+        v = np.where(valid, np.minimum(v, big), big)
+        if i <= d:                                        # j == 0 column
+            v[:, d - i] = np.where(i <= la_t, min(i, big), big)
+        # insertion chain new[t] = min(v[t], new[t-1]+1) as a prefix scan:
+        # new[t] = t + accmin(v - t) — one accumulate instead of W passes
+        chain = np.minimum.accumulate(v - t_arr[None, :], axis=1)
+        band = np.minimum(np.minimum(v, chain + t_arr[None, :]), big)
+        done = la_t == i
+        if done.any():
+            ans[live[done]] = band[done, d + (lb_t - la_t)[done]]
+        # drop finished rows and rows whose band minimum already exceeds d
+        # (band minima are non-decreasing in i — they can never come back
+        # under the threshold); this is the scalar kernel's early exit,
+        # vectorized: the working set shrinks as answers resolve
+        keep = (la_t > i) & (band.min(axis=1) <= d)
+        if not keep.any():
+            break
+        if keep.sum() * 2 <= len(live):
+            live, la_t, lb_t, band = (live[keep], la_t[keep], lb_t[keep],
+                                      band[keep])
+            a_m, b_pad = a_m[keep], b_pad[keep]
+    out[todo[ans <= d]] = ans[ans <= d]
+    return out
 
 
 def _deletion_variants(s: str, d: int) -> set:
@@ -897,19 +1106,20 @@ def editdist_neardup_pairs(ds, text_col: str, id_col: str, max_dist: int = 1,
     j = hash_join(j, corp_b, "id_b", "_jb", buckets=join_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
-        keep_a, keep_b, dists = [], [], []
-        for a, b, ta, tb in zip(batch["id_a"].to_pylist(),
-                                batch["id_b"].to_pylist(),
-                                batch["_text_a"].to_pylist(),
-                                batch["_text_b"].to_pylist()):
-            dist = levenshtein_leq(ta or "", tb or "", max_dist)
-            if dist is not None:
-                keep_a.append(a)
-                keep_b.append(b)
-                dists.append(dist)
-        return pa.table({"id_a": pa.array(keep_a, pa.int64()),
-                         "id_b": pa.array(keep_b, pa.int64()),
-                         "dist": pa.array(dists, pa.int64())})
+        ta = batch["_text_a"].to_pylist()
+        tb = batch["_text_b"].to_pylist()
+        if len(ta) >= 64:
+            # vectorized band DP (≈5× on the blocked near-match workload)
+            dists = batch_levenshtein_leq(ta, tb, max_dist)
+        else:
+            dists = np.array([
+                (-1 if (v := levenshtein_leq(a or "", b or "", max_dist))
+                 is None else v) for a, b in zip(ta, tb)], dtype=np.int64)
+        keep = dists >= 0
+        ix = pa.array(np.flatnonzero(keep))
+        return pa.table({"id_a": pc.take(batch["id_a"], ix),
+                         "id_b": pc.take(batch["id_b"], ix),
+                         "dist": pa.array(dists[keep], pa.int64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
 

@@ -39,18 +39,27 @@ class DecodeStage:
     codec="fake": deterministic features = first DEFAULT_FEATURE_DIM bytes
     of sha256(payload) scaled to [0,1) — a stand-in with the exact schema
     and cost profile hooks of a real decoder.
-    codec="real": raises NotImplementedError at construction (no PIL/ffmpeg
-    in this container) — the marker the task brief requires.
+    codec="real": the PLUG-IN SEAM — pass ``decoder_factory``, a zero-arg
+    callable returning ``decode(payload: bytes) -> np.ndarray[feature_dim]``.
+    The factory runs ONCE per actor in __init__ (this is where a real
+    deployment loads PIL/ffmpeg/the embedding model); __call__ then maps
+    it over each batch. Without a factory, codec="real" raises
+    NotImplementedError (no imaging libraries exist in this container).
     """
 
     def __init__(self, payload_col: str = "payload", codec: str = "fake",
-                 feature_dim: int = DEFAULT_FEATURE_DIM):
+                 feature_dim: int = DEFAULT_FEATURE_DIM,
+                 decoder_factory=None):
         if codec == "real":
-            raise NotImplementedError(
-                "no image/audio codec libraries are available in this "
-                "container; plug a decoder in here (loaded ONCE per actor)"
-            )
-        if codec != "fake":
+            if decoder_factory is None:
+                raise NotImplementedError(
+                    "no image/audio codec libraries are available in this "
+                    "container; pass decoder_factory to plug a decoder in "
+                    "(it runs ONCE per actor, here)")
+            self._decode = decoder_factory()   # heavy setup: once per actor
+        elif codec == "fake":
+            self._decode = None
+        else:
             raise ValueError(f"unknown codec {codec!r}")
         self.payload_col = payload_col
         self.feature_dim = feature_dim
@@ -62,8 +71,17 @@ class DecodeStage:
         for i, b in enumerate(payloads):
             b = b or b""
             n_bytes[i] = len(b)
-            digest = hashlib.sha256(b).digest()
-            feats[i] = np.frombuffer(digest[: self.feature_dim], dtype=np.uint8) / 255.0
+            if self._decode is not None:
+                v = np.asarray(self._decode(b), dtype=np.float32).ravel()
+                if v.shape[0] != self.feature_dim:
+                    raise ValueError(
+                        f"decoder returned {v.shape[0]} features, stage "
+                        f"configured for {self.feature_dim}")
+                feats[i] = v
+            else:
+                digest = hashlib.sha256(b).digest()
+                feats[i] = np.frombuffer(digest[: self.feature_dim],
+                                         dtype=np.uint8) / 255.0
         batch = batch.drop_columns([self.payload_col])  # payload never flows on
         batch = batch.append_column("n_bytes", pa.array(n_bytes))
         feat_col = pa.FixedSizeListArray.from_arrays(
@@ -74,13 +92,17 @@ class DecodeStage:
 
 def decode_features(ds, payload_col: str = "payload", codec: str = "fake",
                     feature_dim: int = DEFAULT_FEATURE_DIM,
-                    batch_size: int = DEFAULT_BATCH_SIZE, concurrency=2):
+                    batch_size: int = DEFAULT_BATCH_SIZE, concurrency=2,
+                    decoder_factory=None):
     """The canonical multimodal stage wiring: actor pool, small batches,
-    payload dropped after decode (features-only flow downstream)."""
+    payload dropped after decode (features-only flow downstream). Pass
+    ``codec="real", decoder_factory=...`` to run a user codec — the
+    factory is pickled to each actor and invoked once in its __init__."""
     return ds.map_batches(
         DecodeStage,
         fn_constructor_kwargs={"payload_col": payload_col, "codec": codec,
-                               "feature_dim": feature_dim},
+                               "feature_dim": feature_dim,
+                               "decoder_factory": decoder_factory},
         batch_size=batch_size,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -107,16 +129,23 @@ class ResizeStage:
     codec="fake": deterministic stand-in — emits a payload whose length is
     ``target_w*target_h*3`` derived from a seeded per-row hash stream, so
     output sizing, metadata updates and memory profile match a real
-    resize; codec="real" raises (no imaging library in this container —
-    plug PIL/opencv in __init__, ONCE per actor)."""
+    resize; codec="real" requires ``resizer_factory``, a zero-arg callable
+    returning ``resize(payload: bytes, w: int, h: int) -> bytes`` — run
+    ONCE per actor in __init__ (load PIL/opencv there); raises without
+    one (no imaging library in this container)."""
 
     def __init__(self, target_w: int, target_h: int,
-                 payload_col: str = "payload", codec: str = "fake"):
+                 payload_col: str = "payload", codec: str = "fake",
+                 resizer_factory=None):
         if codec == "real":
-            raise NotImplementedError(
-                "no imaging library in this container; load the resizer "
-                "here (once per actor)")
-        if codec != "fake":
+            if resizer_factory is None:
+                raise NotImplementedError(
+                    "no imaging library in this container; pass "
+                    "resizer_factory to plug one in (runs once per actor)")
+            self._resize = resizer_factory()
+        elif codec == "fake":
+            self._resize = None
+        else:
             raise ValueError(f"unknown codec {codec!r}")
         self.target_w = target_w
         self.target_h = target_h
@@ -127,6 +156,10 @@ class ResizeStage:
         payloads = batch[self.payload_col].to_pylist()
         resized = []
         for b in payloads:
+            if self._resize is not None:
+                resized.append(bytes(self._resize(b or b"", self.target_w,
+                                                  self.target_h)))
+                continue
             digest = hashlib.sha256(b or b"").digest()
             reps = (out_len + len(digest) - 1) // len(digest)
             resized.append((digest * reps)[:out_len])
@@ -151,17 +184,26 @@ class FrameSampleStage:
     take — and ``frame_idx`` is appended.
 
     codec="fake": frames are deterministic equal-length slices of the
-    payload (a real sampler seeks keyframes — plug ffmpeg in __init__).
-    The output explosion factor is explicit; batch_size upstream must be
-    sized for payload_bytes x n_frames in flight."""
+    payload (a real sampler seeks keyframes). codec="real" requires
+    ``sampler_factory``, a zero-arg callable returning
+    ``sample(payload: bytes, n_frames: int) -> list[bytes]`` of EXACTLY
+    n_frames frames — run ONCE per actor in __init__ (open the ffmpeg
+    demuxer there); raises without one (no video codec in this
+    container). The output explosion factor is explicit; batch_size
+    upstream must be sized for payload_bytes x n_frames in flight."""
 
     def __init__(self, n_frames: int = 4, payload_col: str = "payload",
-                 id_col: str = "media_id", codec: str = "fake"):
+                 id_col: str = "media_id", codec: str = "fake",
+                 sampler_factory=None):
         if codec == "real":
-            raise NotImplementedError(
-                "no video codec in this container; open the demuxer here "
-                "(once per actor)")
-        if codec != "fake":
+            if sampler_factory is None:
+                raise NotImplementedError(
+                    "no video codec in this container; pass "
+                    "sampler_factory to plug one in (runs once per actor)")
+            self._sample = sampler_factory()
+        elif codec == "fake":
+            self._sample = None
+        else:
             raise ValueError(f"unknown codec {codec!r}")
         self.n_frames = n_frames
         self.payload_col = payload_col
@@ -173,6 +215,14 @@ class FrameSampleStage:
         frames = []  # byte slicing is inherently per-payload
         for b in payloads:
             b = b or b""
+            if self._sample is not None:
+                fr = [bytes(x) for x in self._sample(b, self.n_frames)]
+                if len(fr) != self.n_frames:
+                    raise ValueError(
+                        f"sampler returned {len(fr)} frames, stage "
+                        f"configured for {self.n_frames}")
+                frames.extend(fr)
+                continue
             step = max(1, len(b) // self.n_frames)
             frames.extend(b[j * step:(j + 1) * step]
                           for j in range(self.n_frames))
