@@ -1,6 +1,8 @@
 """Windowed aggregates + as-of join (window.py) against DuckDB ground truth."""
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -529,3 +531,47 @@ def test_ntile_agg_matches_duckdb_and_uneven_buckets(ray_session, sf_dir):
     # more tiles than rows: each row its own tile
     out2 = ntile_agg(tiny, ["g"], "v", ["t"], 9).to_pandas()
     assert sorted(out2["n"].tolist()) == [1] * 5
+
+
+def test_chunked_hot_key_matches_duckdb_and_default(ray_session):
+    """VERDICT r3 item 6 — the hot-key overflow path: ONE key holds
+    almost every row (far more than any chunk), so the default
+    bucket-by-key plan would put the whole stream in one task; the
+    range-chunked two-pass plan must split it across chunk_ranges
+    tasks and still match DuckDB exactly (and the default path)."""
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.window import cumulative_agg
+
+    n = 20_000
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # 95% of rows share one hot key
+        "k": np.where(rng.random(n) < 0.95, "hot",
+                      rng.choice(["a", "b", "c"], size=n)),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 86_400, size=n), unit="s"),
+        "v": rng.integers(-50, 50, size=n).astype(np.int64),
+    })
+    exact = duckdb.sql("""
+        select event_id, sum(v) over w as cum_sum,
+               (row_number() over w)::BIGINT as row_idx
+        from df window w as (partition by k order by ts, event_id
+                             rows unbounded preceding)
+        order by event_id""").df()
+
+    base = rd.from_pandas(df).repartition(6)
+    chunked = (cumulative_agg(base, key="k", ts_col="ts", value_col="v",
+                              tiebreak=["event_id"], chunk_ranges=16)
+               .to_pandas()[["event_id", "cum_sum", "row_idx"]]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(chunked, exact, check_dtype=False)
+
+    default = (cumulative_agg(base, key="k", ts_col="ts", value_col="v",
+                              tiebreak=["event_id"], buckets=4)
+               .to_pandas()[["event_id", "cum_sum", "row_idx"]]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(default, exact, check_dtype=False)

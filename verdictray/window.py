@@ -500,7 +500,9 @@ def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
 
 # ---------------------------------------------------- cumulative aggregates
 def cumulative_agg(ds, key: str, ts_col: str, value_col: str,
-                   tiebreak: list[str] | None = None, buckets: int = 32):
+                   tiebreak: list[str] | None = None, buckets: int = 32,
+                   chunk_ranges: int | None = None,
+                   sample_limit: int = 10_000):
     """Running (cumulative) aggregate per key: for every row, the sum of
     ``value_col`` and the 1-based row index over all rows of the same key
     up to and including it, ordered by (ts, tiebreak...) — SQL
@@ -509,11 +511,27 @@ def cumulative_agg(ds, key: str, ts_col: str, value_col: str,
     column (e.g. exact micros) for a bit-stable, order-independent result;
     tiebreak columns must make the ordering unique per key.
 
-    Distributed shape: same as rolling_agg — ONE hash-bucket shuffle on
-    the key, then vectorized sort + groupby(key).cumsum()/cumcount() over
-    the whole bucket. Partitioning assumption: one key's rows fit a task.
-    Appends ``cum_sum`` and ``row_idx``."""
+    Distributed shape (default): same as rolling_agg — ONE hash-bucket
+    shuffle on the key, then vectorized sort + groupby(key).cumsum() /
+    cumcount() over the whole bucket. Partitioning assumption: one key's
+    rows fit a task. Appends ``cum_sum`` and ``row_idx``.
+
+    HOT-KEY OVERFLOW PATH (``chunk_ranges=N``): when a single key's rows
+    exceed one task's memory, partition by TIME RANGE instead of key —
+    sampled ts boundaries → per-(key, range) Count/Sum partials (map-side
+    combined, one tiny table) → exclusive prefix offsets per key → one
+    groupby(range) pass adds each chunk's local cumsum to its key's
+    carried offset. Every task now holds rows/N of the stream regardless
+    of key skew; equal-ts rows always share a range, so the (ts, tie...)
+    order is exact across chunk boundaries. The offsets table is
+    keys × N rows (ships to each chunk task) — use this path when a few
+    huge keys dominate, the default path when the key domain is huge but
+    individually small. Integer value columns stay exact; float sums can
+    differ from the single-pass result in last-ulp rounding."""
     tiebreak = tiebreak or []
+    if chunk_ranges:
+        return _cumulative_agg_chunked(ds, key, ts_col, value_col, tiebreak,
+                                       chunk_ranges, sample_limit)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (hash64(batch[key], seed=61) % np.uint64(buckets)).astype(np.int64)
@@ -536,6 +554,51 @@ def cumulative_agg(ds, key: str, ts_col: str, value_col: str,
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(accumulate,
                                                 batch_format="pandas")
+
+
+def _cumulative_agg_chunked(ds, key: str, ts_col: str, value_col: str,
+                            tiebreak: list[str], chunk_ranges: int,
+                            sample_limit: int):
+    """Two-pass range-chunked cumulative aggregate — see cumulative_agg's
+    hot-key-overflow docs."""
+    from ray.data.aggregate import Count, Sum
+
+    from .ops import _assign_range_fn, _sample_range_bounds
+
+    bounds = _sample_range_bounds(ds, ts_col, chunk_ranges, sample_limit)
+    tagged = ds.map_batches(_assign_range_fn(bounds, ts_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice (partials + final pass): object-store resident, never
+    # the driver
+    tagged = tagged.materialize()
+    partials = (tagged.select_columns([key, "_range", value_col])
+                .groupby([key, "_range"])
+                .aggregate(Count(alias_name="_n"),
+                           Sum(value_col, alias_name="_s"))
+                .to_pandas().sort_values([key, "_range"]))
+    grp = partials.groupby(key, sort=False)
+    partials["_coff"] = grp["_n"].cumsum() - partials["_n"]
+    partials["_soff"] = grp["_s"].cumsum() - partials["_s"]
+    offsets = partials[[key, "_range", "_coff", "_soff"]]
+
+    order = [key, ts_col] + tiebreak
+
+    def accumulate(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        r = int(g["_range"].iloc[0])
+        ggrp = g.groupby(key, sort=False)
+        local_cs = ggrp[value_col].cumsum().to_numpy()
+        local_ix = ggrp.cumcount().to_numpy() + 1
+        off_r = offsets[offsets["_range"] == r]
+        j = g[[key]].merge(off_r, on=key, how="left")
+        g = g.drop(columns=["_range"])
+        g["cum_sum"] = local_cs + j["_soff"].fillna(0).to_numpy()
+        g["row_idx"] = local_ix + j["_coff"].fillna(0).to_numpy().astype(
+            np.int64)
+        return g
+
+    return tagged.groupby("_range").map_groups(accumulate,
+                                               batch_format="pandas")
 
 
 # ----------------------------------------------------------- funnel analysis
