@@ -120,3 +120,69 @@ def test_nongrouped_column_rejected(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="GROUP BY"):
         run_sql("SELECT o_orderstatus, count(*) AS n FROM orders",
                 sf01_dir)
+
+
+# ---------------------------------------------------------- store router
+def test_store_router_answers_from_prebuilt_sketches(ray_session):
+    """run_sql_store: the same SQL text answered from SketchStore state —
+    exact count(*) (CMS counter), HLL within 3sigma, KLL within rank eps,
+    WHERE/ORDER/LIMIT on the key — no data rescan."""
+    import duckdb
+
+    from verdictray.corpus import generate_corpus
+    from verdictray.pipeline import SketchJobSpec, build_sketches
+    from verdictray.query import SketchStore
+    from verdictray.sqlrouter import run_sql_store
+
+    corpus = generate_corpus("/tmp/vr_corpus_test", 20_000, seed=42)
+    spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=4,
+                         bloom_capacity=50_000)
+    store = SketchStore.from_dataset(build_sketches(spec), "lang")
+
+    exact = duckdb.sql(f"""
+        SELECT lang, count(*) AS n, count(DISTINCT sha256(content)) AS nd,
+               quantile_cont(length(content), 0.5) AS med
+        FROM '{corpus}/*.parquet' GROUP BY lang ORDER BY lang
+        """).df().set_index("lang")
+
+    out = run_sql_store(
+        """SELECT lang, count(*) AS n, approx_count_distinct(x) AS nd,
+           approx_quantile(x, 0.5) AS med
+           FROM sketches GROUP BY lang ORDER BY lang""",
+        store, with_bounds=True).to_pandas().set_index("lang")
+    assert list(out.index) == list(exact.index)
+    assert (out.n == exact.n).all()                     # CMS counter exact
+    assert ((out.nd - exact.nd).abs() <= out.nd_bound + 1e-9).all()
+    # n_bytes (the KLL column) vs content length: the corpus sketches KLL
+    # over n_bytes == length(content) for ascii corpus; allow rank slack
+    assert ((out.med_bound_lo <= exact.med * 1.02 + 1)
+            & (exact.med * 0.98 - 1 <= out.med_bound_hi)).all()
+
+    # WHERE on the key + global rollup form
+    one = run_sql_store(
+        "SELECT count(*) AS n FROM sketches WHERE lang = 'python'",
+        store).to_pandas()
+    exact_one = duckdb.sql(f"""SELECT count(*) n FROM '{corpus}/*.parquet'
+        WHERE lang='python'""").df()
+    if len(exact_one) and exact_one.n[0] > 0 and "python" in store.keys():
+        assert one.n[0] == exact_one.n[0]
+    glob = run_sql_store(
+        "SELECT count(*) AS n, approx_count_distinct(x) AS nd FROM s",
+        store, with_bounds=True).to_pandas()
+    total = duckdb.sql(f"""SELECT count(*) n,
+        count(DISTINCT sha256(content)) nd FROM '{corpus}/*.parquet'""").df()
+    assert glob.n[0] == total.n[0]
+    assert abs(glob.nd[0] - total.nd[0]) <= glob.nd_bound[0] + 1e-9
+
+    # LIMIT + ORDER BY DESC
+    top2 = run_sql_store(
+        """SELECT lang, count(*) AS n FROM s GROUP BY lang
+           ORDER BY n DESC LIMIT 2""", store).to_pandas()
+    assert len(top2) == 2
+    assert top2.n.iloc[0] == exact.n.max()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot answer"):
+        run_sql_store("SELECT sum(x) AS s FROM s GROUP BY lang", store,
+                      key_col="lang")

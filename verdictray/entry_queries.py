@@ -1098,11 +1098,14 @@ def q_corpus_sketches(sf_dir: str):
 # hash-matches DuckDB executing the identical text. Aggregates here are
 # merge-order-invariant (count / count distinct / min / max / integer
 # sum), so the float-sum nondeterminism caveat never applies.
+# avg (not sum) over the integer column: DuckDB promotes sum(BIGINT) to
+# HUGEINT (pandas float64) while Ray Sum stays int64 — a dtype-only hash
+# mismatch; avg is double on both sides and exact (integer sum / count)
 SQL_ROUTER_ORDERS = """
 SELECT o_orderpriority, count(*) AS n_orders,
        count(DISTINCT o_custkey) AS nd_cust,
        min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-       sum(o_custkey) AS custkey_sum
+       round(avg(o_custkey), 4) AS avg_cust
 FROM orders WHERE o_totalprice > 1000
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
@@ -1163,6 +1166,33 @@ def q_sql_router_quantile(sf_dir: str):
     from .sqlrouter import run_sql
 
     return run_sql(SQL_ROUTER_QUANTILE, sf_dir)
+
+
+def q_sql_store_summary(sf_dir: str):
+    """The full Verdict loop in one query: build the per-key sketch state
+    once, then answer aggregate SQL from the STORE (sqlrouter.run_sql_store
+    — milliseconds, no rescan). Rows-only: HLL/KLL answers are estimates;
+    the CMS row counter is exact and self-checked against the corpus size
+    in-query, HLL/KLL bound assertions live in tests/test_sqlrouter.py."""
+    from .query import SketchStore
+    from .sqlrouter import run_sql_store
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n = {"0.001": 5_000, "0.01": 50_000, "0.1": 500_000}.get(sf, 20_000)
+    corpus = generate_corpus(f"/tmp/vr_corpus_{sf}", n, seed=42)
+    spec = SketchJobSpec(input_path=corpus, group_key="lang", salts=8,
+                         bloom_capacity=max(100_000, n))
+    store = SketchStore.from_dataset(build_sketches(spec), "lang")
+    out = run_sql_store(
+        """SELECT lang, count(*) AS n_rows,
+           approx_count_distinct(content) AS nd_contents,
+           round(approx_quantile(n_bytes, 0.5), 1) AS med_bytes
+           FROM sketches GROUP BY lang ORDER BY lang""",
+        store, with_bounds=True)
+    total = sum(out["n_rows"].to_pylist())
+    if total != n:
+        raise AssertionError(f"store counter {total} != corpus rows {n}")
+    return out
 
 
 def q_corpus_sketches_progressive(sf_dir: str):
@@ -3026,6 +3056,7 @@ QUERIES = {
     "sql_router_semijoin": q_sql_router_semijoin,
     "sql_router_hll": q_sql_router_hll,
     "sql_router_quantile": q_sql_router_quantile,
+    "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
     "calibration_report": q_calibration_report,
@@ -3189,7 +3220,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
-    "sql_router_quantile",
+    "sql_router_quantile", "sql_store_summary",
     # --- never driver-checked as of CORRECTNESS_r03 ---
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",
     "ngram_decontaminated_docs", "token_entropy_by_lang", "vocab_top_terms",

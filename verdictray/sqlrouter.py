@@ -433,3 +433,132 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     if plan.limit is not None:
         out = out.limit(plan.limit)
     return out
+
+
+# ======================================================================
+# SQL over the sketch STORE — the Verdict-style interactive loop: the
+# same aggregate-SQL text answered in milliseconds from PREBUILT per-key
+# sketch state (query.SketchStore), never rescanning the data.
+# ======================================================================
+def run_sql_store(sql: str, store, key_col: str | None = None,
+                  with_bounds: bool = False) -> pa.Table:
+    """Answer aggregate SQL from a ``query.SketchStore``.
+
+    Supported: ``SELECT [key,] agg... FROM <any> [WHERE key =/!=/IN ...]
+    [GROUP BY key] [ORDER BY ...] [LIMIT n]`` with aggs
+    - APPROX_COUNT_DISTINCT(col) → HLL estimate (per key, or the HLL
+      rollup union when there is no GROUP BY)
+    - APPROX_QUANTILE(col, phi)  → KLL (per key; no-GROUP-BY form merges
+      the per-key KLLs first — same mergeable-state algebra)
+    - COUNT(*) → the CMS exact row counter (per key / summed)
+    The column name inside the agg is advisory (a store does not record
+    which column each sketch ingested); WHERE may only constrain the
+    group key. Output column dtypes mirror run_sql's. with_bounds adds
+    the same ``_bound`` columns as the scan router."""
+    from .sketches import Sketch
+
+    plan = parse_sql(sql)
+    kc = key_col or "group_key"
+    keys = store.keys()
+    # WHERE: key-equality / IN filters only (there is no other column)
+    for p in plan.where:
+        if p.sub is not None:
+            raise ValueError("store router does not support IN (SELECT …)")
+        if p.op == "=":
+            keys = [k for k in keys if k == p.value]
+        elif p.op == "!=":
+            keys = [k for k in keys if k != p.value]
+        elif p.op == "in":
+            keys = [k for k in keys if k in set(p.value)]
+        elif p.op == "not_in":
+            keys = [k for k in keys if k not in set(p.value)]
+        else:
+            raise ValueError(f"store router WHERE supports =/!=/IN on the "
+                             f"group key, got {p.op!r}")
+    grouped = bool(plan.group_by)
+    if grouped and plan.group_by != [kc] and len(plan.group_by) != 1:
+        raise ValueError("store router supports GROUP BY the single key")
+
+    agg_items = [it for it in plan.items if it.fn != "col"]
+    import numpy as np
+
+    def _round(vals, nd):
+        if nd is None:
+            return vals
+        scale = 10.0 ** nd
+        v = np.asarray(vals, dtype=np.float64)
+        return np.copysign(np.floor(np.abs(v) * scale + 0.5), v) / scale
+
+    cols: dict[str, object] = {}
+    bound_cols: dict[str, object] = {}
+    if grouped:
+        cols[plan.group_by[0]] = pa.array(keys, pa.string())
+        for it in agg_items:
+            name = it.name
+            if it.fn == "approx_count_distinct":
+                sk = [store.sketch(k, "hll") for k in keys]
+                vals = [s.estimate() for s in sk]
+                if with_bounds:
+                    bound_cols[f"{name}_bound"] = pa.array(
+                        [3 * s.error_bound() * s.estimate() for s in sk],
+                        pa.float64())
+            elif it.fn == "approx_quantile":
+                vals = [store.sketch(k, "kll").quantile(it.phi)
+                        for k in keys]
+                if with_bounds:
+                    lo, hi = [], []
+                    for k in keys:
+                        s = store.sketch(k, "kll")
+                        eps = s.error_bound()
+                        lo.append(s.quantile(max(0.0, it.phi - eps)))
+                        hi.append(s.quantile(min(1.0, it.phi + eps)))
+                    bound_cols[f"{name}_bound_lo"] = pa.array(lo, pa.float64())
+                    bound_cols[f"{name}_bound_hi"] = pa.array(hi, pa.float64())
+            elif it.fn == "count" and it.col is None:
+                cols[name] = pa.array(
+                    [int(store.sketch(k, "cms").n) for k in keys], pa.int64())
+                continue
+            else:
+                raise ValueError(f"store router cannot answer {it.fn!r}")
+            cols[name] = pa.array(_round(vals, it.round_to), pa.float64())
+    else:
+        for it in agg_items:
+            name = it.name
+            if it.fn == "approx_count_distinct":
+                sk = store.rollup("hll", keys)
+                vals = [sk.estimate()]
+                if with_bounds:
+                    bound_cols[f"{name}_bound"] = pa.array(
+                        [3 * sk.error_bound() * sk.estimate()], pa.float64())
+            elif it.fn == "approx_quantile":
+                acc = None
+                for k in keys:
+                    s = Sketch.from_bytes(
+                        store.sketch(k, "kll").to_bytes())  # copy
+                    acc = s if acc is None else acc.merge(s)
+                vals = [acc.quantile(it.phi)]
+                if with_bounds:
+                    eps = acc.error_bound()
+                    bound_cols[f"{name}_bound_lo"] = pa.array(
+                        [acc.quantile(max(0.0, it.phi - eps))], pa.float64())
+                    bound_cols[f"{name}_bound_hi"] = pa.array(
+                        [acc.quantile(min(1.0, it.phi + eps))], pa.float64())
+            elif it.fn == "count" and it.col is None:
+                cols[name] = pa.array(
+                    [sum(int(store.sketch(k, "cms").n) for k in keys)],
+                    pa.int64())
+                continue
+            else:
+                raise ValueError(f"store router cannot answer {it.fn!r}")
+            cols[name] = pa.array(_round(vals, it.round_to), pa.float64())
+
+    out = pa.table({**cols, **bound_cols})
+    if plan.order_by:
+        import pyarrow.compute as _pc
+
+        out = out.take(_pc.sort_indices(
+            out, sort_keys=[(c, "descending" if d else "ascending")
+                            for c, d in plan.order_by]))
+    if plan.limit is not None:
+        out = out.slice(0, plan.limit)
+    return out
