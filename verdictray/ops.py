@@ -1259,8 +1259,14 @@ def with_row_number(ds, order_col: str, tiebreak: list[str],
     tagged = ds.map_batches(_assign_range_fn(bounds_list, order_col),
                             batch_format="pyarrow", zero_copy_batch=True)
 
-    # 2. exact counts per range → prefix offsets (tiny driver-side table)
-    counts = (tagged.select_columns(["_range"]).groupby("_range")
+    # 2. exact counts per range → prefix offsets (tiny driver-side table).
+    # Counted from a SEPARATE order_col-only pipeline: column pruning
+    # cannot push through the opaque assign UDF, so counting off `tagged`
+    # would re-read every column of the input just to discard it
+    counts = (ds.select_columns([order_col])
+              .map_batches(_assign_range_fn(bounds_list, order_col),
+                           batch_format="pyarrow", zero_copy_batch=True)
+              .select_columns(["_range"]).groupby("_range")
               .aggregate(Count(alias_name="n")).to_pandas()
               .sort_values("_range"))
     # ranges are ordered by order_col ascending; descending output walks
