@@ -186,3 +186,168 @@ def test_store_router_answers_from_prebuilt_sketches(ray_session):
     with _pytest.raises(ValueError, match="cannot answer"):
         run_sql_store("SELECT sum(x) AS s FROM s GROUP BY lang", store,
                       key_col="lang")
+
+
+# ---------------------------------------------------------------- round 4b
+def _duck_all(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region", "supplier",
+              "events", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def test_join_chain_between_matches_duckdb(ray_session, sf01_dir):
+    """Two broadcast dimension joins (orders→customer→nation) + BETWEEN."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT n_name, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+             FROM orders JOIN customer ON o_custkey = c_custkey
+                         JOIN nation ON c_nationkey = n_nationkey
+             WHERE o_totalprice BETWEEN 1000 AND 400000
+             GROUP BY n_name ORDER BY n_name"""
+    mine = run_sql(sql, sf01_dir).to_pandas()
+    pdt.assert_frame_equal(mine, _duck_all(sf01_dir, sql), check_dtype=False)
+
+
+def test_join_hash_fallback_equals_broadcast(ray_session, sf01_dir):
+    """max_broadcast_rows=0 forces every join through the bucketed
+    hash_join; result must equal the broadcast plan."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT n_name, count(*) AS n FROM customer
+             JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY n_name ORDER BY n_name"""
+    bcast = run_sql(sql, sf01_dir).to_pandas()
+    hashj = run_sql(sql, sf01_dir, max_broadcast_rows=0).to_pandas()
+    pdt.assert_frame_equal(bcast, hashj, check_dtype=False)
+    pdt.assert_frame_equal(bcast, _duck_all(sf01_dir, sql), check_dtype=False)
+
+
+def test_having_matches_duckdb(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_custkey, count(*) AS n_orders FROM orders
+             GROUP BY o_custkey HAVING n_orders >= 10
+             ORDER BY n_orders DESC, o_custkey LIMIT 15"""
+    mine = run_sql(sql, sf01_dir).to_pandas()
+    pdt.assert_frame_equal(mine, _duck_all(sf01_dir, sql), check_dtype=False)
+
+
+def test_approx_top_k_obeys_cms_bound(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    out = run_sql("SELECT APPROX_TOP_K(event_type, 3) AS est FROM events",
+                  sf01_dir, with_bounds=True).to_pandas()
+    exact = _duck_all(sf01_dir, """SELECT event_type, count(*) n FROM events
+                                   GROUP BY event_type ORDER BY n DESC""")
+    assert len(out) == 3
+    # top-1 item must be the true mode; every estimate obeys the
+    # one-sided CMS bound exact <= est <= exact + eps*N
+    assert out.event_type[0] == exact.event_type[0]
+    n_total = exact.n.sum()
+    truth = dict(zip(exact.event_type, exact.n))
+    for item, est, bound in zip(out.event_type, out.est, out.est_bound):
+        assert truth[item] <= est <= truth[item] + bound + 1e-9
+        assert abs(bound - 1e-3 * n_total) < 1e-6
+
+
+def test_join_and_having_errors_are_loud(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="unknown column"):
+        run_sql("SELECT count(*) AS n FROM orders JOIN nation "
+                "ON o_bogus = n_nationkey", sf01_dir).to_pandas()
+    with pytest.raises(ValueError, match="HAVING"):
+        run_sql("SELECT o_orderstatus, count(*) AS n FROM orders "
+                "GROUP BY o_orderstatus HAVING o_totalprice > 5",
+                sf01_dir).to_pandas()
+    with pytest.raises(ValueError, match="only SELECT item"):
+        run_sql("SELECT event_type, APPROX_TOP_K(event_type, 3) AS t "
+                "FROM events GROUP BY event_type", sf01_dir)
+
+
+def test_progressive_sql_final_matches_duckdb_and_tightens(ray_session,
+                                                           sf01_dir):
+    from verdictray.sqlrouter import run_sql_progressive
+
+    sql = """SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS s,
+             approx_count_distinct(o_custkey) AS nd
+             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    ems = list(run_sql_progressive(sql, sf01_dir, override_num_blocks=6))
+    assert len(ems) >= 2
+    assert ems[-1].progress["fraction"] == 1.0
+    final = ems[-1].estimates.to_pandas()
+    exact = _duck_all(sf01_dir, """SELECT o_orderpriority, count(*) AS n,
+        sum(o_totalprice) AS s, count(DISTINCT o_custkey) AS nd
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    assert list(final.o_orderpriority) == list(exact.o_orderpriority)
+    assert (final.n == exact.n).all()                  # exact counts
+    assert (abs(final.s - exact.s) < 1e-6 * exact.s).all()
+    assert (final.nd == exact.nd).all()                # HLL sparse-exact
+    # every emission's envelope contains the final answer; count widths
+    # strictly shrink (additive bound = rows unseen)
+    fin = {(r.o_orderpriority, "n"): r.n for r in final.itertuples()}
+    fin.update({(r.o_orderpriority, "nd"): r.nd for r in final.itertuples()})
+    prev_w = None
+    for em in ems:
+        env = em.envelope.to_pandas()
+        w = 0.0
+        for r in env.itertuples():
+            if (r.group, r.column) in fin:
+                assert r.lo - 1e-9 <= fin[(r.group, r.column)] <= r.hi + 1e-9
+            if r.column == "n":
+                w += r.hi - r.lo
+        if prev_w is not None:
+            assert w < prev_w + 1e-9
+        prev_w = w
+
+
+def test_progressive_sql_global_quantile_and_where(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql_progressive
+
+    sql = """SELECT count(*) AS n, min(o_totalprice) AS lo_p,
+             max(o_totalprice) AS hi_p, round(avg(o_totalprice), 4) AS avg_p,
+             approx_quantile(o_totalprice, 0.5) AS med
+             FROM orders WHERE o_orderstatus = 'O'"""
+    ems = list(run_sql_progressive(sql, sf01_dir, override_num_blocks=4))
+    final = ems[-1].estimates.to_pandas()
+    exact = _duck_all(sf01_dir, """SELECT count(*) AS n,
+        min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p,
+        round(avg(o_totalprice), 4) AS avg_p FROM orders
+        WHERE o_orderstatus = 'O'""")
+    assert final.n[0] == exact.n[0]
+    assert final.lo_p[0] == exact.lo_p[0]
+    assert final.hi_p[0] == exact.hi_p[0]
+    assert abs(final.avg_p[0] - exact.avg_p[0]) <= 1e-3
+    # the median estimate must sit within KLL's rank bound of the truth
+    vals = _duck_all(sf01_dir, """SELECT o_totalprice FROM orders
+        WHERE o_orderstatus = 'O' ORDER BY o_totalprice""").o_totalprice
+    import numpy as np
+
+    rank = np.searchsorted(vals.values, final.med[0]) / len(vals)
+    assert abs(rank - 0.5) <= 3 * 1.65 / 200 + 0.01
+    # quantile envelope: every emission brackets the final median estimate
+    for em in ems:
+        env = em.envelope.to_pandas()
+        row = env[env.column == "med"]
+        assert (row.lo <= final.med[0] + 1e-9).all()
+        assert (row.hi >= final.med[0] - 1e-9).all()
+
+
+def test_progressive_sql_restrictions_are_loud(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql_progressive
+
+    with pytest.raises(ValueError, match="single table"):
+        next(run_sql_progressive(
+            "SELECT count(*) AS n FROM orders JOIN customer "
+            "ON o_custkey = c_custkey", sf01_dir))
+    with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
+        next(run_sql_progressive(
+            "SELECT count(DISTINCT o_custkey) AS n FROM orders", sf01_dir))
+    with pytest.raises(ValueError, match="IN"):
+        next(run_sql_progressive(
+            "SELECT count(*) AS n FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders)", sf01_dir))

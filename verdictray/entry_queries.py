@@ -1110,6 +1110,95 @@ FROM orders WHERE o_totalprice > 1000
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+# progressive (online-aggregation) SQL: the Ray query is the FINAL
+# emission of sqlrouter.run_sql_progressive; earlier emissions' envelopes
+# are asserted in-query (monotone tightening + final answer containment).
+# HLL is sparse-exact at driver scale so the oracle is exact SQL.
+SQL_PROGRESSIVE_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       approx_count_distinct(o_custkey) AS nd_cust
+FROM orders WHERE o_orderstatus != 'P'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+SQL_PROGRESSIVE_ORDERS_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       CAST(count(DISTINCT o_custkey) AS DOUBLE) AS nd_cust
+FROM orders WHERE o_orderstatus != 'P'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_sql_progressive_orders(sf_dir: str):
+    """Verdict-style online aggregation over the SQL surface: stream
+    converging per-block emissions (only KiB partial blobs reach the
+    driver), assert every envelope contains the final answer and the
+    additive-count envelopes tighten monotonically, return the final
+    emission (the complete answer — oracle-exact at driver scale)."""
+    from .sqlrouter import run_sql_progressive
+
+    ems = list(run_sql_progressive(SQL_PROGRESSIVE_ORDERS, sf_dir,
+                                   override_num_blocks=8))
+    assert len(ems) >= 2, "expected multiple progressive emissions"
+    final = ems[-1]
+    assert final.progress["fraction"] == 1.0
+    # final answers must lie inside every earlier emission's envelope
+    fin = final.estimates.to_pydict()
+    fin_by_key = {}
+    for i, k in enumerate(fin["o_orderpriority"]):
+        fin_by_key[(str(k), "n_orders")] = fin["n_orders"][i]
+        fin_by_key[(str(k), "nd_cust")] = fin["nd_cust"][i]
+    prev_count_width = None
+    for em in ems:
+        env = em.envelope.to_pydict()
+        count_w = 0.0
+        for g, c, lo, hi in zip(env["group"], env["column"],
+                                env["lo"], env["hi"]):
+            fv = fin_by_key.get((g, c))
+            if fv is not None:
+                assert lo - 1e-9 <= fv <= hi + 1e-9, (g, c, lo, fv, hi)
+            if c == "n_orders":
+                count_w += hi - lo
+        if prev_count_width is not None:
+            assert count_w <= prev_count_width + 1e-9
+        prev_count_width = count_w
+    return final.estimates
+
+
+# two-dimension JOIN chain (orders→customer→nation): both dims route to
+# the broadcast pc.index_in enrich (≤ max_broadcast_rows, unique keys) —
+# zero shuffles end-to-end; BETWEEN compiles into the pushed-down filter.
+# MONEY_SUM (exact integer-cents accumulation) instead of float SUM so the
+# result is bit-stable regardless of Ray's block merge order — float SUM's
+# last cent can flip at ~1e8 magnitudes and hash-mismatch the oracle.
+SQL_ROUTER_JOIN = """
+SELECT n_name, count(*) AS n_orders, round(money_sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice BETWEEN 1000 AND 400000
+GROUP BY n_name ORDER BY n_name
+"""
+# DuckDB spelling of MONEY_SUM: per-row half-away round to cents, exact
+# integer sum, divide back — identical float64 ops on both sides
+SQL_ROUTER_JOIN_ORACLE = """
+SELECT n_name, count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+           AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice BETWEEN 1000 AND 400000
+GROUP BY n_name ORDER BY n_name
+"""
+
+# HAVING over a SELECTed aggregate alias (the alias form DuckDB also
+# accepts) — compiles to one vectorized post-aggregate filter
+SQL_ROUTER_HAVING = """
+SELECT o_custkey, count(*) AS n_orders FROM orders
+GROUP BY o_custkey HAVING n_orders >= 10
+ORDER BY n_orders DESC, o_custkey LIMIT 15
+"""
+
 SQL_ROUTER_SEMIJOIN = """
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -1141,6 +1230,49 @@ def q_sql_router_orders(sf_dir: str):
     from .sqlrouter import run_sql
 
     return run_sql(SQL_ROUTER_ORDERS, sf_dir)
+
+
+def q_sql_router_join(sf_dir: str):
+    """sqlrouter JOIN routing: a two-dimension join chain answered with
+    zero shuffles — each dim is size/uniqueness-gated into the broadcast
+    pc.index_in enrich (falls back to the bucketed hash_join otherwise)."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_JOIN, sf_dir)
+
+
+def q_sql_router_having(sf_dir: str):
+    """sqlrouter HAVING routing: post-aggregate vectorized filter over the
+    SELECTed alias, then ORDER BY/LIMIT on the filtered result."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_HAVING, sf_dir)
+
+
+def q_sql_router_topk(sf_dir: str):
+    """sqlrouter APPROX_TOP_K → CMS heavy hitters. Self-checking: asserts
+    every estimated count obeys the one-sided CMS bound (exact ≤ est ≤
+    exact + εN) against an exact grouped count computed in the same run —
+    rows-only at the driver because CMS estimates are not SQL-expressible."""
+    from ray.data.aggregate import Count
+
+    from .sqlrouter import run_sql
+
+    out = run_sql("SELECT APPROX_TOP_K(event_type, 3) AS est_n FROM events",
+                  sf_dir).to_arrow_refs()
+    import ray
+
+    tbl = pa.concat_tables([ray.get(r) for r in out])
+    exact = {r["event_type"]: r["n"] for r in
+             _t(sf_dir, "events", ["event_type"])
+             .groupby("event_type").aggregate(Count(alias_name="n"))
+             .take_all()}
+    n_rows = sum(exact.values())
+    for item, est in zip(tbl["event_type"].to_pylist(),
+                         tbl["est_n"].to_pylist()):
+        ex = exact[item]
+        assert ex <= est <= ex + 1e-3 * n_rows, (item, est, ex)
+    return tbl
 
 
 def q_sql_router_semijoin(sf_dir: str):
@@ -3053,6 +3185,10 @@ QUERIES = {
     "corpus_sketches": q_corpus_sketches,
     "corpus_sketches_progressive": q_corpus_sketches_progressive,
     "sql_router_orders": q_sql_router_orders,
+    "sql_progressive_orders": q_sql_progressive_orders,
+    "sql_router_join": q_sql_router_join,
+    "sql_router_having": q_sql_router_having,
+    "sql_router_topk": q_sql_router_topk,
     "sql_router_semijoin": q_sql_router_semijoin,
     "sql_router_hll": q_sql_router_hll,
     "sql_router_quantile": q_sql_router_quantile,
@@ -3171,6 +3307,11 @@ ORACLES = {
     # at sf0.01); quantile entry is rows-only by design (KLL ε-bound
     # asserted in tests/test_sqlrouter.py)
     "sql_router_orders": SQL_ROUTER_ORDERS,
+    "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
+    "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
+    "sql_router_having": SQL_ROUTER_HAVING,
+    # sql_router_topk: rows-only (CMS estimates; one-sided bound asserted
+    # in-query against the exact grouped count)
     "sql_router_semijoin": SQL_ROUTER_SEMIJOIN,
     "sql_router_hll": SQL_ROUTER_HLL_ORACLE,
     "hll_union_rollup": SQL_HLL_UNION_ROLLUP,
@@ -3221,6 +3362,8 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",
+    "sql_router_join", "sql_router_having", "sql_router_topk",
+    "sql_progressive_orders",
     # --- never driver-checked as of CORRECTNESS_r03 ---
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",
     "ngram_decontaminated_docs", "token_entropy_by_lang", "vocab_top_terms",

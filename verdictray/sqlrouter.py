@@ -3,13 +3,15 @@ the Verdict-lineage "interactive query" surface (public VerdictDB accepts
 aggregate SQL and answers from pre-built state; SIGMOD'18. No reference
 file:line — /root/reference is empty).
 
-Supported grammar (case-insensitive keywords; one table, no subqueries
+Supported grammar (case-insensitive keywords; unqualified column names,
+unique across the joined tables — TPC-H-style prefixes; no subqueries
 except membership ``IN (SELECT col FROM t)``):
 
     SELECT item ("," item)*
-    FROM table
+    FROM table ("JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*]
+    [HAVING pred ("AND" pred)*]       -- preds over SELECTed agg aliases
     [ORDER BY col [ASC|DESC] ("," ...)*]
     [LIMIT n]
 
@@ -17,10 +19,18 @@ except membership ``IN (SELECT col FROM t)``):
     expr := col
           | COUNT(*) | COUNT([DISTINCT] col)
           | SUM(col) | AVG(col) | MIN(col) | MAX(col)
+          | MONEY_SUM(col)                       -- exact integer-cents sum:
+                                                 --   order-independent, so
+                                                 --   bit-stable vs any oracle
+                                                 --   (float SUM's last cent
+                                                 --   can flip w/ merge order)
           | APPROX_COUNT_DISTINCT(col)          -- HyperLogLog
           | APPROX_QUANTILE(col, phi)           -- KLL
+          | APPROX_QUANTILE_TDIGEST(col, phi)   -- t-digest (tail-accurate)
+          | APPROX_TOP_K(col, k)                -- CMS heavy hitters
           | ROUND(<aggregate expr>, n)          -- half-away-from-zero
     pred := col (=|!=|<>|<|<=|>|>=) literal
+          | col BETWEEN literal AND literal
           | col [NOT] IN (literal, ...)
           | col [NOT] IN (SELECT col FROM table)   -- semi/anti join
 
@@ -30,12 +40,31 @@ Routing:
 - APPROX_COUNT_DISTINCT → HllAgg; APPROX_QUANTILE → KllAgg. With
   ``with_bounds=True`` each approximate output column gains an
   ``<alias>_bound`` column (HLL: 3σ relative; KLL: value at φ±ε rank).
+- APPROX_QUANTILE_TDIGEST → TDigestAgg (merging t-digest, tail-accurate;
+  no closed-form worst-case bound exists, so ``with_bounds`` adds no
+  column for it — SURVEY.md §2.5).
+- APPROX_TOP_K(col, k) → CmsAgg heavy-hitter candidates; output is k rows
+  (col, <alias>) ordered by estimated count desc; CMS one-sided bound
+  (est ≤ true + εN) as ``<alias>_bound`` with ``with_bounds=True``.
+  Grouped form ``SELECT key, APPROX_TOP_K(col, k) … GROUP BY key``
+  explodes ≤k heavy hitters per key, decoded from each group's CMS blob
+  inside a distributed map_batches finish stage.
+- ``JOIN dim ON fact_key = dim_key`` → broadcast enrich (vectorized
+  pc.index_in lookup inside map_batches, no shuffle) when the dimension
+  side has ≤ ``max_broadcast_rows`` rows by parquet metadata AND a unique
+  join key; otherwise → join.hash_join (bucketed, one shuffle). Joins
+  chain left-to-right, so a later join may key on a column attached by an
+  earlier one (orders→customer→nation).
 - membership ``IN (SELECT …)`` → join.semi_anti_join (exact, bucketed,
   key-only shuffle); ``approx_membership=True`` routes it through a Bloom
   filter built once and broadcast to an actor pool (query.BloomProbe) —
   no shuffle at all, ~fpp false matches, zero false negatives.
 - scalar WHERE predicates compile to ONE vectorized pyarrow.compute
-  filter; referenced columns are pruned at the parquet read.
+  filter per side: predicates on fact-owned columns run BEFORE any join
+  (pushdown), dim-attached columns after; referenced columns are pruned
+  at every parquet read. HAVING compiles to the same vectorized filter
+  over the aggregated output (predicates must reference SELECTed
+  aliases or group keys — the SQL-alias form DuckDB also accepts).
 
 Scale: everything is a streaming Dataset pipeline — no driver-side row
 loops; ORDER BY runs on the (post-aggregate) result only.
@@ -52,8 +81,9 @@ import pyarrow.compute as pc
 # pyarrow's name for SQL round-half-away-from-zero (matches DuckDB round)
 _ROUND = {"round_mode": "half_towards_infinity"}
 
-_AGGS = {"count", "sum", "avg", "min", "max",
-         "approx_count_distinct", "approx_quantile"}
+_AGGS = {"count", "sum", "avg", "min", "max", "money_sum",
+         "approx_count_distinct", "approx_quantile",
+         "approx_quantile_tdigest", "approx_top_k"}
 
 _TOKEN = re.compile(r"""
     \s*(
@@ -109,8 +139,10 @@ class _Pred:
 class _Plan:
     table: str
     items: list = field(default_factory=list)
+    joins: list = field(default_factory=list)      # (table, key_a, key_b)
     where: list = field(default_factory=list)
     group_by: list = field(default_factory=list)
+    having: list = field(default_factory=list)
     order_by: list = field(default_factory=list)   # (col, desc)
     limit: int | None = None
 
@@ -175,7 +207,8 @@ class _Parser:
                     raise ValueError("DISTINCT only supported in COUNT")
             col = self.take()
             phi = None
-            if low == "approx_quantile":
+            if low in ("approx_quantile", "approx_quantile_tdigest",
+                       "approx_top_k"):
                 self.expect(",")
                 phi = float(self.take())
             self.expect(")")
@@ -192,6 +225,12 @@ class _Parser:
         if self.kw("in"):
             self.take()
             return self._in_pred(col, negated=False)
+        if self.kw("between"):
+            self.take()
+            lo = self.literal()
+            self.expect("and")
+            hi = self.literal()
+            return _Pred(col, "between", value=(lo, hi))
         op = self.take()
         if op == "<>":
             op = "!="
@@ -231,6 +270,14 @@ class _Parser:
                 items[-1].alias = self.take()
         self.expect("from")
         plan = _Plan(table=self.take(), items=items)
+        while self.kw("join"):
+            self.take()
+            tbl = self.take()
+            self.expect("on")
+            key_a = self.take()
+            self.expect("=")
+            key_b = self.take()
+            plan.joins.append((tbl, key_a, key_b))
         if self.kw("where"):
             self.take()
             plan.where.append(self.pred())
@@ -244,6 +291,12 @@ class _Parser:
             while self.peek() == ",":
                 self.take()
                 plan.group_by.append(self.take())
+        if self.kw("having"):
+            self.take()
+            plan.having.append(self.pred())
+            while self.kw("and"):
+                self.take()
+                plan.having.append(self.pred())
         if self.kw("order"):
             self.take()
             self.expect("by")
@@ -281,6 +334,10 @@ def _scalar_filter_fn(preds: list[_Pred]):
                 m = pc.is_in(col, value_set=pa.array(p.value))
             elif p.op == "not_in":
                 m = pc.invert(pc.is_in(col, value_set=pa.array(p.value)))
+            elif p.op == "between":
+                lo, hi = p.value
+                m = pc.and_kleene(pc.greater_equal(col, pa.scalar(lo)),
+                                  pc.less_equal(col, pa.scalar(hi)))
             else:
                 kernel = {"=": pc.equal, "!=": pc.not_equal,
                           "<": pc.less, "<=": pc.less_equal,
@@ -292,13 +349,38 @@ def _scalar_filter_fn(preds: list[_Pred]):
     return fn
 
 
+def _broadcast_enrich(ds, dim_tbl: pa.Table, left_key: str, right_key: str,
+                      out_cols: list):
+    """INNER-join enrich against a small unique-keyed dimension table: one
+    vectorized ``pc.index_in`` per batch resolves each fact key to its dim
+    row, columns attach via ``take``; non-matching fact rows are dropped
+    (INNER semantics). The dim table rides into every task once via the
+    serialized transform (broadcast) — no shuffle."""
+    key_arr = dim_tbl[right_key].combine_chunks()
+    cols = {c: dim_tbl[c].combine_chunks() for c in out_cols}
+
+    def enrich(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b[left_key], value_set=key_arr)
+        valid = pc.is_valid(idx)
+        b = b.filter(valid)
+        idx = pc.filter(idx, valid)
+        for name, arr in cols.items():
+            b = b.append_column(name, arr.take(idx))
+        return b
+
+    return ds.map_batches(enrich, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             with_bounds: bool = False, approx_membership: bool = False,
             bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
-            join_buckets: int = 32):
+            join_buckets: int = 32, max_broadcast_rows: int = 2_000_000,
+            cms_eps: float = 1e-3, cms_delta: float = 1e-2):
     """Parse ``sql`` and execute it as a streaming Ray Data pipeline over
     ``{sf_dir}/{table}.parquet``. Returns a Dataset. See module docstring
     for the grammar and the routing table."""
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -307,6 +389,20 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     plan = parse_sql(sql)
 
+    # ------------------------------------------ column ownership (joins)
+    tables = [plan.table] + [j[0] for j in plan.joins]
+    schemas = {t: set(pq.read_schema(f"{sf_dir}/{t}.parquet").names)
+               for t in tables}
+
+    def owner(col: str) -> str:
+        hits = [t for t in tables if col in schemas[t]]
+        if not hits:
+            raise ValueError(f"unknown column {col!r} (tables: {tables})")
+        if len(hits) > 1:
+            raise ValueError(f"ambiguous column {col!r} (in {hits}); "
+                             "router requires unique column names")
+        return hits[0]
+
     # -------------------------------------------------- read, pruned
     needed = set(plan.group_by)
     for it in plan.items:
@@ -314,14 +410,53 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             needed.add(it.col)
     for p in plan.where:
         needed.add(p.col)
+    for _tbl, a, b in plan.joins:
+        needed.update((a, b))
+    per_table = {t: sorted(c for c in needed if owner(c) == t)
+                 for t in tables}
     ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet",
-                         columns=sorted(needed))
+                         columns=per_table[plan.table])
 
-    # -------------------------------------------------- WHERE
+    # ---------------------------------- WHERE: fact-owned preds push down
     scalar = [p for p in plan.where if p.sub is None]
     member = [p for p in plan.where if p.sub is not None]
-    if scalar:
-        ds = ds.map_batches(_scalar_filter_fn(scalar),
+    push = [p for p in scalar if p.col in schemas[plan.table]]
+    post = [p for p in scalar if p.col not in schemas[plan.table]]
+    if push:
+        ds = ds.map_batches(_scalar_filter_fn(push),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+    # -------------------------------------------------- JOINs (in order)
+    attached = set(per_table[plan.table])
+    for tbl, a, b in plan.joins:
+        if b in schemas[tbl] and a in attached:
+            left_key, right_key = a, b
+        elif a in schemas[tbl] and b in attached:
+            left_key, right_key = b, a
+        else:
+            raise ValueError(
+                f"JOIN {tbl} ON {a} = {b}: one side must be a column of "
+                f"{tbl!r}, the other a column already attached")
+        dim_cols = sorted(set(per_table[tbl]) | {right_key})
+        dim_path = f"{sf_dir}/{tbl}.parquet"
+        out_cols = [c for c in dim_cols if c != right_key]
+        if pq.read_metadata(dim_path).num_rows <= max_broadcast_rows:
+            dim_tbl = pq.read_table(dim_path, columns=dim_cols)
+            key_arr = dim_tbl[right_key]
+            if pc.count_distinct(key_arr).as_py() == len(key_arr):
+                ds = _broadcast_enrich(ds, dim_tbl, left_key, right_key,
+                                       out_cols)
+                attached.update(out_cols)
+                continue
+        # big or duplicate-keyed dimension → bucketed hash join (1 shuffle)
+        from .join import hash_join
+
+        dim_ds = rd.read_parquet(dim_path, columns=dim_cols)
+        ds = hash_join(ds, dim_ds, left_key, right_key,
+                       buckets=join_buckets, how="inner")
+        attached.update(dim_cols)
+    if post:
+        ds = ds.map_batches(_scalar_filter_fn(post),
                             batch_format="pyarrow", zero_copy_batch=True)
     for p in member:
         sub_table, sub_col = p.sub
@@ -341,6 +476,83 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                 how="anti" if p.op == "not_in" else "semi",
                                 buckets=join_buckets)
 
+    # ------------------------------------- APPROX_TOP_K (heavy hitters)
+    topk = [it for it in plan.items if it.fn == "approx_top_k"]
+    if topk:
+        non_key = [it for it in plan.items
+                   if it.fn != "approx_top_k"
+                   and not (it.fn == "col" and it.col in plan.group_by)]
+        if (len(topk) != 1 or non_key or plan.having
+                or topk[0].col in plan.group_by):
+            raise ValueError(
+                "APPROX_TOP_K must be the only SELECT item (besides the "
+                "GROUP BY key), over a non-key column, without HAVING")
+        it = topk[0]
+        k = int(it.phi)
+        from .sketches.cms import CountMin
+        from .udaf import CmsAgg
+
+        agg = CmsAgg(on=it.col, alias_name="_cms", eps=cms_eps,
+                     delta=cms_delta, hh_capacity=max(2 * k, 16),
+                     output="blob")
+
+        def _decode(blob) -> tuple[list, list, list]:
+            sk = CountMin.from_bytes(blob)
+            pairs = sk.top_k(k)
+            return ([p[0] for p in pairs], [int(p[1]) for p in pairs],
+                    [float(cms_eps * sk.n)] * len(pairs))
+
+        if plan.group_by:
+            # grouped heavy hitters: per-key CMS blob → ≤k rows per key,
+            # decoded inside a distributed map_batches stage
+            key = plan.group_by[0]
+            if len(plan.group_by) != 1:
+                raise ValueError("grouped APPROX_TOP_K supports one key")
+            grouped = ds.groupby(key).aggregate(agg)
+
+            def explode(batch: pa.Table) -> pa.Table:
+                keys_o, items_o, est_o, b_o = [], [], [], []
+                key_vals = batch[key].to_pylist()
+                blobs = batch["_cms"].to_pylist()
+                for kv, blob in zip(key_vals, blobs):
+                    items, ests, bnds = _decode(blob)
+                    keys_o.extend([kv] * len(items))
+                    items_o.extend(items)
+                    est_o.extend(ests)
+                    b_o.extend(bnds)
+                cols = {key: pa.array(keys_o, batch.schema.field(key).type),
+                        it.col: pa.array(items_o),
+                        it.name: pa.array(est_o, pa.int64())}
+                if with_bounds:
+                    cols[f"{it.name}_bound"] = pa.array(b_o, pa.float64())
+                return pa.table(cols)
+
+            out = grouped.map_batches(explode, batch_format="pyarrow")
+            if plan.order_by:
+                out = out.sort([c for c, _ in plan.order_by],
+                               descending=[d for _, d in plan.order_by])
+            if plan.limit is not None:
+                out = out.limit(plan.limit)
+            return out
+
+        row = ds.aggregate(agg)
+        items, ests, bnds = _decode(row["_cms"])
+        tbl = pa.table({
+            it.col: pa.array(items),
+            it.name: pa.array(ests, pa.int64()),
+        })
+        if with_bounds:
+            # CMS is one-sided: true count ∈ [est − εN, est]
+            tbl = tbl.append_column(f"{it.name}_bound",
+                                    pa.array(bnds, pa.float64()))
+        if plan.order_by:
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[
+                (c, "descending" if d else "ascending")
+                for c, d in plan.order_by]))
+        if plan.limit is not None:
+            tbl = tbl.slice(0, plan.limit)
+        return rd.from_arrow(tbl)
+
     # -------------------------------------------------- aggregates
     aggs, posts, bounds = [], [], []
     plain_cols = [it for it in plan.items if it.fn == "col"]
@@ -359,6 +571,13 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                    alias_name=name))
         elif it.fn == "sum":
             aggs.append(Sum(it.col, alias_name=name))
+        elif it.fn == "money_sum":
+            # exact integer-cents accumulation: per-row rounding is
+            # deterministic and integer sums are order-independent, so
+            # the result is bit-stable across block orders / runs
+            # (unlike float SUM, whose last cent can flip with merge
+            # order at ~1e8 magnitudes)
+            aggs.append(Sum(f"_cents_{name}", alias_name=f"_cents_{name}"))
         elif it.fn == "avg":
             aggs.append(Mean(it.col, alias_name=name))
         elif it.fn == "min":
@@ -380,6 +599,21 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         if it.round_to is not None:
             # rounding applies after finalize (and after Mean division)
             pass
+
+    money = [(f"_cents_{it.name}", it.col) for it in agg_items
+             if it.fn == "money_sum"]
+    if money:
+        def to_cents(b: pa.Table, _mc=tuple(money)) -> pa.Table:
+            for cname, col in _mc:
+                cents = pc.cast(
+                    pc.round(pc.multiply(pc.cast(b[col], pa.float64()),
+                                         pa.scalar(100.0)), **_ROUND),
+                    pa.int64())
+                b = b.append_column(cname, cents)
+            return b
+
+        ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     key_cols = list(plan.group_by)
     if key_cols:
@@ -407,6 +641,13 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             batch = batch.append_column(
                 f"{name}_bound", pc.multiply(est, pa.scalar(rel)))
         for it in agg_items:
+            if it.fn == "money_sum":
+                batch = batch.append_column(
+                    it.name,
+                    pc.divide(pc.cast(batch[f"_cents_{it.name}"],
+                                      pa.float64()), pa.scalar(100.0)))
+                batch = batch.drop_columns([f"_cents_{it.name}"])
+        for it in agg_items:
             if it.round_to is not None:
                 i = batch.schema.get_field_index(it.name)
                 batch = batch.set_column(
@@ -421,6 +662,16 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                                    "_bound_hi"))])
 
     out = out.map_batches(finish, batch_format="pyarrow")
+
+    # -------------------------------------------------- HAVING
+    if plan.having:
+        out_names = {it.name for it in plan.items} | set(plan.group_by)
+        for p in plan.having:
+            if p.sub is not None or p.col not in out_names:
+                raise ValueError("HAVING predicates must reference "
+                                 f"SELECTed aliases/keys, got {p.col!r}")
+        out = out.map_batches(_scalar_filter_fn(plan.having),
+                              batch_format="pyarrow")
 
     # -------------------------------------------------- order / limit
     if plan.order_by:
@@ -562,3 +813,289 @@ def run_sql_store(sql: str, store, key_col: str | None = None,
     if plan.limit is not None:
         out = out.slice(0, plan.limit)
     return out
+
+
+# ======================================================================
+# Progressive SQL — online aggregation over the scan: the SAME grammar
+# answered as a stream of converging (estimates, envelope) emissions
+# while Ray Data's streaming executor scans the table. Only per-key
+# partial-sketch/counter blob rows ever reach the driver (KiB per input
+# block) — raw rows stay in the workers, so the surface is scale-true.
+# Public-VerdictDB analogy: block-by-block progressive answers with
+# shrinking error envelopes (SIGMOD'18); no reference file:line —
+# /root/reference is empty.
+# ======================================================================
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class SqlProgressiveEmission:
+    progress: dict          # rows_done/rows_total/fraction/emission index
+    estimates: pa.Table     # [group key,] one column per SELECT item
+    envelope: pa.Table      # (group, column, lo, hi) for boundable items
+
+    def __iter__(self):
+        return iter((self.progress, self.estimates, self.envelope))
+
+
+_PROG_KINDS = {"count", "sum", "avg", "min", "max", "money_sum",
+               "approx_count_distinct", "approx_quantile"}
+
+
+def _prog_partial_fn(key_col, items, filter_fn, hll_p, kll_k):
+    """Stateless map_batches fn: raw block → one partial row per group key
+    present in the block (counters + sketch blobs), plus the block's raw
+    pre-filter row count on its first output row (progress accounting)."""
+    import numpy as np
+
+    from .sketches.hll import HyperLogLog
+    from .sketches.kll import KLL
+
+    def fn(b: pa.Table) -> pa.Table:
+        raw = len(b)
+        if filter_fn is not None:
+            b = filter_fn(b)
+        key_type = b.schema.field(key_col).type if key_col else pa.string()
+        cols: dict[str, list] = {f"_c{i}": [] for i in range(len(items))}
+        sums: dict[str, list] = {f"_c{i}_n": [] for i, it in enumerate(items)
+                                 if it.fn == "avg"}
+        out_keys = []
+        if len(b):
+            if key_col is not None:
+                d = pc.dictionary_encode(b[key_col]).combine_chunks()
+                codes = d.indices.to_numpy(zero_copy_only=False)
+                keys = d.dictionary
+                order = np.argsort(codes, kind="stable")
+                starts = np.searchsorted(codes[order], np.arange(len(keys)))
+                ends = np.append(starts[1:], len(codes))
+                take = pa.array(order)
+            else:
+                keys = pa.array([None], key_type)
+                starts, ends, take = np.array([0]), np.array([len(b)]), None
+            vals = {}
+            for it in items:
+                if it.col is not None and it.col not in vals:
+                    v = b[it.col].combine_chunks()
+                    vals[it.col] = v.take(take) if take is not None else v
+            for g in range(len(starts)):
+                s, e = int(starts[g]), int(ends[g])
+                out_keys.append(keys[g].as_py() if key_col else None)
+                for i, it in enumerate(items):
+                    name = f"_c{i}"
+                    seg = (vals[it.col].slice(s, e - s)
+                           if it.col is not None else None)
+                    if it.fn == "count" and it.col is None:
+                        cols[name].append(e - s)
+                    elif it.fn == "count":
+                        cols[name].append(e - s - seg.null_count)
+                    elif it.fn in ("sum", "avg"):
+                        v = pc.sum(seg)
+                        cols[name].append(
+                            float(v.as_py()) if v.as_py() is not None else 0.0)
+                        if it.fn == "avg":
+                            sums[f"{name}_n"].append(e - s - seg.null_count)
+                    elif it.fn == "money_sum":
+                        cents = pc.cast(
+                            pc.round(pc.multiply(
+                                pc.cast(seg, pa.float64()),
+                                pa.scalar(100.0)), **_ROUND), pa.int64())
+                        v = pc.sum(cents).as_py()
+                        cols[name].append(int(v) if v is not None else 0)
+                    elif it.fn in ("min", "max"):
+                        mm = pc.min_max(seg)
+                        cols[name].append(mm[it.fn].as_py())
+                    elif it.fn == "approx_count_distinct":
+                        sk = HyperLogLog(p=hll_p)
+                        sk.update(pc.drop_null(seg))
+                        cols[name].append(sk.to_bytes())
+                    elif it.fn == "approx_quantile":
+                        sk = KLL(k=kll_k)
+                        sk.update(pc.drop_null(seg))
+                        cols[name].append(sk.to_bytes())
+        else:
+            # progress-only row: records the raw count, carries no state
+            out_keys.append(None)
+            for i, it in enumerate(items):
+                cols[f"_c{i}"].append(None)
+                if it.fn == "avg":
+                    sums[f"_c{i}_n"].append(None)
+        n_out = len(out_keys)
+        arrs = {"_key": pa.array(out_keys, key_type)}
+        for i, it in enumerate(items):
+            typ = (pa.binary() if it.fn.startswith("approx_")
+                   else pa.float64() if it.fn in ("sum", "avg", "min", "max")
+                   else pa.int64())
+            arrs[f"_c{i}"] = pa.array(cols[f"_c{i}"], typ)
+            if it.fn == "avg":
+                arrs[f"_c{i}_n"] = pa.array(sums[f"_c{i}_n"], pa.int64())
+        arrs["_raw_rows"] = pa.array([raw] + [0] * (n_out - 1), pa.int64())
+        arrs["_has_state"] = pa.array([len(b) > 0] * n_out, pa.bool_())
+        return pa.table(arrs)
+
+    return fn
+
+
+def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
+                        kll_k: int = 200, override_num_blocks=None):
+    """Online-aggregation iterator for single-table aggregate SQL: yields a
+    SqlProgressiveEmission per consumed partial block — converging
+    estimates plus a deterministic envelope on the FULL-data answer:
+
+    - COUNT(*) / COUNT(col): [seen, seen + rows_unseen] (additive; width
+      strictly shrinks every emission);
+    - APPROX_COUNT_DISTINCT: [est·(1−3σ), est·(1+3σ) + rows_unseen];
+    - APPROX_QUANTILE(φ): seen-data quantiles at the displaced ranks
+      (φ(n+m)−m)/n … φ(n+m)/n, widened by KLL's rank ε (m = rows unseen);
+    - SUM/AVG/MIN/MAX: estimate streams, no distribution-free finite
+      bound exists without value-range assumptions — no envelope row.
+
+    The final emission (fraction == 1.0) is the complete answer — same
+    merge algebra as run_sql's sketch routes. Grammar restrictions: one
+    table, scalar WHERE only, at most one GROUP BY key, no JOIN /
+    IN (SELECT) / HAVING / APPROX_TOP_K (use run_sql for those)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .sketches import Sketch
+
+    plan = parse_sql(sql)
+    if plan.joins or plan.having or len(plan.group_by) > 1:
+        raise ValueError("progressive SQL supports a single table, scalar "
+                         "WHERE, and at most one GROUP BY key")
+    if any(p.sub is not None for p in plan.where):
+        raise ValueError("progressive SQL does not support IN (SELECT …)")
+    key_col = plan.group_by[0] if plan.group_by else None
+    items = [it for it in plan.items if it.fn != "col"]
+    for it in plan.items:
+        if it.fn == "col" and it.col != key_col:
+            raise ValueError(f"non-aggregate column {it.col!r} must be the "
+                             "GROUP BY key")
+        if it.fn == "count" and it.distinct:
+            raise ValueError("progressive COUNT(DISTINCT) is approximate "
+                             "by nature — use APPROX_COUNT_DISTINCT")
+        if it.fn not in _PROG_KINDS and it.fn != "col":
+            raise ValueError(f"progressive SQL cannot stream {it.fn!r}")
+
+    path = f"{sf_dir}/{plan.table}.parquet"
+    rows_total = pq.read_metadata(path).num_rows
+    needed = {it.col for it in items if it.col is not None}
+    needed |= {p.col for p in plan.where}
+    if key_col:
+        needed.add(key_col)
+    kwargs = {}
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = rd.read_parquet(path, columns=sorted(needed), **kwargs)
+    filter_fn = _scalar_filter_fn(plan.where) if plan.where else None
+    partials = ds.map_batches(
+        _prog_partial_fn(key_col, items, filter_fn, hll_p, kll_k),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---------------- driver-side merge loop (blob rows only) ----------
+    state: dict = {}
+    rows_seen = 0
+    emission = 0
+
+    def _emit() -> SqlProgressiveEmission:
+        unseen = rows_total - rows_seen
+        keys = sorted(state, key=lambda k: (k is None, k))
+        est_cols: dict[str, list] = {}
+        env = {"group": [], "column": [], "lo": [], "hi": []}
+        if key_col:
+            est_cols[key_col] = keys
+        for i, it in enumerate(items):
+            name, out = it.name, []
+            for k in keys:
+                st = state[k][i]
+                if it.fn in ("count",):
+                    out.append(int(st))
+                    env["group"].append(str(k))
+                    env["column"].append(name)
+                    env["lo"].append(float(st))
+                    env["hi"].append(float(st + unseen))
+                elif it.fn in ("sum", "min", "max"):
+                    out.append(st)
+                elif it.fn == "money_sum":
+                    out.append((st or 0) / 100.0)
+                elif it.fn == "avg":
+                    s, n = st
+                    out.append(s / n if n else None)
+                elif it.fn == "approx_count_distinct":
+                    est = st.estimate()
+                    rel = 3 * st.error_bound()
+                    out.append(est)
+                    env["group"].append(str(k))
+                    env["column"].append(name)
+                    env["lo"].append(max(0.0, est * (1 - rel)))
+                    env["hi"].append(est * (1 + rel) + unseen)
+                elif it.fn == "approx_quantile":
+                    n = max(int(st.n), 1)
+                    eps = st.error_bound()
+                    phi = it.phi
+                    out.append(float(st.quantile(phi)))
+                    lo_phi = max(0.0, (phi * (n + unseen) - unseen) / n - eps)
+                    hi_phi = min(1.0, phi * (n + unseen) / n + eps)
+                    env["group"].append(str(k))
+                    env["column"].append(name)
+                    env["lo"].append(float(st.quantile(lo_phi)))
+                    env["hi"].append(float(st.quantile(hi_phi)))
+            if it.round_to is not None:
+                out = [None if v is None else
+                       float(np.copysign(np.floor(abs(v) * 10.0**it.round_to
+                                                  + 0.5), v)
+                             / 10.0**it.round_to) for v in out]
+            est_cols[name] = out
+        est = pa.table(est_cols) if est_cols else pa.table({})
+        if plan.order_by:
+            est = est.take(pc.sort_indices(est, sort_keys=[
+                (c, "descending" if d else "ascending")
+                for c, d in plan.order_by]))
+        if plan.limit is not None:
+            est = est.slice(0, plan.limit)
+        return SqlProgressiveEmission(
+            progress={"rows_done": rows_seen, "rows_total": rows_total,
+                      "fraction": rows_seen / max(rows_total, 1),
+                      "emission": emission},
+            estimates=est,
+            envelope=pa.table({
+                "group": pa.array(env["group"], pa.string()),
+                "column": pa.array(env["column"], pa.string()),
+                "lo": pa.array(env["lo"], pa.float64()),
+                "hi": pa.array(env["hi"], pa.float64()),
+            }))
+
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        rows_seen += int(pc.sum(b["_raw_rows"]).as_py() or 0)
+        has = b["_has_state"].to_pylist()
+        keys_b = b["_key"].to_pylist()
+        for r in range(len(b)):
+            if not has[r]:
+                continue
+            k = keys_b[r]
+            slot = state.get(k)
+            if slot is None:
+                slot = state[k] = [None] * len(items)
+            for i, it in enumerate(items):
+                v = b[f"_c{i}"][r].as_py()
+                cur = slot[i]
+                if it.fn in ("count", "money_sum"):
+                    slot[i] = (cur or 0) + v
+                elif it.fn == "sum":
+                    slot[i] = (cur or 0.0) + v
+                elif it.fn == "avg":
+                    n = b[f"_c{i}_n"][r].as_py()
+                    s0, n0 = cur or (0.0, 0)
+                    slot[i] = (s0 + v, n0 + n)
+                elif it.fn == "min":
+                    slot[i] = v if cur is None else min(cur, v)
+                elif it.fn == "max":
+                    slot[i] = v if cur is None else max(cur, v)
+                else:
+                    sk = Sketch.from_bytes(v)
+                    slot[i] = sk if cur is None else cur.merge(sk)
+        emission += 1
+        yield _emit()
+    if emission == 0 or rows_seen >= rows_total:
+        if emission == 0:
+            yield _emit()
