@@ -575,3 +575,58 @@ def test_chunked_hot_key_matches_duckdb_and_default(ray_session):
                .to_pandas()[["event_id", "cum_sum", "row_idx"]]
                .sort_values("event_id").reset_index(drop=True))
     pdt.assert_frame_equal(default, exact, check_dtype=False)
+
+
+def test_rolling_chunked_hot_key_matches_duckdb_and_default(ray_session):
+    """rolling_agg's hot-key overflow path: a ROWS frame only reaches
+    W-1 rows back, so range-chunking with a per-(key, chunk) VALUE-tail
+    carry must reproduce the single-bucket result exactly — including
+    min/max (which need the carried values, not just offsets) and frames
+    that straddle several chunk boundaries (hot key >> chunk size)."""
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.window import rolling_agg
+
+    n = 20_000
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # 95% of rows share one hot key; ts strictly increasing, so the
+        # per-key (ts) ordering the contract requires is unique
+        "k": np.where(rng.random(n) < 0.95, "hot",
+                      rng.choice(["a", "b", "c"], size=n)),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.arange(n, dtype=np.int64), unit="s"),
+        "v": rng.integers(-50, 50, size=n).astype(np.int64),
+    })
+    exact = duckdb.sql("""
+        select event_id,
+               (sum(v) over w)::DOUBLE as rolling_sum,
+               avg(v) over w as rolling_mean,
+               (min(v) over w)::DOUBLE as rolling_min,
+               (max(v) over w)::DOUBLE as rolling_max,
+               (count(*) over w)::DOUBLE as rolling_count
+        from df window w as (partition by k order by ts
+                             rows between 6 preceding and current row)
+        order by event_id""").df()
+    cols = ["event_id", "rolling_sum", "rolling_mean", "rolling_min",
+            "rolling_max", "rolling_count"]
+    aggs = ("sum", "mean", "min", "max", "count")
+
+    base = rd.from_pandas(df).repartition(6)
+    chunked = (rolling_agg(base, key="k", ts_col="ts", value_col="v",
+                           window_rows=7, aggs=aggs, chunk_ranges=16)
+               .to_pandas()[cols]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(chunked, exact, check_dtype=False)
+
+    default = (rolling_agg(base, key="k", ts_col="ts", value_col="v",
+                           window_rows=7, aggs=aggs, buckets=4)
+               .to_pandas()[cols]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(default, exact, check_dtype=False)
+    # schemas agree between the two plans (dtype restore after the
+    # pad-concat promotion)
+    assert list(chunked.dtypes) == list(default.dtypes)

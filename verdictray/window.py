@@ -325,7 +325,8 @@ def sessionize(ds, key: str, ts_col: str, gap_s: int, buckets: int = 32,
 
 # ------------------------------------------------------------ rolling agg
 def rolling_agg(ds, key: str, ts_col: str, value_col: str, window_rows: int,
-                aggs: tuple[str, ...] = ("sum", "mean"), buckets: int = 32):
+                aggs: tuple[str, ...] = ("sum", "mean"), buckets: int = 32,
+                chunk_ranges: int | None = None, sample_limit: int = 10_000):
     """Frame-based rolling window aggregate: for every row, aggregate
     ``value_col`` over the frame ROWS BETWEEN window_rows-1 PRECEDING AND
     CURRENT ROW within its key, ordered by ``ts_col`` (SQL
@@ -334,14 +335,31 @@ def rolling_agg(ds, key: str, ts_col: str, value_col: str, window_rows: int,
     the SQL form). Appends one ``rolling_<agg>`` column per requested agg
     (sum, mean, min, max, count).
 
-    Distributed shape: identical to sessionize — ONE hash-bucket shuffle on
-    the key, then pandas' C rolling kernels over the whole sorted bucket
-    with per-key frames (groupby(key).rolling), no per-key tasks.
-    Partitioning assumption: one key's rows fit a task."""
+    Distributed shape (default): identical to sessionize — ONE hash-bucket
+    shuffle on the key, then pandas' C rolling kernels over the whole
+    sorted bucket with per-key frames (groupby(key).rolling), no per-key
+    tasks. Partitioning assumption: one key's rows fit a task.
+
+    HOT-KEY OVERFLOW PATH (``chunk_ranges=N``): when a single key's rows
+    exceed one task's memory, partition by TIME RANGE instead of key —
+    sampled ts boundaries split the stream into N bounded chunks (equal-ts
+    rows always share a chunk, so per-key ts order is exact across
+    boundaries). A ROWS frame only ever reaches ``window_rows - 1`` rows
+    back, so each chunk's carry-in is the key's last ≤ W-1 VALUES from all
+    earlier chunks: pass 1 extracts per-(key, chunk) tails (≤ W-1 rows
+    each, groups bounded by the chunk size regardless of key skew); the
+    driver concatenates tails per key in chunk order and suffixes the last
+    W-1 as each chunk's carry (a keys × N × (W-1) table shipped in the
+    task closure — sized for the few-huge-keys regime this path exists
+    for); pass 2 prepends the carry rows, runs the same pandas rolling
+    kernel, and drops them. Output matches the default path exactly."""
     allowed = {"sum", "mean", "min", "max", "count"}
     bad = set(aggs) - allowed
     if bad:
         raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
+    if chunk_ranges:
+        return _rolling_agg_chunked(ds, key, ts_col, value_col, window_rows,
+                                    aggs, chunk_ranges, sample_limit)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (hash64(batch[key], seed=59) % np.uint64(buckets)).astype(np.int64)
@@ -362,6 +380,86 @@ def rolling_agg(ds, key: str, ts_col: str, value_col: str, window_rows: int,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(roll, batch_format="pandas")
+
+
+def _rolling_agg_chunked(ds, key: str, ts_col: str, value_col: str,
+                         window_rows: int, aggs: tuple[str, ...],
+                         chunk_ranges: int, sample_limit: int):
+    """Two-pass time-range-chunked ROWS-frame rolling aggregate — see
+    rolling_agg's hot-key-overflow docs."""
+    from .ops import _assign_range_fn, _sample_range_bounds
+
+    bounds = _sample_range_bounds(ds, ts_col, chunk_ranges, sample_limit)
+    tagged = ds.map_batches(_assign_range_fn(bounds, ts_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice (tails + final pass): object-store resident, never
+    # the driver
+    tagged = tagged.materialize()
+
+    tail_n = window_rows - 1
+    carry_all = pd.DataFrame({key: [], "_range": pd.array([], dtype="int64"),
+                              value_col: []})
+    if tail_n > 0:
+        def tail(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts_col, kind="mergesort").tail(tail_n)
+            return g[[key, "_range", value_col]]
+
+        # (key, chunk) groups hold at most a chunk's rows even for a
+        # single all-dominating key
+        tails = (tagged.select_columns([key, "_range", ts_col, value_col])
+                 .groupby([key, "_range"])
+                 .map_groups(tail, batch_format="pandas")
+                 .to_pandas())
+        carries = []
+        if len(tails):
+            tails = tails.sort_values([key, "_range"], kind="mergesort")
+            for k, gk in tails.groupby(key, sort=False):
+                vals = gk[value_col].to_numpy()
+                rng = gk["_range"].to_numpy()
+                for r in np.unique(rng):
+                    prev = vals[rng < r]
+                    if len(prev):
+                        take = prev[-tail_n:]
+                        carries.append(pd.DataFrame({
+                            key: np.repeat(k, len(take)),
+                            "_range": np.full(len(take), r, dtype=np.int64),
+                            value_col: take}))
+        if carries:
+            carry_all = pd.concat(carries, ignore_index=True)
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(
+            drop=True)
+        r = int(g["_range"].iloc[0])
+        g = g.drop(columns=["_range"])
+        dtypes = g.dtypes
+        pad = carry_all[carry_all["_range"] == r]
+        if len(pad):
+            padf = pad[[key, value_col]].assign(_pad=True)
+            # stable sort on the key ALONE: carried rows stay before the
+            # chunk's real rows of the same key (padf concatenated first),
+            # real rows keep their (ts) order
+            body = (pd.concat([padf, g.assign(_pad=False)],
+                              ignore_index=True)
+                    .sort_values(key, kind="mergesort")
+                    .reset_index(drop=True))
+        else:
+            body = g.assign(_pad=False)
+        if len(body):
+            rr = body.groupby(key, sort=False)[value_col].rolling(
+                window_rows, min_periods=1)
+            for a in aggs:
+                body[f"rolling_{a}"] = getattr(rr, a)().to_numpy()
+        else:
+            for a in aggs:
+                body[f"rolling_{a}"] = np.array([], dtype=np.float64)
+        out = body[~body["_pad"]].drop(columns=["_pad"]).reset_index(
+            drop=True)
+        # concat-with-missing promotes e.g. int64 → float64; restore the
+        # real rows' original dtypes so both paths share one schema
+        return out.astype({c: dtypes[c] for c in dtypes.index})
+
+    return tagged.groupby("_range").map_groups(roll, batch_format="pandas")
 
 
 # ------------------------------------------------- range-frame rolling agg
