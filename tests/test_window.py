@@ -630,3 +630,54 @@ def test_rolling_chunked_hot_key_matches_duckdb_and_default(ray_session):
     # schemas agree between the two plans (dtype restore after the
     # pad-concat promotion)
     assert list(chunked.dtypes) == list(default.dtypes)
+
+
+def test_sessionize_chunked_hot_key_matches_duckdb_and_default(ray_session):
+    """sessionize's hot-key overflow path: session numbering is a prefix
+    property, so each chunk needs a carried boundary flag (gap to the
+    key's last ts in ANY earlier chunk) + session-start offset. A
+    95%-hot-key stream with tie timestamps and cross-chunk sessions must
+    match DuckDB's lag()-based numbering and the default plan exactly —
+    including sessions that SPAN chunk boundaries (bd=0 carry)."""
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.window import sessionize
+
+    n = 20_000
+    rng = np.random.default_rng(11)
+    # increments 0..14 s (ties at 0); gap_s=8 → plenty of breaks AND
+    # plenty of continuing runs, some straddling chunk boundaries
+    ts = (pd.to_datetime("2024-01-01")
+          + pd.to_timedelta(np.cumsum(rng.integers(0, 15, size=n)), unit="s"))
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "k": np.where(rng.random(n) < 0.95, "hot",
+                      rng.choice(["a", "b", "c"], size=n)),
+        "ts": ts,
+    })
+    exact = duckdb.sql("""
+        with d as (
+          select *, case when lag(ts) over w is null
+                           or ts - lag(ts) over w > interval '8' second
+                         then 1 else 0 end brk
+          from df window w as (partition by k order by ts, event_id)
+        )
+        select event_id,
+               (sum(brk) over (partition by k order by ts, event_id
+                               rows unbounded preceding))::BIGINT
+                 as session_seq
+        from d order by event_id""").df()
+
+    base = rd.from_pandas(df).repartition(6)
+    chunked = (sessionize(base, key="k", ts_col="ts", gap_s=8,
+                          chunk_ranges=16)
+               .to_pandas()[["event_id", "session_seq"]]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(chunked, exact, check_dtype=False)
+
+    default = (sessionize(base, key="k", ts_col="ts", gap_s=8, buckets=4)
+               .to_pandas()[["event_id", "session_seq"]]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(default, exact, check_dtype=False)

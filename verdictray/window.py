@@ -281,18 +281,36 @@ def range_join(left, right, ts_col: str, lo_col: str, hi_col: str,
 
 # ------------------------------------------------------------- sessionize
 def sessionize(ds, key: str, ts_col: str, gap_s: int, buckets: int = 32,
-               out_col: str = "session_seq"):
+               out_col: str = "session_seq",
+               chunk_ranges: int | None = None, sample_limit: int = 10_000):
     """Gap-based sessionization: append a per-key 1-based session sequence
     number — a new session starts at a key's first event or when the gap
     since the key's previous event EXCEEDS ``gap_s`` (strict, matching SQL
     ``ts - lag(ts) > INTERVAL``). Rows with equal (key, ts) always share a
     session, so the result is order-deterministic.
 
-    Distributed shape: ONE hash-bucket shuffle on the key, then a single
-    vectorized pass per bucket (sort by (key, ts), boolean break vector,
-    cumulative-sum re-based per key) numbers ALL keys in the bucket at
-    once — no per-key tasks. Partitioning assumption: one key's rows fit a
-    task (same as asof_join); size ``buckets`` to the stream."""
+    Distributed shape (default): ONE hash-bucket shuffle on the key, then a
+    single vectorized pass per bucket (sort by (key, ts), boolean break
+    vector, cumulative-sum re-based per key) numbers ALL keys in the bucket
+    at once — no per-key tasks. Partitioning assumption: one key's rows fit
+    a task (same as asof_join); size ``buckets`` to the stream.
+
+    HOT-KEY OVERFLOW PATH (``chunk_ranges=N``): when a single key's rows
+    exceed one task's memory, partition by TIME RANGE instead (equal-ts
+    rows share a chunk, so ties still share a session). Session numbering
+    is a prefix property, but the only cross-chunk state a chunk needs is
+    (a) whether its first row for a key starts a new session — decided by
+    the gap to the key's last ts in any earlier chunk — and (b) how many
+    sessions started before it. Pass 1 computes per-(key, chunk) partials
+    (first/last ts, internal break count) in one vectorized scan per
+    chunk; the driver turns them into per-(key, chunk) boundary flags +
+    session-start offsets (a keys × N table shipped in the closure — sized
+    for the few-huge-keys regime this path exists for); pass 2 numbers
+    each chunk locally with the carried flag/offset. Output matches the
+    default path exactly."""
+    if chunk_ranges:
+        return _sessionize_chunked(ds, key, ts_col, gap_s, out_col,
+                                   chunk_ranges, sample_limit)
 
     def tag(batch: pa.Table) -> pa.Table:
         b = (hash64(batch[key], seed=53) % np.uint64(buckets)).astype(np.int64)
@@ -321,6 +339,85 @@ def sessionize(ds, key: str, ts_col: str, gap_s: int, buckets: int = 32,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(number, batch_format="pandas")
+
+
+def _sessionize_chunked(ds, key: str, ts_col: str, gap_s: int, out_col: str,
+                        chunk_ranges: int, sample_limit: int):
+    """Two-pass time-range-chunked sessionization — see sessionize's
+    hot-key-overflow docs."""
+    from .ops import _assign_range_fn, _sample_range_bounds
+
+    bounds = _sample_range_bounds(ds, ts_col, chunk_ranges, sample_limit)
+    tagged = ds.map_batches(_assign_range_fn(bounds, ts_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    # consumed twice (partials + final pass): object-store resident
+    tagged = tagged.materialize()
+    gap = np.timedelta64(gap_s, "s")
+
+    # pass 1: per-(key, chunk) first/last ts + internal break count, one
+    # vectorized scan per chunk (groups bounded by the chunk size)
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort")
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy()
+        n = len(g)
+        newkey = np.empty(n, dtype=bool)
+        newkey[0] = True
+        newkey[1:] = k[1:] != k[:-1]
+        inner_brk = np.zeros(n, dtype=np.int64)
+        inner_brk[1:] = ((ts[1:] - ts[:-1]) > gap) & ~newkey[1:]
+        out = pd.DataFrame({key: k, "_first": ts, "_last": ts,
+                            "_brk": inner_brk})
+        agg = out.groupby(key, sort=False).agg(
+            _first=("_first", "min"), _last=("_last", "max"),
+            _brk=("_brk", "sum")).reset_index()
+        agg["_range"] = int(g["_range"].iloc[0])
+        return agg
+
+    partials = (tagged.select_columns([key, ts_col, "_range"])
+                .groupby("_range").map_groups(partial, batch_format="pandas")
+                .to_pandas().sort_values([key, "_range"], kind="mergesort"))
+
+    # driver: boundary flag + session-start offset per (key, chunk) —
+    # keys × N rows, the same closure-shipped regime as the other
+    # chunk_ranges paths
+    grp = partials.groupby(key, sort=False)
+    prev_last = grp["_last"].shift(1)
+    bd = (prev_last.isna()
+          | ((partials["_first"] - prev_last) > gap)).astype(np.int64)
+    starts = partials["_brk"].to_numpy() + bd.to_numpy()
+    partials["_bd"] = bd.to_numpy()
+    partials["_off"] = (pd.Series(starts).groupby(
+        partials[key].to_numpy(), sort=False).cumsum().to_numpy() - starts)
+    carry = partials[[key, "_range", "_bd", "_off"]]
+
+    def number(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(
+            drop=True)
+        r = int(g["_range"].iloc[0])
+        g = g.drop(columns=["_range"])
+        n = len(g)
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy()
+        newkey = np.empty(n, dtype=bool)
+        newkey[0] = True
+        newkey[1:] = k[1:] != k[:-1]
+        c_r = carry[carry["_range"] == r]
+        j = (pd.DataFrame({key: k[newkey]})
+             .merge(c_r, on=key, how="left"))
+        bd_run = j["_bd"].fillna(1).to_numpy().astype(np.int64)
+        off_run = j["_off"].fillna(0).to_numpy().astype(np.int64)
+        brk = np.zeros(n, dtype=np.int64)
+        brk[1:] = ((ts[1:] - ts[:-1]) > gap) & ~newkey[1:]
+        brk[newkey] = bd_run
+        cs = np.cumsum(brk)
+        # index of each row's key-run start → per-run base/offset lookup
+        run_id = np.cumsum(newkey) - 1
+        base = (cs - brk)[newkey]
+        g[out_col] = cs - base[run_id] + off_run[run_id]
+        return g
+
+    return tagged.groupby("_range").map_groups(number, batch_format="pandas")
 
 
 # ------------------------------------------------------------ rolling agg
