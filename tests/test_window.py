@@ -681,3 +681,56 @@ def test_sessionize_chunked_hot_key_matches_duckdb_and_default(ray_session):
                .to_pandas()[["event_id", "session_seq"]]
                .sort_values("event_id").reset_index(drop=True))
     pdt.assert_frame_equal(default, exact, check_dtype=False)
+
+
+def test_consecutive_gaps_chunked_hot_key_matches_duckdb_and_default(
+        ray_session):
+    """consecutive_gaps's hot-key overflow path: lag(1) needs exactly one
+    carried scalar per (key, chunk) — the key's max ts over earlier
+    chunks, computed by an ordinary Max aggregate. Boundary rows (first
+    row of a key in a chunk with a predecessor in an earlier chunk) must
+    get the cross-chunk gap; stream-first rows must stay excluded."""
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.window import consecutive_gaps
+
+    n = 20_000
+    rng = np.random.default_rng(13)
+    # MICROsecond-granularity increments: whole-second ns epochs are
+    # multiples of 512 and survive a float64 round-trip exactly, so a
+    # carry that leaks through float64 (>2^53) would NOT be caught by a
+    # seconds-only stream — µs epochs are only multiples of 1000 and are
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "k": np.where(rng.random(n) < 0.95, "hot",
+                      rng.choice(["a", "b", "c"], size=n)),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.cumsum(rng.integers(0, 10_000_001, size=n)),
+                          unit="us"),
+    })
+    exact = duckdb.sql("""
+        select event_id,
+               epoch_ns(ts - lag(ts) over (partition by k
+                                           order by ts, event_id))
+                 as gap_ticks
+        from df qualify gap_ticks is not null
+        order by event_id""").df()
+    # the events frame carries ns timestamps here, so native ticks = ns
+    exact["gap_ticks"] = exact["gap_ticks"].astype(np.int64)
+
+    base = rd.from_pandas(df).repartition(6)
+    chunked = (consecutive_gaps(base, key="k", ts_col="ts",
+                                tiebreak="event_id", attrs=["event_id"],
+                                chunk_ranges=16)
+               .to_pandas()[["event_id", "gap_ticks"]]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(chunked, exact, check_dtype=False)
+
+    default = (consecutive_gaps(base, key="k", ts_col="ts",
+                                tiebreak="event_id", attrs=["event_id"],
+                                buckets=4)
+               .to_pandas()[["event_id", "gap_ticks"]]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(default, exact, check_dtype=False)

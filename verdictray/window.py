@@ -637,7 +637,9 @@ def rolling_range_agg(ds, key: str, ts_col: str, value_col: str, width_s: int,
 # ------------------------------------------------------- consecutive gaps
 def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
                      attrs: list[str] | None = None, buckets: int = 32,
-                     out_col: str = "gap_ticks"):
+                     out_col: str = "gap_ticks",
+                     chunk_ranges: int | None = None,
+                     sample_limit: int = 10_000):
     """Per-key consecutive-event gaps (SQL ``ts - lag(ts) OVER (PARTITION
     BY key ORDER BY ts, tiebreak)``): one output row per input row that has
     a predecessor with the same key, carrying ``attrs`` of the LATER row
@@ -645,13 +647,27 @@ def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
     timestamp[us]). ``tiebreak`` must make (key, ts, tiebreak) unique so
     the ordering — and therefore the result — is deterministic.
 
-    Distributed shape: the sessionize pattern — ONE hash-bucket shuffle on
-    the key, then a single vectorized sort+diff pass numbers every key in
-    the bucket at once (first-row-per-key rows masked out); no per-key
-    tasks, no window state. Partitioning assumption: one key's rows fit a
-    task."""
+    Distributed shape (default): the sessionize pattern — ONE hash-bucket
+    shuffle on the key, then a single vectorized sort+diff pass numbers
+    every key in the bucket at once (first-row-per-key rows masked out);
+    no per-key tasks, no window state. Partitioning assumption: one key's
+    rows fit a task.
+
+    HOT-KEY OVERFLOW PATH (``chunk_ranges=N``): partition by TIME RANGE —
+    a lag(1) only ever looks one row back, so the cross-chunk carry is a
+    single scalar per (key, chunk): the key's max ts over earlier chunks,
+    computed with an ordinary map-side-combined ``Max`` aggregate (no
+    map_groups in pass 1 at all). NOTE the boundary gap is ts − max
+    earlier ts, which equals the lag(1) gap because ranges are
+    time-ordered; ties share a chunk so tiebreak order never straddles a
+    boundary. Same keys × N closure-shipped carry regime as the other
+    chunk_ranges paths."""
     attrs = attrs or []
     cols = [key, ts_col, tiebreak] + [a for a in attrs if a not in (key, ts_col, tiebreak)]
+    if chunk_ranges:
+        return _consecutive_gaps_chunked(ds, key, ts_col, tiebreak, attrs,
+                                         cols, out_col, chunk_ranges,
+                                         sample_limit)
 
     def tag(batch: pa.Table) -> pa.Table:
         batch = batch.select(cols)
@@ -690,6 +706,86 @@ def consecutive_gaps(ds, key: str, ts_col: str, tiebreak: str,
                                 pc.divide(b[out_col], pa.scalar(factor, pa.int64())))
 
         res = res.map_batches(rescale, batch_format="pyarrow", zero_copy_batch=True)
+    return res
+
+
+def _consecutive_gaps_chunked(ds, key: str, ts_col: str, tiebreak: str,
+                              attrs: list[str], cols: list[str],
+                              out_col: str, chunk_ranges: int,
+                              sample_limit: int):
+    """Two-pass time-range-chunked lag(1) gaps — see consecutive_gaps's
+    hot-key-overflow docs. All arithmetic in ns, rescaled to native ticks
+    at the end (same contract as the default path)."""
+    from ray.data.aggregate import Max
+
+    from .ops import _assign_range_fn, _sample_range_bounds
+
+    sch = ds.schema()
+    ticks = _ts_ticks_per_second(sch.types[sch.names.index(ts_col)])
+    ns_factor = 1_000_000_000 // ticks
+    ds = ds.select_columns(cols)
+    bounds = _sample_range_bounds(ds, ts_col, chunk_ranges, sample_limit)
+    tagged = ds.map_batches(_assign_range_fn(bounds, ts_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    tagged = tagged.materialize()
+
+    def add_ticks(b: pa.Table) -> pa.Table:
+        t = pc.multiply(pc.cast(b[ts_col], pa.int64()),
+                        pa.scalar(ns_factor, pa.int64()))
+        return b.select([key, "_range"]).append_column("_ticks", t)
+
+    partials = (tagged.map_batches(add_ticks, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby([key, "_range"])
+                .aggregate(Max("_ticks", alias_name="_last"))
+                .to_pandas().sort_values([key, "_range"], kind="mergesort"))
+    grp = partials.groupby(key, sort=False)
+    # ranges are time-ordered, so the running max over earlier chunks IS
+    # the key's lag(1) predecessor ts at each chunk boundary. Nullable
+    # Int64 through the shift: plain shift promotes to float64, which
+    # rounds ns-scale epochs (> 2^53) by a tick
+    partials["_prev"] = grp["_last"].cummax().astype("Int64").shift(1)
+    partials.loc[grp.cumcount() == 0, "_prev"] = pd.NA
+    carry = partials[[key, "_range", "_prev"]]
+
+    out_cols = attrs + [out_col]
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, tiebreak],
+                          kind="mergesort").reset_index(drop=True)
+        r = int(g["_range"].iloc[0])
+        k = g[key].to_numpy()
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        n = len(g)
+        newkey = np.empty(n, dtype=bool)
+        newkey[0] = True
+        newkey[1:] = k[1:] != k[:-1]
+        d = np.empty(n, dtype=np.int64)
+        d[0] = 0
+        d[1:] = ts[1:] - ts[:-1]
+        c_r = carry[carry["_range"] == r]
+        j = pd.DataFrame({key: k[newkey]}).merge(c_r, on=key, how="left")
+        has_prev = j["_prev"].notna().to_numpy()
+        prev = j["_prev"].fillna(0).to_numpy(dtype=np.int64)
+        run_first = np.flatnonzero(newkey)
+        d[run_first[has_prev]] = (ts[run_first[has_prev]]
+                                  - prev[has_prev])
+        keep = ~newkey
+        keep[run_first[has_prev]] = True
+        out = g.loc[keep, attrs].reset_index(drop=True)
+        out[out_col] = d[keep]
+        return out[out_cols]
+
+    res = tagged.groupby("_range").map_groups(gaps, batch_format="pandas")
+    if ns_factor != 1:
+        def rescale(b: pa.Table) -> pa.Table:
+            i = b.schema.get_field_index(out_col)
+            return b.set_column(i, out_col,
+                                pc.divide(b[out_col],
+                                          pa.scalar(ns_factor, pa.int64())))
+
+        res = res.map_batches(rescale, batch_format="pyarrow",
+                              zero_copy_batch=True)
     return res
 
 
