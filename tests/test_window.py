@@ -734,3 +734,54 @@ def test_consecutive_gaps_chunked_hot_key_matches_duckdb_and_default(
                .to_pandas()[["event_id", "gap_ticks"]]
                .sort_values("event_id").reset_index(drop=True))
     pdt.assert_frame_equal(default, exact, check_dtype=False)
+
+
+def test_rolling_range_chunked_hot_key_matches_duckdb_and_default(
+        ray_session):
+    """rolling_range_agg's hot-key overflow path: a RANGE frame reaches
+    back at most width_s, so rows REPLICATE as pads into later chunks
+    whose windows they feed — no driver state. Frames straddling chunk
+    boundaries (including equal-ts peers at a boundary) must match
+    DuckDB's RANGE BETWEEN INTERVAL frame and the default plan."""
+    import duckdb
+    import pandas.testing as pdt
+    import ray.data as rd
+
+    from verdictray.window import rolling_range_agg
+
+    n = 20_000
+    rng = np.random.default_rng(17)
+    # increments 0..3 s with a 60 s frame: most frames hold dozens of
+    # rows and many straddle a chunk boundary; 0-increments make peers
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "k": np.where(rng.random(n) < 0.95, "hot",
+                      rng.choice(["a", "b", "c"], size=n)),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.cumsum(rng.integers(0, 4, size=n)), unit="s"),
+        "v": rng.integers(-50, 50, size=n).astype(np.int64),
+    })
+    exact = duckdb.sql("""
+        select event_id,
+               (sum(v) over w)::BIGINT as rolling_sum,
+               (count(*) over w)::BIGINT as rolling_count
+        from df window w as (partition by k order by ts
+                             range between interval '60' second preceding
+                                   and current row)
+        order by event_id""").df()
+    cols = ["event_id", "rolling_sum", "rolling_count"]
+
+    base = rd.from_pandas(df).repartition(6)
+    chunked = (rolling_range_agg(base, key="k", ts_col="ts", value_col="v",
+                                 width_s=60, aggs=("sum", "count"),
+                                 chunk_ranges=16)
+               .to_pandas()[cols]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(chunked, exact, check_dtype=False)
+
+    default = (rolling_range_agg(base, key="k", ts_col="ts", value_col="v",
+                                 width_s=60, aggs=("sum", "count"),
+                                 buckets=4)
+               .to_pandas()[cols]
+               .sort_values("event_id").reset_index(drop=True))
+    pdt.assert_frame_equal(default, exact, check_dtype=False)

@@ -562,7 +562,9 @@ def _rolling_agg_chunked(ds, key: str, ts_col: str, value_col: str,
 # ------------------------------------------------- range-frame rolling agg
 def rolling_range_agg(ds, key: str, ts_col: str, value_col: str, width_s: int,
                       aggs: tuple[str, ...] = ("sum", "count"),
-                      buckets: int = 32):
+                      buckets: int = 32,
+                      chunk_ranges: int | None = None,
+                      sample_limit: int = 10_000):
     """Time-based rolling window aggregate with SQL RANGE-frame semantics:
     for every row, aggregate ``value_col`` over the rows of the same key
     whose ts lies in ``[ts − width_s, ts]`` — including BOTH endpoints and
@@ -575,14 +577,28 @@ def rolling_range_agg(ds, key: str, ts_col: str, value_col: str, width_s: int,
     Aggs: sum, mean, count. Integer value columns accumulate in exact
     int64 (use the integer-micros trick for bit-stable float sums).
 
-    Distributed shape: one hash-bucket shuffle on the key (same as
-    sessionize/rolling_agg), then per-bucket vectorized frames — a prefix
-    sum plus two np.searchsorted calls per key segment; no per-row Python.
-    Partitioning assumption: one key's rows fit a task."""
+    Distributed shape (default): one hash-bucket shuffle on the key (same
+    as sessionize/rolling_agg), then per-bucket vectorized frames — a
+    prefix sum plus two np.searchsorted calls per key segment; no per-row
+    Python. Partitioning assumption: one key's rows fit a task.
+
+    HOT-KEY OVERFLOW PATH (``chunk_ranges=N``): partition by TIME RANGE —
+    a RANGE frame reaches back at most ``width_s``, so NO driver-side
+    carry state is needed at all: each row is REPLICATED as a pad into
+    every later chunk whose lower boundary lies within (ts, ts+width]
+    (replication factor ≈ width / chunk-span — size chunk_ranges so
+    chunks are much wider than the frame), then ONE groupby(range) pass
+    runs the identical searchsorted kernel with pads feeding frames but
+    excluded from the output. Equal-ts peers always share a chunk, so
+    peer semantics survive the split."""
     allowed = {"sum", "mean", "count"}
     bad = set(aggs) - allowed
     if bad:
         raise ValueError(f"unsupported rolling aggs: {sorted(bad)}")
+    if chunk_ranges:
+        return _rolling_range_agg_chunked(ds, key, ts_col, value_col,
+                                          width_s, aggs, chunk_ranges,
+                                          sample_limit)
     width_ticks_of = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -632,6 +648,86 @@ def rolling_range_agg(ds, key: str, ts_col: str, value_col: str, width_s: int,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(roll, batch_format="pandas")
+
+
+def _rolling_range_agg_chunked(ds, key: str, ts_col: str, value_col: str,
+                               width_s: int, aggs: tuple[str, ...],
+                               chunk_ranges: int, sample_limit: int):
+    """Replication-based time-range-chunked RANGE-frame rolling aggregate
+    — see rolling_range_agg's hot-key-overflow docs. Single shuffle, no
+    driver state, no materialize."""
+    from .ops import _sample_range_bounds
+
+    sch = ds.schema()
+    ticks = _ts_ticks_per_second(sch.types[sch.names.index(ts_col)])
+    width = width_s * ticks
+    bounds = _sample_range_bounds(ds, ts_col, chunk_ranges, sample_limit)
+
+    def assign_replicate(batch: pa.Table) -> pa.Table:
+        v = (batch[ts_col].combine_chunks()
+             if isinstance(batch[ts_col], pa.ChunkedArray) else batch[ts_col])
+        arr = v.to_numpy(zero_copy_only=False)
+        b = np.asarray(bounds, dtype=arr.dtype)
+        rid = np.searchsorted(b, arr, side="right").astype(np.int64)
+        base = (batch.append_column("_range", pa.array(rid))
+                .append_column("_pad",
+                               pa.array(np.zeros(len(arr), dtype=bool))))
+        if not len(bounds):
+            return base
+        hi = np.searchsorted(b.view("int64"), arr.view("int64") + width,
+                             side="right").astype(np.int64)
+        reps = hi - rid        # chunks rid+1 .. hi need this row as a pad
+        total = int(reps.sum())
+        if not total:
+            return base
+        idx = np.repeat(np.arange(len(arr)), reps)
+        offs = np.arange(total) - np.repeat(np.cumsum(reps) - reps,
+                                            reps) + 1
+        pads = (batch.take(pa.array(idx))
+                .append_column("_range", pa.array(rid[idx] + offs))
+                .append_column("_pad",
+                               pa.array(np.ones(total, dtype=bool))))
+        return pa.concat_tables([base, pads])
+
+    width_ticks_of = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col], kind="mergesort").reset_index(
+            drop=True)
+        g = g.drop(columns=["_range"])
+        ts_np = g[ts_col].to_numpy()
+        unit = np.datetime_data(ts_np.dtype)[0]
+        w = width_s * width_ticks_of[unit]
+        tsi = ts_np.view("int64")
+        v = g[value_col].to_numpy()
+        exact_int = v.dtype.kind in "iu"
+        acc = v.astype(np.int64) if exact_int else v.astype(np.float64)
+        cs = np.concatenate([[0], np.cumsum(acc)])
+        keys_np = g[key].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys_np[1:] != keys_np[:-1]]))
+        ends = np.concatenate([starts[1:], [len(g)]])
+        lo = np.empty(len(g), dtype=np.int64)
+        hi = np.empty(len(g), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = tsi[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - w, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        sums = cs[hi] - cs[lo]
+        cnt = hi - lo
+        if "sum" in aggs:
+            g["rolling_sum"] = sums
+        if "mean" in aggs:
+            g["rolling_mean"] = sums / cnt
+        if "count" in aggs:
+            g["rolling_count"] = cnt
+        # pads fed the frames above; only real rows leave the task
+        return (g[~g["_pad"]].drop(columns=["_pad"])
+                .reset_index(drop=True))
+
+    tagged = ds.map_batches(assign_replicate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_range").map_groups(roll, batch_format="pandas")
 
 
 # ------------------------------------------------------- consecutive gaps
