@@ -337,6 +337,40 @@ def test_progressive_sql_global_quantile_and_where(ray_session, sf01_dir):
         assert (row.hi >= final.med[0] - 1e-9).all()
 
 
+def test_explain_sql_reports_actual_routing(ray_session, sf01_dir):
+    """explain_sql's trace comes from run_sql's own branches: the
+    data-dependent decisions it reports (broadcast vs hash join, pushdown
+    split, membership route, sketch routing) must flip exactly when the
+    knobs that drive execution flip."""
+    from verdictray.sqlrouter import explain_sql
+
+    join_sql = ("SELECT c_mktsegment, count(*) AS n, "
+                "approx_count_distinct(o_custkey) AS nd "
+                "FROM orders JOIN customer ON o_custkey = c_custkey "
+                "WHERE o_totalprice > 1000 GROUP BY c_mktsegment")
+    txt = explain_sql(join_sql, sf01_dir)
+    assert "BROADCAST enrich" in txt and "ZERO shuffle" in txt
+    assert "pushed below joins" in txt and "o_totalprice > 1000" in txt
+    assert "HyperLogLog (p=14" in txt
+    # pruned reads name only the referenced columns
+    assert "READ customer: pruned columns=['c_custkey', 'c_mktsegment']" \
+        in txt
+    # shrinking the broadcast gate flips the SAME query to the hash join
+    txt2 = explain_sql(join_sql, sf01_dir, max_broadcast_rows=10)
+    assert "HASH JOIN" in txt2 and "BROADCAST" not in txt2
+    assert "> max_broadcast_rows=10" in txt2
+
+    member_sql = ("SELECT count(*) AS n FROM customer WHERE c_custkey IN "
+                  "(SELECT o_custkey FROM orders)")
+    assert "exact bucketed semi/anti join" in explain_sql(
+        member_sql, sf01_dir)
+    assert "Bloom probe" in explain_sql(member_sql, sf01_dir,
+                                        approx_membership=True)
+    # APPROX_TOP_K routes to CMS and explain runs NO data pass
+    assert "Count-Min heavy hitters" in explain_sql(
+        "SELECT APPROX_TOP_K(event_type, 3) AS e FROM events", sf01_dir)
+
+
 def test_progressive_sql_restrictions_are_loud(ray_session, sf01_dir):
     from verdictray.sqlrouter import run_sql_progressive
 

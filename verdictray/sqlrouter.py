@@ -325,6 +325,16 @@ def parse_sql(sql: str) -> _Plan:
 # ======================================================================
 # execution
 # ======================================================================
+def _fmt_preds(preds: list[_Pred]) -> str:
+    parts = []
+    for p in preds:
+        if p.op == "between":
+            parts.append(f"{p.col} BETWEEN {p.value[0]} AND {p.value[1]}")
+        else:
+            parts.append(f"{p.col} {p.op} {p.value!r}")
+    return " AND ".join(parts)
+
+
 def _scalar_filter_fn(preds: list[_Pred]):
     def fn(batch: pa.Table) -> pa.Table:
         mask = None
@@ -376,10 +386,17 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             with_bounds: bool = False, approx_membership: bool = False,
             bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
             join_buckets: int = 32, max_broadcast_rows: int = 2_000_000,
-            cms_eps: float = 1e-3, cms_delta: float = 1e-2):
+            cms_eps: float = 1e-3, cms_delta: float = 1e-2,
+            explain: list | None = None):
     """Parse ``sql`` and execute it as a streaming Ray Data pipeline over
     ``{sf_dir}/{table}.parquet``. Returns a Dataset. See module docstring
-    for the grammar and the routing table."""
+    for the grammar and the routing table.
+
+    ``explain``: pass a list to collect the routing decisions THIS call
+    takes (emitted by the same branches that execute, so the trace cannot
+    diverge from execution) and skip all data-pass work — only
+    metadata-level checks run (parquet schemas / row counts / small-dim
+    key uniqueness). Use :func:`explain_sql` for the string form."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -414,6 +431,9 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         needed.update((a, b))
     per_table = {t: sorted(c for c in needed if owner(c) == t)
                  for t in tables}
+    if explain is not None:
+        for t in tables:
+            explain.append(f"READ {t}: pruned columns={per_table[t]}")
     ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet",
                          columns=per_table[plan.table])
 
@@ -423,6 +443,10 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     push = [p for p in scalar if p.col in schemas[plan.table]]
     post = [p for p in scalar if p.col not in schemas[plan.table]]
     if push:
+        if explain is not None:
+            explain.append(
+                f"FILTER (pushed below joins): {_fmt_preds(push)} -> one "
+                "vectorized pyarrow.compute filter on the fact read")
         ds = ds.map_batches(_scalar_filter_fn(push),
                             batch_format="pyarrow", zero_copy_batch=True)
 
@@ -440,29 +464,62 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         dim_cols = sorted(set(per_table[tbl]) | {right_key})
         dim_path = f"{sf_dir}/{tbl}.parquet"
         out_cols = [c for c in dim_cols if c != right_key]
-        if pq.read_metadata(dim_path).num_rows <= max_broadcast_rows:
+        n_dim = pq.read_metadata(dim_path).num_rows
+        if n_dim <= max_broadcast_rows:
             dim_tbl = pq.read_table(dim_path, columns=dim_cols)
             key_arr = dim_tbl[right_key]
             if pc.count_distinct(key_arr).as_py() == len(key_arr):
-                ds = _broadcast_enrich(ds, dim_tbl, left_key, right_key,
-                                       out_cols)
+                if explain is not None:
+                    explain.append(
+                        f"JOIN {tbl} ON {left_key} = {right_key} -> "
+                        f"BROADCAST enrich ({n_dim} rows <= "
+                        f"max_broadcast_rows={max_broadcast_rows}, unique "
+                        "key): pc.index_in lookup inside map_batches, "
+                        "ZERO shuffle")
+                else:
+                    ds = _broadcast_enrich(ds, dim_tbl, left_key,
+                                           right_key, out_cols)
                 attached.update(out_cols)
                 continue
+            reason = "duplicate join keys"
+        else:
+            reason = (f"{n_dim} rows > max_broadcast_rows="
+                      f"{max_broadcast_rows}")
         # big or duplicate-keyed dimension → bucketed hash join (1 shuffle)
         from .join import hash_join
 
-        dim_ds = rd.read_parquet(dim_path, columns=dim_cols)
-        ds = hash_join(ds, dim_ds, left_key, right_key,
-                       buckets=join_buckets, how="inner")
+        if explain is not None:
+            explain.append(
+                f"JOIN {tbl} ON {left_key} = {right_key} -> bucketed "
+                f"HASH JOIN ({reason}): one shuffle, "
+                f"{join_buckets} buckets")
+        else:
+            dim_ds = rd.read_parquet(dim_path, columns=dim_cols)
+            ds = hash_join(ds, dim_ds, left_key, right_key,
+                           buckets=join_buckets, how="inner")
         attached.update(dim_cols)
     if post:
-        ds = ds.map_batches(_scalar_filter_fn(post),
-                            batch_format="pyarrow", zero_copy_batch=True)
+        if explain is not None:
+            explain.append(
+                f"FILTER (after joins, dim-attached cols): "
+                f"{_fmt_preds(post)}")
+        else:
+            ds = ds.map_batches(_scalar_filter_fn(post),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
     for p in member:
         sub_table, sub_col = p.sub
-        build = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
-                                columns=[sub_col])
+        kind = "ANTI" if p.op == "not_in" else "SEMI"
         if approx_membership:
+            if explain is not None:
+                explain.append(
+                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col} -> "
+                    f"Bloom probe (filter built once + broadcast to an "
+                    f"actor pool, NO shuffle; fpp<={bloom_fpp}, zero "
+                    "false negatives)")
+                continue
+            build = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
+                                    columns=[sub_col])
             if p.op == "not_in":
                 from .query import anti_join_bloom as _bloom_join
             else:
@@ -470,6 +527,14 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             ds = _bloom_join(ds, build, p.col, sub_col,
                              capacity=bloom_capacity, fpp=bloom_fpp)
         else:
+            if explain is not None:
+                explain.append(
+                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col} -> "
+                    "exact bucketed semi/anti join (build side collapses "
+                    "to per-bucket distinct keys; key-only shuffle)")
+                continue
+            build = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
+                                    columns=[sub_col])
             from .join import semi_anti_join
 
             ds = semi_anti_join(ds, build, p.col, sub_col,
@@ -489,6 +554,16 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 "GROUP BY key), over a non-key column, without HAVING")
         it = topk[0]
         k = int(it.phi)
+        if explain is not None:
+            grouped_note = (f" per {plan.group_by[0]} group (blob decoded "
+                            "in a distributed map_batches finish stage)"
+                            if plan.group_by else "")
+            explain.append(
+                f"AGG {it.name} = APPROX_TOP_K({it.col}, {k}) -> "
+                f"Count-Min heavy hitters (eps={cms_eps}, "
+                f"delta={cms_delta}); <= {k} rows{grouped_note}; "
+                "one-sided bound est <= true + eps*N")
+            return rd.from_items([])
         from .sketches.cms import CountMin
         from .udaf import CmsAgg
 
@@ -561,6 +636,42 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         if it.col not in plan.group_by:
             raise ValueError(f"non-aggregate column {it.col!r} must be in "
                              "GROUP BY")
+    if explain is not None:
+        routes = {
+            "count": "Ray Count (exact, map-side combined)",
+            "sum": "Ray Sum (exact, map-side combined)",
+            "avg": "Ray Mean (exact, map-side combined)",
+            "min": "Ray Min", "max": "Ray Max",
+            "money_sum": "exact integer-cents Sum (order-independent, "
+                         "bit-stable)",
+            "approx_count_distinct":
+                f"HyperLogLog (p={hll_p}, 3-sigma rel err ~"
+                f"{3 * 1.04 / (2 ** hll_p) ** 0.5:.4f})",
+            "approx_quantile": f"KLL (k={kll_k}, eps rank bound)",
+            "approx_quantile_tdigest": "merging t-digest (tail-accurate)",
+        }
+        for it in agg_items:
+            if it.fn == "count" and it.distinct:
+                route = "ExactDistinct (sorted 8-byte hash sets)"
+            else:
+                route = routes[it.fn]
+            explain.append(f"AGG {it.name} = {it.fn.upper()}"
+                           f"({it.col or '*'}) -> {route}")
+        explain.append(
+            f"GROUP BY {plan.group_by} -> one map-side-combined "
+            "aggregate shuffle" if plan.group_by else
+            "global aggregate -> partials combine to a single row, "
+            "no wide shuffle")
+        if plan.having:
+            explain.append(f"HAVING {_fmt_preds(plan.having)} -> "
+                           "vectorized post-aggregate filter")
+        if plan.order_by:
+            explain.append(f"ORDER BY {plan.order_by} -> sorts the "
+                           "aggregated result only (group-count rows)")
+        if plan.limit is not None:
+            explain.append(f"LIMIT {plan.limit}")
+        import ray.data as rd
+        return rd.from_items([])
     for it in agg_items:
         name = it.name
         if it.fn == "count" and it.distinct:
@@ -684,6 +795,21 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     if plan.limit is not None:
         out = out.limit(plan.limit)
     return out
+
+
+def explain_sql(sql: str, sf_dir: str, **opts) -> str:
+    """EXPLAIN for the router: the routing decisions run_sql would take
+    for this exact query over this exact data, one line per decision.
+
+    The trace is emitted by run_sql's OWN branches (``explain=`` hook),
+    so data-dependent choices — broadcast vs hash join, pushdown splits,
+    membership route — cannot diverge from what execution does. Only
+    metadata-level work happens: parquet schemas and row counts, plus the
+    small-dimension key-uniqueness probe the broadcast gate itself makes.
+    No pass over the fact data runs."""
+    lines: list[str] = []
+    run_sql(sql, sf_dir, explain=lines, **opts)
+    return "\n".join(lines)
 
 
 # ======================================================================
