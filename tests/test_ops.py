@@ -111,6 +111,69 @@ def test_as_aggregate_extension_hook(ray_session, sf_dir):
     assert 10 <= row["nd"] <= 30  # 15 distinct users at sf0.001, 3sigma wide
 
 
+def test_write_parquet_partitioned_commit_resume_and_buckets(
+        ray_session, sf01_dir, tmp_path):
+    """The resumable partitioned sink: per-partition _SUCCESS commit
+    markers, skip-finished resume (rows of committed partitions filtered
+    at the read), uncommitted-partial wipe, and hash-bucket mode."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import ray.data as rd
+
+    from verdictray.io import write_parquet_partitioned
+
+    src = rd.read_parquet(f"{sf01_dir}/documents.parquet")
+    orig = (src.to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out = str(tmp_path / "by_lang")
+
+    res = write_parquet_partitioned(src, out, by="lang")
+    assert res["skipped"] == [] and res["rows_written"] == len(orig)
+    for d in res["written"]:
+        assert os.path.exists(os.path.join(out, d, "_SUCCESS"))
+    back = (rd.read_parquet(out).to_pandas()[orig.columns]
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back, orig, check_dtype=False)
+
+    # full resume: everything committed → nothing moves
+    res2 = write_parquet_partitioned(src, out, by="lang")
+    assert res2["written"] == [] and res2["rows_written"] == 0
+    assert res2["skipped"] == res["written"]
+
+    # crash simulation: one partition's marker gone + stale partial file
+    victim = res["written"][0]
+    os.remove(os.path.join(out, victim, "_SUCCESS"))
+    with open(os.path.join(out, victim, "part-stale.parquet"), "w") as f:
+        f.write("garbage from a crashed writer")
+    res3 = write_parquet_partitioned(src, out, by="lang")
+    assert res3["written"] == [victim]          # only the victim rewrote
+    assert len(res3["skipped"]) == len(res["written"]) - 1
+    assert not os.path.exists(os.path.join(out, victim,
+                                           "part-stale.parquet"))
+    back3 = (rd.read_parquet(out).to_pandas()[orig.columns]
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back3, orig, check_dtype=False)
+
+    # resume=False ignores markers and rewrites everything
+    res4 = write_parquet_partitioned(src, out, by="lang", resume=False)
+    assert res4["skipped"] == [] and res4["rows_written"] == len(orig)
+
+    # hash-bucket mode for high-cardinality keys; small files chunk
+    out_b = str(tmp_path / "by_bucket")
+    res_b = write_parquet_partitioned(src, out_b, by="doc_id", buckets=4,
+                                      max_rows_per_file=50)
+    assert sorted(res_b["written"]) == [f"bucket={i}" for i in range(4)]
+    some_dir = os.path.join(out_b, res_b["written"][0])
+    n_files = len([f for f in os.listdir(some_dir)
+                   if f.endswith(".parquet")])
+    assert n_files >= 2                          # 50-row chunking kicked in
+    back_b = (rd.read_parquet(out_b).to_pandas()[orig.columns]
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back_b, orig, check_dtype=False)
+    shutil.rmtree(out_b)
+
+
 def test_write_estimates_roundtrip(ray_session, corpus, tmp_path):
     import pyarrow.parquet as pq
 

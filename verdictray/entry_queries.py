@@ -1275,6 +1275,43 @@ def q_sql_router_topk(sf_dir: str):
     return tbl
 
 
+SQL_PARTITIONED_WRITE = """
+SELECT lang, count(*) AS n_docs FROM documents
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_partitioned_write_counts(sf_dir: str):
+    """Resumable partitioned parquet sink driven end-to-end
+    (io.write_parquet_partitioned): write the documents table
+    hive-partitioned by lang with per-partition _SUCCESS commits, prove
+    resume by writing AGAIN (every partition must skip), then READ THE
+    WRITTEN FILES BACK and count rows per lang — the oracle checks the
+    sink's actual on-disk output, not its manifest."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .io import write_parquet_partitioned
+
+    ds = _t(sf_dir, "documents",
+            ["doc_id", "text", "lang", "source", "n_chars"])
+    out = tempfile.mkdtemp(prefix="vr_partwrite_", dir="/tmp")
+    try:
+        res = write_parquet_partitioned(ds, out, by="lang")
+        res2 = write_parquet_partitioned(ds, out, by="lang")
+        assert res2["written"] == [] and res2["rows_written"] == 0
+        assert sorted(res2["skipped"]) == sorted(res["written"])
+        back = (rd.read_parquet(out)
+                .groupby("lang").aggregate(Count(alias_name="n_docs"))
+                .sort("lang").to_pandas())
+        return pa.Table.from_pandas(back, preserve_index=False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_sql_router_semijoin(sf_dir: str):
     """sqlrouter membership routing: IN (SELECT …) → exact bucketed
     semi-join (key-only shuffle). approx_membership=True would route the
@@ -3189,6 +3226,7 @@ QUERIES = {
     "sql_router_join": q_sql_router_join,
     "sql_router_having": q_sql_router_having,
     "sql_router_topk": q_sql_router_topk,
+    "partitioned_write_counts": q_partitioned_write_counts,
     "sql_router_semijoin": q_sql_router_semijoin,
     "sql_router_hll": q_sql_router_hll,
     "sql_router_quantile": q_sql_router_quantile,
@@ -3312,6 +3350,7 @@ ORACLES = {
     "sql_router_having": SQL_ROUTER_HAVING,
     # sql_router_topk: rows-only (CMS estimates; one-sided bound asserted
     # in-query against the exact grouped count)
+    "partitioned_write_counts": SQL_PARTITIONED_WRITE,
     "sql_router_semijoin": SQL_ROUTER_SEMIJOIN,
     "sql_router_hll": SQL_ROUTER_HLL_ORACLE,
     "hll_union_rollup": SQL_HLL_UNION_ROLLUP,
@@ -3363,7 +3402,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",
     "sql_router_join", "sql_router_having", "sql_router_topk",
-    "sql_progressive_orders",
+    "sql_progressive_orders", "partitioned_write_counts",
     # --- never driver-checked as of CORRECTNESS_r03 ---
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",
     "ngram_decontaminated_docs", "token_entropy_by_lang", "vocab_top_terms",

@@ -131,3 +131,100 @@ def write_estimates(ds: rd.Dataset, out_dir: str, **kwargs) -> None:
     """Write the estimates table as partitioned parquet (a directory of
     part files — resumable layout, never one giant file)."""
     ds.write_parquet(out_dir, **kwargs)
+
+
+def write_parquet_partitioned(ds: rd.Dataset, out_dir: str, by: str,
+                              resume: bool = True, buckets: int | None = None,
+                              max_rows_per_file: int = 1_000_000) -> dict:
+    """Resumable partitioned parquet sink (task brief: "write partitioned
+    Parquet so a failed run can skip finished partitions; never one giant
+    file").
+
+    Layout: hive-style ``out_dir/<by>=<value>/part-*.parquet`` when
+    ``buckets`` is None (low-cardinality key, e.g. lang), or
+    ``out_dir/bucket=<i>/`` hash-bucket dirs (``hash64(by) % buckets``)
+    for high-cardinality keys. Each partition directory is written by
+    EXACTLY ONE task and committed by a ``_SUCCESS`` marker written LAST,
+    so the commit is per-partition atomic in the only sense that matters
+    for resume: a marker exists iff every row of that partition landed.
+
+    Resume (``resume=True``): committed partitions are detected from
+    their markers and their rows are FILTERED OUT at the read — before
+    the shuffle, so a 99%-done rerun moves ~1% of the data. Uncommitted
+    (crashed mid-write) partition dirs are wiped by their writer task
+    before rewriting, making reruns idempotent.
+
+    Scale shape: one groupby(partition) shuffle; one partition is written
+    by one task (the documented assumption of every partitioned writer —
+    size ``buckets`` so a partition fits; files chunk at
+    ``max_rows_per_file`` rows). Returns {"written": [...], "skipped":
+    [...], "rows_written": n}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .sketches.hashing import hash64
+
+    os.makedirs(out_dir, exist_ok=True)
+    part_col = "bucket" if buckets else by
+
+    def dirname(val) -> str:
+        return f"{part_col}={val}"
+
+    done: set[str] = set()
+    if resume:
+        done = {d for d in os.listdir(out_dir)
+                if os.path.exists(os.path.join(out_dir, d, "_SUCCESS"))}
+    done_vals = sorted(d.split("=", 1)[1] for d in done)
+    done_set = pa.array([int(v) for v in done_vals], pa.int64()) if buckets \
+        else pa.array(done_vals, pa.string())
+
+    def tag(b: pa.Table) -> pa.Table:
+        if buckets:
+            pid = (hash64(b[by], seed=71) % np.uint64(buckets)).astype(
+                np.int64)
+            b = b.append_column("_part", pa.array(pid))
+        else:
+            b = b.append_column("_part", pc.cast(b[by], pa.string()))
+        if len(done_set):
+            b = b.filter(pc.invert(pc.is_in(b["_part"],
+                                            value_set=done_set)))
+        return b
+
+    written: list[str] = []
+
+    def write_group(g: pa.Table) -> pa.Table:
+        val = g["_part"][0].as_py()
+        g = g.drop_columns(["_part"])
+        pdir = os.path.join(out_dir, dirname(val))
+        # wipe an uncommitted partial dir from a crashed prior run
+        if os.path.isdir(pdir):
+            shutil.rmtree(pdir)
+        os.makedirs(pdir)
+        n = len(g)
+        files = 0
+        for lo in range(0, n, max_rows_per_file):
+            pq.write_table(g.slice(lo, max_rows_per_file),
+                           os.path.join(pdir,
+                                        f"part-{uuid.uuid4().hex}.parquet"))
+            files += 1
+        # the commit: marker written only after every file landed
+        with open(os.path.join(pdir, "_SUCCESS"), "w") as f:
+            f.write(f"rows={n} files={files}\n")
+        return pa.table({"partition": pa.array([dirname(val)]),
+                         "n_rows": pa.array([n], pa.int64()),
+                         "n_files": pa.array([files], pa.int64())})
+
+    manifest = (ds.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("_part")
+                .map_groups(write_group, batch_format="pyarrow")
+                .to_pandas())
+    written = sorted(manifest["partition"]) if len(manifest) else []
+    return {"written": written, "skipped": sorted(done),
+            "rows_written": int(manifest["n_rows"].sum())
+            if len(manifest) else 0}
