@@ -736,6 +736,65 @@ def test_consecutive_gaps_chunked_hot_key_matches_duckdb_and_default(
     pdt.assert_frame_equal(default, exact, check_dtype=False)
 
 
+def test_asof_chunked_hot_key_matches_duckdb_and_default(ray_session):
+    """asof_join's hot-key overflow path: both sides chunk by left-ts
+    range and each key's latest right row per chunk replicates forward
+    up to its next right-bearing chunk, so left rows whose predecessor
+    lives several chunks back (sparse right side) still match. Must
+    equal DuckDB's ASOF LEFT JOIN and the key-bucketed plan — including
+    left rows before any right row (nulls)."""
+    import duckdb
+    import ray.data as rd
+
+    from verdictray.window import asof_join
+
+    n = 20_000
+    rng = np.random.default_rng(19)
+    ldf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "k": np.where(rng.random(n) < 0.95, "hot",
+                      rng.choice(["a", "b", "c"], size=n)),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(np.cumsum(rng.integers(0, 5, size=n)), unit="s"),
+    })
+    # sparse right side: ~1% of the left density, so most chunks have no
+    # right rows for the cold keys and pads must carry several chunks
+    m = 250
+    rdf = pd.DataFrame({
+        "k": np.where(rng.random(m) < 0.7, "hot",
+                      rng.choice(["a", "b", "c"], size=m)),
+        "rts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(-5_000, 90_000, size=m), unit="s"),
+        "rval": np.arange(m, dtype=np.int64),
+    })
+    truth = duckdb.sql("""
+        SELECT l.event_id, r.rts, r.rval
+        FROM ldf l ASOF LEFT JOIN rdf r
+          ON l.k = r.k AND l.ts >= r.rts
+        ORDER BY l.event_id""").df()
+
+    lds = rd.from_pandas(ldf).repartition(6)
+    rds = rd.from_pandas(rdf).repartition(3)
+
+    def canon(res):
+        df = (res.to_pandas()[["event_id", "rts", "rval"]]
+              .sort_values("event_id").reset_index(drop=True))
+        df["rval"] = df["rval"].astype("float64")  # nulls comparable
+        return df
+
+    want = truth.copy()
+    want["rval"] = want["rval"].astype("float64")
+
+    chunked = canon(asof_join(lds, rds, on="k", ts_left="ts",
+                              ts_right="rts", chunk_ranges=16))
+    pd.testing.assert_frame_equal(chunked, want, check_dtype=False)
+
+    default = canon(asof_join(lds, rds, on="k", ts_left="ts",
+                              ts_right="rts", buckets=4))
+    pd.testing.assert_frame_equal(default, want, check_dtype=False)
+    assert chunked["rval"].isna().any()  # some pre-first-right nulls
+
+
 def test_rolling_range_chunked_hot_key_matches_duckdb_and_default(
         ray_session):
     """rolling_range_agg's hot-key overflow path: a RANGE frame reaches

@@ -117,14 +117,27 @@ def sliding_window(ds, ts_col: str, width_s: int, slide_s: int,
 
 # ---------------------------------------------------------------- as-of join
 def asof_join(left, right, on: str, ts_left: str, ts_right: str,
-              buckets: int = 32, suffix: str = "_r"):
+              buckets: int = 32, suffix: str = "_r",
+              chunk_ranges: int | None = None, sample_limit: int = 10_000):
     """For each left row: attach the latest right row with the same key
     and right ts <= left ts (nulls where none exists). Distributed shape:
     tag both sides with _bucket = hash(key) % buckets, union, ONE groupby
     shuffle, vectorized pandas merge_asof per bucket.
 
     Column names of the two sides must be disjoint apart from ``on``
-    (right's non-key columns get ``suffix`` if they collide)."""
+    (right's non-key columns get ``suffix`` if they collide).
+
+    HOT-KEY OVERFLOW PATH (``chunk_ranges=N``): when one key's rows
+    exceed a task, partition BOTH sides by left-ts TIME RANGE instead of
+    key. The only cross-chunk state an as-of backward join needs is each
+    key's latest right row before the chunk: pass 1 takes the last right
+    row per (key, chunk) — arrow-native so dtypes survive — and the
+    driver replicates each such tail into the chunks up to the key's
+    next right-bearing chunk (a keys × N pad table, the same
+    closure-shipped regime as the other chunk_ranges paths); pass 2 runs
+    the identical merge_asof kernel per chunk with the pads unioned into
+    the right side. Boundary-value rows land in the later chunk, so pad
+    ts is strictly below the chunk's own right rows."""
     lschema, rschema = left.schema(), right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
@@ -193,8 +206,98 @@ def asof_join(left, right, on: str, ts_left: str, ts_right: str,
                 out[c] = out[c].astype("int64")
         return out
 
+    if chunk_ranges:
+        return _asof_join_chunked(left, right, on, ts_left, ts_right_eff,
+                                  all_cols, join_bucket, chunk_ranges,
+                                  sample_limit)
     return unioned.groupby("_bucket").map_groups(join_bucket,
                                                  batch_format="pyarrow")
+
+
+def _asof_join_chunked(left, right, on, ts_left, ts_right_eff, all_cols,
+                       join_bucket, chunk_ranges, sample_limit):
+    """Two-pass time-range-chunked as-of join — see asof_join's
+    hot-key-overflow docs. ``right`` arrives already suffix-renamed;
+    ``join_bucket`` is the default path's merge_asof kernel, reused
+    verbatim per chunk."""
+    import ray
+    import ray.data as rd
+
+    from .ops import _assign_range_fn, _sample_range_bounds
+
+    bounds = _sample_range_bounds(left, ts_left, chunk_ranges, sample_limit)
+    n_chunks = len(bounds) + 1
+    names = [n for n, _ in all_cols]
+
+    def tag_range(side, ts_col):
+        assign = _assign_range_fn(bounds, ts_col)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = assign(batch)
+            batch = batch.append_column(
+                "_side", pa.array([side] * len(batch), pa.string()))
+            for name, typ in all_cols:
+                if name not in batch.schema.names:
+                    batch = batch.append_column(name,
+                                                pa.nulls(len(batch), typ))
+            return batch.select(names + ["_range", "_side"])
+
+        return fn
+
+    lt = left.map_batches(tag_range("l", ts_left), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # consumed twice (tails + final union): object-store resident
+    rt = right.map_batches(tag_range("r", ts_right_eff),
+                           batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    # pass 1: last right row per (key, chunk) — arrow-native take so
+    # every dtype survives the round trip into the pad table
+    def last_per_key(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(on, "ascending"),
+                                              (ts_right_eff, "ascending")])
+        g = g.take(order)
+        k = g[on].to_numpy(zero_copy_only=False)
+        last = np.concatenate([k[1:] != k[:-1], [True]])
+        return g.take(pa.array(np.flatnonzero(last), pa.int64()))
+
+    tail_blocks = ray.get(
+        rt.groupby("_range").map_groups(last_per_key,
+                                        batch_format="pyarrow")
+        .to_arrow_refs())
+    tail_blocks = [b for b in tail_blocks if len(b)]
+    parts = [lt, rt]
+    if tail_blocks:
+        tails = pa.concat_tables(tail_blocks, promote_options="default")
+        meta = pd.DataFrame({
+            "k": tails[on].to_numpy(zero_copy_only=False),
+            "r": tails["_range"].to_numpy(zero_copy_only=False),
+        })
+        meta["i"] = np.arange(len(meta))
+        meta = meta.sort_values(["k", "r"], kind="mergesort")
+        take_idx: list[int] = []
+        tgt: list[int] = []
+        # the tail of a key's right-bearing chunk r_i serves chunks
+        # r_i+1 .. (the key's next right-bearing chunk, inclusive — its
+        # early left rows may precede that chunk's own first right row)
+        for _, gk in meta.groupby("k", sort=False):
+            rs = gk["r"].to_numpy()
+            idx = gk["i"].to_numpy()
+            nxt = np.concatenate([rs[1:], [n_chunks - 1]])
+            for j in range(len(rs)):
+                for t in range(int(rs[j]) + 1, int(nxt[j]) + 1):
+                    take_idx.append(int(idx[j]))
+                    tgt.append(t)
+        if take_idx:
+            pad_tbl = tails.take(pa.array(take_idx, pa.int64()))
+            i = pad_tbl.schema.get_field_index("_range")
+            pad_tbl = pad_tbl.set_column(
+                i, "_range", pa.array(np.asarray(tgt, dtype=np.int64)))
+            parts.append(rd.from_arrow(pad_tbl))
+
+    unioned = parts[0].union(*parts[1:])
+    return unioned.groupby("_range").map_groups(join_bucket,
+                                                batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- range join
