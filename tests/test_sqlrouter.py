@@ -385,3 +385,106 @@ def test_progressive_sql_restrictions_are_loud(ray_session, sf01_dir):
         next(run_sql_progressive(
             "SELECT count(*) AS n FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders)", sf01_dir))
+
+
+# ---------------------------------------------------------------- windows
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_window_rownum_cumsum_rank_match_duckdb(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    for sql in (
+        """SELECT event_id, ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC) AS rn FROM events
+           WHERE event_type = 'purchase' ORDER BY event_id ASC LIMIT 1500""",
+        """SELECT l_orderkey, l_linenumber, SUM(l_quantity) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS cum_qty
+           FROM lineitem WHERE l_orderkey <= 800
+           ORDER BY l_orderkey ASC, l_linenumber ASC""",
+        """SELECT event_id,
+           RANK() OVER (PARTITION BY event_type ORDER BY user_id) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY event_type ORDER BY user_id)
+             AS drnk,
+           COUNT(*) OVER (PARTITION BY event_type ORDER BY user_id) AS cc
+           FROM events WHERE value > 4.93 ORDER BY event_id""",
+    ):
+        mine = _canon(run_sql(sql, sf01_dir).to_pandas())
+        ora = _canon(_duck(sf01_dir, sql))
+        pdt.assert_frame_equal(mine, ora, check_dtype=False,
+                               atol=1e-9, rtol=0)
+
+
+def test_window_range_framing_ties_nulls_desc_match_duckdb(ray_session):
+    # peers (equal order values) must share cumulative frame results, SQL
+    # aggs ignore NULLs mid-stream, and DESC orders must survive the sort
+    import numpy as np
+    import ray.data as rd
+
+    from verdictray.window import partitioned_window
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 23, n),
+        "o": rng.integers(0, 9, n),          # heavy ties
+        "t": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n).round(3),
+    })
+    df.loc[rng.integers(0, n, 80), "v"] = np.nan
+    specs = [
+        {"func": "sum", "col": "v", "alias": "cs"},
+        {"func": "avg", "col": "v", "alias": "ca"},
+        {"func": "min", "col": "v", "alias": "cmin"},
+        {"func": "max", "col": "v", "alias": "cmax"},
+        {"func": "count", "col": "v", "alias": "cc"},
+        {"func": "rank", "col": None, "alias": "rk"},
+        {"func": "dense_rank", "col": None, "alias": "dr"},
+    ]
+    out = partitioned_window(rd.from_pandas(df), "k", [("o", True)],
+                             specs).to_pandas()
+    out = out.sort_values(["k", "t"]).reset_index(drop=True)
+    con = duckdb.connect()
+    ora = con.sql("""
+        SELECT k, o, t, v,
+          SUM(v) OVER w AS cs, AVG(v) OVER w AS ca, MIN(v) OVER w AS cmin,
+          MAX(v) OVER w AS cmax, CAST(COUNT(v) OVER w AS BIGINT) AS cc,
+          RANK() OVER w AS rk, DENSE_RANK() OVER w AS dr
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY o DESC)
+        ORDER BY k, t""").df()
+    pdt.assert_frame_equal(out[ora.columns], ora, check_dtype=False,
+                           atol=1e-9, rtol=0)
+
+
+def test_window_errors_are_loud(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql, run_sql_progressive
+
+    with pytest.raises(ValueError, match="share one"):
+        run_sql("""SELECT RANK() OVER (PARTITION BY a ORDER BY b) AS r1,
+                   RANK() OVER (PARTITION BY c ORDER BY b) AS r2
+                   FROM events""", sf01_dir)
+    with pytest.raises(ValueError, match="GROUP BY"):
+        run_sql("""SELECT event_type, count(*) AS n,
+                   RANK() OVER (PARTITION BY event_type ORDER BY ts) AS r
+                   FROM events GROUP BY event_type""", sf01_dir)
+    with pytest.raises(ValueError, match="OVER"):
+        run_sql("SELECT APPROX_COUNT_DISTINCT(user_id) OVER "
+                "(PARTITION BY event_type ORDER BY ts) AS x FROM events",
+                sf01_dir)
+    with pytest.raises(ValueError, match="progressively"):
+        next(iter(run_sql_progressive(
+            "SELECT ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) "
+            "AS rn FROM events", sf01_dir)))
+
+
+def test_window_explain_reports_routing(ray_session, sf01_dir):
+    from verdictray.sqlrouter import explain_sql
+
+    txt = explain_sql(
+        """SELECT event_id, SUM(value) OVER (PARTITION BY user_id
+           ORDER BY ts ASC) AS cv FROM events WHERE event_type = 'click'""",
+        sf01_dir)
+    assert "WINDOW OVER" in txt and "hash-bucket shuffle" in txt
+    assert "pruned columns" in txt and "FILTER" in txt

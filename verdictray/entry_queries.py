@@ -1337,6 +1337,66 @@ def q_sql_router_quantile(sf_dir: str):
     return run_sql(SQL_ROUTER_QUANTILE, sf_dir)
 
 
+# window-function SQL (router → window.partitioned_window): every ORDER BY
+# inside OVER is total per partition where the function needs it
+# (ROW_NUMBER / cumulative SUM), and only peer-invariant RANK/DENSE_RANK
+# ride non-total orders — the same determinism contract any SQL engine
+# demands for a hash-stable answer.
+SQL_WINDOW_ROWNUM = """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS rn
+FROM events WHERE event_type = 'click'
+ORDER BY event_id ASC LIMIT 2000
+"""
+SQL_WINDOW_CUMSUM = """
+SELECT l_orderkey, l_linenumber,
+       SUM(l_quantity) OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber ASC) AS cum_qty
+FROM lineitem WHERE l_orderkey <= 2000
+ORDER BY l_orderkey ASC, l_linenumber ASC
+"""
+SQL_WINDOW_RANKS = """
+SELECT event_id,
+       RANK() OVER (PARTITION BY event_type ORDER BY user_id ASC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY event_type
+                          ORDER BY user_id ASC) AS drnk
+FROM events WHERE value > 4.9
+ORDER BY event_id ASC
+"""
+
+
+def q_sql_window_rownum(sf_dir: str):
+    """sqlrouter window routing: ROW_NUMBER() OVER (PARTITION BY … ORDER
+    BY …) → window.partitioned_window (one hash-bucket shuffle on the
+    partition key, vectorized per-bucket prefix scans). Oracle = the
+    identical SQL text in DuckDB; the OVER order is total per partition
+    (ts, event_id) so row numbers are engine-portable."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_ROWNUM, sf_dir)
+
+
+def q_sql_window_cumsum(sf_dir: str):
+    """sqlrouter window routing: cumulative SUM(col) OVER with ANSI
+    default RANGE framing. l_quantity is integer-valued, so the running
+    float64 sum is exact and hash-stable vs DuckDB's segment-tree
+    windowed SUM."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_CUMSUM, sf_dir)
+
+
+def q_sql_window_ranks(sf_dir: str):
+    """sqlrouter window routing: RANK + DENSE_RANK sharing one window
+    spec (single shuffle, both computed in the same per-bucket pass).
+    The OVER order (user_id) has real ties — rank functions are
+    peer-invariant, so the answer is deterministic anyway."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_RANKS, sf_dir)
+
+
 def q_sql_store_summary(sf_dir: str):
     """The full Verdict loop in one query: build the per-key sketch state
     once, then answer aggregate SQL from the STORE (sqlrouter.run_sql_store
@@ -3230,6 +3290,9 @@ QUERIES = {
     "sql_router_semijoin": q_sql_router_semijoin,
     "sql_router_hll": q_sql_router_hll,
     "sql_router_quantile": q_sql_router_quantile,
+    "sql_window_rownum": q_sql_window_rownum,
+    "sql_window_cumsum": q_sql_window_cumsum,
+    "sql_window_ranks": q_sql_window_ranks,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3345,6 +3408,9 @@ ORACLES = {
     # at sf0.01); quantile entry is rows-only by design (KLL ε-bound
     # asserted in tests/test_sqlrouter.py)
     "sql_router_orders": SQL_ROUTER_ORDERS,
+    "sql_window_rownum": SQL_WINDOW_ROWNUM,
+    "sql_window_cumsum": SQL_WINDOW_CUMSUM,
+    "sql_window_ranks": SQL_WINDOW_RANKS,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3398,6 +3464,7 @@ ORACLES = {
 # named here follows in QUERIES order — nothing is dropped, only reordered.
 DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
+    "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",

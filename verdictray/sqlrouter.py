@@ -29,6 +29,14 @@ except membership ``IN (SELECT col FROM t)``):
           | APPROX_QUANTILE_TDIGEST(col, phi)   -- t-digest (tail-accurate)
           | APPROX_TOP_K(col, k)                -- CMS heavy hitters
           | ROUND(<aggregate expr>, n)          -- half-away-from-zero
+          | ROW_NUMBER() OVER w | RANK() OVER w | DENSE_RANK() OVER w
+          | SUM|COUNT|AVG|MIN|MAX(col) OVER w   -- cumulative (ANSI default
+                                                --   RANGE framing: peer rows
+                                                --   share frame results)
+    w    := ( PARTITION BY col ORDER BY col [ASC|DESC] ("," ...)* )
+                                                -- one shared spec per query;
+                                                --   routed to
+                                                --   window.partitioned_window
     pred := col (=|!=|<>|<|<=|>|>=) literal
           | col BETWEEN literal AND literal
           | col [NOT] IN (literal, ...)
@@ -85,6 +93,11 @@ _AGGS = {"count", "sum", "avg", "min", "max", "money_sum",
          "approx_count_distinct", "approx_quantile",
          "approx_quantile_tdigest", "approx_top_k"}
 
+# argless ranking functions valid only with OVER (...)
+_WINDOW_FNS = {"row_number", "rank", "dense_rank"}
+# aggregates that may also run as cumulative window functions
+_WINDOW_CUM = {"sum", "count", "avg", "min", "max"}
+
 _TOKEN = re.compile(r"""
     \s*(
         '(?:[^']|'')*'            # string literal
@@ -114,6 +127,9 @@ class _Agg:
     phi: float | None = None
     round_to: int | None = None
     alias: str | None = None
+    # (partition_col, ((order_col, desc), ...)) when the item carries an
+    # OVER clause — routed to window.partitioned_window
+    window: tuple | None = None
 
     @property
     def name(self) -> str:
@@ -121,6 +137,8 @@ class _Agg:
             return self.alias
         if self.fn == "col":
             return self.col
+        if self.fn in _WINDOW_FNS and self.col is None:
+            return self.fn
         if self.fn == "count" and self.col is None:
             return "count_star"
         d = "distinct_" if self.distinct else ""
@@ -193,12 +211,21 @@ class _Parser:
             self.expect(")")
             inner.round_to = nd
             return inner
+        if low in _WINDOW_FNS:
+            self.expect("(")
+            self.expect(")")
+            ag = _Agg(low, None)
+            ag.window = self._over()          # OVER is mandatory here
+            return ag
         if low in _AGGS:
             self.expect("(")
             if low == "count" and self.peek() == "*":
                 self.take()
                 self.expect(")")
-                return _Agg("count", None)
+                ag = _Agg("count", None)
+                if self.kw("over"):
+                    ag.window = self._over()
+                return ag
             distinct = False
             if self.kw("distinct"):
                 self.take()
@@ -212,8 +239,37 @@ class _Parser:
                 self.expect(",")
                 phi = float(self.take())
             self.expect(")")
-            return _Agg(low, col, distinct=distinct, phi=phi)
+            ag = _Agg(low, col, distinct=distinct, phi=phi)
+            if self.kw("over"):
+                if low not in _WINDOW_CUM or distinct:
+                    raise ValueError(f"{low.upper()} cannot take an "
+                                     "OVER clause")
+                ag.window = self._over()
+            return ag
         return _Agg("col", tok)
+
+    def _over(self) -> tuple:
+        """``OVER ( PARTITION BY col ORDER BY col [ASC|DESC] , ... )``"""
+        self.expect("over")
+        self.expect("(")
+        self.expect("partition")
+        self.expect("by")
+        part = self.take()
+        self.expect("order")
+        self.expect("by")
+        order = []
+        while True:
+            col = self.take()
+            desc = False
+            if self.kw("asc", "desc"):
+                desc = self.take().lower() == "desc"
+            order.append((col, desc))
+            if self.peek() == ",":
+                self.take()
+                continue
+            break
+        self.expect(")")
+        return (part, tuple(order))
 
     # --------------------------------------------------------- predicate
     def pred(self) -> _Pred:
@@ -405,6 +461,10 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     from .udaf import ExactDistinct, HllAgg, KllAgg
 
     plan = parse_sql(sql)
+
+    if any(it.window for it in plan.items):
+        return _run_window_sql(plan, sf_dir, buckets=join_buckets,
+                               explain=explain)
 
     # ------------------------------------------ column ownership (joins)
     tables = [plan.table] + [j[0] for j in plan.joins]
@@ -797,6 +857,99 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     return out
 
 
+def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
+                    explain: list | None = None):
+    """Execute a SELECT whose items carry OVER clauses — routed to
+    window.partitioned_window (one hash-bucket shuffle on the partition
+    key, vectorized per-bucket prefix scans; ANSI default RANGE framing).
+    All window items must share ONE window spec; plain column items pass
+    through; scalar WHERE filters push below the shuffle at the pruned
+    read. GROUP BY / HAVING / JOIN / IN (SELECT …) do not compose with
+    window items (raise) — the standard engines' separate window stage."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .window import partitioned_window
+
+    if plan.group_by or plan.having:
+        raise ValueError("window functions cannot combine with "
+                         "GROUP BY/HAVING in one router query")
+    if plan.joins:
+        raise ValueError("window functions over JOINs are not supported; "
+                         "window the joined table in two queries")
+    if any(p.sub is not None for p in plan.where):
+        raise ValueError("IN (SELECT …) does not compose with window "
+                         "items")
+    win_items = [it for it in plan.items if it.window]
+    passthru = [it for it in plan.items if not it.window]
+    for it in passthru:
+        if it.fn != "col":
+            raise ValueError("non-window aggregates cannot mix with "
+                             "window items (no implicit GROUP BY)")
+    spec0 = win_items[0].window
+    if any(it.window != spec0 for it in win_items):
+        raise ValueError("all window items must share one "
+                         "PARTITION BY/ORDER BY spec")
+    part, order = spec0
+    order = list(order)
+
+    schema = set(pq.read_schema(f"{sf_dir}/{plan.table}.parquet").names)
+    needed = {part, *(c for c, _ in order)}
+    needed.update(it.col for it in plan.items if it.col is not None)
+    needed.update(p.col for p in plan.where)
+    missing = sorted(needed - schema)
+    if missing:
+        raise ValueError(f"unknown column(s) {missing} on {plan.table!r}")
+    cols = sorted(needed)
+
+    specs = [{"func": it.fn, "col": it.col, "alias": it.name}
+             for it in win_items]
+    if explain is not None:
+        explain.append(f"READ {plan.table}: pruned columns={cols}")
+        if plan.where:
+            explain.append(f"FILTER (below the window shuffle): "
+                           f"{_fmt_preds(plan.where)}")
+        explain.append(
+            f"WINDOW OVER (PARTITION BY {part} ORDER BY {order}) -> one "
+            f"hash-bucket shuffle on {part!r} ({buckets} buckets), "
+            "vectorized per-bucket prefix scans; funcs="
+            + ", ".join(f"{s['func']}({s['col'] or ''})" for s in specs)
+            + " (ANSI default RANGE framing: peers share frame results)")
+        if plan.order_by:
+            explain.append(f"ORDER BY {plan.order_by} -> sorts the "
+                           "windowed result")
+        if plan.limit is not None:
+            explain.append(f"LIMIT {plan.limit}")
+        return rd.from_items([])
+
+    ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet", columns=cols)
+    if plan.where:
+        ds = ds.map_batches(_scalar_filter_fn(plan.where),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    out = partitioned_window(ds, part, order, specs, buckets=buckets)
+
+    rounds = [(it.name, it.round_to) for it in win_items
+              if it.round_to is not None]
+    sel = [it.name for it in plan.items]
+
+    def finish(batch: pa.Table) -> pa.Table:
+        for name, nd in rounds:
+            i = batch.schema.get_field_index(name)
+            batch = batch.set_column(
+                i, name, pc.round(pc.cast(batch[name], pa.float64()),
+                                  ndigits=nd, **_ROUND))
+        return batch.select(sel)
+
+    out = out.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    if plan.order_by:
+        out = out.sort([c for c, _ in plan.order_by],
+                       descending=[d for _, d in plan.order_by])
+    if plan.limit is not None:
+        out = out.limit(plan.limit)
+    return out
+
+
 def explain_sql(sql: str, sf_dir: str, **opts) -> str:
     """EXPLAIN for the router: the routing decisions run_sql would take
     for this exact query over this exact data, one line per decision.
@@ -835,6 +988,9 @@ def run_sql_store(sql: str, store, key_col: str | None = None,
     from .sketches import Sketch
 
     plan = parse_sql(sql)
+    if any(it.window for it in plan.items):
+        raise ValueError("window functions are not answerable from the "
+                         "sketch store; use run_sql")
     kc = key_col or "group_key"
     keys = store.keys()
     # WHERE: key-equality / IN filters only (there is no other column)
@@ -1086,6 +1242,9 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
     from .sketches import Sketch
 
     plan = parse_sql(sql)
+    if any(it.window for it in plan.items):
+        raise ValueError("window functions do not stream progressively; "
+                         "use run_sql")
     if plan.joins or plan.having or len(plan.group_by) > 1:
         raise ValueError("progressive SQL supports a single table, scalar "
                          "WHERE, and at most one GROUP BY key")

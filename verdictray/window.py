@@ -1193,3 +1193,125 @@ def ntile_agg(ds, keys: list[str], value_col: str, tiebreak: list[str],
         return pd.DataFrame({**out, **res})
 
     return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
+# ------------------------------------------------- generic SQL window funcs
+_WINDOW_RANKERS = ("row_number", "rank", "dense_rank")
+_WINDOW_CUMAGGS = ("sum", "count", "min", "max", "avg")
+
+
+def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
+                       specs: list[dict], buckets: int = 32):
+    """Generic SQL window functions over one PARTITION BY key and one
+    shared ORDER BY spec — the execution target of the SQL router's
+    ``FUNC(...) OVER (PARTITION BY k ORDER BY c [DESC], ...)`` items.
+
+    ``order_by``: ``[(col, desc), ...]``; ``specs``: ``[{"func": f,
+    "col": c_or_None, "alias": a}, ...]`` with f in ROW_NUMBER / RANK /
+    DENSE_RANK / SUM / COUNT / MIN / MAX / AVG.
+
+    Semantics match ANSI/DuckDB defaults exactly:
+    - ranking funcs rank over the full partition; RANK/DENSE_RANK are
+      peer-invariant (deterministic under ties); ROW_NUMBER is
+      deterministic only when the ORDER BY is total per partition —
+      the caller's contract, same as in any SQL engine.
+    - cumulative aggregates use the default frame ``RANGE BETWEEN
+      UNBOUNDED PRECEDING AND CURRENT ROW``: peer rows (equal on ALL
+      order columns) share one frame result, implemented as a rows-frame
+      running agg smeared to the LAST row of each peer group.
+
+    Distributed shape (the family idiom): ONE hash-bucket shuffle on the
+    key, then a single vectorized pandas/numpy sort + prefix-scan pass per
+    bucket — every window column for every key in the bucket computed in
+    one pass, no per-key tasks. Partitioning assumption: one key's rows
+    fit a task (see cumulative_agg's ``chunk_ranges`` for the hot-key
+    overflow idiom when they don't). Appends one column per spec alias;
+    input columns pass through unchanged."""
+    for s in specs:
+        f = s["func"]
+        if f not in _WINDOW_RANKERS and f not in _WINDOW_CUMAGGS:
+            raise ValueError(f"unsupported window function {f!r}")
+        if f in _WINDOW_CUMAGGS and f != "count" and not s.get("col"):
+            raise ValueError(f"window {f} requires a value column")
+    if not order_by:
+        raise ValueError("partitioned_window requires ORDER BY columns")
+    ord_cols = [c for c, _ in order_by]
+    ascending = [True] + [not d for _, d in order_by]
+    peer_cols = [key] + ord_cols
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = (hash64(batch[key], seed=67) % np.uint64(buckets)).astype(np.int64)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(peer_cols, ascending=ascending,
+                          kind="mergesort").reset_index(drop=True)
+        g = g.drop(columns=["_bucket"])
+        n = len(g)
+        if n == 0:
+            for s in specs:
+                dt = (np.int64 if s["func"] in _WINDOW_RANKERS
+                      or s["func"] == "count" else np.float64)
+                g[s["alias"]] = np.array([], dtype=dt)
+            return g
+        # boundary masks over the SORTED frame (all numpy from here)
+        new_key = g[key].ne(g[key].shift()).to_numpy()
+        new_peer = (new_key
+                    | g[ord_cols].ne(g[ord_cols].shift()).any(axis=1)
+                    .to_numpy())
+        rn = np.arange(n, dtype=np.int64) \
+            - np.maximum.accumulate(
+                np.where(new_key, np.arange(n, dtype=np.int64), 0)) + 1
+        peer_ord = new_peer.cumsum() - 1               # 0-based peer group id
+        peer_first = np.flatnonzero(new_peer)          # first row per peer
+        peer_last = np.flatnonzero(np.append(new_peer[1:], True))
+
+        def smear_last(arr: np.ndarray) -> np.ndarray:
+            # default RANGE frame: every peer row takes the running value
+            # at the LAST row of its peer group
+            return arr[peer_last[peer_ord]]
+
+        grp = None
+        for s in specs:
+            f, c, a = s["func"], s.get("col"), s["alias"]
+            if f == "row_number":
+                g[a] = rn
+            elif f == "rank":
+                g[a] = rn[peer_first[peer_ord]]
+            elif f == "dense_rank":
+                key_ord = new_key.cumsum() - 1
+                key_first = np.flatnonzero(new_key)
+                g[a] = peer_ord - peer_ord[key_first[key_ord]] + 1
+            else:
+                if grp is None:
+                    grp = g.groupby(key, sort=False)
+                def nullsafe(scan: pd.Series) -> np.ndarray:
+                    # SQL aggs ignore NULLs: a null row carries the
+                    # preceding running value (per key); a frame of only
+                    # nulls stays NULL (ffill from nothing is NaN)
+                    return (scan.groupby(g[key], sort=False).ffill()
+                            .to_numpy())
+
+                if f == "count":
+                    run = rn if c is None else (
+                        g[c].notna().groupby(g[key], sort=False)
+                        .cumsum().to_numpy())
+                    g[a] = smear_last(np.asarray(run, dtype=np.int64))
+                elif f == "sum":
+                    g[a] = smear_last(nullsafe(grp[c].cumsum()))
+                elif f == "min":
+                    g[a] = smear_last(nullsafe(grp[c].cummin()))
+                elif f == "max":
+                    g[a] = smear_last(nullsafe(grp[c].cummax()))
+                else:  # avg over the RANGE frame
+                    cs = smear_last(
+                        nullsafe(grp[c].cumsum()).astype(np.float64))
+                    ct = smear_last(
+                        g[c].notna().groupby(g[key], sort=False)
+                        .cumsum().to_numpy().astype(np.float64))
+                    g[a] = cs / ct
+        return g
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
