@@ -488,3 +488,22 @@ def test_window_explain_reports_routing(ray_session, sf01_dir):
         sf01_dir)
     assert "WINDOW OVER" in txt and "hash-bucket shuffle" in txt
     assert "pruned columns" in txt and "FILTER" in txt
+
+
+def test_window_nav_funcs_match_duckdb(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT event_id,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv,
+             LEAD(value, 3) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nv,
+             FIRST_VALUE(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS fv,
+             LAST_VALUE(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS lv
+             FROM events WHERE event_type = 'error'
+             ORDER BY event_id LIMIT 2500"""
+    mine = _canon(run_sql(sql, sf01_dir).to_pandas())
+    ora = _canon(_duck(sf01_dir, sql))
+    pdt.assert_frame_equal(mine, ora, check_dtype=False, atol=1e-9, rtol=0)

@@ -1366,6 +1366,32 @@ ORDER BY event_id ASC
 """
 
 
+SQL_WINDOW_NAV = """
+SELECT event_id,
+       LAG(value) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS prev_value,
+       LEAD(value, 2) OVER (PARTITION BY user_id
+                            ORDER BY ts ASC, event_id ASC) AS next2_value,
+       FIRST_VALUE(value) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS first_v,
+       LAST_VALUE(value) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS last_v
+FROM events WHERE event_type = 'click'
+ORDER BY event_id ASC LIMIT 3000
+"""
+
+
+def q_sql_window_nav(sf_dir: str):
+    """sqlrouter navigation window functions: LAG/LEAD(col, n)/
+    FIRST_VALUE/LAST_VALUE sharing one spec (single shuffle, one
+    per-bucket pass). The OVER order is total per partition, so LAST_VALUE
+    under the default frame (…AND CURRENT ROW) is the current row's value
+    on every engine — deterministic and hash-stable."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_NAV, sf_dir)
+
+
 def q_sql_window_rownum(sf_dir: str):
     """sqlrouter window routing: ROW_NUMBER() OVER (PARTITION BY … ORDER
     BY …) → window.partitioned_window (one hash-bucket shuffle on the
@@ -3293,6 +3319,7 @@ QUERIES = {
     "sql_window_rownum": q_sql_window_rownum,
     "sql_window_cumsum": q_sql_window_cumsum,
     "sql_window_ranks": q_sql_window_ranks,
+    "sql_window_nav": q_sql_window_nav,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3411,6 +3438,7 @@ ORACLES = {
     "sql_window_rownum": SQL_WINDOW_ROWNUM,
     "sql_window_cumsum": SQL_WINDOW_CUMSUM,
     "sql_window_ranks": SQL_WINDOW_RANKS,
+    "sql_window_nav": SQL_WINDOW_NAV,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3465,6 +3493,7 @@ ORACLES = {
 DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
+    "sql_window_nav",
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",

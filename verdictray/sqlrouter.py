@@ -33,6 +33,8 @@ except membership ``IN (SELECT col FROM t)``):
           | SUM|COUNT|AVG|MIN|MAX(col) OVER w   -- cumulative (ANSI default
                                                 --   RANGE framing: peer rows
                                                 --   share frame results)
+          | LAG|LEAD(col [, n]) OVER w          -- navigation (frameless)
+          | FIRST_VALUE|LAST_VALUE(col) OVER w  -- default-frame semantics
     w    := ( PARTITION BY col ORDER BY col [ASC|DESC] ("," ...)* )
                                                 -- one shared spec per query;
                                                 --   routed to
@@ -97,6 +99,8 @@ _AGGS = {"count", "sum", "avg", "min", "max", "money_sum",
 _WINDOW_FNS = {"row_number", "rank", "dense_rank"}
 # aggregates that may also run as cumulative window functions
 _WINDOW_CUM = {"sum", "count", "avg", "min", "max"}
+# navigation functions: LAG/LEAD(col[, n]), FIRST/LAST_VALUE(col) — OVER only
+_WINDOW_NAV = {"lag", "lead", "first_value", "last_value"}
 
 _TOKEN = re.compile(r"""
     \s*(
@@ -130,6 +134,7 @@ class _Agg:
     # (partition_col, ((order_col, desc), ...)) when the item carries an
     # OVER clause — routed to window.partitioned_window
     window: tuple | None = None
+    offset: int | None = None  # LAG/LEAD row offset (default 1)
 
     @property
     def name(self) -> str:
@@ -139,6 +144,8 @@ class _Agg:
             return self.col
         if self.fn in _WINDOW_FNS and self.col is None:
             return self.fn
+        if self.fn in _WINDOW_NAV:
+            return f"{self.fn}_{self.col}"
         if self.fn == "count" and self.col is None:
             return "count_star"
         d = "distinct_" if self.distinct else ""
@@ -215,6 +222,18 @@ class _Parser:
             self.expect("(")
             self.expect(")")
             ag = _Agg(low, None)
+            ag.window = self._over()          # OVER is mandatory here
+            return ag
+        if low in _WINDOW_NAV:
+            self.expect("(")
+            col = self.take()
+            off = None
+            if self.peek() == ",":
+                self.take()
+                off = int(self.take())
+            self.expect(")")
+            ag = _Agg(low, col, )
+            ag.offset = off
             ag.window = self._over()          # OVER is mandatory here
             return ag
         if low in _AGGS:
@@ -902,8 +921,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         raise ValueError(f"unknown column(s) {missing} on {plan.table!r}")
     cols = sorted(needed)
 
-    specs = [{"func": it.fn, "col": it.col, "alias": it.name}
-             for it in win_items]
+    specs = [{"func": it.fn, "col": it.col, "alias": it.name,
+              "offset": it.offset} for it in win_items]
     if explain is not None:
         explain.append(f"READ {plan.table}: pruned columns={cols}")
         if plan.where:

@@ -1198,6 +1198,10 @@ def ntile_agg(ds, keys: list[str], value_col: str, tiebreak: list[str],
 # ------------------------------------------------- generic SQL window funcs
 _WINDOW_RANKERS = ("row_number", "rank", "dense_rank")
 _WINDOW_CUMAGGS = ("sum", "count", "min", "max", "avg")
+# navigation funcs: LAG/LEAD take (col, offset); FIRST/LAST_VALUE take col.
+# LAG/LEAD ignore framing entirely; FIRST_VALUE over the default frame is
+# the partition's first value, LAST_VALUE the current peer group's last.
+_WINDOW_NAV = ("lag", "lead", "first_value", "last_value")
 
 
 def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
@@ -1207,8 +1211,10 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
     ``FUNC(...) OVER (PARTITION BY k ORDER BY c [DESC], ...)`` items.
 
     ``order_by``: ``[(col, desc), ...]``; ``specs``: ``[{"func": f,
-    "col": c_or_None, "alias": a}, ...]`` with f in ROW_NUMBER / RANK /
-    DENSE_RANK / SUM / COUNT / MIN / MAX / AVG.
+    "col": c_or_None, "alias": a, "offset": n_opt}, ...]`` with f in
+    ROW_NUMBER / RANK / DENSE_RANK / SUM / COUNT / MIN / MAX / AVG /
+    LAG / LEAD / FIRST_VALUE / LAST_VALUE (offset applies to LAG/LEAD,
+    default 1).
 
     Semantics match ANSI/DuckDB defaults exactly:
     - ranking funcs rank over the full partition; RANK/DENSE_RANK are
@@ -1229,9 +1235,11 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
     input columns pass through unchanged."""
     for s in specs:
         f = s["func"]
-        if f not in _WINDOW_RANKERS and f not in _WINDOW_CUMAGGS:
+        if (f not in _WINDOW_RANKERS and f not in _WINDOW_CUMAGGS
+                and f not in _WINDOW_NAV):
             raise ValueError(f"unsupported window function {f!r}")
-        if f in _WINDOW_CUMAGGS and f != "count" and not s.get("col"):
+        if ((f in _WINDOW_CUMAGGS and f != "count") or f in _WINDOW_NAV) \
+                and not s.get("col"):
             raise ValueError(f"window {f} requires a value column")
     if not order_by:
         raise ValueError("partitioned_window requires ORDER BY columns")
@@ -1250,9 +1258,12 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
         n = len(g)
         if n == 0:
             for s in specs:
-                dt = (np.int64 if s["func"] in _WINDOW_RANKERS
-                      or s["func"] == "count" else np.float64)
-                g[s["alias"]] = np.array([], dtype=dt)
+                if s["func"] in _WINDOW_NAV:
+                    g[s["alias"]] = g[s["col"]]     # empty, input dtype
+                else:
+                    dt = (np.int64 if s["func"] in _WINDOW_RANKERS
+                          or s["func"] == "count" else np.float64)
+                    g[s["alias"]] = np.array([], dtype=dt)
             return g
         # boundary masks over the SORTED frame (all numpy from here)
         new_key = g[key].ne(g[key].shift()).to_numpy()
@@ -1282,6 +1293,17 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                 key_ord = new_key.cumsum() - 1
                 key_first = np.flatnonzero(new_key)
                 g[a] = peer_ord - peer_ord[key_first[key_ord]] + 1
+            elif f in ("lag", "lead"):
+                off = int(s.get("offset") or 1)
+                if grp is None:
+                    grp = g.groupby(key, sort=False)
+                g[a] = grp[c].shift(off if f == "lag" else -off)
+            elif f == "first_value":
+                key_ord = new_key.cumsum() - 1
+                key_first = np.flatnonzero(new_key)
+                g[a] = g[c].to_numpy()[key_first[key_ord]]
+            elif f == "last_value":
+                g[a] = smear_last(g[c].to_numpy())
             else:
                 if grp is None:
                     grp = g.groupby(key, sort=False)
