@@ -1031,3 +1031,98 @@ def test_window_hasher_equals_naive_reference_random():
                 share_ref = bool(ref[a] & ref[b])
                 share_hash = bool(hmap.get(a, set()) & hmap.get(b, set()))
                 assert share_ref == share_hash, (a, b)
+
+
+# ---------------------------------------------------------------- gopher
+def test_gopher_flags_match_duckdb_on_torture_strings(ray_session):
+    """Every rule exercised: bullets, ellipsis line-ends, symbol soup,
+    non-alpha words, short/long docs, nulls, empty strings, multi-line."""
+    import duckdb
+    import pyarrow as pa
+
+    from verdictray.text import with_gopher_flags
+
+    docs = [
+        "short doc",                                  # fails n_words
+        " ".join(["word"] * 60),                      # passes everything
+        " ".join(["supercalifragilistic"] * 55),      # fails mean_word_len
+        " ".join(["ok"] * 30) + " " + " ".join(["#"] * 30),  # symbol+alpha
+        "\n".join(f"- bullet {i} text here" for i in range(40))
+        + "\n" + " ".join(["pad"] * 60),              # high bullet frac
+        "\n".join(f"line {i} trails off..." for i in range(30))
+        + "\n" + " ".join(["pad"] * 60),              # high ellipsis frac
+        " ".join(["12345"] * 70),                     # fails alpha frac
+        "",                                           # empty
+        None,                                         # null text
+        " ".join([chr(0x2026)] * 60),                 # … symbols, non-alpha
+    ]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    mine = with_gopher_flags(t).to_pandas().sort_values("doc_id")
+
+    con = duckdb.connect()
+    con.register("documents_t", t.to_pandas())
+    ora = con.sql("""
+    WITH feat AS (
+      SELECT doc_id,
+        len(regexp_extract_all(coalesce(text,''), '\\S+')) AS n_words,
+        CAST(list_sum(list_transform(regexp_extract_all(coalesce(text,''),
+             '\\S+'), w -> length(w))) AS DOUBLE)
+          / greatest(len(regexp_extract_all(coalesce(text,''), '\\S+')), 1)
+          AS mwl,
+        CAST((length(coalesce(text,'')) -
+              length(replace(coalesce(text,''), '#', ''))) +
+             (length(coalesce(text,'')) -
+              length(replace(coalesce(text,''), '…', ''))) AS DOUBLE)
+          / greatest(len(regexp_extract_all(coalesce(text,''), '\\S+')), 1)
+          AS sym,
+        CAST(len(regexp_extract_all(coalesce(text,''),
+             '(?m)^\\s*[-*•]')) AS DOUBLE)
+          / greatest(len(string_split(coalesce(text,''), chr(10))), 1)
+          AS bullet,
+        CAST(len(regexp_extract_all(coalesce(text,''),
+             '(?m)(\\.\\.\\.|…)$')) AS DOUBLE)
+          / greatest(len(string_split(coalesce(text,''), chr(10))), 1)
+          AS ell,
+        CAST(len(list_filter(regexp_extract_all(coalesce(text,''), '\\S+'),
+             w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / greatest(len(regexp_extract_all(coalesce(text,''), '\\S+')), 1)
+          AS alpha
+      FROM documents_t
+    )
+    SELECT doc_id,
+      CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END AS f_nw,
+      CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS f_wl,
+      CASE WHEN sym > 0.1 THEN 1 ELSE 0 END AS f_sy,
+      CASE WHEN bullet > 0.9 THEN 1 ELSE 0 END AS f_bu,
+      CASE WHEN ell > 0.3 THEN 1 ELSE 0 END AS f_el,
+      CASE WHEN alpha < 0.8 THEN 1 ELSE 0 END AS f_al
+    FROM feat ORDER BY doc_id
+    """).df()
+    pairs = [("fail_nwords", "f_nw"), ("fail_wordlen", "f_wl"),
+             ("fail_symbol", "f_sy"), ("fail_bullet", "f_bu"),
+             ("fail_ellipsis", "f_el"), ("fail_alpha", "f_al")]
+    for a, b in pairs:
+        assert mine[a].tolist() == ora[b].tolist(), (a, mine[a].tolist(),
+                                                     ora[b].tolist())
+    # at least one doc fails each rule and at least one passes everything
+    for a, _ in pairs:
+        assert mine[a].sum() >= 1, a
+    assert mine["gopher_pass"].sum() >= 1
+    assert (mine["gopher_pass"]
+            == (1 - mine[[a for a, _ in pairs]].max(axis=1))).all()
+
+
+def test_gopher_filter_streams_and_keeps_only_passing(ray_session, sf01_dir):
+    import ray.data as rd
+
+    from verdictray.text import gopher_filter, with_gopher_flags
+
+    ds = rd.read_parquet(f"{sf01_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    kept = gopher_filter(ds, "text").to_pandas()
+    flags = ds.map_batches(with_gopher_flags, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    expect = set(flags.loc[flags.gopher_pass == 1, "doc_id"])
+    assert set(kept.doc_id) == expect and len(expect) > 0
+    # the filter keeps the input schema (no feature columns leak through)
+    assert list(kept.columns) == ["doc_id", "text"]

@@ -1892,6 +1892,72 @@ FROM per_doc GROUP BY lang
 """
 
 
+def q_gopher_stats_by_lang(sf_dir: str):
+    """Gopher-rule quality gate (Rae et al. 2021 §A1.1 style) over the
+    documents table: per-lang counts of documents failing each rule and
+    passing all. The features are single-pass vectorized Arrow kernels,
+    the rules pure threshold comparisons on integer-derived ratios, so the
+    verdicts hash-match the DuckDB re-derivation (SQL_GOPHER_STATS)
+    exactly. Failure counts sum map-side (int flags through a plain
+    grouped Sum) — one tiny shuffle of lang-keyed partials."""
+    from ray.data.aggregate import Count, Sum
+
+    from .text import with_gopher_flags
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    flag_cols = ["fail_nwords", "fail_wordlen", "fail_symbol",
+                 "fail_bullet", "fail_ellipsis", "fail_alpha",
+                 "gopher_pass"]
+    ds = ds.map_batches(
+        lambda b: with_gopher_flags(b).select(["lang", *flag_cols]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (ds.groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       *[Sum(c, alias_name=f"n_{c}") for c in flag_cols])
+            .sort("lang"))
+
+
+SQL_GOPHER_STATS = """
+WITH feat AS (
+  SELECT lang,
+    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    CAST(list_sum(list_transform(regexp_extract_all(text, '\\S+'),
+                                 w -> length(w))) AS DOUBLE)
+      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS mwl,
+    CAST((length(text) - length(replace(text, '#', ''))) +
+         (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS sym,
+    CAST(len(regexp_extract_all(text, '(?m)^\\s*[-*•]')) AS DOUBLE)
+      / greatest(len(string_split(text, chr(10))), 1) AS bullet,
+    CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)$')) AS DOUBLE)
+      / greatest(len(string_split(text, chr(10))), 1) AS ell,
+    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+                         w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS alpha
+  FROM documents
+), flags AS (
+  SELECT lang,
+    CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END AS f_nw,
+    CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 1 ELSE 0 END AS f_wl,
+    CASE WHEN sym > 0.1 THEN 1 ELSE 0 END AS f_sy,
+    CASE WHEN bullet > 0.9 THEN 1 ELSE 0 END AS f_bu,
+    CASE WHEN ell > 0.3 THEN 1 ELSE 0 END AS f_el,
+    CASE WHEN alpha < 0.8 THEN 1 ELSE 0 END AS f_al
+  FROM feat
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(f_nw) AS BIGINT) AS n_fail_nwords,
+  CAST(sum(f_wl) AS BIGINT) AS n_fail_wordlen,
+  CAST(sum(f_sy) AS BIGINT) AS n_fail_symbol,
+  CAST(sum(f_bu) AS BIGINT) AS n_fail_bullet,
+  CAST(sum(f_el) AS BIGINT) AS n_fail_ellipsis,
+  CAST(sum(f_al) AS BIGINT) AS n_fail_alpha,
+  CAST(sum(CASE WHEN f_nw + f_wl + f_sy + f_bu + f_el + f_al = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass
+FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Eval-set decontamination via the EXACT distributed anti-join
     (join.semi_anti_join): drop every non-'de' document whose text appears
@@ -3320,6 +3386,7 @@ QUERIES = {
     "sql_window_cumsum": q_sql_window_cumsum,
     "sql_window_ranks": q_sql_window_ranks,
     "sql_window_nav": q_sql_window_nav,
+    "gopher_stats_by_lang": q_gopher_stats_by_lang,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3439,6 +3506,7 @@ ORACLES = {
     "sql_window_cumsum": SQL_WINDOW_CUMSUM,
     "sql_window_ranks": SQL_WINDOW_RANKS,
     "sql_window_nav": SQL_WINDOW_NAV,
+    "gopher_stats_by_lang": SQL_GOPHER_STATS,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3493,7 +3561,7 @@ ORACLES = {
 DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
-    "sql_window_nav",
+    "sql_window_nav", "gopher_stats_by_lang",
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",

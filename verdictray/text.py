@@ -414,3 +414,111 @@ def redact_text(batch: pa.Table, col: str,
     for cname, vals in counts.items():
         batch = batch.append_column(cname, vals)
     return batch
+
+
+# ------------------------------------------------------- gopher quality rules
+# Repetition/structure document filters in the style of Gopher (Rae et al.
+# 2021, arXiv:2112.11446 §A1.1) and C4 — the standard pre-training corpus
+# quality gate. All features are single-pass vectorized Arrow kernels
+# (count_substring / count_substring_regex over the whole batch); the rules
+# are pure threshold comparisons, so the pass/fail verdict is exactly
+# reproducible by any engine (SQL oracle: SQL_GOPHER_STATS).
+GOPHER_DEFAULTS = {
+    "min_words": 50, "max_words": 100_000,
+    "min_word_len": 3.0, "max_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9, "max_ellipsis_frac": 0.3,
+    "min_alpha_frac": 0.8,
+}
+
+
+def with_gopher_features(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append the Gopher rule features: ``n_words``, ``mean_word_len``,
+    ``symbol_ratio`` (#/… per word), ``bullet_line_frac``,
+    ``ellipsis_line_frac``, ``alpha_word_frac``. One regex/count kernel
+    per feature over the whole batch; null text counts as empty."""
+    text = pc.fill_null(batch[col], "")
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    safe_w = pc.cast(pc.max_element_wise(n_words, pa.scalar(1, pa.int64())),
+                     pa.float64())
+    word_chars = pc.subtract(pc.utf8_length(text),
+                             pc.count_substring_regex(text, r"\s"))
+    mean_word_len = pc.divide(pc.cast(word_chars, pa.float64()), safe_w)
+    n_sym = pc.add(pc.count_substring(text, "#"),
+                   pc.count_substring(text, "…"))
+    symbol_ratio = pc.divide(pc.cast(n_sym, pa.float64()), safe_w)
+    n_lines = pc.add(pc.cast(pc.count_substring(text, "\n"), pa.int64()),
+                     pa.scalar(1, pa.int64()))
+    safe_l = pc.cast(pc.max_element_wise(n_lines,
+                                         pa.scalar(1, pa.int64())),
+                     pa.float64())
+    bullet_frac = pc.divide(
+        pc.cast(pc.count_substring_regex(text, r"(?m)^\s*[-*•]"),
+                pa.float64()), safe_l)
+    ellipsis_frac = pc.divide(
+        pc.cast(pc.count_substring_regex(text, r"(?m)(\.\.\.|…)$"),
+                pa.float64()), safe_l)
+    # one non-overlapping greedy match per word containing ≥1 ascii letter
+    alpha_frac = pc.divide(
+        pc.cast(pc.count_substring_regex(text, r"\S*[A-Za-z]\S*"),
+                pa.float64()), safe_w)
+    batch = batch.append_column("n_words", n_words)
+    batch = batch.append_column("mean_word_len", mean_word_len)
+    batch = batch.append_column("symbol_ratio", symbol_ratio)
+    batch = batch.append_column("bullet_line_frac", bullet_frac)
+    batch = batch.append_column("ellipsis_line_frac", ellipsis_frac)
+    return batch.append_column("alpha_word_frac", alpha_frac)
+
+
+def with_gopher_flags(batch: pa.Table, col: str = "text",
+                      **thresholds) -> pa.Table:
+    """Append int64 per-rule fail flags (``fail_nwords`` / ``fail_wordlen``
+    / ``fail_symbol`` / ``fail_bullet`` / ``fail_ellipsis`` /
+    ``fail_alpha``) plus ``gopher_pass`` — int so a plain grouped Sum
+    counts failures map-side. Thresholds default to GOPHER_DEFAULTS."""
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    b = with_gopher_features(batch, col)
+
+    def flag(mask) -> pa.Array:
+        return pc.cast(mask, pa.int64())
+
+    f_nw = pc.or_(pc.less(b["n_words"], pa.scalar(th["min_words"])),
+                  pc.greater(b["n_words"], pa.scalar(th["max_words"])))
+    # vacuous on empty docs (n_words == 0): there is no word length to
+    # judge, and the nwords rule already fails them — matches the SQL
+    # oracle, where the mean over zero words is NULL and CASE → 0
+    f_wl = pc.and_(
+        pc.greater(b["n_words"], pa.scalar(0)),
+        pc.or_(pc.less(b["mean_word_len"],
+                       pa.scalar(float(th["min_word_len"]))),
+               pc.greater(b["mean_word_len"],
+                          pa.scalar(float(th["max_word_len"])))))
+    f_sy = pc.greater(b["symbol_ratio"],
+                      pa.scalar(float(th["max_symbol_ratio"])))
+    f_bu = pc.greater(b["bullet_line_frac"],
+                      pa.scalar(float(th["max_bullet_frac"])))
+    f_el = pc.greater(b["ellipsis_line_frac"],
+                      pa.scalar(float(th["max_ellipsis_frac"])))
+    f_al = pc.less(b["alpha_word_frac"],
+                   pa.scalar(float(th["min_alpha_frac"])))
+    any_fail = f_nw
+    for m in (f_wl, f_sy, f_bu, f_el, f_al):
+        any_fail = pc.or_(any_fail, m)
+    b = b.append_column("fail_nwords", flag(f_nw))
+    b = b.append_column("fail_wordlen", flag(f_wl))
+    b = b.append_column("fail_symbol", flag(f_sy))
+    b = b.append_column("fail_bullet", flag(f_bu))
+    b = b.append_column("fail_ellipsis", flag(f_el))
+    b = b.append_column("fail_alpha", flag(f_al))
+    return b.append_column("gopher_pass", flag(pc.invert(any_fail)))
+
+
+def gopher_filter(ds, col: str = "text", **thresholds):
+    """Streaming Gopher quality gate: keep only documents passing every
+    rule. Zero shuffles — one vectorized map_batches + filter."""
+    def keep(batch: pa.Table) -> pa.Table:
+        b = with_gopher_flags(batch, col, **thresholds)
+        return batch.filter(pc.equal(b["gopher_pass"], pa.scalar(1)))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
