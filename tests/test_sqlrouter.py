@@ -507,3 +507,36 @@ def test_window_nav_funcs_match_duckdb(ray_session, sf01_dir):
     mine = _canon(run_sql(sql, sf01_dir).to_pandas())
     ora = _canon(_duck(sf01_dir, sql))
     pdt.assert_frame_equal(mine, ora, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_window_ntile_and_partition_totals_match_duckdb(ray_session,
+                                                        sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    for sql in (
+        """SELECT o_orderkey, NTILE(4) OVER (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS tile
+           FROM orders WHERE o_totalprice > 300000 ORDER BY o_orderkey""",
+        """SELECT event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id), 3) AS tot,
+           COUNT(*) OVER (PARTITION BY user_id) AS n,
+           MAX(value) OVER (PARTITION BY user_id) AS mx
+           FROM events WHERE event_type = 'purchase' AND value > 4.5
+           ORDER BY event_id""",
+    ):
+        mine = _canon(run_sql(sql, sf01_dir).to_pandas())
+        ora = _canon(_duck(sf01_dir, sql))
+        pdt.assert_frame_equal(mine, ora, check_dtype=False,
+                               atol=1e-9, rtol=0)
+
+
+def test_window_orderless_rejects_order_dependent_funcs(ray_session,
+                                                        sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="require ORDER BY"):
+        run_sql("SELECT ROW_NUMBER() OVER (PARTITION BY user_id) AS rn "
+                "FROM events", sf01_dir)
+    with pytest.raises(ValueError, match="require ORDER BY"):
+        run_sql("SELECT LAG(value) OVER (PARTITION BY user_id) AS pv "
+                "FROM events", sf01_dir)

@@ -1381,6 +1381,43 @@ ORDER BY event_id ASC LIMIT 3000
 """
 
 
+SQL_WINDOW_NTILE = """
+SELECT o_orderkey,
+       NTILE(7) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS tile
+FROM orders WHERE o_totalprice > 280000
+ORDER BY o_orderkey ASC
+"""
+SQL_WINDOW_PARTTOTAL = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id), 2) AS user_total,
+       COUNT(*) OVER (PARTITION BY user_id) AS user_n,
+       MIN(value) OVER (PARTITION BY user_id) AS user_min
+FROM events WHERE event_type = 'signup'
+ORDER BY event_id ASC
+"""
+
+
+def q_sql_window_ntile(sf_dir: str):
+    """sqlrouter NTILE(n) OVER — SQL tile numbering (first count % n
+    tiles take one extra row) computed from the per-key prefix index and
+    partition count in the same vectorized bucket pass. The OVER order is
+    total per partition, so tiles are engine-portable."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_NTILE, sf_dir)
+
+
+def q_sql_window_parttotal(sf_dir: str):
+    """sqlrouter ORDER-BY-less OVER (PARTITION BY k): the frame is the
+    full partition — every row carries its partition's SUM/COUNT/MIN.
+    Same single-shuffle kernel; all rows are peers so the peer smear
+    yields partition totals. Float SUM rounded for hash stability."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_PARTTOTAL, sf_dir)
+
+
 def q_sql_window_nav(sf_dir: str):
     """sqlrouter navigation window functions: LAG/LEAD(col, n)/
     FIRST_VALUE/LAST_VALUE sharing one spec (single shuffle, one
@@ -3387,6 +3424,8 @@ QUERIES = {
     "sql_window_ranks": q_sql_window_ranks,
     "sql_window_nav": q_sql_window_nav,
     "gopher_stats_by_lang": q_gopher_stats_by_lang,
+    "sql_window_ntile": q_sql_window_ntile,
+    "sql_window_parttotal": q_sql_window_parttotal,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3507,6 +3546,8 @@ ORACLES = {
     "sql_window_ranks": SQL_WINDOW_RANKS,
     "sql_window_nav": SQL_WINDOW_NAV,
     "gopher_stats_by_lang": SQL_GOPHER_STATS,
+    "sql_window_ntile": SQL_WINDOW_NTILE,
+    "sql_window_parttotal": SQL_WINDOW_PARTTOTAL,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3562,6 +3603,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- new in round 4 ---
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang",
+    "sql_window_ntile", "sql_window_parttotal",
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",

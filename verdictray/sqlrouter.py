@@ -35,7 +35,12 @@ except membership ``IN (SELECT col FROM t)``):
                                                 --   share frame results)
           | LAG|LEAD(col [, n]) OVER w          -- navigation (frameless)
           | FIRST_VALUE|LAST_VALUE(col) OVER w  -- default-frame semantics
-    w    := ( PARTITION BY col ORDER BY col [ASC|DESC] ("," ...)* )
+          | NTILE(n) OVER w                     -- SQL tile numbering
+    w    := ( PARTITION BY col [ORDER BY col [ASC|DESC] ("," ...)*] )
+                                                -- ORDER BY may be omitted
+                                                --   only for SUM/COUNT/AVG/
+                                                --   MIN/MAX (full-partition
+                                                --   frame)
                                                 -- one shared spec per query;
                                                 --   routed to
                                                 --   window.partitioned_window
@@ -144,6 +149,8 @@ class _Agg:
             return self.col
         if self.fn in _WINDOW_FNS and self.col is None:
             return self.fn
+        if self.fn == "ntile":
+            return "ntile"
         if self.fn in _WINDOW_NAV:
             return f"{self.fn}_{self.col}"
         if self.fn == "count" and self.col is None:
@@ -224,6 +231,14 @@ class _Parser:
             ag = _Agg(low, None)
             ag.window = self._over()          # OVER is mandatory here
             return ag
+        if low == "ntile":
+            self.expect("(")
+            n_tiles = int(self.take())
+            self.expect(")")
+            ag = _Agg("ntile", None)
+            ag.offset = n_tiles
+            ag.window = self._over()          # OVER is mandatory here
+            return ag
         if low in _WINDOW_NAV:
             self.expect("(")
             col = self.take()
@@ -268,25 +283,28 @@ class _Parser:
         return _Agg("col", tok)
 
     def _over(self) -> tuple:
-        """``OVER ( PARTITION BY col ORDER BY col [ASC|DESC] , ... )``"""
+        """``OVER ( PARTITION BY col [ORDER BY col [ASC|DESC] , ...] )`` —
+        ORDER BY may be omitted only for cumulative aggregates (the frame
+        becomes the full partition; enforced at execution)."""
         self.expect("over")
         self.expect("(")
         self.expect("partition")
         self.expect("by")
         part = self.take()
-        self.expect("order")
-        self.expect("by")
         order = []
-        while True:
-            col = self.take()
-            desc = False
-            if self.kw("asc", "desc"):
-                desc = self.take().lower() == "desc"
-            order.append((col, desc))
-            if self.peek() == ",":
-                self.take()
-                continue
-            break
+        if self.kw("order"):
+            self.take()
+            self.expect("by")
+            while True:
+                col = self.take()
+                desc = False
+                if self.kw("asc", "desc"):
+                    desc = self.take().lower() == "desc"
+                order.append((col, desc))
+                if self.peek() == ",":
+                    self.take()
+                    continue
+                break
         self.expect(")")
         return (part, tuple(order))
 

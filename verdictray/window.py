@@ -1236,13 +1236,23 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
     for s in specs:
         f = s["func"]
         if (f not in _WINDOW_RANKERS and f not in _WINDOW_CUMAGGS
-                and f not in _WINDOW_NAV):
+                and f not in _WINDOW_NAV and f != "ntile"):
             raise ValueError(f"unsupported window function {f!r}")
         if ((f in _WINDOW_CUMAGGS and f != "count") or f in _WINDOW_NAV) \
                 and not s.get("col"):
             raise ValueError(f"window {f} requires a value column")
+        if f == "ntile" and not (s.get("offset") or 0) >= 1:
+            raise ValueError("ntile requires a positive tile count")
     if not order_by:
-        raise ValueError("partitioned_window requires ORDER BY columns")
+        # ORDER-BY-less OVER (PARTITION BY k): the frame is the FULL
+        # partition (all rows are peers), well-defined only for the
+        # cumulative aggregates — order-dependent functions would be
+        # nondeterministic, as in any engine that refuses them
+        bad = [s["func"] for s in specs if s["func"] not in _WINDOW_CUMAGGS]
+        if bad:
+            raise ValueError(f"window funcs {bad} require ORDER BY; only "
+                             "SUM/COUNT/AVG/MIN/MAX may omit it "
+                             "(full-partition frame)")
     ord_cols = [c for c, _ in order_by]
     ascending = [True] + [not d for _, d in order_by]
     peer_cols = [key] + ord_cols
@@ -1262,7 +1272,8 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                     g[s["alias"]] = g[s["col"]]     # empty, input dtype
                 else:
                     dt = (np.int64 if s["func"] in _WINDOW_RANKERS
-                          or s["func"] == "count" else np.float64)
+                          or s["func"] in ("count", "ntile")
+                          else np.float64)
                     g[s["alias"]] = np.array([], dtype=dt)
             return g
         # boundary masks over the SORTED frame (all numpy from here)
@@ -1293,6 +1304,21 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                 key_ord = new_key.cumsum() - 1
                 key_first = np.flatnonzero(new_key)
                 g[a] = peer_ord - peer_ord[key_first[key_ord]] + 1
+            elif f == "ntile":
+                nt = int(s["offset"])
+                key_ord = new_key.cumsum() - 1
+                key_last = np.flatnonzero(np.append(new_key[1:], True))
+                cnt = rn[key_last[key_ord]]       # partition row count
+                # SQL NTILE: the first cnt % n tiles get one extra row
+                size_small = cnt // nt
+                n_big = cnt % nt
+                cut = n_big * (size_small + 1)
+                r0 = rn - 1
+                g[a] = np.where(
+                    r0 < cut,
+                    r0 // np.maximum(size_small + 1, 1),
+                    n_big + (r0 - cut) // np.maximum(size_small, 1),
+                ) + 1
             elif f in ("lag", "lead"):
                 off = int(s.get("offset") or 1)
                 if grp is None:
