@@ -1126,3 +1126,34 @@ def test_gopher_filter_streams_and_keeps_only_passing(ray_session, sf01_dir):
     assert set(kept.doc_id) == expect and len(expect) > 0
     # the filter keeps the input schema (no feature columns leak through)
     assert list(kept.columns) == ["doc_id", "text"]
+
+
+def test_top_ngram_frac_matches_naive_reference(ray_session):
+    """Vectorized top-n-gram coverage vs a per-doc Python reference,
+    including count ties with different gram lengths (the coverage-max
+    definition resolves them deterministically)."""
+    import collections
+
+    import pyarrow as pa
+
+    from verdictray.text import with_top_ngram_frac
+
+    docs = [
+        "a b a b a b",                     # dominant 2-gram
+        "xx yy zz xx yy qq xx yy",         # 'xx yy' x3
+        "tie a tie a longword b longword b",  # count tie, longer gram wins
+        "one",                              # < n words
+        "",
+        None,
+        "  spaced   out   words   spaced   out  ",  # whitespace runs
+    ]
+    t = pa.table({"i": list(range(len(docs))), "text": docs})
+    for n in (2, 3):
+        got = with_top_ngram_frac(t, n=n).to_pandas()[f"top{n}gram_frac"]
+        for i, d in enumerate(docs):
+            words = (d or "").split()
+            grams = [words[j:j + n] for j in range(len(words) - n + 1)]
+            cnt = collections.Counter(" ".join(g) for g in grams)
+            best = max((c * len(g) for g, c in cnt.items()), default=0)
+            want = best / max(len(d or ""), 1)
+            assert abs(got[i] - want) < 1e-12, (n, i, got[i], want)

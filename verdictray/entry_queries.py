@@ -1995,6 +1995,55 @@ FROM flags GROUP BY lang ORDER BY lang
 """
 
 
+def q_top2gram_by_lang(sf_dir: str):
+    """Gopher's top-n-gram repetition rule (the last of the repetition
+    family): per document, the max character coverage any single word
+    2-gram achieves (count × gram chars / total chars) — deterministic
+    under count ties because the max is over coverage, not over "the"
+    most common gram. Per-lang mean + max, hash-matched against a DuckDB
+    unnest/window re-derivation (SQL_TOP2GRAM)."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    from .text import with_top_ngram_frac
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    ds = ds.map_batches(
+        lambda b: with_top_ngram_frac(b).select(["lang", "top2gram_frac"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = (ds.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Mean("top2gram_frac", alias_name="avg_frac"),
+                      Max("top2gram_frac", alias_name="max_frac"))
+           .sort("lang"))
+    return out.map_batches(_round_cols({"avg_frac": 4, "max_frac": 6}),
+                           batch_format="pyarrow")
+
+
+SQL_TOP2GRAM = """
+WITH w AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS arr,
+         length(text) AS tc
+  FROM documents
+), grams AS (
+  SELECT doc_id, tc,
+         arr[CAST(i AS BIGINT)] || ' ' || arr[CAST(i AS BIGINT)+1] AS g
+  FROM w, UNNEST(generate_series(1, len(arr)-1)) AS t(i)
+), cov AS (
+  SELECT doc_id, max(cnt * length(g)) AS best
+  FROM (SELECT doc_id, tc, g, count(*) AS cnt
+        FROM grams GROUP BY doc_id, tc, g)
+  GROUP BY doc_id
+), per_doc AS (
+  SELECT w.lang,
+         coalesce(CAST(cov.best AS DOUBLE) / greatest(w.tc, 1), 0.0) AS f
+  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+)
+SELECT lang, count(*) AS n_docs, round(avg(f), 4) AS avg_frac,
+       round(max(f), 6) AS max_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Eval-set decontamination via the EXACT distributed anti-join
     (join.semi_anti_join): drop every non-'de' document whose text appears
@@ -3426,6 +3475,7 @@ QUERIES = {
     "gopher_stats_by_lang": q_gopher_stats_by_lang,
     "sql_window_ntile": q_sql_window_ntile,
     "sql_window_parttotal": q_sql_window_parttotal,
+    "top2gram_repetition_by_lang": q_top2gram_by_lang,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3548,6 +3598,7 @@ ORACLES = {
     "gopher_stats_by_lang": SQL_GOPHER_STATS,
     "sql_window_ntile": SQL_WINDOW_NTILE,
     "sql_window_parttotal": SQL_WINDOW_PARTTOTAL,
+    "top2gram_repetition_by_lang": SQL_TOP2GRAM,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3604,6 +3655,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang",
     "sql_window_ntile", "sql_window_parttotal",
+    "top2gram_repetition_by_lang",
     "corpus_sketches_progressive",
     "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
     "sql_router_quantile", "sql_store_summary",

@@ -522,3 +522,61 @@ def gopher_filter(ds, col: str = "text", **thresholds):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def with_top_ngram_frac(batch: pa.Table, col: str = "text", n: int = 2,
+                        out_col: str | None = None) -> pa.Table:
+    """Gopher's top-n-gram repetition feature: per document, the largest
+    character coverage any single word n-gram achieves —
+    ``max_g(count(g) × chars(g)) / total_chars`` — high values flag the
+    template/boilerplate repetition the Gopher filter drops (Rae et al.
+    2021 §A1.1). Deterministic under count ties by construction (the max
+    is over coverage, not over "the" most-common gram, so no tiebreak
+    ambiguity exists between engines — SQL_TOP2GRAM re-derives it
+    exactly). Docs with fewer than n words score 0.
+
+    Vectorized: one split per batch, gram identity via a single C-level
+    hashed groupby over (doc, word_1..word_n) columns, per-doc max via a
+    second groupby — no per-document Python loop."""
+    import pandas as pd
+
+    if n < 2:
+        raise ValueError("n must be ≥ 2 (use word counts for unigrams)")
+    out_col = out_col or f"top{n}gram_frac"
+    text = pc.fill_null(batch[col], "")
+    total_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    if len(batch) == 0:
+        return batch.append_column(out_col, pa.array([], pa.float64()))
+    lists = pc.utf8_split_whitespace(text)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = pc.list_flatten(lists)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    words = np.asarray(flat.to_pandas(), dtype=object)[keep]
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)[keep]
+    wlen = np.char.str_len(words.astype(str))
+    frac = np.zeros(len(batch), dtype=np.float64)
+    if len(words):
+        # n-gram rows: positions whose next n-1 words stay in the same doc
+        ok = np.ones(len(words) - (n - 1), dtype=bool) \
+            if len(words) >= n else np.zeros(0, dtype=bool)
+        for j in range(1, n):
+            ok &= doc_idx[j:len(doc_idx) - (n - 1) + j] == \
+                doc_idx[:len(doc_idx) - (n - 1)]
+        if ok.any():
+            pos = np.flatnonzero(ok)
+            cols = {"d": doc_idx[pos]}
+            gchars = np.full(len(pos), n - 1, dtype=np.int64)  # joiners
+            for j in range(n):
+                cols[f"w{j}"] = words[pos + j]
+                gchars += wlen[pos + j]
+            df = pd.DataFrame(cols)
+            df["gc"] = gchars
+            per_gram = df.groupby(["d"] + [f"w{j}" for j in range(n)],
+                                  sort=False)
+            cov = per_gram["gc"].transform("size") * df["gc"]
+            best = cov.groupby(df["d"], sort=False).max()
+            frac[best.index.to_numpy()] = best.to_numpy(dtype=np.float64)
+            np.divide(frac, np.maximum(total_chars, 1.0), out=frac)
+    return batch.append_column(out_col, pa.array(frac, pa.float64()))
