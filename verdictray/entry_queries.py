@@ -3651,34 +3651,30 @@ ORACLES = {
 # but the official CORRECTNESS record should cover them). Everything not
 # named here follows in QUERIES order — nothing is dropped, only reordered.
 DRIVER_PRIORITY: list[str] = [
-    # --- new in round 4 ---
+    # never-driver-checked oracle-backed queries lead (the
+    # driver caps at 50); rows-only never-checked next; the
+    # r3-checked tail keeps its order
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
-    "sql_window_nav", "gopher_stats_by_lang",
-    "sql_window_ntile", "sql_window_parttotal",
-    "top2gram_repetition_by_lang",
-    "corpus_sketches_progressive",
-    "sql_router_orders", "sql_router_semijoin", "sql_router_hll",
-    "sql_router_quantile", "sql_store_summary",
-    "sql_router_join", "sql_router_having", "sql_router_topk",
-    "sql_progressive_orders", "partitioned_write_counts",
-    # --- never driver-checked as of CORRECTNESS_r03 ---
+    "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
+    "sql_window_parttotal", "top2gram_repetition_by_lang", "sql_router_orders",
+    "sql_router_semijoin", "sql_router_hll", "sql_router_join",
+    "sql_router_having", "sql_progressive_orders", "partitioned_write_counts",
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",
     "ngram_decontaminated_docs", "token_entropy_by_lang", "vocab_top_terms",
     "pii_redaction_stats", "weighted_docs_sample", "docs_split_counts",
     "docs_mixture_counts", "customer_name_editdist", "customer_order_rows",
-    "lineitem_dispersion_by_flag", "max_value_event_per_type",
-    "orders_price_histogram", "events_cumulative_by_user", "mg_top_users",
-    "price_quantiles_cont", "users_click_no_purchase",
-    "users_signup_and_error", "orders_cube", "signup_funnel",
-    "lineitem_profile", "kmv_set_cardinalities", "lineitem_zscore_by_flag",
-    "top_orders_per_priority", "lineitem_linreg_by_flag",
+    "lineitem_dispersion_by_flag", "max_value_event_per_type", "orders_price_histogram",
+    "events_cumulative_by_user", "mg_top_users", "price_quantiles_cont",
+    "users_click_no_purchase", "users_signup_and_error", "orders_cube",
+    "signup_funnel", "lineitem_profile", "kmv_set_cardinalities",
+    "lineitem_zscore_by_flag", "top_orders_per_priority", "lineitem_linreg_by_flag",
     "orders_price_ntile", "lineitem_mode_qty", "top_orders_concat",
-    "orders_row_numbers", "lineitem_unpivoted_stats",
+    "orders_row_numbers", "lineitem_unpivoted_stats", "multimodal_features_by_lang",
+    "multimodal_frames_by_lang", "multimodal_resize_by_lang", "corpus_sketches_progressive",
+    "sql_router_quantile", "sql_store_summary", "sql_router_topk",
     "ann_topk_ivf", "ann_topk_ivf_indexed", "ann_topk_lsh",
     "minhash_dedup_pairs", "simhash_dedup_pairs", "embedding_neardup_pairs",
-    "neardup_drop_stats", "multimodal_features_by_lang",
-    "multimodal_frames_by_lang", "multimodal_resize_by_lang",
-    "packed_docs_stats", "cms_join_size_orders",
+    "neardup_drop_stats", "packed_docs_stats", "cms_join_size_orders",
 ]
 
 
