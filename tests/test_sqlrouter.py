@@ -442,6 +442,8 @@ def test_window_range_framing_ties_nulls_desc_match_duckdb(ray_session):
         {"func": "count", "col": "v", "alias": "cc"},
         {"func": "rank", "col": None, "alias": "rk"},
         {"func": "dense_rank", "col": None, "alias": "dr"},
+        {"func": "percent_rank", "col": None, "alias": "pr"},
+        {"func": "cume_dist", "col": None, "alias": "cd"},
     ]
     out = partitioned_window(rd.from_pandas(df), "k", [("o", True)],
                              specs).to_pandas()
@@ -451,7 +453,8 @@ def test_window_range_framing_ties_nulls_desc_match_duckdb(ray_session):
         SELECT k, o, t, v,
           SUM(v) OVER w AS cs, AVG(v) OVER w AS ca, MIN(v) OVER w AS cmin,
           MAX(v) OVER w AS cmax, CAST(COUNT(v) OVER w AS BIGINT) AS cc,
-          RANK() OVER w AS rk, DENSE_RANK() OVER w AS dr
+          RANK() OVER w AS rk, DENSE_RANK() OVER w AS dr,
+          PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
         FROM df WINDOW w AS (PARTITION BY k ORDER BY o DESC)
         ORDER BY k, t""").df()
     pdt.assert_frame_equal(out[ora.columns], ora, check_dtype=False,

@@ -1360,7 +1360,11 @@ SQL_WINDOW_RANKS = """
 SELECT event_id,
        RANK() OVER (PARTITION BY event_type ORDER BY user_id ASC) AS rnk,
        DENSE_RANK() OVER (PARTITION BY event_type
-                          ORDER BY user_id ASC) AS drnk
+                          ORDER BY user_id ASC) AS drnk,
+       PERCENT_RANK() OVER (PARTITION BY event_type
+                            ORDER BY user_id ASC) AS prnk,
+       CUME_DIST() OVER (PARTITION BY event_type
+                         ORDER BY user_id ASC) AS cdist
 FROM events WHERE value > 4.9
 ORDER BY event_id ASC
 """
@@ -1451,7 +1455,8 @@ def q_sql_window_cumsum(sf_dir: str):
 
 
 def q_sql_window_ranks(sf_dir: str):
-    """sqlrouter window routing: RANK + DENSE_RANK sharing one window
+    """sqlrouter window routing: the full ANSI ranking family — RANK +
+    DENSE_RANK + PERCENT_RANK + CUME_DIST sharing one window
     spec (single shuffle, both computed in the same per-bucket pass).
     The OVER order (user_id) has real ties — rank functions are
     peer-invariant, so the answer is deterministic anyway."""

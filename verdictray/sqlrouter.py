@@ -30,6 +30,7 @@ except membership ``IN (SELECT col FROM t)``):
           | APPROX_TOP_K(col, k)                -- CMS heavy hitters
           | ROUND(<aggregate expr>, n)          -- half-away-from-zero
           | ROW_NUMBER() OVER w | RANK() OVER w | DENSE_RANK() OVER w
+          | PERCENT_RANK() OVER w | CUME_DIST() OVER w
           | SUM|COUNT|AVG|MIN|MAX(col) OVER w   -- cumulative (ANSI default
                                                 --   RANGE framing: peer rows
                                                 --   share frame results)
@@ -101,7 +102,8 @@ _AGGS = {"count", "sum", "avg", "min", "max", "money_sum",
          "approx_quantile_tdigest", "approx_top_k"}
 
 # argless ranking functions valid only with OVER (...)
-_WINDOW_FNS = {"row_number", "rank", "dense_rank"}
+_WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
+               "cume_dist"}
 # aggregates that may also run as cumulative window functions
 _WINDOW_CUM = {"sum", "count", "avg", "min", "max"}
 # navigation functions: LAG/LEAD(col[, n]), FIRST/LAST_VALUE(col) — OVER only

@@ -1196,7 +1196,8 @@ def ntile_agg(ds, keys: list[str], value_col: str, tiebreak: list[str],
 
 
 # ------------------------------------------------- generic SQL window funcs
-_WINDOW_RANKERS = ("row_number", "rank", "dense_rank")
+_WINDOW_RANKERS = ("row_number", "rank", "dense_rank",
+                   "percent_rank", "cume_dist")
 _WINDOW_CUMAGGS = ("sum", "count", "min", "max", "avg")
 # navigation funcs: LAG/LEAD take (col, offset); FIRST/LAST_VALUE take col.
 # LAG/LEAD ignore framing entirely; FIRST_VALUE over the default frame is
@@ -1271,9 +1272,9 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                 if s["func"] in _WINDOW_NAV:
                     g[s["alias"]] = g[s["col"]]     # empty, input dtype
                 else:
-                    dt = (np.int64 if s["func"] in _WINDOW_RANKERS
-                          or s["func"] in ("count", "ntile")
-                          else np.float64)
+                    dt = (np.int64 if s["func"] in
+                          ("row_number", "rank", "dense_rank", "count",
+                           "ntile") else np.float64)
                     g[s["alias"]] = np.array([], dtype=dt)
             return g
         # boundary masks over the SORTED frame (all numpy from here)
@@ -1304,6 +1305,20 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                 key_ord = new_key.cumsum() - 1
                 key_first = np.flatnonzero(new_key)
                 g[a] = peer_ord - peer_ord[key_first[key_ord]] + 1
+            elif f == "percent_rank":
+                key_ord = new_key.cumsum() - 1
+                key_last = np.flatnonzero(np.append(new_key[1:], True))
+                cnt = rn[key_last[key_ord]].astype(np.float64)
+                rank_v = rn[peer_first[peer_ord]].astype(np.float64)
+                # SQL: (rank - 1)/(count - 1); 0 for one-row partitions
+                g[a] = np.where(cnt > 1, (rank_v - 1.0)
+                                / np.maximum(cnt - 1.0, 1.0), 0.0)
+            elif f == "cume_dist":
+                key_ord = new_key.cumsum() - 1
+                key_last = np.flatnonzero(np.append(new_key[1:], True))
+                cnt = rn[key_last[key_ord]].astype(np.float64)
+                # rows ≤ current peer group = rn at the peer group's last
+                g[a] = rn[peer_last[peer_ord]].astype(np.float64) / cnt
             elif f == "ntile":
                 nt = int(s["offset"])
                 key_ord = new_key.cumsum() - 1
