@@ -543,3 +543,18 @@ def test_window_orderless_rejects_order_dependent_funcs(ray_session,
     with pytest.raises(ValueError, match="require ORDER BY"):
         run_sql("SELECT LAG(value) OVER (PARTITION BY user_id) AS pv "
                 "FROM events", sf01_dir)
+
+
+def test_window_composite_partition_matches_duckdb(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT l_orderkey, l_linenumber,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag, l_linestatus
+             ORDER BY l_quantity ASC) AS dr,
+             AVG(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus
+             ORDER BY l_quantity ASC) AS ca
+             FROM lineitem WHERE l_extendedprice > 95000
+             ORDER BY l_orderkey, l_linenumber"""
+    mine = _canon(run_sql(sql, sf01_dir).to_pandas())
+    ora = _canon(_duck(sf01_dir, sql))
+    pdt.assert_frame_equal(mine, ora, check_dtype=False, atol=1e-9, rtol=0)

@@ -1370,6 +1370,29 @@ ORDER BY event_id ASC
 """
 
 
+SQL_WINDOW_COMPOSITE = """
+SELECT l_orderkey, l_linenumber,
+       ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                   l_linenumber ASC) AS rn,
+       SUM(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus
+                             ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                      l_linenumber ASC) AS cum_qty
+FROM lineitem WHERE l_extendedprice > 90000
+ORDER BY l_orderkey ASC, l_linenumber ASC
+"""
+
+
+def q_sql_window_composite(sf_dir: str):
+    """sqlrouter composite PARTITION BY (two key columns hash-mixed into
+    one bucket shuffle) with a 3-column total OVER order — row numbering
+    and the cumulative integer-valued quantity sum stay exact and
+    engine-portable."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_COMPOSITE, sf_dir)
+
+
 SQL_WINDOW_NAV = """
 SELECT event_id,
        LAG(value) OVER (PARTITION BY user_id
@@ -3481,6 +3504,7 @@ QUERIES = {
     "sql_window_ntile": q_sql_window_ntile,
     "sql_window_parttotal": q_sql_window_parttotal,
     "top2gram_repetition_by_lang": q_top2gram_by_lang,
+    "sql_window_composite": q_sql_window_composite,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3604,6 +3628,7 @@ ORACLES = {
     "sql_window_ntile": SQL_WINDOW_NTILE,
     "sql_window_parttotal": SQL_WINDOW_PARTTOTAL,
     "top2gram_repetition_by_lang": SQL_TOP2GRAM,
+    "sql_window_composite": SQL_WINDOW_COMPOSITE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3661,7 +3686,8 @@ DRIVER_PRIORITY: list[str] = [
     # r3-checked tail keeps its order
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
-    "sql_window_parttotal", "top2gram_repetition_by_lang", "sql_router_orders",
+    "sql_window_parttotal", "top2gram_repetition_by_lang",
+    "sql_window_composite", "sql_router_orders",
     "sql_router_semijoin", "sql_router_hll", "sql_router_join",
     "sql_router_having", "sql_progressive_orders", "partitioned_write_counts",
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",

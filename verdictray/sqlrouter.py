@@ -292,7 +292,15 @@ class _Parser:
         self.expect("(")
         self.expect("partition")
         self.expect("by")
-        part = self.take()
+        part = [self.take()]
+        while self.peek() == ",":
+            # composite partition keys; a trailing ORDER BY ends the list
+            save = self.i
+            self.take()
+            if self.kw("order"):
+                self.i = save
+                break
+            part.append(self.take())
         order = []
         if self.kw("order"):
             self.take()
@@ -308,7 +316,7 @@ class _Parser:
                     continue
                 break
         self.expect(")")
-        return (part, tuple(order))
+        return (tuple(part), tuple(order))
 
     # --------------------------------------------------------- predicate
     def pred(self) -> _Pred:
@@ -930,10 +938,11 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         raise ValueError("all window items must share one "
                          "PARTITION BY/ORDER BY spec")
     part, order = spec0
+    part = list(part)
     order = list(order)
 
     schema = set(pq.read_schema(f"{sf_dir}/{plan.table}.parquet").names)
-    needed = {part, *(c for c, _ in order)}
+    needed = {*part, *(c for c, _ in order)}
     needed.update(it.col for it in plan.items if it.col is not None)
     needed.update(p.col for p in plan.where)
     missing = sorted(needed - schema)
@@ -950,7 +959,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                            f"{_fmt_preds(plan.where)}")
         explain.append(
             f"WINDOW OVER (PARTITION BY {part} ORDER BY {order}) -> one "
-            f"hash-bucket shuffle on {part!r} ({buckets} buckets), "
+            f"hash-bucket shuffle on {part} ({buckets} buckets), "
             "vectorized per-bucket prefix scans; funcs="
             + ", ".join(f"{s['func']}({s['col'] or ''})" for s in specs)
             + " (ANSI default RANGE framing: peers share frame results)")

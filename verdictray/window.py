@@ -1205,11 +1205,13 @@ _WINDOW_CUMAGGS = ("sum", "count", "min", "max", "avg")
 _WINDOW_NAV = ("lag", "lead", "first_value", "last_value")
 
 
-def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
+def partitioned_window(ds, key: str | list[str],
+                       order_by: list[tuple[str, bool]],
                        specs: list[dict], buckets: int = 32):
-    """Generic SQL window functions over one PARTITION BY key and one
-    shared ORDER BY spec — the execution target of the SQL router's
-    ``FUNC(...) OVER (PARTITION BY k ORDER BY c [DESC], ...)`` items.
+    """Generic SQL window functions over one PARTITION BY key (a single
+    column or a composite list) and one shared ORDER BY spec — the
+    execution target of the SQL router's
+    ``FUNC(...) OVER (PARTITION BY k[, k2…] ORDER BY c [DESC], ...)`` items.
 
     ``order_by``: ``[(col, desc), ...]``; ``specs``: ``[{"func": f,
     "col": c_or_None, "alias": a, "offset": n_opt}, ...]`` with f in
@@ -1254,12 +1256,17 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
             raise ValueError(f"window funcs {bad} require ORDER BY; only "
                              "SUM/COUNT/AVG/MIN/MAX may omit it "
                              "(full-partition frame)")
+    key_cols = [key] if isinstance(key, str) else list(key)
     ord_cols = [c for c, _ in order_by]
-    ascending = [True] + [not d for _, d in order_by]
-    peer_cols = [key] + ord_cols
+    ascending = [True] * len(key_cols) + [not d for _, d in order_by]
+    peer_cols = key_cols + ord_cols
 
     def tag(batch: pa.Table) -> pa.Table:
-        b = (hash64(batch[key], seed=67) % np.uint64(buckets)).astype(np.int64)
+        h = hash64(batch[key_cols[0]], seed=67)
+        for j, kc in enumerate(key_cols[1:], start=1):
+            # mix per-column hashes so composite keys spread evenly
+            h = (h * np.uint64(0x9E3779B97F4A7C15)) ^                 hash64(batch[kc], seed=67 + j)
+        b = (h % np.uint64(buckets)).astype(np.int64)
         return batch.append_column("_bucket", pa.array(b))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1278,7 +1285,7 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                     g[s["alias"]] = np.array([], dtype=dt)
             return g
         # boundary masks over the SORTED frame (all numpy from here)
-        new_key = g[key].ne(g[key].shift()).to_numpy()
+        new_key = g[key_cols].ne(g[key_cols].shift()).any(axis=1).to_numpy()
         new_peer = (new_key
                     | g[ord_cols].ne(g[ord_cols].shift()).any(axis=1)
                     .to_numpy())
@@ -1337,7 +1344,7 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
             elif f in ("lag", "lead"):
                 off = int(s.get("offset") or 1)
                 if grp is None:
-                    grp = g.groupby(key, sort=False)
+                    grp = g.groupby(key_cols, sort=False)
                 g[a] = grp[c].shift(off if f == "lag" else -off)
             elif f == "first_value":
                 key_ord = new_key.cumsum() - 1
@@ -1347,17 +1354,19 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                 g[a] = smear_last(g[c].to_numpy())
             else:
                 if grp is None:
-                    grp = g.groupby(key, sort=False)
+                    grp = g.groupby(key_cols, sort=False)
+                kseries = [g[kc] for kc in key_cols]
+
                 def nullsafe(scan: pd.Series) -> np.ndarray:
                     # SQL aggs ignore NULLs: a null row carries the
                     # preceding running value (per key); a frame of only
                     # nulls stays NULL (ffill from nothing is NaN)
-                    return (scan.groupby(g[key], sort=False).ffill()
+                    return (scan.groupby(kseries, sort=False).ffill()
                             .to_numpy())
 
                 if f == "count":
                     run = rn if c is None else (
-                        g[c].notna().groupby(g[key], sort=False)
+                        g[c].notna().groupby(kseries, sort=False)
                         .cumsum().to_numpy())
                     g[a] = smear_last(np.asarray(run, dtype=np.int64))
                 elif f == "sum":
@@ -1370,7 +1379,7 @@ def partitioned_window(ds, key: str, order_by: list[tuple[str, bool]],
                     cs = smear_last(
                         nullsafe(grp[c].cumsum()).astype(np.float64))
                     ct = smear_last(
-                        g[c].notna().groupby(g[key], sort=False)
+                        g[c].notna().groupby(kseries, sort=False)
                         .cumsum().to_numpy().astype(np.float64))
                     g[a] = cs / ct
         return g
