@@ -558,3 +558,32 @@ def test_window_composite_partition_matches_duckdb(ray_session, sf01_dir):
     mine = _canon(run_sql(sql, sf01_dir).to_pandas())
     ora = _canon(_duck(sf01_dir, sql))
     pdt.assert_frame_equal(mine, ora, check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_filter_clause_matches_duckdb_and_errors(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_orderstatus,
+             COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             ROUND(SUM(o_totalprice) FILTER (WHERE o_custkey < 500), 2)
+               AS s_small,
+             MAX(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')
+               AS mx_urgent
+             FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    mine = _canon(run_sql(sql, sf01_dir).to_pandas())
+    ora = _canon(_duck(sf01_dir, sql))
+    # 1e-6: rounding a ~4e8-magnitude float SUM leaves one-ulp noise
+    pdt.assert_frame_equal(mine, ora, check_dtype=False, atol=1e-6, rtol=0)
+    # all-masked group yields SQL NULL, not 0 (sum) / keeps 0 (count)
+    none = run_sql("""SELECT COUNT(*) FILTER (WHERE o_totalprice < 0)
+                      AS n, SUM(o_totalprice) FILTER
+                      (WHERE o_totalprice < 0) AS s FROM orders""",
+                   sf01_dir).to_pandas()
+    assert none.n[0] == 0 and pd.isna(none.s[0])
+    with pytest.raises(ValueError, match="FILTER"):
+        run_sql("SELECT APPROX_COUNT_DISTINCT(o_custkey) FILTER "
+                "(WHERE o_totalprice > 0) AS x FROM orders", sf01_dir)
+    with pytest.raises(ValueError, match="FILTER"):
+        run_sql("SELECT COUNT(*) FILTER (WHERE o_totalprice > 0) OVER "
+                "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS x "
+                "FROM orders", sf01_dir)

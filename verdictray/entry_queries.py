@@ -1370,6 +1370,31 @@ ORDER BY event_id ASC
 """
 
 
+SQL_ROUTER_FILTER = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F'
+                        AND o_totalprice BETWEEN 50000 AND 150000)
+         AS n_mid_f,
+       ROUND(AVG(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
+         AS avg_open,
+       MIN(o_totalprice) FILTER (WHERE o_orderstatus = 'P') AS min_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_sql_router_filter(sf_dir: str):
+    """sqlrouter FILTER (WHERE …) — SQL's per-aggregate condition. Each
+    filtered aggregate gets one vectorized mask column (COUNT: a 0/1
+    int summed map-side; SUM/AVG/MIN/MAX: values nulled where the mask
+    fails, so all-masked groups yield SQL's NULL), then the ordinary
+    map-side-combined aggregate shuffle — no extra pass, no row
+    explosion."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_FILTER, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3505,6 +3530,7 @@ QUERIES = {
     "sql_window_parttotal": q_sql_window_parttotal,
     "top2gram_repetition_by_lang": q_top2gram_by_lang,
     "sql_window_composite": q_sql_window_composite,
+    "sql_router_filter": q_sql_router_filter,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3629,6 +3655,7 @@ ORACLES = {
     "sql_window_parttotal": SQL_WINDOW_PARTTOTAL,
     "top2gram_repetition_by_lang": SQL_TOP2GRAM,
     "sql_window_composite": SQL_WINDOW_COMPOSITE,
+    "sql_router_filter": SQL_ROUTER_FILTER,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3687,7 +3714,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",
-    "sql_window_composite", "sql_router_orders",
+    "sql_window_composite", "sql_router_filter", "sql_router_orders",
     "sql_router_semijoin", "sql_router_hll", "sql_router_join",
     "sql_router_having", "sql_progressive_orders", "partitioned_write_counts",
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",

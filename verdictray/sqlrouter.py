@@ -28,6 +28,8 @@ except membership ``IN (SELECT col FROM t)``):
           | APPROX_QUANTILE(col, phi)           -- KLL
           | APPROX_QUANTILE_TDIGEST(col, phi)   -- t-digest (tail-accurate)
           | APPROX_TOP_K(col, k)                -- CMS heavy hitters
+          | <exact agg> FILTER ( WHERE pred [AND pred]* )
+                                                -- per-aggregate condition
           | ROUND(<aggregate expr>, n)          -- half-away-from-zero
           | ROW_NUMBER() OVER w | RANK() OVER w | DENSE_RANK() OVER w
           | PERCENT_RANK() OVER w | CUME_DIST() OVER w
@@ -142,6 +144,8 @@ class _Agg:
     # OVER clause — routed to window.partitioned_window
     window: tuple | None = None
     offset: int | None = None  # LAG/LEAD row offset (default 1)
+    # conjunction of scalar predicates from ``FILTER (WHERE …)``
+    filter_pred: list | None = None
 
     @property
     def name(self) -> str:
@@ -259,7 +263,11 @@ class _Parser:
                 self.take()
                 self.expect(")")
                 ag = _Agg("count", None)
+                self._maybe_filter(ag)
                 if self.kw("over"):
+                    if ag.filter_pred:
+                        raise ValueError("FILTER does not combine with "
+                                         "OVER in this router")
                     ag.window = self._over()
                 return ag
             distinct = False
@@ -276,13 +284,36 @@ class _Parser:
                 phi = float(self.take())
             self.expect(")")
             ag = _Agg(low, col, distinct=distinct, phi=phi)
+            self._maybe_filter(ag)
             if self.kw("over"):
                 if low not in _WINDOW_CUM or distinct:
                     raise ValueError(f"{low.upper()} cannot take an "
                                      "OVER clause")
+                if ag.filter_pred:
+                    raise ValueError("FILTER does not combine with OVER "
+                                     "in this router")
                 ag.window = self._over()
             return ag
         return _Agg("col", tok)
+
+    def _maybe_filter(self, ag: _Agg) -> None:
+        """``FILTER ( WHERE pred [AND pred]* )`` — SQL's per-aggregate
+        conditional; only exact COUNT/SUM/AVG/MIN/MAX accept it (checked
+        at execution, where the sketch routes are known)."""
+        if not self.kw("filter"):
+            return
+        self.take()
+        self.expect("(")
+        self.expect("where")
+        preds = [self.pred()]
+        while self.kw("and"):
+            self.take()
+            preds.append(self.pred())
+        self.expect(")")
+        if any(p.sub is not None for p in preds):
+            raise ValueError("FILTER predicates must be scalar "
+                             "(no IN (SELECT …))")
+        ag.filter_pred = preds
 
     def _over(self) -> tuple:
         """``OVER ( PARTITION BY col [ORDER BY col [ASC|DESC] , ...] )`` —
@@ -438,26 +469,31 @@ def _fmt_preds(preds: list[_Pred]) -> str:
     return " AND ".join(parts)
 
 
+def _pred_mask(batch: pa.Table, preds: list[_Pred]):
+    """Vectorized boolean mask for a conjunction of scalar predicates."""
+    mask = None
+    for p in preds:
+        col = batch[p.col]
+        if p.op == "in":
+            m = pc.is_in(col, value_set=pa.array(p.value))
+        elif p.op == "not_in":
+            m = pc.invert(pc.is_in(col, value_set=pa.array(p.value)))
+        elif p.op == "between":
+            lo, hi = p.value
+            m = pc.and_kleene(pc.greater_equal(col, pa.scalar(lo)),
+                              pc.less_equal(col, pa.scalar(hi)))
+        else:
+            kernel = {"=": pc.equal, "!=": pc.not_equal,
+                      "<": pc.less, "<=": pc.less_equal,
+                      ">": pc.greater, ">=": pc.greater_equal}[p.op]
+            m = kernel(col, pa.scalar(p.value))
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return pc.fill_null(mask, False)
+
+
 def _scalar_filter_fn(preds: list[_Pred]):
     def fn(batch: pa.Table) -> pa.Table:
-        mask = None
-        for p in preds:
-            col = batch[p.col]
-            if p.op == "in":
-                m = pc.is_in(col, value_set=pa.array(p.value))
-            elif p.op == "not_in":
-                m = pc.invert(pc.is_in(col, value_set=pa.array(p.value)))
-            elif p.op == "between":
-                lo, hi = p.value
-                m = pc.and_kleene(pc.greater_equal(col, pa.scalar(lo)),
-                                  pc.less_equal(col, pa.scalar(hi)))
-            else:
-                kernel = {"=": pc.equal, "!=": pc.not_equal,
-                          "<": pc.less, "<=": pc.less_equal,
-                          ">": pc.greater, ">=": pc.greater_equal}[p.op]
-                m = kernel(col, pa.scalar(p.value))
-            mask = m if mask is None else pc.and_kleene(mask, m)
-        return batch.filter(pc.fill_null(mask, False))
+        return batch.filter(_pred_mask(batch, preds))
 
     return fn
 
@@ -532,6 +568,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     for it in plan.items:
         if it.col is not None:
             needed.add(it.col)
+        for p in (it.filter_pred or ()):
+            needed.add(p.col)
     for p in plan.where:
         needed.add(p.col)
     for _tbl, a, b in plan.joins:
@@ -743,6 +781,45 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         if it.col not in plan.group_by:
             raise ValueError(f"non-aggregate column {it.col!r} must be in "
                              "GROUP BY")
+
+    # ---------------------------------------- FILTER (WHERE …) aggregates
+    flt_items = [it for it in agg_items if it.filter_pred]
+    if flt_items:
+        bad = [it.fn for it in flt_items
+               if it.fn not in ("count", "sum", "avg", "min", "max")
+               or it.distinct]
+        if bad:
+            raise ValueError(f"FILTER (WHERE …) supports exact COUNT/SUM/"
+                             f"AVG/MIN/MAX only, got {bad}")
+        # one vectorized mask per filtered item: COUNT gets a 0/1 column
+        # (a plain map-side-combined Sum counts it), the rest get the
+        # value column nulled where the mask fails (every exact agg
+        # ignores nulls, so an all-masked group yields SQL's NULL)
+        specs = tuple((f"_flt_{it.name}", it.fn, it.col,
+                       tuple(it.filter_pred)) for it in flt_items)
+        if explain is not None:
+            for cname, fn_, col_, preds in specs:
+                explain.append(
+                    f"FILTER (WHERE {_fmt_preds(list(preds))}) on "
+                    f"{fn_.upper()}({col_ or '*'}) -> vectorized mask "
+                    "column, aggregated map-side like any exact agg")
+        else:
+            def with_filter_cols(b: pa.Table, _specs=specs) -> pa.Table:
+                for cname, fn_, col_, preds in _specs:
+                    mask = _pred_mask(b, list(preds))
+                    if fn_ == "count":
+                        keep = mask if col_ is None else                             pc.and_(mask, pc.is_valid(b[col_]))
+                        arr = pc.cast(keep, pa.int64())
+                    else:
+                        vals = b[col_]
+                        arr = pc.if_else(mask, vals,
+                                         pa.scalar(None, type=vals.type))
+                    b = b.append_column(cname, arr)
+                return b
+
+            ds = ds.map_batches(with_filter_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     if explain is not None:
         routes = {
             "count": "Ray Count (exact, map-side combined)",
@@ -781,14 +858,18 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         return rd.from_items([])
     for it in agg_items:
         name = it.name
+        fcol = f"_flt_{name}" if it.filter_pred else it.col
         if it.fn == "count" and it.distinct:
             aggs.append(ExactDistinct(it.col, alias_name=name))
         elif it.fn == "count":
-            aggs.append(Count(alias_name=name) if it.col is None
-                        else Count(on=it.col, ignore_nulls=True,
-                                   alias_name=name))
+            if it.filter_pred:        # sum of the 0/1 mask column
+                aggs.append(Sum(fcol, alias_name=name))
+            else:
+                aggs.append(Count(alias_name=name) if it.col is None
+                            else Count(on=it.col, ignore_nulls=True,
+                                       alias_name=name))
         elif it.fn == "sum":
-            aggs.append(Sum(it.col, alias_name=name))
+            aggs.append(Sum(fcol, alias_name=name))
         elif it.fn == "money_sum":
             # exact integer-cents accumulation: per-row rounding is
             # deterministic and integer sums are order-independent, so
@@ -797,11 +878,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             # order at ~1e8 magnitudes)
             aggs.append(Sum(f"_cents_{name}", alias_name=f"_cents_{name}"))
         elif it.fn == "avg":
-            aggs.append(Mean(it.col, alias_name=name))
+            aggs.append(Mean(fcol, alias_name=name))
         elif it.fn == "min":
-            aggs.append(Min(it.col, alias_name=name))
+            aggs.append(Min(fcol, alias_name=name))
         elif it.fn == "max":
-            aggs.append(Max(it.col, alias_name=name))
+            aggs.append(Max(fcol, alias_name=name))
         elif it.fn == "approx_count_distinct":
             aggs.append(HllAgg(on=it.col, alias_name=name, p=hll_p))
             if with_bounds:
@@ -1039,6 +1120,9 @@ def run_sql_store(sql: str, store, key_col: str | None = None,
     if any(it.window for it in plan.items):
         raise ValueError("window functions are not answerable from the "
                          "sketch store; use run_sql")
+    if any(it.filter_pred for it in plan.items):
+        raise ValueError("FILTER (WHERE …) needs the raw rows; the store "
+                         "holds only sketch state — use run_sql")
     kc = key_col or "group_key"
     keys = store.keys()
     # WHERE: key-equality / IN filters only (there is no other column)
@@ -1293,6 +1377,9 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
     if any(it.window for it in plan.items):
         raise ValueError("window functions do not stream progressively; "
                          "use run_sql")
+    if any(it.filter_pred for it in plan.items):
+        raise ValueError("FILTER (WHERE …) is not supported progressively "
+                         "yet; use run_sql")
     if plan.joins or plan.having or len(plan.group_by) > 1:
         raise ValueError("progressive SQL supports a single table, scalar "
                          "WHERE, and at most one GROUP BY key")
