@@ -587,3 +587,20 @@ def test_filter_clause_matches_duckdb_and_errors(ray_session, sf01_dir):
         run_sql("SELECT COUNT(*) FILTER (WHERE o_totalprice > 0) OVER "
                 "(PARTITION BY o_orderstatus ORDER BY o_orderkey) AS x "
                 "FROM orders", sf01_dir)
+
+
+def test_select_distinct_matches_duckdb_and_errors(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             WHERE o_totalprice > 100000
+             ORDER BY o_orderstatus, o_orderpriority"""
+    mine = _canon(run_sql(sql, sf01_dir).to_pandas())
+    ora = _canon(_duck(sf01_dir, sql))
+    pdt.assert_frame_equal(mine, ora, check_dtype=False)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        run_sql("SELECT DISTINCT o_orderstatus, count(*) AS n FROM orders",
+                sf01_dir)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        run_sql("SELECT DISTINCT o_orderstatus FROM orders "
+                "GROUP BY o_orderstatus", sf01_dir)

@@ -1370,6 +1370,23 @@ ORDER BY event_id ASC
 """
 
 
+SQL_ROUTER_DISTINCT = """
+SELECT DISTINCT c_mktsegment, o_orderstatus FROM orders
+JOIN customer ON o_custkey = c_custkey
+ORDER BY c_mktsegment, o_orderstatus
+"""
+
+
+def q_sql_router_distinct(sf_dir: str):
+    """sqlrouter SELECT DISTINCT across a join: the distinct rewrites to
+    GROUP BY every selected column with a dropped map-side-combined
+    counter — one shuffle of per-block distinct rows, never of the
+    input — after the size-gated broadcast enrich."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_DISTINCT, sf_dir)
+
+
 SQL_ROUTER_FILTER = """
 SELECT o_orderpriority,
        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
@@ -3531,6 +3548,7 @@ QUERIES = {
     "top2gram_repetition_by_lang": q_top2gram_by_lang,
     "sql_window_composite": q_sql_window_composite,
     "sql_router_filter": q_sql_router_filter,
+    "sql_router_distinct": q_sql_router_distinct,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3656,6 +3674,7 @@ ORACLES = {
     "top2gram_repetition_by_lang": SQL_TOP2GRAM,
     "sql_window_composite": SQL_WINDOW_COMPOSITE,
     "sql_router_filter": SQL_ROUTER_FILTER,
+    "sql_router_distinct": SQL_ROUTER_DISTINCT,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3714,7 +3733,8 @@ DRIVER_PRIORITY: list[str] = [
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",
-    "sql_window_composite", "sql_router_filter", "sql_router_orders",
+    "sql_window_composite", "sql_router_filter", "sql_router_distinct",
+    "sql_router_orders",
     "sql_router_semijoin", "sql_router_hll", "sql_router_join",
     "sql_router_having", "sql_progressive_orders", "partitioned_write_counts",
     "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",

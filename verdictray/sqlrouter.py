@@ -7,7 +7,7 @@ Supported grammar (case-insensitive keywords; unqualified column names,
 unique across the joined tables — TPC-H-style prefixes; no subqueries
 except membership ``IN (SELECT col FROM t)``):
 
-    SELECT item ("," item)*
+    SELECT [DISTINCT] item ("," item)*
     FROM table ("JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*]
@@ -176,6 +176,7 @@ class _Pred:
 @dataclass
 class _Plan:
     table: str
+    select_distinct: bool = False
     items: list = field(default_factory=list)
     joins: list = field(default_factory=list)      # (table, key_a, key_b)
     where: list = field(default_factory=list)
@@ -392,6 +393,10 @@ class _Parser:
     # -------------------------------------------------------------- plan
     def parse(self) -> _Plan:
         self.expect("select")
+        distinct = False
+        if self.kw("distinct"):
+            self.take()
+            distinct = True
         items = [self.item()]
         if self.kw("as"):
             self.take()
@@ -403,7 +408,8 @@ class _Parser:
                 self.take()
                 items[-1].alias = self.take()
         self.expect("from")
-        plan = _Plan(table=self.take(), items=items)
+        plan = _Plan(table=self.take(), items=items,
+                     select_distinct=distinct)
         while self.kw("join"):
             self.take()
             tbl = self.take()
@@ -546,8 +552,25 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     plan = parse_sql(sql)
 
     if any(it.window for it in plan.items):
+        if plan.select_distinct:
+            raise ValueError("SELECT DISTINCT does not combine with "
+                             "window items")
         return _run_window_sql(plan, sf_dir, buckets=join_buckets,
                                explain=explain)
+
+    if plan.select_distinct:
+        # exact distinct rows = GROUP BY every selected column with a
+        # throwaway map-side-combined counter (one shuffle of distinct
+        # rows per block, not of the input)
+        if any(it.fn != "col" for it in plan.items):
+            raise ValueError("SELECT DISTINCT takes plain columns only")
+        if plan.group_by or plan.having:
+            raise ValueError("SELECT DISTINCT does not combine with "
+                             "GROUP BY/HAVING")
+        plan.group_by = [it.col for it in plan.items]
+        if explain is not None:
+            explain.append(f"SELECT DISTINCT -> GROUP BY "
+                           f"{plan.group_by} with a dropped counter")
 
     # ------------------------------------------ column ownership (joins)
     tables = [plan.table] + [j[0] for j in plan.joins]
@@ -915,6 +938,9 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                             zero_copy_batch=True)
 
     key_cols = list(plan.group_by)
+    if plan.select_distinct and not aggs:
+        # groupby needs ≥1 aggregate; the counter is dropped by finish()
+        aggs.append(Count(alias_name="_distinct_n"))
     if key_cols:
         out = ds.groupby(key_cols).aggregate(*aggs)
     else:
