@@ -9,7 +9,7 @@ import pytest
 
 def _duck(sf_dir, sql):
     con = duckdb.connect()
-    for t in ("orders", "customer", "events", "lineitem"):
+    for t in ("orders", "customer", "events", "lineitem", "part", "nation"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"'{sf_dir}/{t}.parquet'")
     return con.sql(sql).df()
@@ -104,7 +104,9 @@ def test_parse_errors_are_loud():
     for bad in ("SELECT FROM t",
                 "SELECT a, sum(b) FROM t",     # a not grouped → exec error
                 "DELETE FROM t",
-                "SELECT count(*) FROM t WHERE a LIKE 'x%'",
+                "SELECT count(*) FROM t WHERE a LIKE 5",   # non-string pat
+                # membership subqueries may not sit under OR
+                "SELECT count(*) FROM t WHERE a = 1 OR b IN (SELECT c FROM u)",
                 "SELECT sum(DISTINCT b) FROM t"):
         with pytest.raises(ValueError):
             plan = parse_sql(bad)
@@ -604,3 +606,163 @@ def test_select_distinct_matches_duckdb_and_errors(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="DISTINCT"):
         run_sql("SELECT DISTINCT o_orderstatus FROM orders "
                 "GROUP BY o_orderstatus", sf01_dir)
+
+
+# ------------------------------------------- scalar expressions (round 4)
+def test_tpch_q1_expressions_bit_exact(ray_session, sf01_dir):
+    """Full TPC-H Q1 through the router: arithmetic inside aggregates,
+    MONEY_SUM/MONEY_AVG cents discipline. atol=0 — the values must be
+    BIT-identical to the DuckDB cents re-derivation, any merge order."""
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql("""
+        SELECT l_returnflag, l_linestatus,
+          SUM(l_quantity) AS sum_qty,
+          MONEY_SUM(l_extendedprice) AS sum_base_price,
+          MONEY_SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+          MONEY_SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+              AS sum_charge,
+          AVG(l_quantity) AS avg_qty,
+          MONEY_AVG(l_extendedprice) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""", sf01_dir).to_pandas()
+    ora = _duck(sf01_dir, """
+        SELECT l_returnflag, l_linestatus,
+          SUM(l_quantity) AS sum_qty,
+          SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0
+              AS sum_base_price,
+          SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+              /100.0 AS sum_disc_price,
+          SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100)
+              AS BIGINT))/100.0 AS sum_charge,
+          AVG(l_quantity) AS avg_qty,
+          SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0
+              /COUNT(l_extendedprice) AS avg_price,
+          COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    pdt.assert_frame_equal(mine.reset_index(drop=True), ora,
+                           check_dtype=False, rtol=0, atol=0)
+
+
+def test_tpch_q6_dates_and_expression(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql("""
+        SELECT MONEY_SUM(l_extendedprice * l_discount) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+                   sf01_dir).to_pandas()
+    ora = _duck(sf01_dir, """
+        SELECT SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
+               /100.0 AS revenue, COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""")
+    pdt.assert_frame_equal(mine.reset_index(drop=True), ora,
+                           check_dtype=False, rtol=0, atol=0)
+
+
+def test_case_when_like_or_matches_duckdb(ray_session, sf01_dir):
+    """CASE WHEN with OR / AND / LIKE conditions inside SUM, across a join
+    — the TPC-H Q12/Q14 shapes; identical SQL text runs in DuckDB."""
+    from verdictray.sqlrouter import run_sql
+
+    q12 = """SELECT l_linestatus,
+        SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                   OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+            AS high_line_count,
+        SUM(CASE WHEN o_orderpriority != '1-URGENT'
+                  AND o_orderpriority != '2-HIGH' THEN 1 ELSE 0 END)
+            AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_quantity >= 10
+        GROUP BY l_linestatus ORDER BY l_linestatus"""
+    pdt.assert_frame_equal(
+        run_sql(q12, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, q12), check_dtype=False, rtol=0, atol=0)
+
+    q14 = """SELECT MONEY_SUM(CASE WHEN p_type LIKE 'PROM%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 AS promo_revenue, COUNT(*) AS n
+             FROM lineitem JOIN part ON l_partkey = p_partkey"""
+    ora = _duck(sf01_dir, """
+        SELECT SUM(CAST(round((CASE WHEN p_type LIKE 'PROM%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)*100)
+                 AS BIGINT))/100.0 AS promo_revenue, COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey""")
+    pdt.assert_frame_equal(
+        run_sql(q14, sf01_dir).to_pandas().reset_index(drop=True),
+        ora, check_dtype=False, rtol=0, atol=0)
+
+
+def test_extract_year_group_key_alias(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT EXTRACT(YEAR FROM o_orderdate) AS oyear,
+             COUNT(*) AS n FROM orders GROUP BY oyear ORDER BY oyear"""
+    pdt.assert_frame_equal(
+        run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_or_like_isnull_where_and_lone_count(ray_session, sf01_dir):
+    """OR / LIKE / IS NOT NULL predicates, plus the lone global COUNT(*)
+    regression (Ray 2.49's argless Count returns 0 in a global aggregate
+    — the router must count a physical column instead)."""
+    from verdictray.sqlrouter import run_sql
+
+    for sql in (
+        "SELECT COUNT(*) AS n FROM orders",
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '5%')
+             AND o_totalprice IS NOT NULL AND o_totalprice > 1000""",
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderpriority NOT LIKE '%URGENT'
+              OR o_totalprice IS NULL""",
+    ):
+        pdt.assert_frame_equal(
+            run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+            _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_expression_errors_are_loud(ray_session, sf01_dir):
+    from verdictray.sqlrouter import parse_sql, run_sql, run_sql_progressive
+
+    # expression aggregate without alias
+    with pytest.raises(ValueError, match="alias"):
+        run_sql("SELECT SUM(o_totalprice * 2) FROM orders", sf01_dir)
+    # expression select item not grouped by its alias
+    with pytest.raises(ValueError, match="GROUP"):
+        run_sql("SELECT o_totalprice * 2 AS d, COUNT(*) AS n FROM orders",
+                sf01_dir)
+    # sketch aggregates take bare columns only
+    with pytest.raises(ValueError):
+        parse_sql("SELECT APPROX_COUNT_DISTINCT(a + b) AS nd FROM t")
+    # window aggregates take bare columns only
+    with pytest.raises(ValueError, match="bare"):
+        parse_sql("SELECT SUM(a * 2) OVER (PARTITION BY k ORDER BY o) "
+                  "AS w FROM t")
+    # progressive path refuses expressions loudly (generator: first next()
+    # runs the validation)
+    with pytest.raises(ValueError, match="progressive"):
+        next(run_sql_progressive(
+            "SELECT SUM(o_totalprice * 2) AS d FROM orders", sf01_dir))
+
+
+def test_explain_reports_derive_stage(ray_session, sf01_dir):
+    from verdictray.sqlrouter import explain_sql
+
+    trace = explain_sql(
+        """SELECT MONEY_SUM(l_extendedprice * (1 - l_discount)) AS rev
+           FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'""",
+        sf01_dir)
+    assert "DERIVE" in trace and "pyarrow.compute" in trace
+    assert "MONEY_SUM" in trace

@@ -1412,6 +1412,143 @@ def q_sql_router_filter(sf_dir: str):
     return run_sql(SQL_ROUTER_FILTER, sf_dir)
 
 
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  MONEY_SUM(l_extendedprice) AS sum_base_price,
+  MONEY_SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  MONEY_SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  AVG(l_quantity) AS avg_qty,
+  MONEY_AVG(l_extendedprice) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+# DuckDB spelling: MONEY_SUM/MONEY_AVG re-derived as per-row half-away
+# cents rounding + exact integer sums, so both sides run the SAME float64
+# operations in the finalize and the value-hash matches bit-for-bit
+SQL_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+      AS sum_disc_price,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT))
+      /100.0 AS sum_charge,
+  AVG(l_quantity) AS avg_qty,
+  SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0
+      /COUNT(l_extendedprice) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_tpch_q1(sf_dir: str):
+    """TPC-H Q1 verbatim through the SQL router: arithmetic expressions
+    inside aggregates compile to ONE vectorized derive stage
+    (pyarrow.compute, zero row loops), money aggregates accumulate exact
+    integer cents (order-independent, bit-stable), then a single
+    map-side-combined groupby shuffle over the 6 (flag, status) groups."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q1, sf_dir)
+
+
+SQL_TPCH_Q6 = """
+SELECT MONEY_SUM(l_extendedprice * l_discount) AS revenue, COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+SQL_TPCH_Q6_ORACLE = """
+SELECT SUM(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))/100.0
+    AS revenue, COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def q_sql_tpch_q6(sf_dir: str):
+    """TPC-H Q6 through the router: DATE literals + BETWEEN fold into one
+    vectorized pushdown filter on the pruned read; the revenue expression
+    derives map-side and accumulates as exact cents; the global aggregate
+    combines partials without any wide shuffle."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q6, sf_dir)
+
+
+SQL_ROUTER_CASE_LIKE = """
+SELECT l_linestatus,
+  MONEY_SUM(CASE WHEN p_type LIKE 'PROM%'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS promo_revenue,
+  SUM(CASE WHEN p_type = 'ECONOMY' OR p_type = 'SMALL' THEN 1 ELSE 0 END)
+      AS cheap_lines,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+SQL_ROUTER_CASE_LIKE_ORACLE = """
+SELECT l_linestatus,
+  SUM(CAST(round((CASE WHEN p_type LIKE 'PROM%'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)*100) AS BIGINT))
+      /100.0 AS promo_revenue,
+  CAST(SUM(CASE WHEN p_type = 'ECONOMY' OR p_type = 'SMALL'
+      THEN 1 ELSE 0 END) AS BIGINT) AS cheap_lines,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_sql_router_case_like(sf_dir: str):
+    """TPC-H Q14-shape through the router: CASE WHEN with LIKE / OR
+    conditions inside aggregates, evaluated as vectorized pc.if_else
+    folds over a broadcast part-dimension join (pc.index_in enrich, zero
+    shuffles before the 2-group aggregate)."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_CASE_LIKE, sf_dir)
+
+
+SQL_ROUTER_EXTRACT = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS oyear,
+  COUNT(*) AS n,
+  MONEY_SUM(o_totalprice) AS total_price,
+  COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%'
+                      OR o_orderpriority LIKE '2%') AS urgent_n
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+GROUP BY oyear ORDER BY oyear
+"""
+SQL_ROUTER_EXTRACT_ORACLE = """
+SELECT EXTRACT(YEAR FROM o_orderdate) AS oyear,
+  COUNT(*) AS n,
+  SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price,
+  COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%'
+                      OR o_orderpriority LIKE '2%') AS urgent_n
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+GROUP BY oyear ORDER BY oyear
+"""
+
+
+def q_sql_router_extract(sf_dir: str):
+    """Derived group key through the router: EXTRACT(YEAR FROM ts) AS
+    alias + GROUP BY alias (the DuckDB-compatible spelling), with an
+    OR-of-LIKEs FILTER aggregate and an IS NOT NULL pushdown — all
+    vectorized pyarrow.compute kernels."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_EXTRACT, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3549,6 +3686,10 @@ QUERIES = {
     "sql_window_composite": q_sql_window_composite,
     "sql_router_filter": q_sql_router_filter,
     "sql_router_distinct": q_sql_router_distinct,
+    "sql_tpch_q1": q_sql_tpch_q1,
+    "sql_tpch_q6": q_sql_tpch_q6,
+    "sql_router_case_like": q_sql_router_case_like,
+    "sql_router_extract": q_sql_router_extract,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3675,6 +3816,10 @@ ORACLES = {
     "sql_window_composite": SQL_WINDOW_COMPOSITE,
     "sql_router_filter": SQL_ROUTER_FILTER,
     "sql_router_distinct": SQL_ROUTER_DISTINCT,
+    "sql_tpch_q1": SQL_TPCH_Q1_ORACLE,
+    "sql_tpch_q6": SQL_TPCH_Q6_ORACLE,
+    "sql_router_case_like": SQL_ROUTER_CASE_LIKE_ORACLE,
+    "sql_router_extract": SQL_ROUTER_EXTRACT_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3730,6 +3875,8 @@ DRIVER_PRIORITY: list[str] = [
     # never-driver-checked oracle-backed queries lead (the
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
+    "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
+    "sql_router_extract",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

@@ -17,13 +17,19 @@ except membership ``IN (SELECT col FROM t)``):
 
     item := expr ["AS" alias]
     expr := col
+          | scalar ["AS" alias]                  -- derived group key; must
+                                                 --   be GROUPed BY via its
+                                                 --   alias (DuckDB accepts
+                                                 --   the same spelling)
           | COUNT(*) | COUNT([DISTINCT] col)
-          | SUM(col) | AVG(col) | MIN(col) | MAX(col)
-          | MONEY_SUM(col)                       -- exact integer-cents sum:
+          | SUM(scalar) | AVG(scalar) | MIN(scalar) | MAX(scalar)
+          | MONEY_SUM(scalar)                    -- exact integer-cents sum:
                                                  --   order-independent, so
                                                  --   bit-stable vs any oracle
                                                  --   (float SUM's last cent
                                                  --   can flip w/ merge order)
+          | MONEY_AVG(scalar)                    -- cents Sum / Count — the
+                                                 --   bit-stable AVG twin
           | APPROX_COUNT_DISTINCT(col)          -- HyperLogLog
           | APPROX_QUANTILE(col, phi)           -- KLL
           | APPROX_QUANTILE_TDIGEST(col, phi)   -- t-digest (tail-accurate)
@@ -47,10 +53,27 @@ except membership ``IN (SELECT col FROM t)``):
                                                 -- one shared spec per query;
                                                 --   routed to
                                                 --   window.partitioned_window
-    pred := col (=|!=|<>|<|<=|>|>=) literal
+    scalar := scalar (+|-|*|/) scalar | - scalar | ( scalar )
+          | literal | col
+          | CASE WHEN pred THEN scalar [WHEN …]* [ELSE scalar] END
+          | EXTRACT ( YEAR|MONTH|DAY|HOUR|MINUTE|SECOND FROM scalar )
+          -- aggregate arguments and derived group keys; evaluated as ONE
+          -- vectorized pyarrow.compute column per expression ("/" is SQL
+          -- float division). Expression aggregates / items require an
+          -- AS alias. Sketch aggregates keep bare columns by design.
+
+    pred := pred OR pred | pred AND pred | ( pred )    -- SQL precedence;
+                                                 --   IN (SELECT …) may not
+                                                 --   sit under OR
+          | col (=|!=|<>|<|<=|>|>=) literal
           | col BETWEEN literal AND literal
+          | col [NOT] LIKE 'pattern'             -- pc.match_like, SQL %/_
+          | col IS [NOT] NULL
           | col [NOT] IN (literal, ...)
           | col [NOT] IN (SELECT col FROM table)   -- semi/anti join
+    literal := number | 'string' | DATE 'yyyy-mm-dd'
+          | TIMESTAMP 'yyyy-mm-dd[ hh:mm:ss]'    -- typed; compares with
+                                                 --   timestamp[us] columns
 
 Routing:
 - exact aggregates → Ray Data built-ins (Count/Sum/Min/Max/Mean) with
@@ -99,9 +122,16 @@ import pyarrow.compute as pc
 # pyarrow's name for SQL round-half-away-from-zero (matches DuckDB round)
 _ROUND = {"round_mode": "half_towards_infinity"}
 
-_AGGS = {"count", "sum", "avg", "min", "max", "money_sum",
+_AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
          "approx_count_distinct", "approx_quantile",
          "approx_quantile_tdigest", "approx_top_k"}
+
+# exact aggregates whose argument may be a scalar EXPRESSION (arithmetic /
+# CASE / EXTRACT over columns); sketches keep bare columns — hashing an
+# ephemeral derived value into a reusable sketch would be a footgun
+_EXPR_AGGS = {"sum", "avg", "min", "max", "money_sum", "money_avg"}
+
+_EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second"}
 
 # argless ranking functions valid only with OVER (...)
 _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
@@ -116,7 +146,7 @@ _TOKEN = re.compile(r"""
         '(?:[^']|'')*'            # string literal
       | [A-Za-z_][A-Za-z_0-9.]*   # ident / keyword
       | \d+\.\d+ | \.\d+ | \d+    # number
-      | <> | != | <= | >= | [(),*=<>]
+      | <> | != | <= | >= | [(),*=<>+\-/]
     )""", re.VERBOSE)
 
 
@@ -146,6 +176,10 @@ class _Agg:
     offset: int | None = None  # LAG/LEAD row offset (default 1)
     # conjunction of scalar predicates from ``FILTER (WHERE …)``
     filter_pred: list | None = None
+    # scalar expression tree (tuples; see _Parser.expr_tree) when the
+    # aggregate argument — or the whole SELECT item (fn == "expr") — is
+    # not a bare column
+    expr: tuple | None = None
 
     @property
     def name(self) -> str:
@@ -167,10 +201,36 @@ class _Agg:
 
 @dataclass
 class _Pred:
-    col: str
-    op: str                  # =, !=, <, <=, >, >=, in, not_in
-    value: object = None     # literal or list of literals
+    col: str                 # "" for composite and/or nodes
+    op: str                  # =, !=, <, <=, >, >=, in, not_in, between,
+                             # like, not_like, is_null, not_null, and, or
+    value: object = None     # literal / list of literals / child _Preds
     sub: tuple | None = None  # (table, col) for IN (SELECT ...)
+
+
+def _pred_atoms(p: _Pred):
+    """Yield the leaf (non-and/or) predicates of a tree."""
+    if p.op in ("and", "or"):
+        for c in p.value:
+            yield from _pred_atoms(c)
+    else:
+        yield p
+
+
+def _pred_cols(preds) -> set:
+    """All column names referenced anywhere in a list of predicate trees."""
+    return {a.col for p in preds for a in _pred_atoms(p)}
+
+
+def _flatten_and(p: _Pred) -> list:
+    """Split a predicate tree into its top-level conjuncts (an OR node is
+    one conjunct)."""
+    if p.op == "and":
+        out = []
+        for c in p.value:
+            out.extend(_flatten_and(c))
+        return out
+    return [p]
 
 
 @dataclass
@@ -213,12 +273,108 @@ class _Parser:
     # ---------------------------------------------------------- literals
     def literal(self):
         tok = self.take()
+        if tok.lower() in ("date", "timestamp") and (
+                self.peek() or "").startswith("'"):
+            # typed literal: DATE 'yyyy-mm-dd' / TIMESTAMP 'yyyy-mm-dd[ hh:mm:ss]'
+            # → datetime (pa.scalar maps it to timestamp[us], comparable
+            # with the parquet timestamp columns — DuckDB coerces the same)
+            import datetime as _dt
+            raw = self.take()[1:-1]
+            for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+                try:
+                    return _dt.datetime.strptime(raw, fmt)
+                except ValueError:
+                    continue
+            raise ValueError(f"cannot parse {tok.upper()} literal {raw!r}")
         if tok.startswith("'"):
             return tok[1:-1].replace("''", "'")
+        if tok == "-":
+            val = self.literal()
+            if not isinstance(val, (int, float)):
+                raise ValueError(f"cannot negate literal {val!r}")
+            return -val
         try:
             return int(tok)
         except ValueError:
             return float(tok)
+
+    # ------------------------------------------------- scalar expressions
+    # expr  := term (("+"|"-") term)*
+    # term  := factor (("*"|"/") factor)*
+    # factor:= "-" factor | primary
+    # primary := "(" expr ")" | literal | CASE WHEN pred THEN expr
+    #            [WHEN …]* [ELSE expr] END | EXTRACT "(" part FROM expr ")"
+    #            | column
+    # Trees are plain tuples: ("col", name) ("lit", v)
+    # ("bin", op, l, r) ("neg", e) ("extract", part, e)
+    # ("case", ((pred, then_expr), …), else_expr_or_None)
+    def expr_tree(self) -> tuple:
+        node = self._term()
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            node = ("bin", op, node, self._term())
+        return node
+
+    def _term(self) -> tuple:
+        node = self._factor()
+        while self.peek() in ("*", "/"):
+            op = self.take()
+            node = ("bin", op, node, self._factor())
+        return node
+
+    def _factor(self) -> tuple:
+        if self.peek() == "-":
+            self.take()
+            return ("neg", self._factor())
+        return self._primary()
+
+    def _primary(self) -> tuple:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of SQL in expression")
+        low = tok.lower()
+        if tok == "(":
+            self.take()
+            node = self.expr_tree()
+            self.expect(")")
+            return node
+        if low == "case":
+            self.take()
+            whens = []
+            while self.kw("when"):
+                self.take()
+                p = self.pred_or()
+                self.expect("then")
+                whens.append((p, self.expr_tree()))
+            if not whens:
+                raise ValueError("CASE requires at least one WHEN")
+            els = None
+            if self.kw("else"):
+                self.take()
+                els = self.expr_tree()
+            self.expect("end")
+            return ("case", tuple(whens), els)
+        if low == "extract":
+            self.take()
+            self.expect("(")
+            part = self.take().lower()
+            if part not in _EXTRACT_PARTS:
+                raise ValueError(f"EXTRACT part {part!r} not supported "
+                                 f"(have {sorted(_EXTRACT_PARTS)})")
+            self.expect("from")
+            inner = self.expr_tree()
+            self.expect(")")
+            return ("extract", part, inner)
+        if (low in ("date", "timestamp") and self.i + 1 < len(self.t)
+                and self.t[self.i + 1].startswith("'")):
+            return ("lit", self.literal())
+        if tok.startswith("'") or tok[0].isdigit() or tok[0] == ".":
+            return ("lit", self.literal())
+        ident = self.take()
+        if self.peek() == "(":
+            raise ValueError(f"function {ident!r} not supported inside "
+                             "scalar expressions")
+        return ("col", ident)
 
     # ------------------------------------------------------- select item
     def item(self) -> _Agg:
@@ -277,25 +433,42 @@ class _Parser:
                 distinct = True
                 if low != "count":
                     raise ValueError("DISTINCT only supported in COUNT")
-            col = self.take()
+            expr = None
+            if low in _EXPR_AGGS:
+                tree = self.expr_tree()
+                if tree[0] == "col":
+                    col = tree[1]
+                else:
+                    col, expr = None, tree
+            else:
+                col = self.take()
             phi = None
             if low in ("approx_quantile", "approx_quantile_tdigest",
                        "approx_top_k"):
                 self.expect(",")
                 phi = float(self.take())
             self.expect(")")
-            ag = _Agg(low, col, distinct=distinct, phi=phi)
+            ag = _Agg(low, col, distinct=distinct, phi=phi, expr=expr)
             self._maybe_filter(ag)
             if self.kw("over"):
                 if low not in _WINDOW_CUM or distinct:
                     raise ValueError(f"{low.upper()} cannot take an "
                                      "OVER clause")
+                if expr is not None:
+                    raise ValueError("window aggregates take a bare "
+                                     "column, not an expression")
                 if ag.filter_pred:
                     raise ValueError("FILTER does not combine with OVER "
                                      "in this router")
                 ag.window = self._over()
             return ag
-        return _Agg("col", tok)
+        # plain column — or a scalar expression (arithmetic / CASE /
+        # EXTRACT), which must be aliased and GROUPed BY via the alias
+        self.i -= 1
+        tree = self.expr_tree()
+        if tree[0] == "col":
+            return _Agg("col", tree[1])
+        return _Agg("expr", None, expr=tree)
 
     def _maybe_filter(self, ag: _Agg) -> None:
         """``FILTER ( WHERE pred [AND pred]* )`` — SQL's per-aggregate
@@ -306,12 +479,9 @@ class _Parser:
         self.take()
         self.expect("(")
         self.expect("where")
-        preds = [self.pred()]
-        while self.kw("and"):
-            self.take()
-            preds.append(self.pred())
+        preds = _flatten_and(self.pred_or())
         self.expect(")")
-        if any(p.sub is not None for p in preds):
+        if any(a.sub is not None for p in preds for a in _pred_atoms(p)):
             raise ValueError("FILTER predicates must be scalar "
                              "(no IN (SELECT …))")
         ag.filter_pred = preds
@@ -351,10 +521,66 @@ class _Parser:
         return (tuple(part), tuple(order))
 
     # --------------------------------------------------------- predicate
+    def pred_or(self) -> _Pred:
+        """``conj (OR conj)*`` — SQL precedence (AND binds tighter).
+        Returns a single node: an atom, an "and" node, or an "or" node;
+        membership subqueries may not sit under OR (enforced here so every
+        execution path can treat ``sub`` preds as top-level conjuncts)."""
+        node = self._pred_and()
+        if not self.kw("or"):
+            return node
+        children = [node]
+        while self.kw("or"):
+            self.take()
+            children.append(self._pred_and())
+        out = _Pred("", "or", value=children)
+        if any(p.sub is not None for p in _pred_atoms(out)):
+            raise ValueError("IN (SELECT …) must be a top-level AND "
+                             "condition (cannot sit under OR)")
+        return out
+
+    def _pred_and(self) -> _Pred:
+        node = self._pred_atom()
+        if not self.kw("and"):
+            return node
+        children = [node]
+        while self.kw("and"):
+            self.take()
+            children.append(self._pred_atom())
+        return _Pred("", "and", value=children)
+
+    def _pred_atom(self) -> _Pred:
+        if self.peek() == "(":
+            self.take()
+            node = self.pred_or()
+            self.expect(")")
+            return node
+        return self.pred()
+
     def pred(self) -> _Pred:
         col = self.take()
+        if self.kw("is"):
+            self.take()
+            if self.kw("not"):
+                self.take()
+                self.expect("null")
+                return _Pred(col, "not_null")
+            self.expect("null")
+            return _Pred(col, "is_null")
+        if self.kw("like"):
+            self.take()
+            pat = self.literal()
+            if not isinstance(pat, str):
+                raise ValueError("LIKE takes a string pattern")
+            return _Pred(col, "like", pat)
         if self.kw("not"):
             self.take()
+            if self.kw("like"):
+                self.take()
+                pat = self.literal()
+                if not isinstance(pat, str):
+                    raise ValueError("LIKE takes a string pattern")
+                return _Pred(col, "not_like", pat)
             self.expect("in")
             return self._in_pred(col, negated=True)
         if self.kw("in"):
@@ -420,10 +646,7 @@ class _Parser:
             plan.joins.append((tbl, key_a, key_b))
         if self.kw("where"):
             self.take()
-            plan.where.append(self.pred())
-            while self.kw("and"):
-                self.take()
-                plan.where.append(self.pred())
+            plan.where.extend(_flatten_and(self.pred_or()))
         if self.kw("group"):
             self.take()
             self.expect("by")
@@ -433,10 +656,7 @@ class _Parser:
                 plan.group_by.append(self.take())
         if self.kw("having"):
             self.take()
-            plan.having.append(self.pred())
-            while self.kw("and"):
-                self.take()
-                plan.having.append(self.pred())
+            plan.having.extend(_flatten_and(self.pred_or()))
         if self.kw("order"):
             self.take()
             self.expect("by")
@@ -468,33 +688,177 @@ def parse_sql(sql: str) -> _Plan:
 def _fmt_preds(preds: list[_Pred]) -> str:
     parts = []
     for p in preds:
-        if p.op == "between":
+        if p.op == "and":
+            parts.append(f"({_fmt_preds(p.value)})")
+        elif p.op == "or":
+            parts.append("(" + " OR ".join(_fmt_preds([c])
+                                           for c in p.value) + ")")
+        elif p.op == "between":
             parts.append(f"{p.col} BETWEEN {p.value[0]} AND {p.value[1]}")
+        elif p.op in ("is_null", "not_null"):
+            parts.append(f"{p.col} IS {'NOT ' if p.op == 'not_null' else ''}"
+                         "NULL")
+        elif p.op in ("like", "not_like"):
+            parts.append(f"{p.col} {'NOT ' if p.op == 'not_like' else ''}"
+                         f"LIKE {p.value!r}")
         else:
             parts.append(f"{p.col} {p.op} {p.value!r}")
     return " AND ".join(parts)
 
 
+def _one_pred_mask(batch: pa.Table, p: _Pred):
+    """Kleene-logic boolean mask for one predicate tree (nulls propagate;
+    the caller decides where to coerce null → False, matching SQL WHERE)."""
+    if p.op == "and":
+        m = None
+        for c in p.value:
+            cm = _one_pred_mask(batch, c)
+            m = cm if m is None else pc.and_kleene(m, cm)
+        return m
+    if p.op == "or":
+        m = None
+        for c in p.value:
+            cm = _one_pred_mask(batch, c)
+            m = cm if m is None else pc.or_kleene(m, cm)
+        return m
+    col = batch[p.col]
+    if p.op == "in":
+        return pc.is_in(col, value_set=pa.array(p.value))
+    if p.op == "not_in":
+        return pc.invert(pc.is_in(col, value_set=pa.array(p.value)))
+    if p.op == "between":
+        lo, hi = p.value
+        return pc.and_kleene(pc.greater_equal(col, pa.scalar(lo)),
+                             pc.less_equal(col, pa.scalar(hi)))
+    if p.op == "like":
+        return pc.match_like(col, p.value)
+    if p.op == "not_like":
+        return pc.invert(pc.match_like(col, p.value))
+    if p.op == "is_null":
+        return pc.is_null(col)
+    if p.op == "not_null":
+        return pc.is_valid(col)
+    kernel = {"=": pc.equal, "!=": pc.not_equal,
+              "<": pc.less, "<=": pc.less_equal,
+              ">": pc.greater, ">=": pc.greater_equal}[p.op]
+    return kernel(col, pa.scalar(p.value))
+
+
 def _pred_mask(batch: pa.Table, preds: list[_Pred]):
-    """Vectorized boolean mask for a conjunction of scalar predicates."""
+    """Vectorized boolean mask for a conjunction of predicate trees."""
     mask = None
     for p in preds:
-        col = batch[p.col]
-        if p.op == "in":
-            m = pc.is_in(col, value_set=pa.array(p.value))
-        elif p.op == "not_in":
-            m = pc.invert(pc.is_in(col, value_set=pa.array(p.value)))
-        elif p.op == "between":
-            lo, hi = p.value
-            m = pc.and_kleene(pc.greater_equal(col, pa.scalar(lo)),
-                              pc.less_equal(col, pa.scalar(hi)))
-        else:
-            kernel = {"=": pc.equal, "!=": pc.not_equal,
-                      "<": pc.less, "<=": pc.less_equal,
-                      ">": pc.greater, ">=": pc.greater_equal}[p.op]
-            m = kernel(col, pa.scalar(p.value))
+        m = _one_pred_mask(batch, p)
         mask = m if mask is None else pc.and_kleene(mask, m)
     return pc.fill_null(mask, False)
+
+
+def _expr_cols(e: tuple) -> set:
+    """All column names referenced anywhere in an expression tree
+    (including inside CASE WHEN predicates)."""
+    k = e[0]
+    if k == "col":
+        return {e[1]}
+    if k == "lit":
+        return set()
+    if k == "bin":
+        return _expr_cols(e[2]) | _expr_cols(e[3])
+    if k == "neg":
+        return _expr_cols(e[1])
+    if k == "extract":
+        return _expr_cols(e[2])
+    if k == "case":
+        out = _expr_cols(e[2]) if e[2] is not None else set()
+        for p, then in e[1]:
+            out |= _pred_cols([p]) | _expr_cols(then)
+        return out
+    raise ValueError(f"unknown expression node {k!r}")
+
+
+def _fmt_expr(e: tuple) -> str:
+    k = e[0]
+    if k == "col":
+        return e[1]
+    if k == "lit":
+        return repr(e[1])
+    if k == "bin":
+        return f"({_fmt_expr(e[2])} {e[1]} {_fmt_expr(e[3])})"
+    if k == "neg":
+        return f"(-{_fmt_expr(e[1])})"
+    if k == "extract":
+        return f"EXTRACT({e[1].upper()} FROM {_fmt_expr(e[2])})"
+    whens = " ".join(f"WHEN {_fmt_preds([p])} THEN {_fmt_expr(t)}"
+                     for p, t in e[1])
+    els = f" ELSE {_fmt_expr(e[2])}" if e[2] is not None else ""
+    return f"CASE {whens}{els} END"
+
+
+_EXTRACT_KERNELS = {"year": pc.year, "month": pc.month, "day": pc.day,
+                    "hour": pc.hour, "minute": pc.minute,
+                    "second": pc.second}
+
+
+def _unify_branch(arrs):
+    """Promote CASE branch values to one common type the way SQL does:
+    any float anywhere → float64; else ints stay int64; other types must
+    already agree."""
+    types = [a.type for a in arrs]
+    if any(pa.types.is_floating(t) for t in types) and not all(
+            pa.types.is_floating(t) for t in types):
+        return [pc.cast(a, pa.float64()) if not pa.types.is_floating(a.type)
+                else a for a in arrs]
+    return arrs
+
+
+def _eval_expr(batch: pa.Table, e: tuple):
+    """Evaluate an expression tree over one Arrow batch — every node is a
+    single pyarrow.compute kernel call (no Python row loops). Returns an
+    Array/ChunkedArray (scalars are broadcast to the batch length)."""
+    k = e[0]
+    if k == "col":
+        return batch[e[1]]
+    if k == "lit":
+        # broadcast: a pure-literal (sub)expression becomes a constant
+        # column of the batch length; the type is pinned so an EMPTY batch
+        # cannot degrade to Arrow's null type and break block unification
+        import datetime as _dt
+        v = e[1]
+        t = (pa.int64() if isinstance(v, int)
+             else pa.float64() if isinstance(v, float)
+             else pa.timestamp("us") if isinstance(v, _dt.datetime)
+             else pa.string())
+        return pa.chunked_array([pa.array([v] * batch.num_rows, type=t)])
+    if k == "neg":
+        return pc.negate(_eval_expr(batch, e[1]))
+    if k == "bin":
+        op, left, right = e[1], _eval_expr(batch, e[2]), _eval_expr(batch, e[3])
+        if op == "/":
+            # SQL (DuckDB) "/" is float division regardless of operand types
+            return pc.divide(pc.cast(left, pa.float64()),
+                             pc.cast(right, pa.float64()))
+        kern = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[op]
+        return kern(left, right)
+    if k == "extract":
+        return pc.cast(_EXTRACT_KERNELS[e[1]](_eval_expr(batch, e[2])),
+                       pa.int64())
+    if k == "case":
+        whens, els = e[1], e[2]
+        thens = [_eval_expr(batch, t) for _, t in whens]
+        if els is not None:
+            branches = _unify_branch(thens + [_eval_expr(batch, els)])
+            thens, result = branches[:-1], branches[-1]
+        else:
+            thens = _unify_branch(thens)
+            result = pa.chunked_array([pa.nulls(batch.num_rows,
+                                                type=thens[0].type)])
+        # SQL CASE: first matching WHEN wins; a null condition falls
+        # through (same as false) — fold right-to-left so earlier WHENs
+        # override later ones
+        for (p, _), then in zip(reversed(whens), reversed(thens)):
+            mask = pc.fill_null(_one_pred_mask(batch, p), False)
+            result = pc.if_else(mask, then, result)
+        return result
+    raise ValueError(f"unknown expression node {k!r}")
 
 
 def _scalar_filter_fn(preds: list[_Pred]):
@@ -572,10 +936,37 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             explain.append(f"SELECT DISTINCT -> GROUP BY "
                            f"{plan.group_by} with a dropped counter")
 
+    # ------------------------------------ scalar expressions → derived cols
+    # Each expression (an aggregate's argument, or an aliased SELECT item
+    # used as a group key) compiles to ONE derived Arrow column attached by
+    # a single vectorized map_batches stage after the joins; everything
+    # downstream (FILTER masks, cents conversion, group keys, aggregates)
+    # then sees a plain column.
+    exprs: dict[str, tuple] = {}
+    for it in plan.items:
+        if it.fn == "expr":
+            if not it.alias:
+                raise ValueError("an expression SELECT item needs AS alias "
+                                 f"(got {_fmt_expr(it.expr)})")
+            if it.alias not in plan.group_by:
+                raise ValueError(f"expression item {it.alias!r} must be "
+                                 "GROUPed BY via its alias")
+            exprs[it.alias] = it.expr
+            it.col = it.alias
+        elif it.expr is not None:
+            if not it.alias:
+                raise ValueError(f"{it.fn.upper()} over an expression "
+                                 "requires AS alias")
+            dname = f"_expr_{it.alias}"
+            exprs[dname] = it.expr
+            it.col = dname
+    derived = set(exprs)
+
     # ------------------------------------------ column ownership (joins)
     tables = [plan.table] + [j[0] for j in plan.joins]
-    schemas = {t: set(pq.read_schema(f"{sf_dir}/{t}.parquet").names)
-               for t in tables}
+    schema_lists = {t: pq.read_schema(f"{sf_dir}/{t}.parquet").names
+                    for t in tables}
+    schemas = {t: set(v) for t, v in schema_lists.items()}
 
     def owner(col: str) -> str:
         hits = [t for t in tables if col in schemas[t]]
@@ -587,16 +978,23 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         return hits[0]
 
     # -------------------------------------------------- read, pruned
-    needed = set(plan.group_by)
+    needed = {c for c in plan.group_by if c not in derived}
     for it in plan.items:
         if it.col is not None:
-            needed.add(it.col)
+            if it.col in derived:
+                needed.update(_expr_cols(exprs[it.col]))
+            else:
+                needed.add(it.col)
         for p in (it.filter_pred or ()):
-            needed.add(p.col)
+            needed.update(_pred_cols([p]))
     for p in plan.where:
-        needed.add(p.col)
+        needed.update(_pred_cols([p]))
     for _tbl, a, b in plan.joins:
         needed.update((a, b))
+    if not needed:
+        # a COUNT(*)-only scan still needs one physical column to stream;
+        # the file's first field is typically a narrow key
+        needed.add(schema_lists[plan.table][0])
     per_table = {t: sorted(c for c in needed if owner(c) == t)
                  for t in tables}
     if explain is not None:
@@ -608,8 +1006,10 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # ---------------------------------- WHERE: fact-owned preds push down
     scalar = [p for p in plan.where if p.sub is None]
     member = [p for p in plan.where if p.sub is not None]
-    push = [p for p in scalar if p.col in schemas[plan.table]]
-    post = [p for p in scalar if p.col not in schemas[plan.table]]
+    push = [p for p in scalar
+            if _pred_cols([p]) <= schemas[plan.table]]
+    post = [p for p in scalar
+            if not _pred_cols([p]) <= schemas[plan.table]]
     if push:
         if explain is not None:
             explain.append(
@@ -709,6 +1109,23 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                 how="anti" if p.op == "not_in" else "semi",
                                 buckets=join_buckets)
 
+    # ----------------------------- derived expression columns (one stage)
+    if exprs:
+        if explain is not None:
+            for name, e in exprs.items():
+                explain.append(f"DERIVE {name} = {_fmt_expr(e)} -> one "
+                               "vectorized pyarrow.compute column (no row "
+                               "loops), attached after the joins")
+        else:
+            def with_expr_cols(b: pa.Table,
+                               _ex=tuple(exprs.items())) -> pa.Table:
+                for name, e in _ex:
+                    b = b.append_column(name, _eval_expr(b, e))
+                return b
+
+            ds = ds.map_batches(with_expr_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
     # ------------------------------------- APPROX_TOP_K (heavy hitters)
     topk = [it for it in plan.items if it.fn == "approx_top_k"]
     if topk:
@@ -799,7 +1216,9 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # -------------------------------------------------- aggregates
     aggs, posts, bounds = [], [], []
     plain_cols = [it for it in plan.items if it.fn == "col"]
-    agg_items = [it for it in plan.items if it.fn != "col"]
+    # "expr" items are derived group keys — already validated against
+    # plan.group_by above, and they flow through the groupby like any key
+    agg_items = [it for it in plan.items if it.fn not in ("col", "expr")]
     for it in plain_cols:
         if it.col not in plan.group_by:
             raise ValueError(f"non-aggregate column {it.col!r} must be in "
@@ -851,6 +1270,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             "min": "Ray Min", "max": "Ray Max",
             "money_sum": "exact integer-cents Sum (order-independent, "
                          "bit-stable)",
+            "money_avg": "exact integer-cents Sum / Count "
+                         "(order-independent, bit-stable)",
             "approx_count_distinct":
                 f"HyperLogLog (p={hll_p}, 3-sigma rel err ~"
                 f"{3 * 1.04 / (2 ** hll_p) ** 0.5:.4f})",
@@ -862,8 +1283,10 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 route = "ExactDistinct (sorted 8-byte hash sets)"
             else:
                 route = routes[it.fn]
+            arg = (_fmt_expr(it.expr) if it.expr is not None
+                   else (it.col or "*"))
             explain.append(f"AGG {it.name} = {it.fn.upper()}"
-                           f"({it.col or '*'}) -> {route}")
+                           f"({arg}) -> {route}")
         explain.append(
             f"GROUP BY {plan.group_by} -> one map-side-combined "
             "aggregate shuffle" if plan.group_by else
@@ -887,10 +1310,19 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         elif it.fn == "count":
             if it.filter_pred:        # sum of the 0/1 mask column
                 aggs.append(Sum(fcol, alias_name=name))
+            elif it.col is None:
+                if plan.group_by:
+                    aggs.append(Count(alias_name=name))
+                else:
+                    # Ray 2.49: an argless Count in a GLOBAL aggregate
+                    # returns 0 (grouped and on-column forms are fine) —
+                    # count a physical fact column with ignore_nulls=False
+                    # instead, which is the same row count
+                    aggs.append(Count(on=per_table[plan.table][0],
+                                      ignore_nulls=False, alias_name=name))
             else:
-                aggs.append(Count(alias_name=name) if it.col is None
-                            else Count(on=it.col, ignore_nulls=True,
-                                       alias_name=name))
+                aggs.append(Count(on=it.col, ignore_nulls=True,
+                                  alias_name=name))
         elif it.fn == "sum":
             aggs.append(Sum(fcol, alias_name=name))
         elif it.fn == "money_sum":
@@ -900,6 +1332,13 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             # (unlike float SUM, whose last cent can flip with merge
             # order at ~1e8 magnitudes)
             aggs.append(Sum(f"_cents_{name}", alias_name=f"_cents_{name}"))
+        elif it.fn == "money_avg":
+            # same cents discipline as MONEY_SUM plus an exact non-null
+            # count; the finalize divides ints, so the float result is the
+            # SAME two deterministic ops on every run/merge order
+            aggs.append(Sum(f"_cents_{name}", alias_name=f"_cents_{name}"))
+            aggs.append(Count(on=f"_cents_{name}", ignore_nulls=True,
+                              alias_name=f"_cnt_{name}"))
         elif it.fn == "avg":
             aggs.append(Mean(fcol, alias_name=name))
         elif it.fn == "min":
@@ -923,7 +1362,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             pass
 
     money = [(f"_cents_{it.name}", it.col) for it in agg_items
-             if it.fn == "money_sum"]
+             if it.fn in ("money_sum", "money_avg")]
     if money:
         def to_cents(b: pa.Table, _mc=tuple(money)) -> pa.Table:
             for cname, col in _mc:
@@ -972,6 +1411,19 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                     pc.divide(pc.cast(batch[f"_cents_{it.name}"],
                                       pa.float64()), pa.scalar(100.0)))
                 batch = batch.drop_columns([f"_cents_{it.name}"])
+            elif it.fn == "money_avg":
+                # (cents / 100.0) / n — mirrors the DuckDB re-derivation
+                # SUM(CAST(ROUND(c*100) AS BIGINT)) / 100.0 / COUNT(c)
+                # operation-for-operation, so the float64 result is
+                # bit-identical
+                euros = pc.divide(pc.cast(batch[f"_cents_{it.name}"],
+                                          pa.float64()), pa.scalar(100.0))
+                batch = batch.append_column(
+                    it.name,
+                    pc.divide(euros, pc.cast(batch[f"_cnt_{it.name}"],
+                                             pa.float64())))
+                batch = batch.drop_columns([f"_cents_{it.name}",
+                                            f"_cnt_{it.name}"])
         for it in agg_items:
             if it.round_to is not None:
                 i = batch.schema.get_field_index(it.name)
@@ -992,9 +1444,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     if plan.having:
         out_names = {it.name for it in plan.items} | set(plan.group_by)
         for p in plan.having:
-            if p.sub is not None or p.col not in out_names:
+            if (any(a.sub is not None for a in _pred_atoms(p))
+                    or not _pred_cols([p]) <= out_names):
                 raise ValueError("HAVING predicates must reference "
-                                 f"SELECTed aliases/keys, got {p.col!r}")
+                                 "SELECTed aliases/keys, got "
+                                 f"{sorted(_pred_cols([p]) - out_names)}")
         out = out.map_batches(_scalar_filter_fn(plan.having),
                               batch_format="pyarrow")
 
@@ -1051,7 +1505,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     schema = set(pq.read_schema(f"{sf_dir}/{plan.table}.parquet").names)
     needed = {*part, *(c for c, _ in order)}
     needed.update(it.col for it in plan.items if it.col is not None)
-    needed.update(p.col for p in plan.where)
+    needed.update(_pred_cols(plan.where))
     missing = sorted(needed - schema)
     if missing:
         raise ValueError(f"unknown column(s) {missing} on {plan.table!r}")
@@ -1422,11 +1876,14 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
                              "by nature — use APPROX_COUNT_DISTINCT")
         if it.fn not in _PROG_KINDS and it.fn != "col":
             raise ValueError(f"progressive SQL cannot stream {it.fn!r}")
+        if it.expr is not None:
+            raise ValueError("progressive SQL does not support expression "
+                             "aggregates yet — use run_sql")
 
     path = f"{sf_dir}/{plan.table}.parquet"
     rows_total = pq.read_metadata(path).num_rows
     needed = {it.col for it in items if it.col is not None}
-    needed |= {p.col for p in plan.where}
+    needed |= _pred_cols(plan.where)
     if key_col:
         needed.add(key_col)
     kwargs = {}
