@@ -766,3 +766,37 @@ def test_explain_reports_derive_stage(ray_session, sf01_dir):
         sf01_dir)
     assert "DERIVE" in trace and "pyarrow.compute" in trace
     assert "MONEY_SUM" in trace
+
+
+def test_left_join_broadcast_and_hash_match_duckdb(ray_session, sf01_dir):
+    """LEFT JOIN on both routes. Broadcast (unique dim keys): events →
+    nation leaves almost every row unmatched, so the null-padding path is
+    exercised hard. Hash (duplicate dim keys): customer → orders keeps
+    order-less customers, and the IS NULL post-filter is SQL's
+    left-anti-join spelling."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    bcast = """SELECT event_type, COUNT(*) AS n, COUNT(n_name) AS matched
+        FROM events LEFT JOIN nation ON user_id = n_nationkey
+        GROUP BY event_type ORDER BY event_type"""
+    pdt.assert_frame_equal(
+        run_sql(bcast, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, bcast), check_dtype=False)
+    assert "BROADCAST" in explain_sql(bcast, sf01_dir)
+
+    hash_left = """SELECT c_mktsegment, COUNT(*) AS n,
+        COUNT(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    mine = run_sql(hash_left, sf01_dir, max_broadcast_rows=0).to_pandas()
+    pdt.assert_frame_equal(mine.reset_index(drop=True),
+                           _duck(sf01_dir, hash_left), check_dtype=False)
+    assert "HASH JOIN" in explain_sql(hash_left, sf01_dir,
+                                      max_broadcast_rows=0)
+
+    anti = """SELECT COUNT(*) AS n
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        WHERE o_orderkey IS NULL"""
+    pdt.assert_frame_equal(
+        run_sql(anti, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, anti), check_dtype=False)

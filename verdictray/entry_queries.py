@@ -1549,6 +1549,32 @@ def q_sql_router_extract(sf_dir: str):
     return run_sql(SQL_ROUTER_EXTRACT, sf_dir)
 
 
+SQL_ROUTER_LEFT_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n, COUNT(o_orderkey) AS n_orders,
+  MONEY_SUM(o_totalprice) AS total_price,
+  COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS no_order_rows
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+SQL_ROUTER_LEFT_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n, COUNT(o_orderkey) AS n_orders,
+  SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total_price,
+  COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS no_order_rows
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_sql_router_left_join(sf_dir: str):
+    """LEFT JOIN through the router: customers keep their row when no
+    order matches (duplicate-keyed right side → bucketed hash_join
+    how='left'; null-padded order columns feed COUNT(col) and an
+    IS NULL FILTER aggregate — SQL's left-anti spelling)."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_LEFT_JOIN, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3690,6 +3716,7 @@ QUERIES = {
     "sql_tpch_q6": q_sql_tpch_q6,
     "sql_router_case_like": q_sql_router_case_like,
     "sql_router_extract": q_sql_router_extract,
+    "sql_router_left_join": q_sql_router_left_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3820,6 +3847,7 @@ ORACLES = {
     "sql_tpch_q6": SQL_TPCH_Q6_ORACLE,
     "sql_router_case_like": SQL_ROUTER_CASE_LIKE_ORACLE,
     "sql_router_extract": SQL_ROUTER_EXTRACT_ORACLE,
+    "sql_router_left_join": SQL_ROUTER_LEFT_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3876,7 +3904,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
-    "sql_router_extract",
+    "sql_router_extract", "sql_router_left_join",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

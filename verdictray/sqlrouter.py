@@ -8,7 +8,7 @@ unique across the joined tables — TPC-H-style prefixes; no subqueries
 except membership ``IN (SELECT col FROM t)``):
 
     SELECT [DISTINCT] item ("," item)*
-    FROM table ("JOIN" table "ON" col "=" col)*
+    FROM table (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*]
     [HAVING pred ("AND" pred)*]       -- preds over SELECTed agg aliases
@@ -90,11 +90,13 @@ Routing:
   Grouped form ``SELECT key, APPROX_TOP_K(col, k) … GROUP BY key``
   explodes ≤k heavy hitters per key, decoded from each group's CMS blob
   inside a distributed map_batches finish stage.
-- ``JOIN dim ON fact_key = dim_key`` → broadcast enrich (vectorized
+- ``[LEFT] JOIN dim ON fact_key = dim_key`` → broadcast enrich (vectorized
   pc.index_in lookup inside map_batches, no shuffle) when the dimension
   side has ≤ ``max_broadcast_rows`` rows by parquet metadata AND a unique
-  join key; otherwise → join.hash_join (bucketed, one shuffle). Joins
-  chain left-to-right, so a later join may key on a column attached by an
+  join key; otherwise → join.hash_join (bucketed, one shuffle). LEFT
+  keeps unmatched fact rows with null dim columns (broadcast: ``take`` on
+  the null index; hash path: join.hash_join how="left"). Joins chain
+  left-to-right, so a later join may key on a column attached by an
   earlier one (orders→customer→nation).
 - membership ``IN (SELECT …)`` → join.semi_anti_join (exact, bucketed,
   key-only shuffle); ``approx_membership=True`` routes it through a Bloom
@@ -636,14 +638,20 @@ class _Parser:
         self.expect("from")
         plan = _Plan(table=self.take(), items=items,
                      select_distinct=distinct)
-        while self.kw("join"):
-            self.take()
+        while self.kw("join", "left"):
+            how = "inner"
+            if self.kw("left"):
+                self.take()
+                how = "left"
+                if self.kw("outer"):
+                    self.take()
+            self.expect("join")
             tbl = self.take()
             self.expect("on")
             key_a = self.take()
             self.expect("=")
             key_b = self.take()
-            plan.joins.append((tbl, key_a, key_b))
+            plan.joins.append((tbl, key_a, key_b, how))
         if self.kw("where"):
             self.take()
             plan.where.extend(_flatten_and(self.pred_or()))
@@ -869,20 +877,22 @@ def _scalar_filter_fn(preds: list[_Pred]):
 
 
 def _broadcast_enrich(ds, dim_tbl: pa.Table, left_key: str, right_key: str,
-                      out_cols: list):
-    """INNER-join enrich against a small unique-keyed dimension table: one
+                      out_cols: list, how: str = "inner"):
+    """Join-enrich against a small unique-keyed dimension table: one
     vectorized ``pc.index_in`` per batch resolves each fact key to its dim
-    row, columns attach via ``take``; non-matching fact rows are dropped
-    (INNER semantics). The dim table rides into every task once via the
-    serialized transform (broadcast) — no shuffle."""
+    row, columns attach via ``take``. INNER drops non-matching fact rows;
+    LEFT keeps them — ``take`` on the null index yields SQL's null-padded
+    dim columns. The dim table rides into every task once via the
+    serialized transform (broadcast) — no shuffle either way."""
     key_arr = dim_tbl[right_key].combine_chunks()
     cols = {c: dim_tbl[c].combine_chunks() for c in out_cols}
 
     def enrich(b: pa.Table) -> pa.Table:
         idx = pc.index_in(b[left_key], value_set=key_arr)
-        valid = pc.is_valid(idx)
-        b = b.filter(valid)
-        idx = pc.filter(idx, valid)
+        if how == "inner":
+            valid = pc.is_valid(idx)
+            b = b.filter(valid)
+            idx = pc.filter(idx, valid)
         for name, arr in cols.items():
             b = b.append_column(name, arr.take(idx))
         return b
@@ -989,7 +999,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             needed.update(_pred_cols([p]))
     for p in plan.where:
         needed.update(_pred_cols([p]))
-    for _tbl, a, b in plan.joins:
+    for _tbl, a, b, _how in plan.joins:
         needed.update((a, b))
     if not needed:
         # a COUNT(*)-only scan still needs one physical column to stream;
@@ -1020,7 +1030,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     # -------------------------------------------------- JOINs (in order)
     attached = set(per_table[plan.table])
-    for tbl, a, b in plan.joins:
+    for tbl, a, b, how in plan.joins:
         if b in schemas[tbl] and a in attached:
             left_key, right_key = a, b
         elif a in schemas[tbl] and b in attached:
@@ -1039,14 +1049,16 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             if pc.count_distinct(key_arr).as_py() == len(key_arr):
                 if explain is not None:
                     explain.append(
-                        f"JOIN {tbl} ON {left_key} = {right_key} -> "
-                        f"BROADCAST enrich ({n_dim} rows <= "
+                        f"{how.upper()} JOIN {tbl} ON {left_key} = "
+                        f"{right_key} -> BROADCAST enrich ({n_dim} rows <= "
                         f"max_broadcast_rows={max_broadcast_rows}, unique "
                         "key): pc.index_in lookup inside map_batches, "
-                        "ZERO shuffle")
+                        "ZERO shuffle"
+                        + ("; unmatched fact rows keep null dim columns"
+                           if how == "left" else ""))
                 else:
                     ds = _broadcast_enrich(ds, dim_tbl, left_key,
-                                           right_key, out_cols)
+                                           right_key, out_cols, how=how)
                 attached.update(out_cols)
                 continue
             reason = "duplicate join keys"
@@ -1058,13 +1070,13 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
         if explain is not None:
             explain.append(
-                f"JOIN {tbl} ON {left_key} = {right_key} -> bucketed "
-                f"HASH JOIN ({reason}): one shuffle, "
+                f"{how.upper()} JOIN {tbl} ON {left_key} = {right_key} -> "
+                f"bucketed HASH JOIN ({reason}): one shuffle, "
                 f"{join_buckets} buckets")
         else:
             dim_ds = rd.read_parquet(dim_path, columns=dim_cols)
             ds = hash_join(ds, dim_ds, left_key, right_key,
-                           buckets=join_buckets, how="inner")
+                           buckets=join_buckets, how=how)
         attached.update(dim_cols)
     if post:
         if explain is not None:
