@@ -800,3 +800,26 @@ def test_left_join_broadcast_and_hash_match_duckdb(ray_session, sf01_dir):
     pdt.assert_frame_equal(
         run_sql(anti, sf01_dir).to_pandas().reset_index(drop=True),
         _duck(sf01_dir, anti), check_dtype=False)
+
+
+def test_expression_predicates_match_duckdb(ray_session, sf01_dir):
+    """WHERE over scalar expressions (expr op literal, expr BETWEEN,
+    col-vs-col, CASE in a predicate) — all vectorized, all pushed below
+    joins when fact-owned; identical SQL text runs in DuckDB."""
+    from verdictray.sqlrouter import run_sql
+
+    for sql in (
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice * (1 - l_discount) > 50000""",
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           WHERE l_extendedprice * l_discount BETWEEN 100 AND 2000
+             AND l_quantity * 2 >= l_tax * 100
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "SELECT COUNT(*) AS n FROM lineitem WHERE l_tax > l_discount",
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+                 ELSE 0 END > 100000""",
+    ):
+        pdt.assert_frame_equal(
+            run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+            _duck(sf01_dir, sql), check_dtype=False, rtol=0, atol=0)

@@ -65,8 +65,9 @@ except membership ``IN (SELECT col FROM t)``):
     pred := pred OR pred | pred AND pred | ( pred )    -- SQL precedence;
                                                  --   IN (SELECT …) may not
                                                  --   sit under OR
-          | col (=|!=|<>|<|<=|>|>=) literal
-          | col BETWEEN literal AND literal
+          | scalar (=|!=|<>|<|<=|>|>=) scalar    -- either side may be an
+                                                 --   expression or column
+          | scalar BETWEEN literal AND literal
           | col [NOT] LIKE 'pattern'             -- pc.match_like, SQL %/_
           | col IS [NOT] NULL
           | col [NOT] IN (literal, ...)
@@ -208,6 +209,10 @@ class _Pred:
                              # like, not_like, is_null, not_null, and, or
     value: object = None     # literal / list of literals / child _Preds
     sub: tuple | None = None  # (table, col) for IN (SELECT ...)
+    # expression operands (tuples; see _Parser.expr_tree) when a side of a
+    # comparison / BETWEEN is not a bare column or literal
+    lexpr: tuple | None = None
+    rexpr: tuple | None = None
 
 
 def _pred_atoms(p: _Pred):
@@ -220,8 +225,18 @@ def _pred_atoms(p: _Pred):
 
 
 def _pred_cols(preds) -> set:
-    """All column names referenced anywhere in a list of predicate trees."""
-    return {a.col for p in preds for a in _pred_atoms(p)}
+    """All column names referenced anywhere in a list of predicate trees
+    (including inside expression operands)."""
+    out = set()
+    for p in preds:
+        for a in _pred_atoms(p):
+            if a.col:
+                out.add(a.col)
+            if a.lexpr is not None:
+                out |= _expr_cols(a.lexpr)
+            if a.rexpr is not None:
+                out |= _expr_cols(a.rexpr)
+    return out
 
 
 def _flatten_and(p: _Pred) -> list:
@@ -560,7 +575,27 @@ class _Parser:
         return self.pred()
 
     def pred(self) -> _Pred:
-        col = self.take()
+        left = self.expr_tree()
+        if left[0] != "col":
+            # expression comparison: expr (op|BETWEEN) expr — evaluated as
+            # vectorized pyarrow.compute kernels, same as any predicate
+            if self.kw("between"):
+                self.take()
+                lo = self.literal()
+                self.expect("and")
+                hi = self.literal()
+                return _Pred("", "between", value=(lo, hi), lexpr=left)
+            op = self.take()
+            if op == "<>":
+                op = "!="
+            if op not in ("=", "!=", "<", "<=", ">", ">="):
+                raise ValueError(f"unsupported operator {op!r} after an "
+                                 "expression")
+            right = self.expr_tree()
+            if right[0] == "lit":
+                return _Pred("", op, value=right[1], lexpr=left)
+            return _Pred("", op, lexpr=left, rexpr=right)
+        col = left[1]
         if self.kw("is"):
             self.take()
             if self.kw("not"):
@@ -599,7 +634,10 @@ class _Parser:
             op = "!="
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(f"unsupported operator {op!r}")
-        return _Pred(col, op, self.literal())
+        right = self.expr_tree()
+        if right[0] == "lit":
+            return _Pred(col, op, right[1])
+        return _Pred("", op, lexpr=left, rexpr=right)
 
     def _in_pred(self, col: str, negated: bool) -> _Pred:
         self.expect("(")
@@ -702,13 +740,18 @@ def _fmt_preds(preds: list[_Pred]) -> str:
             parts.append("(" + " OR ".join(_fmt_preds([c])
                                            for c in p.value) + ")")
         elif p.op == "between":
-            parts.append(f"{p.col} BETWEEN {p.value[0]} AND {p.value[1]}")
+            lhs = _fmt_expr(p.lexpr) if p.lexpr is not None else p.col
+            parts.append(f"{lhs} BETWEEN {p.value[0]} AND {p.value[1]}")
         elif p.op in ("is_null", "not_null"):
             parts.append(f"{p.col} IS {'NOT ' if p.op == 'not_null' else ''}"
                          "NULL")
         elif p.op in ("like", "not_like"):
             parts.append(f"{p.col} {'NOT ' if p.op == 'not_like' else ''}"
                          f"LIKE {p.value!r}")
+        elif p.lexpr is not None:
+            rhs = (_fmt_expr(p.rexpr) if p.rexpr is not None
+                   else repr(p.value))
+            parts.append(f"{_fmt_expr(p.lexpr)} {p.op} {rhs}")
         else:
             parts.append(f"{p.col} {p.op} {p.value!r}")
     return " AND ".join(parts)
@@ -729,6 +772,18 @@ def _one_pred_mask(batch: pa.Table, p: _Pred):
             cm = _one_pred_mask(batch, c)
             m = cm if m is None else pc.or_kleene(m, cm)
         return m
+    if p.lexpr is not None:
+        left = _eval_expr(batch, p.lexpr)
+        if p.op == "between":
+            lo, hi = p.value
+            return pc.and_kleene(pc.greater_equal(left, pa.scalar(lo)),
+                                 pc.less_equal(left, pa.scalar(hi)))
+        right = (_eval_expr(batch, p.rexpr) if p.rexpr is not None
+                 else pa.scalar(p.value))
+        kernel = {"=": pc.equal, "!=": pc.not_equal,
+                  "<": pc.less, "<=": pc.less_equal,
+                  ">": pc.greater, ">=": pc.greater_equal}[p.op]
+        return kernel(left, right)
     col = batch[p.col]
     if p.op == "in":
         return pc.is_in(col, value_set=pa.array(p.value))
