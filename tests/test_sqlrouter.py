@@ -823,3 +823,41 @@ def test_expression_predicates_match_duckdb(ray_session, sf01_dir):
         pdt.assert_frame_equal(
             run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
             _duck(sf01_dir, sql), check_dtype=False, rtol=0, atol=0)
+
+
+def test_rows_frame_windows_match_duckdb(ray_session, sf01_dir):
+    """ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND CURRENT ROW through the
+    router: per-row frames (no peer smearing), vectorized per-key rolling
+    scans. Fractional doubles compare at 1e-9 (pandas' sliding-window
+    accumulator differs from DuckDB's per-frame sum by ulps); the
+    integer-valued oracle query (sql_rows_frame) is bit-exact."""
+    from verdictray.sqlrouter import run_sql
+
+    w = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+         "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")
+    sql = f"""SELECT event_id, SUM(value) {w} AS s3, COUNT(*) {w} AS c3,
+        MIN(value) {w} AS m3, AVG(value) {w} AS a3
+        FROM events ORDER BY event_id LIMIT 2000"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    ora = _duck(sf01_dir, sql)
+    pdt.assert_frame_equal(mine, ora, check_dtype=False, atol=1e-9,
+                           rtol=0)
+
+    wu = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    sql = f"""SELECT event_id, SUM(value) {wu} AS rs,
+        MAX(value) {wu} AS rm, COUNT(value) {wu} AS rc
+        FROM events ORDER BY event_id LIMIT 2000"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False,
+                           atol=1e-9, rtol=0)
+
+    # loud errors: frame on a ranking func; frame without ORDER BY
+    from verdictray.sqlrouter import parse_sql
+    with pytest.raises(ValueError, match="cumulative"):
+        run_sql("SELECT ROW_NUMBER() OVER (PARTITION BY k ORDER BY o "
+                "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS rn FROM t",
+                sf01_dir)
+    with pytest.raises(ValueError, match="ORDER BY"):
+        parse_sql("SELECT SUM(v) OVER (PARTITION BY k ROWS BETWEEN 3 "
+                  "PRECEDING AND CURRENT ROW) AS s FROM t")

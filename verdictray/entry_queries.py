@@ -1575,6 +1575,32 @@ def q_sql_router_left_join(sf_dir: str):
     return run_sql(SQL_ROUTER_LEFT_JOIN, sf_dir)
 
 
+SQL_ROWS_FRAME = """
+SELECT o_orderkey,
+  SUM(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS custkey_5,
+  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt_5,
+  MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS max_5
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def q_sql_rows_frame(sf_dir: str):
+    """ROWS-frame windows through the router (ANSI ROWS BETWEEN n
+    PRECEDING AND CURRENT ROW): per-row frames over one hash-bucket
+    shuffle, vectorized per-key rolling scans. orders is keyed by the
+    UNIQUE o_orderkey, so the ORDER BY is total and per-row frames are
+    deterministic (lineitem's (orderkey, linenumber) ties are not); the
+    summed column is integer-valued, so the sliding accumulation is EXACT
+    and the value-hash matches DuckDB bit-for-bit."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROWS_FRAME, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3717,6 +3743,7 @@ QUERIES = {
     "sql_router_case_like": q_sql_router_case_like,
     "sql_router_extract": q_sql_router_extract,
     "sql_router_left_join": q_sql_router_left_join,
+    "sql_rows_frame": q_sql_rows_frame,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3848,6 +3875,7 @@ ORACLES = {
     "sql_router_case_like": SQL_ROUTER_CASE_LIKE_ORACLE,
     "sql_router_extract": SQL_ROUTER_EXTRACT_ORACLE,
     "sql_router_left_join": SQL_ROUTER_LEFT_JOIN_ORACLE,
+    "sql_rows_frame": SQL_ROWS_FRAME,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3904,7 +3932,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
-    "sql_router_extract", "sql_router_left_join",
+    "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

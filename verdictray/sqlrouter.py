@@ -534,8 +534,29 @@ class _Parser:
                     self.take()
                     continue
                 break
+        frame = None
+        if self.kw("rows"):
+            # ROWS BETWEEN {UNBOUNDED|n} PRECEDING AND CURRENT ROW —
+            # row-counted framing (each row gets its OWN frame; ties do
+            # NOT share results, unlike the default RANGE frame)
+            self.take()
+            self.expect("between")
+            if self.kw("unbounded"):
+                self.take()
+                lo = None
+            else:
+                lo = int(self.take())
+                if lo < 0:
+                    raise ValueError("ROWS frame needs n >= 0 PRECEDING")
+            self.expect("preceding")
+            self.expect("and")
+            self.expect("current")
+            self.expect("row")
+            if not order:
+                raise ValueError("a ROWS frame requires ORDER BY")
+            frame = ("rows", lo, 0)
         self.expect(")")
-        return (tuple(part), tuple(order))
+        return (tuple(part), tuple(order), frame)
 
     # --------------------------------------------------------- predicate
     def pred_or(self) -> _Pred:
@@ -1565,7 +1586,12 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     if any(it.window != spec0 for it in win_items):
         raise ValueError("all window items must share one "
                          "PARTITION BY/ORDER BY spec")
-    part, order = spec0
+    part, order, frame = spec0
+    if frame is not None:
+        bad = [it.fn for it in win_items if it.fn not in _WINDOW_CUM]
+        if bad:
+            raise ValueError(f"a ROWS frame applies to cumulative "
+                             f"aggregates only, got {bad}")
     part = list(part)
     order = list(order)
 
@@ -1585,12 +1611,18 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         if plan.where:
             explain.append(f"FILTER (below the window shuffle): "
                            f"{_fmt_preds(plan.where)}")
+        frame_note = ("ANSI default RANGE framing: peers share frame "
+                      "results" if frame is None else
+                      f"ROWS BETWEEN "
+                      f"{'UNBOUNDED' if frame[1] is None else frame[1]} "
+                      "PRECEDING AND CURRENT ROW: per-row frames, "
+                      "vectorized rolling scans")
         explain.append(
             f"WINDOW OVER (PARTITION BY {part} ORDER BY {order}) -> one "
             f"hash-bucket shuffle on {part} ({buckets} buckets), "
             "vectorized per-bucket prefix scans; funcs="
             + ", ".join(f"{s['func']}({s['col'] or ''})" for s in specs)
-            + " (ANSI default RANGE framing: peers share frame results)")
+            + f" ({frame_note})")
         if plan.order_by:
             explain.append(f"ORDER BY {plan.order_by} -> sorts the "
                            "windowed result")
@@ -1602,7 +1634,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     if plan.where:
         ds = ds.map_batches(_scalar_filter_fn(plan.where),
                             batch_format="pyarrow", zero_copy_batch=True)
-    out = partitioned_window(ds, part, order, specs, buckets=buckets)
+    out = partitioned_window(ds, part, order, specs, buckets=buckets,
+                             frame=frame)
 
     rounds = [(it.name, it.round_to) for it in win_items
               if it.round_to is not None]

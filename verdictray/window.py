@@ -1207,7 +1207,8 @@ _WINDOW_NAV = ("lag", "lead", "first_value", "last_value")
 
 def partitioned_window(ds, key: str | list[str],
                        order_by: list[tuple[str, bool]],
-                       specs: list[dict], buckets: int = 32):
+                       specs: list[dict], buckets: int = 32,
+                       frame: tuple | None = None):
     """Generic SQL window functions over one PARTITION BY key (a single
     column or a composite list) and one shared ORDER BY spec — the
     execution target of the SQL router's
@@ -1229,6 +1230,12 @@ def partitioned_window(ds, key: str | list[str],
       order columns) share one frame result, implemented as a rows-frame
       running agg smeared to the LAST row of each peer group.
 
+    ``frame``: None for the ANSI default (RANGE UNBOUNDED PRECEDING …
+    CURRENT ROW — peers share frame results), or ``("rows", n_or_None,
+    0)`` for ``ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND CURRENT ROW`` —
+    per-ROW frames (ties do NOT share), cumulative aggregates only;
+    bounded frames run as vectorized per-key rolling scans.
+
     Distributed shape (the family idiom): ONE hash-bucket shuffle on the
     key, then a single vectorized pandas/numpy sort + prefix-scan pass per
     bucket — every window column for every key in the bucket computed in
@@ -1236,6 +1243,16 @@ def partitioned_window(ds, key: str | list[str],
     fit a task (see cumulative_agg's ``chunk_ranges`` for the hot-key
     overflow idiom when they don't). Appends one column per spec alias;
     input columns pass through unchanged."""
+    if frame is not None:
+        if frame[0] != "rows" or frame[2] != 0:
+            raise ValueError("frame supports ('rows', n_or_None, 0) — "
+                             "ROWS BETWEEN … PRECEDING AND CURRENT ROW")
+        bad = [s["func"] for s in specs if s["func"] not in _WINDOW_CUMAGGS]
+        if bad:
+            raise ValueError(f"a ROWS frame applies to cumulative "
+                             f"aggregates only, got {bad}")
+        if not order_by:
+            raise ValueError("a ROWS frame requires ORDER BY")
     for s in specs:
         f = s["func"]
         if (f not in _WINDOW_RANKERS and f not in _WINDOW_CUMAGGS
@@ -1364,21 +1381,51 @@ def partitioned_window(ds, key: str | list[str],
                     return (scan.groupby(kseries, sort=False).ffill()
                             .to_numpy())
 
-                if f == "count":
+                def roll_vals(series: pd.Series, w: int,
+                              how: str) -> np.ndarray:
+                    # bounded ROWS frame: one vectorized per-key rolling
+                    # scan (pandas skips NaN inside the window, so SQL's
+                    # null semantics — incl. all-null frame → NULL — hold)
+                    r = (series.groupby(kseries, sort=False)
+                         .rolling(w, min_periods=1))
+                    out = getattr(r, how)()
+                    # result index = (key…, original position); restore
+                    return (out.droplevel(list(range(len(key_cols))))
+                            .sort_index().to_numpy())
+
+                # frame semantics: None → ANSI default RANGE (peer rows
+                # share the frame result → smear); ROWS → per-row frames
+                fin = smear_last if frame is None else (lambda x: x)
+                bounded_w = (int(frame[1]) + 1
+                             if frame is not None and frame[1] is not None
+                             else None)
+                if bounded_w is not None:
+                    if f == "count":
+                        if c is None:
+                            g[a] = np.minimum(rn, bounded_w)
+                        else:
+                            g[a] = roll_vals(
+                                g[c].notna().astype(np.float64),
+                                bounded_w, "sum").astype(np.int64)
+                    else:
+                        g[a] = roll_vals(
+                            g[c], bounded_w,
+                            {"sum": "sum", "min": "min", "max": "max",
+                             "avg": "mean"}[f])
+                elif f == "count":
                     run = rn if c is None else (
                         g[c].notna().groupby(kseries, sort=False)
                         .cumsum().to_numpy())
-                    g[a] = smear_last(np.asarray(run, dtype=np.int64))
+                    g[a] = fin(np.asarray(run, dtype=np.int64))
                 elif f == "sum":
-                    g[a] = smear_last(nullsafe(grp[c].cumsum()))
+                    g[a] = fin(nullsafe(grp[c].cumsum()))
                 elif f == "min":
-                    g[a] = smear_last(nullsafe(grp[c].cummin()))
+                    g[a] = fin(nullsafe(grp[c].cummin()))
                 elif f == "max":
-                    g[a] = smear_last(nullsafe(grp[c].cummax()))
-                else:  # avg over the RANGE frame
-                    cs = smear_last(
-                        nullsafe(grp[c].cumsum()).astype(np.float64))
-                    ct = smear_last(
+                    g[a] = fin(nullsafe(grp[c].cummax()))
+                else:  # avg over the frame
+                    cs = fin(nullsafe(grp[c].cumsum()).astype(np.float64))
+                    ct = fin(
                         g[c].notna().groupby(kseries, sort=False)
                         .cumsum().to_numpy().astype(np.float64))
                     g[a] = cs / ct
