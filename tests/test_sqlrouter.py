@@ -861,3 +861,40 @@ def test_rows_frame_windows_match_duckdb(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="ORDER BY"):
         parse_sql("SELECT SUM(v) OVER (PARTITION BY k ROWS BETWEEN 3 "
                   "PRECEDING AND CURRENT ROW) AS s FROM t")
+
+
+def test_union_all_matches_duckdb(ray_session, sf01_dir):
+    """UNION ALL: each core is its own streaming plan, Dataset.union
+    concatenates blocks (no shuffle), trailing ORDER BY binds to the
+    whole union; key aliases align the cores' schemas."""
+    from verdictray.sqlrouter import run_sql, run_sql_progressive
+
+    sql = """SELECT o_orderpriority AS grp, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT c_mktsegment AS grp, COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+        ORDER BY grp"""
+    pdt.assert_frame_equal(
+        run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, sql), check_dtype=False)
+
+    # mismatched column names across parts → loud
+    with pytest.raises(ValueError, match="UNION ALL part 2"):
+        run_sql("SELECT COUNT(*) AS a FROM orders UNION ALL "
+                "SELECT COUNT(*) AS b FROM customer", sf01_dir)
+    # progressive refuses unions loudly
+    with pytest.raises(ValueError, match="UNION ALL"):
+        next(run_sql_progressive(
+            "SELECT COUNT(*) AS n FROM orders UNION ALL "
+            "SELECT COUNT(*) AS n FROM customer", sf01_dir))
+
+
+def test_plain_column_alias_in_select(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders
+             GROUP BY o_orderstatus ORDER BY status"""
+    pdt.assert_frame_equal(
+        run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, sql), check_dtype=False)

@@ -1601,6 +1601,40 @@ def q_sql_rows_frame(sf_dir: str):
     return run_sql(SQL_ROWS_FRAME, sf_dir)
 
 
+SQL_ROUTER_UNION = """
+SELECT o_orderpriority AS grp, COUNT(*) AS n,
+       MONEY_SUM(o_totalprice) AS total
+FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
+UNION ALL
+SELECT c_mktsegment AS grp, COUNT(*) AS n,
+       MONEY_SUM(c_acctbal) AS total
+FROM customer GROUP BY c_mktsegment
+ORDER BY grp
+"""
+SQL_ROUTER_UNION_ORACLE = """
+SELECT o_orderpriority AS grp, COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders WHERE o_totalprice > 50000 GROUP BY o_orderpriority
+UNION ALL
+SELECT c_mktsegment AS grp, COUNT(*) AS n,
+       SUM(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS total
+FROM customer GROUP BY c_mktsegment
+ORDER BY grp
+"""
+
+
+def q_sql_router_union(sf_dir: str):
+    """UNION ALL through the router: each SELECT core runs as its own
+    streaming plan (separate pruned reads, pushdowns, aggregate
+    shuffles), the Datasets concatenate block-wise (Dataset.union — zero
+    shuffles, zero materialization), and the trailing ORDER BY sorts the
+    few combined group rows. Key aliases (col AS grp) align the two
+    cores' schemas."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_UNION, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3744,6 +3778,7 @@ QUERIES = {
     "sql_router_extract": q_sql_router_extract,
     "sql_router_left_join": q_sql_router_left_join,
     "sql_rows_frame": q_sql_rows_frame,
+    "sql_router_union": q_sql_router_union,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3876,6 +3911,7 @@ ORACLES = {
     "sql_router_extract": SQL_ROUTER_EXTRACT_ORACLE,
     "sql_router_left_join": SQL_ROUTER_LEFT_JOIN_ORACLE,
     "sql_rows_frame": SQL_ROWS_FRAME,
+    "sql_router_union": SQL_ROUTER_UNION_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3933,6 +3969,7 @@ DRIVER_PRIORITY: list[str] = [
     # r3-checked tail keeps its order
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
+    "sql_router_union",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

@@ -7,6 +7,14 @@ Supported grammar (case-insensitive keywords; unqualified column names,
 unique across the joined tables — TPC-H-style prefixes; no subqueries
 except membership ``IN (SELECT col FROM t)``):
 
+    select_core ("UNION ALL" select_core)*     -- Dataset.union: block
+                                               --   concatenation, zero
+                                               --   shuffles; trailing
+                                               --   ORDER BY/LIMIT bind to
+                                               --   the whole union
+    [ORDER BY ...] [LIMIT n]
+
+    select_core :=
     SELECT [DISTINCT] item ("," item)*
     FROM table (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
@@ -261,6 +269,9 @@ class _Plan:
     having: list = field(default_factory=list)
     order_by: list = field(default_factory=list)   # (col, desc)
     limit: int | None = None
+    # further SELECT cores chained with UNION ALL; ORDER BY/LIMIT above
+    # bind to the whole union (standard SQL)
+    unions: list = field(default_factory=list)
 
 
 class _Parser:
@@ -679,6 +690,33 @@ class _Parser:
 
     # -------------------------------------------------------------- plan
     def parse(self) -> _Plan:
+        plan = self._select_core()
+        while self.kw("union"):
+            self.take()
+            self.expect("all")
+            plan.unions.append(self._select_core())
+        # ORDER BY / LIMIT bind to the WHOLE union (standard SQL)
+        if self.kw("order"):
+            self.take()
+            self.expect("by")
+            while True:
+                col = self.take()
+                desc = False
+                if self.kw("asc", "desc"):
+                    desc = self.take().lower() == "desc"
+                plan.order_by.append((col, desc))
+                if self.peek() == ",":
+                    self.take()
+                    continue
+                break
+        if self.kw("limit"):
+            self.take()
+            plan.limit = int(self.take())
+        if self.peek() is not None:
+            raise ValueError(f"unexpected trailing token {self.peek()!r}")
+        return plan
+
+    def _select_core(self) -> _Plan:
         self.expect("select")
         distinct = False
         if self.kw("distinct"):
@@ -724,24 +762,6 @@ class _Parser:
         if self.kw("having"):
             self.take()
             plan.having.extend(_flatten_and(self.pred_or()))
-        if self.kw("order"):
-            self.take()
-            self.expect("by")
-            while True:
-                col = self.take()
-                desc = False
-                if self.kw("asc", "desc"):
-                    desc = self.take().lower() == "desc"
-                plan.order_by.append((col, desc))
-                if self.peek() == ",":
-                    self.take()
-                    continue
-                break
-        if self.kw("limit"):
-            self.take()
-            plan.limit = int(self.take())
-        if self.peek() is not None:
-            raise ValueError(f"unexpected trailing token {self.peek()!r}")
         return plan
 
 
@@ -982,7 +1002,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
             join_buckets: int = 32, max_broadcast_rows: int = 2_000_000,
             cms_eps: float = 1e-3, cms_delta: float = 1e-2,
-            explain: list | None = None):
+            explain: list | None = None, _plan: "_Plan | None" = None):
     """Parse ``sql`` and execute it as a streaming Ray Data pipeline over
     ``{sf_dir}/{table}.parquet``. Returns a Dataset. See module docstring
     for the grammar and the routing table.
@@ -999,7 +1019,47 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     from .udaf import ExactDistinct, HllAgg, KllAgg
 
-    plan = parse_sql(sql)
+    plan = _plan if _plan is not None else parse_sql(sql)
+
+    if plan.unions:
+        # UNION ALL: each SELECT core runs as its own streaming plan and
+        # the Datasets concatenate block-wise (Dataset.union — zero
+        # shuffles, zero materialization); the trailing ORDER BY / LIMIT
+        # bind to the whole union, standard SQL
+        import dataclasses
+
+        parts = [plan] + plan.unions
+        names0 = [it.name for it in parts[0].items]
+        for i, p in enumerate(parts[1:], 2):
+            names = [it.name for it in p.items]
+            if names != names0:
+                raise ValueError(f"UNION ALL part {i} columns {names} "
+                                 f"!= part 1 columns {names0}")
+        opts = dict(hll_p=hll_p, kll_k=kll_k, with_bounds=with_bounds,
+                    approx_membership=approx_membership,
+                    bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+                    join_buckets=join_buckets,
+                    max_broadcast_rows=max_broadcast_rows,
+                    cms_eps=cms_eps, cms_delta=cms_delta, explain=explain)
+        outs = []
+        for i, p in enumerate(parts, 1):
+            sub = dataclasses.replace(p, order_by=[], limit=None,
+                                      unions=[])
+            if explain is not None:
+                explain.append(f"UNION ALL part {i}/{len(parts)}:")
+            outs.append(run_sql(sql, sf_dir, _plan=sub, **opts))
+        if explain is not None:
+            explain.append(
+                f"UNION ALL -> Dataset.union of {len(parts)} streaming "
+                "parts (block concatenation, no shuffle)")
+            return rd.from_items([])
+        out = outs[0].union(*outs[1:])
+        if plan.order_by:
+            out = out.sort([c for c, _ in plan.order_by],
+                           descending=[d for _, d in plan.order_by])
+        if plan.limit is not None:
+            out = out.limit(plan.limit)
+        return out
 
     if any(it.window for it in plan.items):
         if plan.select_distinct:
@@ -1519,6 +1579,12 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                     i, it.name,
                     pc.round(pc.cast(batch[it.name], pa.float64()),
                              ndigits=it.round_to, **_ROUND))
+        # plain (group-key) columns selected under an alias surface as
+        # the alias — SQL output naming
+        for it in plan.items:
+            if (it.fn == "col" and it.alias and it.alias != it.col
+                    and it.alias not in batch.schema.names):
+                batch = batch.append_column(it.alias, batch[it.col])
         # projection order: as written in the SELECT list
         cols = [it.name for it in plan.items]
         extra = [n for n in batch.schema.names if n not in cols]
@@ -1697,6 +1763,9 @@ def run_sql_store(sql: str, store, key_col: str | None = None,
     from .sketches import Sketch
 
     plan = parse_sql(sql)
+    if plan.unions:
+        raise ValueError("UNION ALL is not answerable from the sketch "
+                         "store; use run_sql")
     if any(it.window for it in plan.items):
         raise ValueError("window functions are not answerable from the "
                          "sketch store; use run_sql")
@@ -1954,6 +2023,9 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
     from .sketches import Sketch
 
     plan = parse_sql(sql)
+    if plan.unions:
+        raise ValueError("UNION ALL does not stream progressively; "
+                         "use run_sql")
     if any(it.window for it in plan.items):
         raise ValueError("window functions do not stream progressively; "
                          "use run_sql")
