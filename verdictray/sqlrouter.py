@@ -826,10 +826,15 @@ def _one_pred_mask(batch: pa.Table, p: _Pred):
                   ">": pc.greater, ">=": pc.greater_equal}[p.op]
         return kernel(left, right)
     col = batch[p.col]
-    if p.op == "in":
-        return pc.is_in(col, value_set=pa.array(p.value))
-    if p.op == "not_in":
-        return pc.invert(pc.is_in(col, value_set=pa.array(p.value)))
+    if p.op in ("in", "not_in"):
+        # SQL: NULL [NOT] IN (...) is NULL, but Arrow's is_in maps null
+        # input to false (which invert would flip to TRUE — a NOT IN
+        # would silently KEEP null rows); re-mask nulls to null
+        m = pc.is_in(col, value_set=pa.array(p.value))
+        if p.op == "not_in":
+            m = pc.invert(m)
+        return pc.if_else(pc.is_valid(col), m,
+                          pa.scalar(None, pa.bool_()))
     if p.op == "between":
         lo, hi = p.value
         return pc.and_kleene(pc.greater_equal(col, pa.scalar(lo)),
