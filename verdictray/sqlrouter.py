@@ -111,6 +111,11 @@ Routing:
   key-only shuffle); ``approx_membership=True`` routes it through a Bloom
   filter built once and broadcast to an actor pool (query.BloomProbe) —
   no shuffle at all, ~fpp false matches, zero false negatives.
+  NULL caveat: ``NOT IN (SELECT …)`` executes with NOT EXISTS (anti-join)
+  semantics — null probe keys are KEPT and build-side nulls are ignored,
+  the behavior users almost always intend; ANSI NOT IN would instead
+  return zero rows whenever the subquery yields any NULL. Scalar-list
+  ``[NOT] IN (literals)`` follows exact ANSI null semantics.
 - scalar WHERE predicates compile to ONE vectorized pyarrow.compute
   filter per side: predicates on fact-owned columns run BEFORE any join
   (pushdown), dim-attached columns after; referenced columns are pruned
