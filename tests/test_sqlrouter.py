@@ -898,3 +898,36 @@ def test_plain_column_alias_in_select(ray_session, sf01_dir):
     pdt.assert_frame_equal(
         run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
         _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_cast_scalar_fns_and_order_position(ray_session, sf01_dir):
+    """CAST (float→int rounds half away, DuckDB-compatible), string
+    scalar functions as derived group keys, ORDER BY ordinals."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT SUBSTR(o_orderpriority, 1, 1) AS pri, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS BIGINT)) AS t
+             FROM orders GROUP BY pri ORDER BY 1"""
+    pdt.assert_frame_equal(
+        run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, sql), check_dtype=False, rtol=0, atol=0)
+
+    sql = """SELECT LOWER(o_orderstatus) AS st, COUNT(*) AS n,
+             MAX(LENGTH(o_orderpriority)) AS maxlen
+             FROM orders GROUP BY st ORDER BY 2 DESC, 1"""
+    pdt.assert_frame_equal(
+        run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, sql), check_dtype=False)
+
+    sql = """SELECT SUM(ABS(o_totalprice - 200000)) AS dev FROM orders
+             WHERE UPPER(o_orderstatus) = 'F'"""
+    mine = run_sql(sql, sf01_dir).to_pandas()
+    ora = _duck(sf01_dir, sql)
+    # float sums: compare within accumulation-order noise
+    assert abs(mine.dev[0] - ora.dev[0]) <= 1e-6 * abs(ora.dev[0])
+
+    with pytest.raises(ValueError, match="out of range"):
+        run_sql("SELECT COUNT(*) AS n FROM orders ORDER BY 3", sf01_dir)
+    with pytest.raises(ValueError, match="not supported"):
+        run_sql("SELECT SUM(sqrt(o_totalprice)) AS s FROM orders",
+                sf01_dir)

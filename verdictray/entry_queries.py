@@ -1635,6 +1635,39 @@ def q_sql_router_union(sf_dir: str):
     return run_sql(SQL_ROUTER_UNION, sf_dir)
 
 
+SQL_ROUTER_SCALARFNS = """
+SELECT SUBSTR(o_orderpriority, 1, 1) AS pri,
+  LOWER(o_orderstatus) AS st,
+  COUNT(*) AS n,
+  SUM(CAST(o_totalprice AS BIGINT)) AS price_rounded,
+  MAX(LENGTH(o_orderpriority)) AS max_len
+FROM orders
+GROUP BY pri, st ORDER BY 1, 2
+"""
+# DuckDB's SUM(BIGINT) surfaces as HUGEINT->float64 in pandas; cast back
+# to BIGINT so both sides hash as int64
+SQL_ROUTER_SCALARFNS_ORACLE = """
+SELECT SUBSTR(o_orderpriority, 1, 1) AS pri,
+  LOWER(o_orderstatus) AS st,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS BIGINT)) AS BIGINT) AS price_rounded,
+  MAX(LENGTH(o_orderpriority)) AS max_len
+FROM orders
+GROUP BY pri, st ORDER BY 1, 2
+"""
+
+
+def q_sql_router_scalarfns(sf_dir: str):
+    """String/cast scalar functions through the router: SUBSTR/LOWER as
+    derived composite group keys, CAST(double AS BIGINT) (half-away
+    rounding, DuckDB-compatible) inside an exact integer SUM, LENGTH
+    under MAX, ORDER BY ordinals — one vectorized derive stage, one
+    map-side-combined groupby."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_SCALARFNS, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3779,6 +3812,7 @@ QUERIES = {
     "sql_router_left_join": q_sql_router_left_join,
     "sql_rows_frame": q_sql_rows_frame,
     "sql_router_union": q_sql_router_union,
+    "sql_router_scalarfns": q_sql_router_scalarfns,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3912,6 +3946,7 @@ ORACLES = {
     "sql_router_left_join": SQL_ROUTER_LEFT_JOIN_ORACLE,
     "sql_rows_frame": SQL_ROWS_FRAME,
     "sql_router_union": SQL_ROUTER_UNION_ORACLE,
+    "sql_router_scalarfns": SQL_ROUTER_SCALARFNS_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -3969,7 +4004,7 @@ DRIVER_PRIORITY: list[str] = [
     # r3-checked tail keeps its order
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
-    "sql_router_union",
+    "sql_router_union", "sql_router_scalarfns",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

@@ -20,7 +20,7 @@ except membership ``IN (SELECT col FROM t)``):
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*]
     [HAVING pred ("AND" pred)*]       -- preds over SELECTed agg aliases
-    [ORDER BY col [ASC|DESC] ("," ...)*]
+    [ORDER BY col_or_position [ASC|DESC] ("," ...)*]
     [LIMIT n]
 
     item := expr ["AS" alias]
@@ -65,6 +65,12 @@ except membership ``IN (SELECT col FROM t)``):
           | literal | col
           | CASE WHEN pred THEN scalar [WHEN …]* [ELSE scalar] END
           | EXTRACT ( YEAR|MONTH|DAY|HOUR|MINUTE|SECOND FROM scalar )
+          | CAST ( scalar AS BIGINT|INTEGER|DOUBLE|VARCHAR|… )
+                                                 -- float→int rounds half
+                                                 --   away (DuckDB CAST)
+          | LOWER|UPPER|TRIM|LENGTH|ABS ( scalar )
+          | SUBSTR[ING] ( scalar , start [, len] )   -- 1-based, literal
+                                                 --   start/len
           -- aggregate arguments and derived group keys; evaluated as ONE
           -- vectorized pyarrow.compute column per expression ("/" is SQL
           -- float division). Expression aggregates / items require an
@@ -148,6 +154,16 @@ _AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
 _EXPR_AGGS = {"sum", "avg", "min", "max", "money_sum", "money_avg"}
 
 _EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second"}
+
+# scalar string/numeric functions usable inside expressions — each maps to
+# one pyarrow.compute kernel (see _eval_expr)
+_SCALAR_FNS = {"lower", "upper", "length", "trim", "abs", "substr",
+               "substring"}
+
+_CAST_TYPES = {"bigint": "int64", "int": "int64", "integer": "int64",
+               "smallint": "int64", "double": "float64",
+               "float": "float64", "real": "float64",
+               "varchar": "string", "text": "string"}
 
 # argless ranking functions valid only with OVER (...)
 _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
@@ -398,6 +414,17 @@ class _Parser:
             inner = self.expr_tree()
             self.expect(")")
             return ("extract", part, inner)
+        if low == "cast":
+            self.take()
+            self.expect("(")
+            inner = self.expr_tree()
+            self.expect("as")
+            ty = self.take().lower()
+            if ty not in _CAST_TYPES:
+                raise ValueError(f"CAST target {ty!r} not supported "
+                                 f"(have {sorted(_CAST_TYPES)})")
+            self.expect(")")
+            return ("cast", _CAST_TYPES[ty], inner)
         if (low in ("date", "timestamp") and self.i + 1 < len(self.t)
                 and self.t[self.i + 1].startswith("'")):
             return ("lit", self.literal())
@@ -405,8 +432,27 @@ class _Parser:
             return ("lit", self.literal())
         ident = self.take()
         if self.peek() == "(":
-            raise ValueError(f"function {ident!r} not supported inside "
-                             "scalar expressions")
+            low = ident.lower()
+            if low not in _SCALAR_FNS:
+                raise ValueError(f"function {ident!r} not supported "
+                                 "inside scalar expressions "
+                                 f"(have {sorted(_SCALAR_FNS)})")
+            self.take()
+            args = [self.expr_tree()]
+            while self.peek() == ",":
+                self.take()
+                args.append(self.expr_tree())
+            self.expect(")")
+            if low == "substring":
+                low = "substr"
+            n_want = {"substr": (2, 3)}.get(low, (1, 1))
+            if not n_want[0] <= len(args) <= n_want[1]:
+                raise ValueError(f"{low} takes {n_want[0]}"
+                                 f"{'-' + str(n_want[1]) if n_want[1] != n_want[0] else ''}"
+                                 f" args, got {len(args)}")
+            if low == "substr" and any(a[0] != "lit" for a in args[1:]):
+                raise ValueError("substr start/length must be literals")
+            return ("fn", low, tuple(args))
         return ("col", ident)
 
     # ------------------------------------------------------- select item
@@ -706,6 +752,13 @@ class _Parser:
             self.expect("by")
             while True:
                 col = self.take()
+                if col.isdigit():
+                    # ORDER BY ordinal: position in the SELECT list
+                    idx = int(col)
+                    if not 1 <= idx <= len(plan.items):
+                        raise ValueError(f"ORDER BY position {idx} out of "
+                                         f"range (1..{len(plan.items)})")
+                    col = plan.items[idx - 1].name
                 desc = False
                 if self.kw("asc", "desc"):
                     desc = self.take().lower() == "desc"
@@ -881,6 +934,13 @@ def _expr_cols(e: tuple) -> set:
         return _expr_cols(e[1])
     if k == "extract":
         return _expr_cols(e[2])
+    if k == "cast":
+        return _expr_cols(e[2])
+    if k == "fn":
+        out = set()
+        for a in e[2]:
+            out |= _expr_cols(a)
+        return out
     if k == "case":
         out = _expr_cols(e[2]) if e[2] is not None else set()
         for p, then in e[1]:
@@ -901,6 +961,10 @@ def _fmt_expr(e: tuple) -> str:
         return f"(-{_fmt_expr(e[1])})"
     if k == "extract":
         return f"EXTRACT({e[1].upper()} FROM {_fmt_expr(e[2])})"
+    if k == "cast":
+        return f"CAST({_fmt_expr(e[2])} AS {e[1]})"
+    if k == "fn":
+        return f"{e[1]}({', '.join(_fmt_expr(a) for a in e[2])})"
     whens = " ".join(f"WHEN {_fmt_preds([p])} THEN {_fmt_expr(t)}"
                      for p, t in e[1])
     els = f" ELSE {_fmt_expr(e[2])}" if e[2] is not None else ""
@@ -955,6 +1019,34 @@ def _eval_expr(batch: pa.Table, e: tuple):
     if k == "extract":
         return pc.cast(_EXTRACT_KERNELS[e[1]](_eval_expr(batch, e[2])),
                        pa.int64())
+    if k == "cast":
+        val = _eval_expr(batch, e[2])
+        target = {"int64": pa.int64(), "float64": pa.float64(),
+                  "string": pa.string()}[e[1]]
+        if e[1] == "int64" and pa.types.is_floating(val.type):
+            # SQL CAST(float AS BIGINT) rounds half away from zero
+            # (DuckDB); Arrow's cast would truncate or refuse
+            val = pc.round(val, **_ROUND)
+        return pc.cast(val, target)
+    if k == "fn":
+        name, args = e[1], [_eval_expr(batch, a) for a in e[2]]
+        if name == "lower":
+            return pc.utf8_lower(args[0])
+        if name == "upper":
+            return pc.utf8_upper(args[0])
+        if name == "trim":
+            return pc.utf8_trim_whitespace(args[0])
+        if name == "abs":
+            return pc.abs(args[0])
+        if name == "length":
+            # DuckDB length() is BIGINT; Arrow's is int32
+            return pc.cast(pc.utf8_length(args[0]), pa.int64())
+        if name == "substr":
+            # SQL substr is 1-based; literal args enforced at parse
+            start = e[2][1][1] - 1
+            stop = (start + e[2][2][1]) if len(e[2]) > 2 else None
+            return pc.utf8_slice_codeunits(args[0], start, stop)
+        raise ValueError(f"unknown scalar function {name!r}")
     if k == "case":
         whens, els = e[1], e[2]
         thens = [_eval_expr(batch, t) for _, t in whens]
