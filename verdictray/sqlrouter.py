@@ -67,7 +67,8 @@ except membership ``IN (SELECT col FROM t)``):
           | EXTRACT ( YEAR|MONTH|DAY|HOUR|MINUTE|SECOND FROM scalar )
           | CAST ( scalar AS BIGINT|INTEGER|DOUBLE|VARCHAR|… )
                                                  -- float→int rounds half
-                                                 --   away (DuckDB CAST)
+                                                 --   to even (DuckDB's
+                                                 --   DOUBLE→BIGINT cast)
           | LOWER|UPPER|TRIM|LENGTH|ABS ( scalar )
           | SUBSTR[ING] ( scalar , start [, len] )   -- 1-based, literal
                                                  --   start/len
@@ -1024,9 +1025,10 @@ def _eval_expr(batch: pa.Table, e: tuple):
         target = {"int64": pa.int64(), "float64": pa.float64(),
                   "string": pa.string()}[e[1]]
         if e[1] == "int64" and pa.types.is_floating(val.type):
-            # SQL CAST(float AS BIGINT) rounds half away from zero
-            # (DuckDB); Arrow's cast would truncate or refuse
-            val = pc.round(val, **_ROUND)
+            # CAST(DOUBLE AS BIGINT) rounds half to EVEN (DuckDB/IEEE
+            # nearbyint — NOT the half-away rule its DECIMAL casts use);
+            # Arrow's bare cast would truncate or refuse
+            val = pc.round(val, round_mode="half_to_even")
         return pc.cast(val, target)
     if k == "fn":
         name, args = e[1], [_eval_expr(batch, a) for a in e[2]]
