@@ -750,11 +750,16 @@ def test_expression_errors_are_loud(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="bare"):
         parse_sql("SELECT SUM(a * 2) OVER (PARTITION BY k ORDER BY o) "
                   "AS w FROM t")
-    # progressive path refuses expressions loudly (generator: first next()
-    # runs the validation)
-    with pytest.raises(ValueError, match="progressive"):
-        next(run_sql_progressive(
-            "SELECT SUM(o_totalprice * 2) AS d FROM orders", sf01_dir))
+    # progressive path streams expression aggregates too: the final
+    # emission equals the batch answer
+    ems = list(run_sql_progressive(
+        "SELECT SUM(o_totalprice * 2) AS d FROM orders", sf01_dir,
+        override_num_blocks=4))
+    assert ems[-1].progress["fraction"] == 1.0
+    batch = run_sql("SELECT SUM(o_totalprice * 2) AS d FROM orders",
+                    sf01_dir).to_pandas()
+    final = ems[-1].estimates.to_pandas()
+    assert abs(final.d[0] - batch.d[0]) <= 1e-6 * abs(batch.d[0])
 
 
 def test_explain_reports_derive_stage(ray_session, sf01_dir):

@@ -1069,6 +1069,48 @@ def _eval_expr(batch: pa.Table, e: tuple):
     raise ValueError(f"unknown expression node {k!r}")
 
 
+def _expr_derive_fn(exprs: dict):
+    """One vectorized map_batches stage attaching every derived expression
+    column (Ray fuses it with adjacent map stages)."""
+    items = tuple(exprs.items())
+
+    def fn(b: pa.Table) -> pa.Table:
+        for name, e in items:
+            b = b.append_column(name, _eval_expr(b, e))
+        return b
+
+    return fn
+
+
+def _register_exprs(plan: _Plan, *, group_aliases: bool) -> dict:
+    """Rewrite expression items to derived-column references and return
+    {derived_name: expr_tree}. Aggregate arguments become ``_expr_<alias>``
+    columns; with ``group_aliases``, plain expression SELECT items become
+    group keys named by their alias (must be GROUPed BY via the alias)."""
+    exprs: dict[str, tuple] = {}
+    for it in plan.items:
+        if it.fn == "expr":
+            if not group_aliases:
+                raise ValueError("expression SELECT items are not "
+                                 "supported on this route")
+            if not it.alias:
+                raise ValueError("an expression SELECT item needs AS "
+                                 f"alias (got {_fmt_expr(it.expr)})")
+            if it.alias not in plan.group_by:
+                raise ValueError(f"expression item {it.alias!r} must be "
+                                 "GROUPed BY via its alias")
+            exprs[it.alias] = it.expr
+            it.col = it.alias
+        elif it.expr is not None:
+            if not it.alias:
+                raise ValueError(f"{it.fn.upper()} over an expression "
+                                 "requires AS alias")
+            dname = f"_expr_{it.alias}"
+            exprs[dname] = it.expr
+            it.col = dname
+    return exprs
+
+
 def _scalar_filter_fn(preds: list[_Pred]):
     def fn(batch: pa.Table) -> pa.Table:
         return batch.filter(_pred_mask(batch, preds))
@@ -1192,24 +1234,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # a single vectorized map_batches stage after the joins; everything
     # downstream (FILTER masks, cents conversion, group keys, aggregates)
     # then sees a plain column.
-    exprs: dict[str, tuple] = {}
-    for it in plan.items:
-        if it.fn == "expr":
-            if not it.alias:
-                raise ValueError("an expression SELECT item needs AS alias "
-                                 f"(got {_fmt_expr(it.expr)})")
-            if it.alias not in plan.group_by:
-                raise ValueError(f"expression item {it.alias!r} must be "
-                                 "GROUPed BY via its alias")
-            exprs[it.alias] = it.expr
-            it.col = it.alias
-        elif it.expr is not None:
-            if not it.alias:
-                raise ValueError(f"{it.fn.upper()} over an expression "
-                                 "requires AS alias")
-            dname = f"_expr_{it.alias}"
-            exprs[dname] = it.expr
-            it.col = dname
+    exprs = _register_exprs(plan, group_aliases=True)
     derived = set(exprs)
 
     # ------------------------------------------ column ownership (joins)
@@ -1369,13 +1394,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                "vectorized pyarrow.compute column (no row "
                                "loops), attached after the joins")
         else:
-            def with_expr_cols(b: pa.Table,
-                               _ex=tuple(exprs.items())) -> pa.Table:
-                for name, e in _ex:
-                    b = b.append_column(name, _eval_expr(b, e))
-                return b
-
-            ds = ds.map_batches(with_expr_cols, batch_format="pyarrow",
+            ds = ds.map_batches(_expr_derive_fn(exprs),
+                                batch_format="pyarrow",
                                 zero_copy_batch=True)
 
     # ------------------------------------- APPROX_TOP_K (heavy hitters)
@@ -2152,13 +2172,17 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
                              "by nature — use APPROX_COUNT_DISTINCT")
         if it.fn not in _PROG_KINDS and it.fn != "col":
             raise ValueError(f"progressive SQL cannot stream {it.fn!r}")
-        if it.expr is not None:
-            raise ValueError("progressive SQL does not support expression "
-                             "aggregates yet — use run_sql")
+    # expression aggregate arguments derive per block (a map stage Ray
+    # fuses with the partials stage), exactly like run_sql's derive
+    exprs = _register_exprs(plan, group_aliases=False)
 
     path = f"{sf_dir}/{plan.table}.parquet"
     rows_total = pq.read_metadata(path).num_rows
-    needed = {it.col for it in items if it.col is not None}
+    derived = set(exprs)
+    needed = {it.col for it in items
+              if it.col is not None and it.col not in derived}
+    for e in exprs.values():
+        needed |= _expr_cols(e)
     needed |= _pred_cols(plan.where)
     if key_col:
         needed.add(key_col)
@@ -2166,6 +2190,9 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
     if override_num_blocks:
         kwargs["override_num_blocks"] = override_num_blocks
     ds = rd.read_parquet(path, columns=sorted(needed), **kwargs)
+    if exprs:
+        ds = ds.map_batches(_expr_derive_fn(exprs),
+                            batch_format="pyarrow", zero_copy_batch=True)
     filter_fn = _scalar_filter_fn(plan.where) if plan.where else None
     partials = ds.map_batches(
         _prog_partial_fn(key_col, items, filter_fn, hll_p, kll_k),
