@@ -936,3 +936,27 @@ def test_cast_scalar_fns_and_order_position(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="not supported"):
         run_sql("SELECT SUM(sqrt(o_totalprice)) AS s FROM orders",
                 sf01_dir)
+
+
+def test_quantile_cont_exact_route(ray_session, sf01_dir):
+    """QUANTILE_CONT: exact interpolated quantiles through SQL, identical
+    text in DuckDB; grouped and global; loud error when mixed with
+    mergeable aggregates."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT event_type,
+             ROUND(QUANTILE_CONT(value, 0.5), 4) AS med,
+             ROUND(QUANTILE_CONT(value, 0.99), 4) AS p99
+             FROM events GROUP BY event_type ORDER BY event_type"""
+    pdt.assert_frame_equal(
+        run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, sql), check_dtype=False, rtol=0, atol=0)
+
+    g = "SELECT ROUND(QUANTILE_CONT(value, 0.25), 4) AS q FROM events"
+    pdt.assert_frame_equal(
+        run_sql(g, sf01_dir).to_pandas().reset_index(drop=True),
+        _duck(sf01_dir, g), check_dtype=False, rtol=0, atol=0)
+
+    with pytest.raises(ValueError, match="QUANTILE_CONT"):
+        run_sql("SELECT QUANTILE_CONT(value, 0.5) AS m, COUNT(*) AS n "
+                "FROM events", sf01_dir)

@@ -1668,6 +1668,28 @@ def q_sql_router_scalarfns(sf_dir: str):
     return run_sql(SQL_ROUTER_SCALARFNS, sf_dir)
 
 
+SQL_ROUTER_QUANTILE_CONT = """
+SELECT l_returnflag,
+  ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS q25,
+  ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS med,
+  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS qty90
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sql_router_quantile_cont(sf_dir: str):
+    """EXACT interpolated quantiles through SQL — the identical text runs
+    in DuckDB (quantile_cont). One groupby shuffle co-locates each group,
+    one vectorized np.quantile per group; the documented contract is one
+    group's values fit a task (APPROX_QUANTILE is the mergeable sketch
+    route past that)."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROUTER_QUANTILE_CONT, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3813,6 +3835,7 @@ QUERIES = {
     "sql_rows_frame": q_sql_rows_frame,
     "sql_router_union": q_sql_router_union,
     "sql_router_scalarfns": q_sql_router_scalarfns,
+    "sql_router_quantile_cont": q_sql_router_quantile_cont,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3947,6 +3970,7 @@ ORACLES = {
     "sql_rows_frame": SQL_ROWS_FRAME,
     "sql_router_union": SQL_ROUTER_UNION_ORACLE,
     "sql_router_scalarfns": SQL_ROUTER_SCALARFNS_ORACLE,
+    "sql_router_quantile_cont": SQL_ROUTER_QUANTILE_CONT,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -4004,7 +4028,7 @@ DRIVER_PRIORITY: list[str] = [
     # r3-checked tail keeps its order
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
-    "sql_router_union", "sql_router_scalarfns",
+    "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

@@ -40,6 +40,9 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   bit-stable AVG twin
           | APPROX_COUNT_DISTINCT(col)          -- HyperLogLog
           | APPROX_QUANTILE(col, phi)           -- KLL
+          | QUANTILE_CONT(col, phi)             -- EXACT interpolated
+                                                 --   quantile; one group's
+                                                 --   values fit a task
           | APPROX_QUANTILE_TDIGEST(col, phi)   -- t-digest (tail-accurate)
           | APPROX_TOP_K(col, k)                -- CMS heavy hitters
           | <exact agg> FILTER ( WHERE pred [AND pred]* )
@@ -147,7 +150,7 @@ _ROUND = {"round_mode": "half_towards_infinity"}
 
 _AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
          "approx_count_distinct", "approx_quantile",
-         "approx_quantile_tdigest", "approx_top_k"}
+         "approx_quantile_tdigest", "approx_top_k", "quantile_cont"}
 
 # exact aggregates whose argument may be a scalar EXPRESSION (arithmetic /
 # CASE / EXTRACT over columns); sketches keep bare columns — hashing an
@@ -524,7 +527,7 @@ class _Parser:
                 col = self.take()
             phi = None
             if low in ("approx_quantile", "approx_quantile_tdigest",
-                       "approx_top_k"):
+                       "approx_top_k", "quantile_cont"):
                 self.expect(",")
                 phi = float(self.take())
             self.expect(")")
@@ -1484,6 +1487,64 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         if plan.limit is not None:
             tbl = tbl.slice(0, plan.limit)
         return rd.from_arrow(tbl)
+
+    # ----------------------------- QUANTILE_CONT (exact, per-group task)
+    qcont = [it for it in plan.items if it.fn == "quantile_cont"]
+    if qcont:
+        bad = [it.fn for it in plan.items
+               if it.fn not in ("col", "quantile_cont")]
+        if bad or plan.having:
+            raise ValueError(
+                "QUANTILE_CONT combines only with GROUP BY keys in this "
+                f"router (exact route holds one group's values in a "
+                f"task); got {bad or 'HAVING'} — use APPROX_QUANTILE for "
+                "the mergeable sketch route")
+        if explain is not None:
+            for it in qcont:
+                explain.append(
+                    f"AGG {it.name} = QUANTILE_CONT({it.col}, {it.phi}) "
+                    "-> EXACT interpolated quantile (one groupby shuffle "
+                    "co-locates each group; one vectorized np.quantile "
+                    "per group; contract: one group's values fit a task "
+                    "- the KLL route is the sketch path otherwise)")
+            return rd.from_items([])
+        import numpy as np
+        import pandas as pd_
+
+        keys = list(plan.group_by)
+        specs = tuple((it.name, it.col, float(it.phi), it.round_to)
+                      for it in qcont)
+        col_order = [it.name for it in plan.items]
+
+        def qt(g: "pd_.DataFrame") -> "pd_.DataFrame":
+            row = {}
+            for k in keys:
+                row[k] = [g[k].iloc[0]]
+            for name, col, phi, nd in specs:
+                arr = g[col].dropna().to_numpy(dtype=np.float64)
+                if arr.size == 0:
+                    row[name] = [None]
+                    continue
+                v = float(np.quantile(arr, phi, method="linear"))
+                if nd is not None:
+                    v = pc.round(pa.scalar(v), ndigits=nd,
+                                 **_ROUND).as_py()
+                row[name] = [v]
+            return pd_.DataFrame({c: row[c] for c in col_order})
+
+        if keys:
+            out = ds.groupby(keys).map_groups(qt, batch_format="pandas")
+        else:
+            # global exact quantile: one task sees all values (same
+            # one-group contract); repartition(1) funnels the blocks
+            out = ds.repartition(1).map_batches(
+                qt, batch_format="pandas", batch_size=None)
+        if plan.order_by:
+            out = out.sort([c for c, _ in plan.order_by],
+                           descending=[d for _, d in plan.order_by])
+        if plan.limit is not None:
+            out = out.limit(plan.limit)
+        return out
 
     # -------------------------------------------------- aggregates
     aggs, posts, bounds = [], [], []
