@@ -960,3 +960,35 @@ def test_quantile_cont_exact_route(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="QUANTILE_CONT"):
         run_sql("SELECT QUANTILE_CONT(value, 0.5) AS m, COUNT(*) AS n "
                 "FROM events", sf01_dir)
+
+
+def test_window_over_join_and_membership(ray_session, sf01_dir):
+    """Window functions now compose with JOIN chains and IN (SELECT …)
+    membership — the scan phase (pruned reads, pushdown, broadcast/hash
+    joins, semi-joins) is shared with the aggregate route and applies
+    BEFORE the window, per SQL's logical order. Running float sums agree
+    to ulps (numpy's blocked cumsum vs DuckDB's sequential adds)."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    sql = """SELECT o_orderkey, n_name,
+        ROW_NUMBER() OVER (PARTITION BY n_name
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        SUM(o_totalprice) OVER (PARTITION BY n_name
+            ORDER BY o_totalprice DESC, o_orderkey) AS cum
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_totalprice > 300000
+        ORDER BY n_name, rn"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False,
+                           rtol=1e-12, atol=0)
+    trace = explain_sql(sql, sf01_dir)
+    assert "JOIN" in trace and "WINDOW" in trace
+
+    sql = """SELECT event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS rn
+        FROM events WHERE user_id IN (SELECT c_custkey FROM customer)
+        ORDER BY event_id LIMIT 500"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)

@@ -1690,6 +1690,43 @@ def q_sql_router_quantile_cont(sf_dir: str):
     return run_sql(SQL_ROUTER_QUANTILE_CONT, sf_dir)
 
 
+SQL_WINDOW_OVER_JOIN = """
+SELECT o_orderkey, n_name,
+  ROW_NUMBER() OVER (PARTITION BY n_name
+      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+  SUM(o_custkey) OVER (PARTITION BY n_name
+      ORDER BY o_totalprice DESC, o_orderkey) AS cum_cust
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice > 250000
+ORDER BY n_name, rn
+"""
+# DuckDB's windowed SUM(BIGINT) surfaces as HUGEINT→float64 in pandas;
+# cast back so both sides hash as int64 (values identical — exact ints)
+SQL_WINDOW_OVER_JOIN_ORACLE = """
+SELECT o_orderkey, n_name,
+  ROW_NUMBER() OVER (PARTITION BY n_name
+      ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+  CAST(SUM(o_custkey) OVER (PARTITION BY n_name
+      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS cum_cust
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice > 250000
+ORDER BY n_name, rn
+"""
+
+
+def q_sql_window_over_join(sf_dir: str):
+    """Window functions composed over a JOIN chain: the shared scan phase
+    (pruned reads, pushdown below the joins, broadcast pc.index_in
+    enrich) feeds the one-shuffle window kernel — SQL's logical order
+    (joins/WHERE before OVER). Integer running sums keep the value-hash
+    engine-portable."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_WINDOW_OVER_JOIN, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3836,6 +3873,7 @@ QUERIES = {
     "sql_router_union": q_sql_router_union,
     "sql_router_scalarfns": q_sql_router_scalarfns,
     "sql_router_quantile_cont": q_sql_router_quantile_cont,
+    "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
     "hll_union_rollup": q_hll_union_rollup,
@@ -3971,6 +4009,7 @@ ORACLES = {
     "sql_router_union": SQL_ROUTER_UNION_ORACLE,
     "sql_router_scalarfns": SQL_ROUTER_SCALARFNS_ORACLE,
     "sql_router_quantile_cont": SQL_ROUTER_QUANTILE_CONT,
+    "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
@@ -4029,6 +4068,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",
+    "sql_window_over_join",
     "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
     "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
     "sql_window_parttotal", "top2gram_repetition_by_lang",

@@ -1157,101 +1157,18 @@ def _broadcast_enrich(ds, dim_tbl: pa.Table, left_key: str, right_key: str,
                           zero_copy_batch=True)
 
 
-def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
-            with_bounds: bool = False, approx_membership: bool = False,
-            bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
-            join_buckets: int = 32, max_broadcast_rows: int = 2_000_000,
-            cms_eps: float = 1e-3, cms_delta: float = 1e-2,
-            explain: list | None = None, _plan: "_Plan | None" = None):
-    """Parse ``sql`` and execute it as a streaming Ray Data pipeline over
-    ``{sf_dir}/{table}.parquet``. Returns a Dataset. See module docstring
-    for the grammar and the routing table.
-
-    ``explain``: pass a list to collect the routing decisions THIS call
-    takes (emitted by the same branches that execute, so the trace cannot
-    diverge from execution) and skip all data-pass work — only
-    metadata-level checks run (parquet schemas / row counts / small-dim
-    key uniqueness). Use :func:`explain_sql` for the string form."""
+def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
+                     join_buckets: int, max_broadcast_rows: int,
+                     approx_membership: bool, bloom_capacity: int,
+                     bloom_fpp: float, explain: list | None):
+    """Shared scan phase: pruned fact read -> pushed-down vectorized
+    filters -> JOIN chain (size/uniqueness-gated broadcast enrich or
+    bucketed hash_join) -> dim-attached post filters -> membership
+    semi/anti joins. Used by both the aggregate route (run_sql) and the
+    window route. Returns (lazy Dataset, schemas, per_table)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
-
-    from .udaf import ExactDistinct, HllAgg, KllAgg
-
-    plan = _plan if _plan is not None else parse_sql(sql)
-
-    if plan.unions:
-        # UNION ALL: each SELECT core runs as its own streaming plan and
-        # the Datasets concatenate block-wise (Dataset.union — zero
-        # shuffles, zero materialization); the trailing ORDER BY / LIMIT
-        # bind to the whole union, standard SQL
-        import dataclasses
-
-        parts = [plan] + plan.unions
-        names0 = [it.name for it in parts[0].items]
-        for i, p in enumerate(parts[1:], 2):
-            names = [it.name for it in p.items]
-            if names != names0:
-                raise ValueError(f"UNION ALL part {i} columns {names} "
-                                 f"!= part 1 columns {names0}")
-        opts = dict(hll_p=hll_p, kll_k=kll_k, with_bounds=with_bounds,
-                    approx_membership=approx_membership,
-                    bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
-                    join_buckets=join_buckets,
-                    max_broadcast_rows=max_broadcast_rows,
-                    cms_eps=cms_eps, cms_delta=cms_delta, explain=explain)
-        outs = []
-        for i, p in enumerate(parts, 1):
-            sub = dataclasses.replace(p, order_by=[], limit=None,
-                                      unions=[])
-            if explain is not None:
-                explain.append(f"UNION ALL part {i}/{len(parts)}:")
-            outs.append(run_sql(sql, sf_dir, _plan=sub, **opts))
-        if explain is not None:
-            explain.append(
-                f"UNION ALL -> Dataset.union of {len(parts)} streaming "
-                "parts (block concatenation, no shuffle)")
-            return rd.from_items([])
-        out = outs[0].union(*outs[1:])
-        if plan.order_by:
-            out = out.sort([c for c, _ in plan.order_by],
-                           descending=[d for _, d in plan.order_by])
-        if plan.limit is not None:
-            out = out.limit(plan.limit)
-        return out
-
-    if any(it.window for it in plan.items):
-        if plan.select_distinct:
-            raise ValueError("SELECT DISTINCT does not combine with "
-                             "window items")
-        return _run_window_sql(plan, sf_dir, buckets=join_buckets,
-                               explain=explain)
-
-    if plan.select_distinct:
-        # exact distinct rows = GROUP BY every selected column with a
-        # throwaway map-side-combined counter (one shuffle of distinct
-        # rows per block, not of the input)
-        if any(it.fn != "col" for it in plan.items):
-            raise ValueError("SELECT DISTINCT takes plain columns only")
-        if plan.group_by or plan.having:
-            raise ValueError("SELECT DISTINCT does not combine with "
-                             "GROUP BY/HAVING")
-        plan.group_by = [it.col for it in plan.items]
-        if explain is not None:
-            explain.append(f"SELECT DISTINCT -> GROUP BY "
-                           f"{plan.group_by} with a dropped counter")
-
-    # ------------------------------------ scalar expressions → derived cols
-    # Each expression (an aggregate's argument, or an aliased SELECT item
-    # used as a group key) compiles to ONE derived Arrow column attached by
-    # a single vectorized map_batches stage after the joins; everything
-    # downstream (FILTER masks, cents conversion, group keys, aggregates)
-    # then sees a plain column.
-    exprs = _register_exprs(plan, group_aliases=True)
-    derived = set(exprs)
-
-    # ------------------------------------------ column ownership (joins)
     tables = [plan.table] + [j[0] for j in plan.joins]
     schema_lists = {t: pq.read_schema(f"{sf_dir}/{t}.parquet").names
                     for t in tables}
@@ -1266,20 +1183,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                              "router requires unique column names")
         return hits[0]
 
-    # -------------------------------------------------- read, pruned
-    needed = {c for c in plan.group_by if c not in derived}
-    for it in plan.items:
-        if it.col is not None:
-            if it.col in derived:
-                needed.update(_expr_cols(exprs[it.col]))
-            else:
-                needed.add(it.col)
-        for p in (it.filter_pred or ()):
-            needed.update(_pred_cols([p]))
-    for p in plan.where:
-        needed.update(_pred_cols([p]))
-    for _tbl, a, b, _how in plan.joins:
-        needed.update((a, b))
+    needed = set(needed)
     if not needed:
         # a COUNT(*)-only scan still needs one physical column to stream;
         # the file's first field is typically a narrow key
@@ -1399,6 +1303,127 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             ds = semi_anti_join(ds, build, p.col, sub_col,
                                 how="anti" if p.op == "not_in" else "semi",
                                 buckets=join_buckets)
+
+    return ds, schemas, per_table
+
+
+def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
+            with_bounds: bool = False, approx_membership: bool = False,
+            bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
+            join_buckets: int = 32, max_broadcast_rows: int = 2_000_000,
+            cms_eps: float = 1e-3, cms_delta: float = 1e-2,
+            explain: list | None = None, _plan: "_Plan | None" = None):
+    """Parse ``sql`` and execute it as a streaming Ray Data pipeline over
+    ``{sf_dir}/{table}.parquet``. Returns a Dataset. See module docstring
+    for the grammar and the routing table.
+
+    ``explain``: pass a list to collect the routing decisions THIS call
+    takes (emitted by the same branches that execute, so the trace cannot
+    diverge from execution) and skip all data-pass work — only
+    metadata-level checks run (parquet schemas / row counts / small-dim
+    key uniqueness). Use :func:`explain_sql` for the string form."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    from .udaf import ExactDistinct, HllAgg, KllAgg
+
+    plan = _plan if _plan is not None else parse_sql(sql)
+
+    if plan.unions:
+        # UNION ALL: each SELECT core runs as its own streaming plan and
+        # the Datasets concatenate block-wise (Dataset.union — zero
+        # shuffles, zero materialization); the trailing ORDER BY / LIMIT
+        # bind to the whole union, standard SQL
+        import dataclasses
+
+        parts = [plan] + plan.unions
+        names0 = [it.name for it in parts[0].items]
+        for i, p in enumerate(parts[1:], 2):
+            names = [it.name for it in p.items]
+            if names != names0:
+                raise ValueError(f"UNION ALL part {i} columns {names} "
+                                 f"!= part 1 columns {names0}")
+        opts = dict(hll_p=hll_p, kll_k=kll_k, with_bounds=with_bounds,
+                    approx_membership=approx_membership,
+                    bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+                    join_buckets=join_buckets,
+                    max_broadcast_rows=max_broadcast_rows,
+                    cms_eps=cms_eps, cms_delta=cms_delta, explain=explain)
+        outs = []
+        for i, p in enumerate(parts, 1):
+            sub = dataclasses.replace(p, order_by=[], limit=None,
+                                      unions=[])
+            if explain is not None:
+                explain.append(f"UNION ALL part {i}/{len(parts)}:")
+            outs.append(run_sql(sql, sf_dir, _plan=sub, **opts))
+        if explain is not None:
+            explain.append(
+                f"UNION ALL -> Dataset.union of {len(parts)} streaming "
+                "parts (block concatenation, no shuffle)")
+            return rd.from_items([])
+        out = outs[0].union(*outs[1:])
+        if plan.order_by:
+            out = out.sort([c for c, _ in plan.order_by],
+                           descending=[d for _, d in plan.order_by])
+        if plan.limit is not None:
+            out = out.limit(plan.limit)
+        return out
+
+    if any(it.window for it in plan.items):
+        if plan.select_distinct:
+            raise ValueError("SELECT DISTINCT does not combine with "
+                             "window items")
+        return _run_window_sql(plan, sf_dir, buckets=join_buckets,
+                               max_broadcast_rows=max_broadcast_rows,
+                               approx_membership=approx_membership,
+                               bloom_capacity=bloom_capacity,
+                               bloom_fpp=bloom_fpp, explain=explain)
+
+    if plan.select_distinct:
+        # exact distinct rows = GROUP BY every selected column with a
+        # throwaway map-side-combined counter (one shuffle of distinct
+        # rows per block, not of the input)
+        if any(it.fn != "col" for it in plan.items):
+            raise ValueError("SELECT DISTINCT takes plain columns only")
+        if plan.group_by or plan.having:
+            raise ValueError("SELECT DISTINCT does not combine with "
+                             "GROUP BY/HAVING")
+        plan.group_by = [it.col for it in plan.items]
+        if explain is not None:
+            explain.append(f"SELECT DISTINCT -> GROUP BY "
+                           f"{plan.group_by} with a dropped counter")
+
+    # ------------------------------------ scalar expressions → derived cols
+    # Each expression (an aggregate's argument, or an aliased SELECT item
+    # used as a group key) compiles to ONE derived Arrow column attached by
+    # a single vectorized map_batches stage after the joins; everything
+    # downstream (FILTER masks, cents conversion, group keys, aggregates)
+    # then sees a plain column.
+    exprs = _register_exprs(plan, group_aliases=True)
+    derived = set(exprs)
+
+    # -------------------------------------------------- read, pruned
+    needed = {c for c in plan.group_by if c not in derived}
+    for it in plan.items:
+        if it.col is not None:
+            if it.col in derived:
+                needed.update(_expr_cols(exprs[it.col]))
+            else:
+                needed.add(it.col)
+        for p in (it.filter_pred or ()):
+            needed.update(_pred_cols([p]))
+    for p in plan.where:
+        needed.update(_pred_cols([p]))
+    for _tbl, a, b, _how in plan.joins:
+        needed.update((a, b))
+    ds, schemas, per_table = _scan_with_joins(
+        plan, sf_dir, needed, join_buckets=join_buckets,
+        max_broadcast_rows=max_broadcast_rows,
+        approx_membership=approx_membership,
+        bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+        explain=explain)
 
     # ----------------------------- derived expression columns (one stage)
     if exprs:
@@ -1910,15 +1935,20 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
 
 def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
+                    max_broadcast_rows: int = 2_000_000,
+                    approx_membership: bool = False,
+                    bloom_capacity: int = 1_000_000,
+                    bloom_fpp: float = 0.01,
                     explain: list | None = None):
     """Execute a SELECT whose items carry OVER clauses — routed to
     window.partitioned_window (one hash-bucket shuffle on the partition
     key, vectorized per-bucket prefix scans; ANSI default RANGE framing).
     All window items must share ONE window spec; plain column items pass
-    through; scalar WHERE filters push below the shuffle at the pruned
-    read. GROUP BY / HAVING / JOIN / IN (SELECT …) do not compose with
+    through. The scan phase is the shared _scan_with_joins: scalar WHERE
+    filters push below the window shuffle at the pruned read, JOIN chains
+    and IN (SELECT …) membership compose (all applied BEFORE the window,
+    per SQL's logical order). GROUP BY / HAVING do not combine with
     window items (raise) — the standard engines' separate window stage."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from .window import partitioned_window
@@ -1926,12 +1956,6 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     if plan.group_by or plan.having:
         raise ValueError("window functions cannot combine with "
                          "GROUP BY/HAVING in one router query")
-    if plan.joins:
-        raise ValueError("window functions over JOINs are not supported; "
-                         "window the joined table in two queries")
-    if any(p.sub is not None for p in plan.where):
-        raise ValueError("IN (SELECT …) does not compose with window "
-                         "items")
     win_items = [it for it in plan.items if it.window]
     passthru = [it for it in plan.items if not it.window]
     for it in passthru:
@@ -1951,22 +1975,21 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     part = list(part)
     order = list(order)
 
-    schema = set(pq.read_schema(f"{sf_dir}/{plan.table}.parquet").names)
     needed = {*part, *(c for c, _ in order)}
     needed.update(it.col for it in plan.items if it.col is not None)
     needed.update(_pred_cols(plan.where))
-    missing = sorted(needed - schema)
-    if missing:
-        raise ValueError(f"unknown column(s) {missing} on {plan.table!r}")
-    cols = sorted(needed)
+    for _tbl, a, b, _how in plan.joins:
+        needed.update((a, b))
+    ds, _schemas, _per_table = _scan_with_joins(
+        plan, sf_dir, needed, join_buckets=buckets,
+        max_broadcast_rows=max_broadcast_rows,
+        approx_membership=approx_membership,
+        bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+        explain=explain)
 
     specs = [{"func": it.fn, "col": it.col, "alias": it.name,
               "offset": it.offset} for it in win_items]
     if explain is not None:
-        explain.append(f"READ {plan.table}: pruned columns={cols}")
-        if plan.where:
-            explain.append(f"FILTER (below the window shuffle): "
-                           f"{_fmt_preds(plan.where)}")
         frame_note = ("ANSI default RANGE framing: peers share frame "
                       "results" if frame is None else
                       f"ROWS BETWEEN "
@@ -1986,16 +2009,14 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             explain.append(f"LIMIT {plan.limit}")
         return rd.from_items([])
 
-    ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet", columns=cols)
-    if plan.where:
-        ds = ds.map_batches(_scalar_filter_fn(plan.where),
-                            batch_format="pyarrow", zero_copy_batch=True)
     out = partitioned_window(ds, part, order, specs, buckets=buckets,
                              frame=frame)
 
     rounds = [(it.name, it.round_to) for it in win_items
               if it.round_to is not None]
     sel = [it.name for it in plan.items]
+    renames = [(it.col, it.alias) for it in plan.items
+               if it.fn == "col" and it.alias and it.alias != it.col]
 
     def finish(batch: pa.Table) -> pa.Table:
         for name, nd in rounds:
@@ -2003,6 +2024,9 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             batch = batch.set_column(
                 i, name, pc.round(pc.cast(batch[name], pa.float64()),
                                   ndigits=nd, **_ROUND))
+        for col, alias in renames:
+            if alias not in batch.schema.names:
+                batch = batch.append_column(alias, batch[col])
         return batch.select(sel)
 
     out = out.map_batches(finish, batch_format="pyarrow",
