@@ -132,6 +132,14 @@ Routing:
   at every parquet read. HAVING compiles to the same vectorized filter
   over the aggregated output (predicates must reference SELECTed
   aliases or group keys — the SQL-alias form DuckDB also accepts).
+- window items (OVER …) route to window.partitioned_window and COMPOSE
+  with the full scan phase — JOIN chains, pushed-down WHERE, membership
+  subqueries — applied before the window per SQL's logical order; GROUP
+  BY/HAVING do not mix with window items (separate stage, as in any
+  engine).
+- exact-only grouped aggregates PRE-COMBINE inside map_batches via
+  Arrow's hash aggregate, so the wide groupby shuffles blocks×keys
+  partial rows instead of raw rows (VR_SQL_PRECOMBINE=0 disables).
 
 Scale: everything is a streaming Dataset pipeline — no driver-side row
 loops; ORDER BY runs on the (post-aggregate) result only.
