@@ -992,3 +992,75 @@ def test_window_over_join_and_membership(ray_session, sf01_dir):
         ORDER BY event_id LIMIT 500"""
     mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
     pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_derived_table_matches_duckdb(ray_session, sf01_dir):
+    """FROM (SELECT …) t — the inner plan runs as its own streaming
+    Dataset and the outer aggregate consumes it block-wise (TPC-H
+    Q13-shaped two-stage aggregation)."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    sql = """SELECT n_orders, COUNT(*) AS n_cust
+             FROM (SELECT o_custkey, COUNT(*) AS n_orders
+                   FROM orders GROUP BY o_custkey) t
+             GROUP BY n_orders ORDER BY n_orders"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+    assert "derived table" in explain_sql(sql, sf01_dir)
+
+
+def test_derived_table_with_join_and_where(ray_session, sf01_dir):
+    """Outer WHERE on a derived column + JOIN against a parquet dim —
+    the derived table slots into the shared scan phase untouched."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT c_mktsegment, COUNT(*) AS n_big
+             FROM (SELECT o_custkey, SUM(o_totalprice) AS spend
+                   FROM orders GROUP BY o_custkey) t
+             JOIN customer ON o_custkey = c_custkey
+             WHERE spend > 200000
+             GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_window_over_derived_table(ray_session, sf01_dir):
+    """OVER (…) composes with a derived-table FROM: inner aggregate
+    streams into the shared scan phase, window applies after."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_custkey, spend,
+             RANK() OVER (PARTITION BY n_orders ORDER BY spend DESC,
+                          o_custkey) AS rnk
+             FROM (SELECT o_custkey, SUM(o_totalprice) AS spend,
+                   COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+             ORDER BY o_custkey LIMIT 200"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_scalar_subquery_predicate_matches_duckdb(ray_session, sf01_dir):
+    """WHERE col > (SELECT AVG(col) FROM t) — the subquery executes
+    first as its own streaming plan; ONE scalar crosses the driver."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    sql = """SELECT o_orderstatus, COUNT(*) AS n
+             FROM orders
+             WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+             GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+    assert "SCALAR SUBQUERY" in explain_sql(sql, sf01_dir)
+
+
+def test_scalar_subquery_errors_are_loud(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="exactly one"):
+        run_sql("""SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >
+                   (SELECT MIN(o_totalprice) AS a, MAX(o_totalprice) AS b
+                    FROM orders)""", sf01_dir)
+    with pytest.raises(ValueError, match="one row"):
+        run_sql("""SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >
+                   (SELECT AVG(o_totalprice) AS a FROM orders
+                    GROUP BY o_orderstatus)""", sf01_dir)

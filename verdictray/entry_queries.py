@@ -1727,6 +1727,47 @@ def q_sql_window_over_join(sf_dir: str):
     return run_sql(SQL_WINDOW_OVER_JOIN, sf_dir)
 
 
+SQL_DERIVED_CUSTDIST = """
+SELECT n_orders, COUNT(*) AS n_cust
+FROM (SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey) t
+GROUP BY n_orders
+ORDER BY n_orders
+"""
+
+
+def q_sql_derived_custdist(sf_dir: str):
+    """Derived table (FROM (SELECT …) t): TPC-H Q13-shaped two-stage
+    aggregation — orders-per-customer histogram. The inner plan executes
+    as its own streaming Dataset (pre-combined groupby) and the outer
+    aggregate consumes it block-wise; the identical text runs in DuckDB.
+    Exact integer counts both stages — engine-portable value hash."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_DERIVED_CUSTDIST, sf_dir)
+
+
+SQL_SCALAR_SUBQUERY = """
+SELECT o_orderstatus, COUNT(*) AS n_above
+FROM orders
+WHERE o_totalprice > (SELECT ROUND(AVG(o_totalprice), 2) AS thr
+                      FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_sql_scalar_subquery(sf_dir: str):
+    """Uncorrelated scalar subquery in WHERE: the subquery runs FIRST as
+    its own streaming aggregate plan (ONE scalar crosses the driver),
+    then substitutes as a literal in the outer pushed-down filter — SQL's
+    logical order. The threshold rounds to cents so the float average is
+    bit-portable across engines (avoids ulp-boundary row flips)."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_SCALAR_SUBQUERY, sf_dir)
+
+
 SQL_WINDOW_COMPOSITE = """
 SELECT l_orderkey, l_linenumber,
        ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
@@ -3873,6 +3914,8 @@ QUERIES = {
     "sql_router_union": q_sql_router_union,
     "sql_router_scalarfns": q_sql_router_scalarfns,
     "sql_router_quantile_cont": q_sql_router_quantile_cont,
+    "sql_derived_custdist": q_sql_derived_custdist,
+    "sql_scalar_subquery": q_sql_scalar_subquery,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
@@ -4009,6 +4052,8 @@ ORACLES = {
     "sql_router_union": SQL_ROUTER_UNION_ORACLE,
     "sql_router_scalarfns": SQL_ROUTER_SCALARFNS_ORACLE,
     "sql_router_quantile_cont": SQL_ROUTER_QUANTILE_CONT,
+    "sql_derived_custdist": SQL_DERIVED_CUSTDIST,
+    "sql_scalar_subquery": SQL_SCALAR_SUBQUERY,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
@@ -4065,6 +4110,7 @@ DRIVER_PRIORITY: list[str] = [
     # never-driver-checked oracle-backed queries lead (the
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
+    "sql_derived_custdist", "sql_scalar_subquery",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",

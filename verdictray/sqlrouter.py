@@ -16,7 +16,11 @@ except membership ``IN (SELECT col FROM t)``):
 
     select_core :=
     SELECT [DISTINCT] item ("," item)*
-    FROM table (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
+    FROM ( table | "(" select_core [ORDER BY …] [LIMIT n] ")" [AS] t )
+                                      -- derived table: the inner plan
+                                      --   executes as its own streaming
+                                      --   Dataset consumed block-wise
+         (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*]
     [HAVING pred ("AND" pred)*]       -- preds over SELECTed agg aliases
@@ -84,7 +88,12 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   IN (SELECT …) may not
                                                  --   sit under OR
           | scalar (=|!=|<>|<|<=|>|>=) scalar    -- either side may be an
-                                                 --   expression or column
+                                                 --   expression, column,
+                                                 --   or an uncorrelated
+                                                 --   scalar subquery
+                                                 --   ( SELECT agg FROM … )
+                                                 --   executed first and
+                                                 --   substituted literal
           | scalar BETWEEN literal AND literal
           | col [NOT] LIKE 'pattern'             -- pc.match_like, SQL %/_
           | col IS [NOT] NULL
@@ -192,6 +201,13 @@ _TOKEN = re.compile(r"""
       | \d+\.\d+ | \.\d+ | \d+    # number
       | <> | != | <= | >= | [(),*=<>+\-/]
     )""", re.VERBOSE)
+
+
+# keywords that may legally follow a derived table's closing paren — a
+# bare token NOT in this set is taken as the table alias
+_RESERVED_AFTER_FROM = frozenset(
+    ("join", "left", "where", "group", "having", "order", "limit",
+     "union"))
 
 
 def _tokenize(sql: str) -> list[str]:
@@ -305,6 +321,10 @@ class _Plan:
     # further SELECT cores chained with UNION ALL; ORDER BY/LIMIT above
     # bind to the whole union (standard SQL)
     unions: list = field(default_factory=list)
+    # inner _Plan when FROM is a derived table ``FROM (SELECT …) [AS] t``;
+    # ``table`` then holds the alias and the inner plan executes as its
+    # own streaming Dataset that the outer plan consumes block-wise
+    sub_from: object = None
 
 
 class _Parser:
@@ -396,6 +416,14 @@ class _Parser:
         low = tok.lower()
         if tok == "(":
             self.take()
+            if self.kw("select"):
+                # uncorrelated scalar subquery: parsed as its own plan,
+                # executed FIRST (it is an aggregate — a tiny result) and
+                # substituted as a literal before the outer plan compiles
+                sub = self._select_core()
+                self._order_limit(sub)
+                self.expect(")")
+                return ("subq", sub)
             node = self.expr_tree()
             self.expect(")")
             return node
@@ -759,6 +787,14 @@ class _Parser:
             self.expect("all")
             plan.unions.append(self._select_core())
         # ORDER BY / LIMIT bind to the WHOLE union (standard SQL)
+        self._order_limit(plan)
+        if self.peek() is not None:
+            raise ValueError(f"unexpected trailing token {self.peek()!r}")
+        return plan
+
+    def _order_limit(self, plan: _Plan) -> None:
+        """Optional trailing ``ORDER BY … / LIMIT n`` — shared by the top
+        level, derived tables, and scalar subqueries."""
         if self.kw("order"):
             self.take()
             self.expect("by")
@@ -782,9 +818,6 @@ class _Parser:
         if self.kw("limit"):
             self.take()
             plan.limit = int(self.take())
-        if self.peek() is not None:
-            raise ValueError(f"unexpected trailing token {self.peek()!r}")
-        return plan
 
     def _select_core(self) -> _Plan:
         self.expect("select")
@@ -803,8 +836,25 @@ class _Parser:
                 self.take()
                 items[-1].alias = self.take()
         self.expect("from")
-        plan = _Plan(table=self.take(), items=items,
-                     select_distinct=distinct)
+        if self.peek() == "(":
+            # derived table: FROM (SELECT …) [AS] t — the inner plan runs
+            # as its own streaming Dataset; ``table`` holds the alias
+            self.take()
+            inner = self._select_core()
+            self._order_limit(inner)
+            self.expect(")")
+            alias = "_sub"
+            if self.kw("as"):
+                self.take()
+                alias = self.take()
+            elif (self.peek() is not None and self.peek()[0].isalpha()
+                  and self.peek().lower() not in _RESERVED_AFTER_FROM):
+                alias = self.take()
+            plan = _Plan(table=alias, items=items,
+                         select_distinct=distinct, sub_from=inner)
+        else:
+            plan = _Plan(table=self.take(), items=items,
+                         select_distinct=distinct)
         while self.kw("join", "left"):
             how = "inner"
             if self.kw("left"):
@@ -969,6 +1019,10 @@ def _expr_cols(e: tuple) -> set:
         for p, then in e[1]:
             out |= _pred_cols([p]) | _expr_cols(then)
         return out
+    if k == "subq":
+        # uncorrelated by contract — references no outer column; it is
+        # replaced by a literal before the outer plan compiles
+        return set()
     raise ValueError(f"unknown expression node {k!r}")
 
 
@@ -988,6 +1042,8 @@ def _fmt_expr(e: tuple) -> str:
         return f"CAST({_fmt_expr(e[2])} AS {e[1]})"
     if k == "fn":
         return f"{e[1]}({', '.join(_fmt_expr(a) for a in e[2])})"
+    if k == "subq":
+        return f"(SELECT {e[1].items[0].name} FROM {e[1].table} …)"
     whens = " ".join(f"WHEN {_fmt_preds([p])} THEN {_fmt_expr(t)}"
                      for p, t in e[1])
     els = f" ELSE {_fmt_expr(e[2])}" if e[2] is not None else ""
@@ -1165,21 +1221,107 @@ def _broadcast_enrich(ds, dim_tbl: pa.Table, left_key: str, right_key: str,
                           zero_copy_batch=True)
 
 
+def _map_expr_subq(e, repl):
+    """Rebuild an expression tree with every ``("subq", plan)`` node
+    replaced by ``repl(plan)`` (a ``("lit", value)`` node). Pure — the
+    parsed tree is never mutated, so plans stay reusable."""
+    if e is None:
+        return None
+    k = e[0]
+    if k == "subq":
+        return repl(e[1])
+    if k in ("col", "lit"):
+        return e
+    if k == "bin":
+        return ("bin", e[1], _map_expr_subq(e[2], repl),
+                _map_expr_subq(e[3], repl))
+    if k == "neg":
+        return ("neg", _map_expr_subq(e[1], repl))
+    if k == "extract":
+        return ("extract", e[1], _map_expr_subq(e[2], repl))
+    if k == "cast":
+        return ("cast", e[1], _map_expr_subq(e[2], repl))
+    if k == "fn":
+        return ("fn", e[1], tuple(_map_expr_subq(a, repl) for a in e[2]))
+    if k == "case":
+        whens = tuple((_map_pred_subq(p, repl), _map_expr_subq(t, repl))
+                      for p, t in e[1])
+        els = _map_expr_subq(e[2], repl) if e[2] is not None else None
+        return ("case", whens, els)
+    raise ValueError(f"unknown expression node {k!r}")
+
+
+def _map_pred_subq(p: _Pred, repl) -> _Pred:
+    import dataclasses
+
+    if p.op in ("and", "or"):
+        return dataclasses.replace(
+            p, value=[_map_pred_subq(c, repl) for c in p.value])
+    return dataclasses.replace(p, lexpr=_map_expr_subq(p.lexpr, repl),
+                               rexpr=_map_expr_subq(p.rexpr, repl))
+
+
+def _resolve_scalar_subqueries(plan: "_Plan", sf_dir: str, opts: dict,
+                               explain: list | None) -> None:
+    """Execute every uncorrelated scalar subquery appearing in WHERE /
+    HAVING / FILTER predicates or in an expression item, and substitute
+    its value as a literal (SQL's logical order: the subquery is a
+    constant for the outer query). Each subquery is an ungrouped
+    aggregate plan — its full pipeline streams on the cluster and exactly
+    ONE scalar crosses to the driver."""
+    def repl(sub: "_Plan"):
+        if len(sub.items) != 1:
+            raise ValueError("scalar subquery must SELECT exactly one "
+                             "item")
+        if sub.group_by or sub.unions:
+            raise ValueError("scalar subquery must return one row "
+                             "(no GROUP BY / UNION)")
+        if explain is not None:
+            explain.append(
+                f"SCALAR SUBQUERY ({sub.items[0].name} FROM {sub.table})"
+                " -> executes FIRST as its own streaming plan; one "
+                "scalar crosses the driver and substitutes as a literal:")
+            run_sql("", sf_dir, _plan=sub, explain=explain, **opts)
+            # placeholder literal — explain mode never evaluates kernels,
+            # so the self-describing string only shows up in the trace
+            return ("lit", "(scalar subquery value)")
+        rows = run_sql("", sf_dir, _plan=sub, **opts).take_all()
+        if len(rows) != 1:
+            raise ValueError(f"scalar subquery returned {len(rows)} rows "
+                             "(want exactly 1)")
+        return ("lit", rows[0][sub.items[0].name])
+
+    plan.where = [_map_pred_subq(p, repl) for p in plan.where]
+    plan.having = [_map_pred_subq(p, repl) for p in plan.having]
+    for it in plan.items:
+        if it.filter_pred:
+            it.filter_pred = [_map_pred_subq(p, repl)
+                              for p in it.filter_pred]
+        if it.expr is not None:
+            it.expr = _map_expr_subq(it.expr, repl)
+
+
 def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                      join_buckets: int, max_broadcast_rows: int,
                      approx_membership: bool, bloom_capacity: int,
-                     bloom_fpp: float, explain: list | None):
+                     bloom_fpp: float, explain: list | None,
+                     sub: tuple | None = None):
     """Shared scan phase: pruned fact read -> pushed-down vectorized
     filters -> JOIN chain (size/uniqueness-gated broadcast enrich or
     bucketed hash_join) -> dim-attached post filters -> membership
     semi/anti joins. Used by both the aggregate route (run_sql) and the
-    window route. Returns (lazy Dataset, schemas, per_table)."""
+    window route. ``sub`` = (inner Dataset, its column names) when the
+    fact "table" is a derived table — the inner plan's streaming output
+    replaces the parquet read, everything downstream is identical.
+    Returns (lazy Dataset, schemas, per_table)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     tables = [plan.table] + [j[0] for j in plan.joins]
     schema_lists = {t: pq.read_schema(f"{sf_dir}/{t}.parquet").names
-                    for t in tables}
+                    for t in tables if sub is None or t != plan.table}
+    if sub is not None:
+        schema_lists[plan.table] = list(sub[1])
     schemas = {t: set(v) for t, v in schema_lists.items()}
 
     def owner(col: str) -> str:
@@ -1198,11 +1340,24 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         needed.add(schema_lists[plan.table][0])
     per_table = {t: sorted(c for c in needed if owner(c) == t)
                  for t in tables}
-    if explain is not None:
-        for t in tables:
-            explain.append(f"READ {t}: pruned columns={per_table[t]}")
-    ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet",
-                         columns=per_table[plan.table])
+    if sub is not None:
+        if explain is not None:
+            explain.append(f"FROM (subquery) AS {plan.table}: derived "
+                           f"table streams block-wise into the outer "
+                           f"plan, pruned to {per_table[plan.table]}")
+            for t in tables[1:]:
+                explain.append(f"READ {t}: pruned columns={per_table[t]}")
+            ds = sub[0]
+        elif set(per_table[plan.table]) < set(schema_lists[plan.table]):
+            ds = sub[0].select_columns(per_table[plan.table])
+        else:
+            ds = sub[0]
+    else:
+        if explain is not None:
+            for t in tables:
+                explain.append(f"READ {t}: pruned columns={per_table[t]}")
+        ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet",
+                             columns=per_table[plan.table])
 
     # ---------------------------------- WHERE: fact-owned preds push down
     scalar = [p for p in plan.where if p.sub is None]
@@ -1379,6 +1534,28 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             out = out.limit(plan.limit)
         return out
 
+    # scalar subqueries execute first (SQL's logical order: they are
+    # constants for the outer query); a derived table compiles to its own
+    # streaming Dataset the outer plan consumes block-wise
+    sub_opts = dict(hll_p=hll_p, kll_k=kll_k, with_bounds=with_bounds,
+                    approx_membership=approx_membership,
+                    bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+                    join_buckets=join_buckets,
+                    max_broadcast_rows=max_broadcast_rows,
+                    cms_eps=cms_eps, cms_delta=cms_delta)
+    _resolve_scalar_subqueries(plan, sf_dir, sub_opts, explain)
+    sub = None
+    if plan.sub_from is not None:
+        if explain is not None:
+            explain.append(f"FROM (SELECT …) AS {plan.table} -> derived "
+                           "table: the inner plan below executes as its "
+                           "own streaming Dataset (lazy, never "
+                           "materialized; outer stages consume it "
+                           "block-wise):")
+        inner = run_sql(sql, sf_dir, _plan=plan.sub_from, explain=explain,
+                        **sub_opts)
+        sub = (inner, [it.name for it in plan.sub_from.items])
+
     if any(it.window for it in plan.items):
         if plan.select_distinct:
             raise ValueError("SELECT DISTINCT does not combine with "
@@ -1387,7 +1564,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                max_broadcast_rows=max_broadcast_rows,
                                approx_membership=approx_membership,
                                bloom_capacity=bloom_capacity,
-                               bloom_fpp=bloom_fpp, explain=explain)
+                               bloom_fpp=bloom_fpp, explain=explain,
+                               sub=sub)
 
     if plan.select_distinct:
         # exact distinct rows = GROUP BY every selected column with a
@@ -1431,7 +1609,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         max_broadcast_rows=max_broadcast_rows,
         approx_membership=approx_membership,
         bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
-        explain=explain)
+        explain=explain, sub=sub)
 
     # ----------------------------- derived expression columns (one stage)
     if exprs:
@@ -1947,7 +2125,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                     approx_membership: bool = False,
                     bloom_capacity: int = 1_000_000,
                     bloom_fpp: float = 0.01,
-                    explain: list | None = None):
+                    explain: list | None = None,
+                    sub: tuple | None = None):
     """Execute a SELECT whose items carry OVER clauses — routed to
     window.partitioned_window (one hash-bucket shuffle on the partition
     key, vectorized per-bucket prefix scans; ANSI default RANGE framing).
@@ -1993,7 +2172,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         max_broadcast_rows=max_broadcast_rows,
         approx_membership=approx_membership,
         bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
-        explain=explain)
+        explain=explain, sub=sub)
 
     specs = [{"func": it.fn, "col": it.col, "alias": it.name,
               "offset": it.offset} for it in win_items]
