@@ -1064,3 +1064,18 @@ def test_scalar_subquery_errors_are_loud(ray_session, sf01_dir):
         run_sql("""SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >
                    (SELECT AVG(o_totalprice) AS a FROM orders
                     GROUP BY o_orderstatus)""", sf01_dir)
+
+
+def test_tpch_q3_and_q10_through_router(ray_session, sf01_dir):
+    """TPC-H Q3/Q10 (adapted to the driver tables' columns) run through
+    the router and match DuckDB bit-for-bit — MONEY_SUM keeps revenue
+    order-independent so the ORDER BY cut is engine-portable."""
+    from verdictray.entry_queries import (
+        SQL_TPCH_Q3_ORACLE, SQL_TPCH_Q10_ORACLE, q_sql_tpch_q3,
+        q_sql_tpch_q10)
+
+    for fn, oracle in ((q_sql_tpch_q3, SQL_TPCH_Q3_ORACLE),
+                       (q_sql_tpch_q10, SQL_TPCH_Q10_ORACLE)):
+        mine = fn(sf01_dir).to_pandas().reset_index(drop=True)
+        pdt.assert_frame_equal(mine, _duck(sf01_dir, oracle),
+                               check_dtype=False)

@@ -1727,6 +1727,85 @@ def q_sql_window_over_join(sf_dir: str):
     return run_sql(SQL_WINDOW_OVER_JOIN, sf_dir)
 
 
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+  MONEY_SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+  o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+SQL_TPCH_Q3_ORACLE = """
+SELECT l_orderkey,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+      AS revenue,
+  o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1995-03-15'
+      AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping-priority shape, adapted to the driver tables'
+    columns): a customer→orders→lineitem join chain with date pushdowns
+    on both sides of the chain, grouped revenue, top-10 by revenue.
+    MONEY_SUM keeps the float sum order-independent (exact integer
+    cents) so the ORDER BY cut and the value hash are engine-portable;
+    l_orderkey tie-breaks the LIMIT boundary deterministically."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q3, sf_dir)
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+  MONEY_SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+  c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+      AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+SQL_TPCH_Q10_ORACLE = """
+SELECT c_custkey, c_name,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+      AS revenue,
+  c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1996-01-01'
+      AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_sql_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item report, adapted to the driver tables'
+    columns): a four-table join chain — two bucketed hash joins for the
+    big sides, a broadcast enrich for nation — with a quarter-window
+    date filter and return-flag filter pushed to their owning reads,
+    top-20 customers by exact-cents revenue."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q10, sf_dir)
+
+
 SQL_DERIVED_CUSTDIST = """
 SELECT n_orders, COUNT(*) AS n_cust
 FROM (SELECT o_custkey, COUNT(*) AS n_orders
@@ -3916,6 +3995,8 @@ QUERIES = {
     "sql_router_quantile_cont": q_sql_router_quantile_cont,
     "sql_derived_custdist": q_sql_derived_custdist,
     "sql_scalar_subquery": q_sql_scalar_subquery,
+    "sql_tpch_q3": q_sql_tpch_q3,
+    "sql_tpch_q10": q_sql_tpch_q10,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
@@ -4054,6 +4135,8 @@ ORACLES = {
     "sql_router_quantile_cont": SQL_ROUTER_QUANTILE_CONT,
     "sql_derived_custdist": SQL_DERIVED_CUSTDIST,
     "sql_scalar_subquery": SQL_SCALAR_SUBQUERY,
+    "sql_tpch_q3": SQL_TPCH_Q3_ORACLE,
+    "sql_tpch_q10": SQL_TPCH_Q10_ORACLE,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
@@ -4111,6 +4194,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_derived_custdist", "sql_scalar_subquery",
+    "sql_tpch_q3", "sql_tpch_q10",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",
