@@ -1079,3 +1079,40 @@ def test_tpch_q3_and_q10_through_router(ray_session, sf01_dir):
         mine = fn(sf01_dir).to_pandas().reset_index(drop=True)
         pdt.assert_frame_equal(mine, _duck(sf01_dir, oracle),
                                check_dtype=False)
+
+
+def test_membership_subquery_with_build_where(ray_session, sf01_dir):
+    """IN (SELECT … WHERE …) — TPC-H Q4 shape. The build-side WHERE is a
+    vectorized filter on the pruned build read; semi and anti (NOT IN →
+    NOT EXISTS semantics) both match DuckDB."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    sql = """SELECT o_orderpriority, COUNT(*) AS n_orders
+             FROM orders
+             WHERE o_orderdate >= DATE '1995-07-01'
+               AND o_orderdate < DATE '1995-10-01'
+               AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_shipdate > DATE '1995-09-01')
+             GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+    assert "build WHERE" in explain_sql(sql, sf01_dir)
+
+    anti = sql.replace("IN (SELECT", "NOT IN (SELECT")
+    mine = run_sql(anti, sf01_dir).to_pandas().reset_index(drop=True)
+    oracle = _duck(sf01_dir, """
+        SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+        WHERE o_orderdate >= DATE '1995-07-01'
+          AND o_orderdate < DATE '1995-10-01'
+          AND NOT EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > DATE '1995-09-01')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    pdt.assert_frame_equal(mine, oracle, check_dtype=False)
+
+    # Bloom route keeps zero false negatives with the build filter
+    bloom = run_sql(sql, sf01_dir, approx_membership=True).to_pandas()
+    exact = _duck(sf01_dir, sql)
+    merged = exact.merge(bloom, on="o_orderpriority",
+                         suffixes=("_e", "_b"))
+    assert (merged["n_orders_b"] >= merged["n_orders_e"]).all()

@@ -1806,6 +1806,30 @@ def q_sql_tpch_q10(sf_dir: str):
     return run_sql(SQL_TPCH_Q10, sf_dir)
 
 
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1995-07-01' AND o_orderdate < DATE '1995-10-01'
+  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     WHERE l_shipdate > DATE '1995-09-01')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_sql_tpch_q4(sf_dir: str):
+    """TPC-H Q4 (order-priority checking, adapted to the driver tables'
+    columns — the existence test uses l_shipdate since the synthetic
+    lineitem has no commit/receipt dates): quarter-window date pushdown
+    on the orders read, membership subquery WITH a build-side WHERE —
+    the build read is pruned to (l_orderkey, l_shipdate), filtered
+    vectorized, collapsed to per-bucket distinct keys, and semi-joined
+    with a key-only shuffle. Exact integer counts."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q4, sf_dir)
+
+
 SQL_DERIVED_CUSTDIST = """
 SELECT n_orders, COUNT(*) AS n_cust
 FROM (SELECT o_custkey, COUNT(*) AS n_orders
@@ -3997,6 +4021,7 @@ QUERIES = {
     "sql_scalar_subquery": q_sql_scalar_subquery,
     "sql_tpch_q3": q_sql_tpch_q3,
     "sql_tpch_q10": q_sql_tpch_q10,
+    "sql_tpch_q4": q_sql_tpch_q4,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
@@ -4137,6 +4162,7 @@ ORACLES = {
     "sql_scalar_subquery": SQL_SCALAR_SUBQUERY,
     "sql_tpch_q3": SQL_TPCH_Q3_ORACLE,
     "sql_tpch_q10": SQL_TPCH_Q10_ORACLE,
+    "sql_tpch_q4": SQL_TPCH_Q4,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
@@ -4194,7 +4220,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_derived_custdist", "sql_scalar_subquery",
-    "sql_tpch_q3", "sql_tpch_q10",
+    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",

@@ -98,7 +98,12 @@ except membership ``IN (SELECT col FROM t)``):
           | col [NOT] LIKE 'pattern'             -- pc.match_like, SQL %/_
           | col IS [NOT] NULL
           | col [NOT] IN (literal, ...)
-          | col [NOT] IN (SELECT col FROM table)   -- semi/anti join
+          | col [NOT] IN (SELECT col FROM table [WHERE pred …])
+                                                 -- semi/anti join; the
+                                                 --   build-side WHERE
+                                                 --   filters the pruned
+                                                 --   build read (TPC-H
+                                                 --   Q4 shape)
     literal := number | 'string' | DATE 'yyyy-mm-dd'
           | TIMESTAMP 'yyyy-mm-dd[ hh:mm:ss]'    -- typed; compares with
                                                  --   timestamp[us] columns
@@ -769,9 +774,22 @@ class _Parser:
             sub_col = self.take()
             self.expect("from")
             sub_table = self.take()
+            sub_preds: list = []
+            if self.kw("where"):
+                # build-side WHERE (TPC-H Q4 shape): scalar predicates
+                # over the subquery's own table, applied as a vectorized
+                # filter on the pruned build read before the semi/anti
+                # join (or before the Bloom build)
+                self.take()
+                sub_preds = _flatten_and(self.pred_or())
+                for sp in sub_preds:
+                    for a in _pred_atoms(sp):
+                        if a.sub is not None:
+                            raise ValueError("IN (SELECT …) subqueries "
+                                             "do not nest")
             self.expect(")")
             return _Pred(col, "not_in" if negated else "in",
-                         sub=(sub_table, sub_col))
+                         sub=(sub_table, sub_col, sub_preds))
         vals = [self.literal()]
         while self.peek() == ",":
             self.take()
@@ -1434,36 +1452,47 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
     for p in member:
-        sub_table, sub_col = p.sub
+        sub_table, sub_col, sub_preds = p.sub
         kind = "ANTI" if p.op == "not_in" else "SEMI"
+        filt_note = (f" [build WHERE {_fmt_preds(sub_preds)} -> "
+                     "vectorized filter on the pruned build read]"
+                     if sub_preds else "")
+        build_cols = sorted({sub_col} | _pred_cols(sub_preds))
+
+        def _build():
+            b = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
+                                columns=build_cols)
+            if sub_preds:
+                b = b.map_batches(_scalar_filter_fn(sub_preds),
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True)
+            return b.select_columns([sub_col]) if sub_preds else b
+
         if approx_membership:
             if explain is not None:
                 explain.append(
-                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col} -> "
-                    f"Bloom probe (filter built once + broadcast to an "
-                    f"actor pool, NO shuffle; fpp<={bloom_fpp}, zero "
-                    "false negatives)")
+                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col}"
+                    f"{filt_note} -> Bloom probe (filter built once + "
+                    f"broadcast to an actor pool, NO shuffle; "
+                    f"fpp<={bloom_fpp}, zero false negatives)")
                 continue
-            build = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
-                                    columns=[sub_col])
             if p.op == "not_in":
                 from .query import anti_join_bloom as _bloom_join
             else:
                 from .query import semi_join_bloom as _bloom_join
-            ds = _bloom_join(ds, build, p.col, sub_col,
+            ds = _bloom_join(ds, _build(), p.col, sub_col,
                              capacity=bloom_capacity, fpp=bloom_fpp)
         else:
             if explain is not None:
                 explain.append(
-                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col} -> "
-                    "exact bucketed semi/anti join (build side collapses "
-                    "to per-bucket distinct keys; key-only shuffle)")
+                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col}"
+                    f"{filt_note} -> exact bucketed semi/anti join "
+                    "(build side collapses to per-bucket distinct keys; "
+                    "key-only shuffle)")
                 continue
-            build = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
-                                    columns=[sub_col])
             from .join import semi_anti_join
 
-            ds = semi_anti_join(ds, build, p.col, sub_col,
+            ds = semi_anti_join(ds, _build(), p.col, sub_col,
                                 how="anti" if p.op == "not_in" else "semi",
                                 buckets=join_buckets)
 
