@@ -1116,3 +1116,52 @@ def test_membership_subquery_with_build_where(ray_session, sf01_dir):
     merged = exact.merge(bloom, on="o_orderpriority",
                          suffixes=("_e", "_b"))
     assert (merged["n_orders_b"] >= merged["n_orders_e"]).all()
+
+
+def test_post_aggregate_expressions(ray_session, sf01_dir):
+    """Arithmetic over aggregates (TPC-H Q14 shape): each aggregate leaf
+    becomes a hidden map-side-combined aggregate; the expression runs
+    vectorized in the finish stage over the aggregated table."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    sql = """SELECT l_returnflag,
+             SUM(l_extendedprice) / SUM(l_quantity) AS avg_unit_price,
+             MAX(l_quantity) - MIN(l_quantity) AS qty_range,
+             COUNT(*) * 2 AS twice_n
+             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+    assert "post-aggregate" in explain_sql(sql, sf01_dir)
+
+    # global ratio with a CASE-conditional numerator
+    sql = """SELECT 100.0 * SUM(CASE WHEN l_returnflag = 'R'
+                   THEN l_extendedprice ELSE 0 END)
+                 / SUM(l_extendedprice) AS return_pct
+             FROM lineitem
+             WHERE l_shipdate >= DATE '1996-01-01'
+               AND l_shipdate < DATE '1996-03-01'"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False,
+                           rtol=1e-9)
+
+    # HAVING over an aggregate-expression alias
+    sql = """SELECT l_returnflag,
+             SUM(l_extendedprice) / SUM(l_quantity) AS aup
+             FROM lineitem GROUP BY l_returnflag
+             HAVING aup > 1000 ORDER BY l_returnflag"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    oracle = _duck(sf01_dir, """
+        SELECT l_returnflag,
+               SUM(l_extendedprice) / SUM(l_quantity) AS aup
+        FROM lineitem GROUP BY l_returnflag
+        HAVING SUM(l_extendedprice) / SUM(l_quantity) > 1000
+        ORDER BY l_returnflag""")
+    pdt.assert_frame_equal(mine, oracle, check_dtype=False, rtol=1e-9)
+
+
+def test_aggexpr_requires_alias(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="AS"):
+        run_sql("SELECT SUM(l_quantity) / COUNT(*) FROM lineitem",
+                sf01_dir)

@@ -1830,6 +1830,44 @@ def q_sql_tpch_q4(sf_dir: str):
     return run_sql(SQL_TPCH_Q4, sf_dir)
 
 
+SQL_TPCH_Q14 = """
+SELECT 100.0 * MONEY_SUM(CASE WHEN l_returnflag = 'R'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / MONEY_SUM(l_extendedprice * (1 - l_discount))
+       AS return_rev_pct
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+"""
+# oracle mirrors the engine's float ops exactly: per-row cents rounding,
+# exact integer sums, /100.0 finalize, then the SAME 100*(a)/(b) float64
+# arithmetic — bit-identical across engines
+SQL_TPCH_Q14_ORACLE = """
+SELECT 100.0 *
+  (SUM(CAST(round(CASE WHEN l_returnflag = 'R'
+            THEN l_extendedprice*(1-l_discount) ELSE 0 END*100) AS BIGINT))
+   /100.0)
+  /
+  (SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0)
+  AS return_rev_pct
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+"""
+
+
+def q_sql_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape (promotion-effect ratio, adapted to the driver
+    tables — l_returnflag stands in for the missing p_type): a
+    POST-AGGREGATE expression item. Each MONEY_SUM leaf becomes a hidden
+    map-side-combined aggregate (exact integer cents, order-independent)
+    and the 100*(a)/(b) arithmetic runs vectorized in the finish stage
+    over the single-row result — bit-stable against the DuckDB oracle's
+    identical float64 op sequence."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q14, sf_dir)
+
+
 SQL_DERIVED_CUSTDIST = """
 SELECT n_orders, COUNT(*) AS n_cust
 FROM (SELECT o_custkey, COUNT(*) AS n_orders
@@ -4022,6 +4060,7 @@ QUERIES = {
     "sql_tpch_q3": q_sql_tpch_q3,
     "sql_tpch_q10": q_sql_tpch_q10,
     "sql_tpch_q4": q_sql_tpch_q4,
+    "sql_tpch_q14": q_sql_tpch_q14,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
@@ -4163,6 +4202,7 @@ ORACLES = {
     "sql_tpch_q3": SQL_TPCH_Q3_ORACLE,
     "sql_tpch_q10": SQL_TPCH_Q10_ORACLE,
     "sql_tpch_q4": SQL_TPCH_Q4,
+    "sql_tpch_q14": SQL_TPCH_Q14_ORACLE,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
@@ -4220,7 +4260,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_derived_custdist", "sql_scalar_subquery",
-    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4",
+    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",

@@ -52,6 +52,20 @@ except membership ``IN (SELECT col FROM t)``):
           | <exact agg> FILTER ( WHERE pred [AND pred]* )
                                                 -- per-aggregate condition
           | ROUND(<aggregate expr>, n)          -- half-away-from-zero
+          | scalar arithmetic OVER AGGREGATES   -- post-aggregate
+                                                --   expressions (TPC-H
+                                                --   Q14 shape):
+                                                --   100*SUM(a)/SUM(b),
+                                                --   MAX(x)-MIN(x), … —
+                                                --   each aggregate leaf
+                                                --   becomes a hidden
+                                                --   map-side-combined
+                                                --   aggregate; the
+                                                --   arithmetic runs
+                                                --   vectorized in the
+                                                --   finish stage over the
+                                                --   group-count-sized
+                                                --   result (needs AS)
           | ROW_NUMBER() OVER w | RANK() OVER w | DENSE_RANK() OVER w
           | PERCENT_RANK() OVER w | CUME_DIST() OVER w
           | SUM|COUNT|AVG|MIN|MAX(col) OVER w   -- cumulative (ANSI default
@@ -301,6 +315,24 @@ def _pred_cols(preds) -> set:
     return out
 
 
+def _expr_aggs(e) -> list:
+    """Collect the ``("agg", _Agg)`` leaves of an expression tree (the
+    hidden aggregates of a post-aggregate expression item)."""
+    out = []
+
+    def walk(n):
+        if not isinstance(n, tuple):
+            return
+        if len(n) and n[0] == "agg":
+            out.append(n[1])
+            return
+        for c in n:
+            walk(c)
+
+    walk(e)
+    return out
+
+
 def _flatten_and(p: _Pred) -> list:
     """Split a predicate tree into its top-level conjuncts (an OR node is
     one conjunct)."""
@@ -478,6 +510,10 @@ class _Parser:
         ident = self.take()
         if self.peek() == "(":
             low = ident.lower()
+            if getattr(self, "_aggexpr", False) and low in _AGGS:
+                # aggregate call as an expression leaf — only while
+                # parsing SELECT items (post-aggregate arithmetic)
+                return ("agg", self._agg_call(low))
             if low not in _SCALAR_FNS:
                 raise ValueError(f"function {ident!r} not supported "
                                  "inside scalar expressions "
@@ -539,59 +575,95 @@ class _Parser:
             ag.window = self._over()          # OVER is mandatory here
             return ag
         if low in _AGGS:
-            self.expect("(")
-            if low == "count" and self.peek() == "*":
-                self.take()
-                self.expect(")")
-                ag = _Agg("count", None)
-                self._maybe_filter(ag)
-                if self.kw("over"):
-                    if ag.filter_pred:
-                        raise ValueError("FILTER does not combine with "
-                                         "OVER in this router")
-                    ag.window = self._over()
-                return ag
-            distinct = False
-            if self.kw("distinct"):
-                self.take()
-                distinct = True
-                if low != "count":
-                    raise ValueError("DISTINCT only supported in COUNT")
-            expr = None
-            if low in _EXPR_AGGS:
-                tree = self.expr_tree()
-                if tree[0] == "col":
-                    col = tree[1]
-                else:
-                    col, expr = None, tree
-            else:
-                col = self.take()
-            phi = None
-            if low in ("approx_quantile", "approx_quantile_tdigest",
-                       "approx_top_k", "quantile_cont"):
-                self.expect(",")
-                phi = float(self.take())
-            self.expect(")")
-            ag = _Agg(low, col, distinct=distinct, phi=phi, expr=expr)
+            ag = self._agg_call(low)
             self._maybe_filter(ag)
             if self.kw("over"):
-                if low not in _WINDOW_CUM or distinct:
+                if low not in _WINDOW_CUM:
                     raise ValueError(f"{low.upper()} cannot take an "
                                      "OVER clause")
-                if expr is not None:
+                if ag.distinct:
+                    raise ValueError("DISTINCT cannot take an OVER "
+                                     "clause")
+                if ag.expr is not None:
                     raise ValueError("window aggregates take a bare "
                                      "column, not an expression")
                 if ag.filter_pred:
                     raise ValueError("FILTER does not combine with OVER "
                                      "in this router")
                 ag.window = self._over()
+            if self.peek() in ("+", "-", "*", "/"):
+                # post-aggregate arithmetic: SUM(a)/SUM(b), MAX(x)-MIN(x)
+                if ag.window is not None:
+                    raise ValueError("window items cannot join "
+                                     "post-aggregate arithmetic")
+                return self._classify_item(
+                    self._in_aggexpr(
+                        lambda: self._expr_continue(("agg", ag))))
             return ag
         # plain column — or a scalar expression (arithmetic / CASE /
-        # EXTRACT), which must be aliased and GROUPed BY via the alias
+        # EXTRACT — possibly over aggregate calls: 100 * SUM(a)/SUM(b))
         self.i -= 1
-        tree = self.expr_tree()
+        return self._classify_item(self._in_aggexpr(self.expr_tree))
+
+    def _agg_call(self, low: str) -> _Agg:
+        """Parse an aggregate call from after its name: ``( [DISTINCT]
+        arg [, phi] )``. FILTER / OVER are the caller's business."""
+        self.expect("(")
+        if low == "count" and self.peek() == "*":
+            self.take()
+            self.expect(")")
+            return _Agg("count", None)
+        distinct = False
+        if self.kw("distinct"):
+            self.take()
+            distinct = True
+            if low != "count":
+                raise ValueError("DISTINCT only supported in COUNT")
+        expr = None
+        if low in _EXPR_AGGS:
+            tree = self.expr_tree()
+            if tree[0] == "col":
+                col = tree[1]
+            else:
+                col, expr = None, tree
+        else:
+            col = self.take()
+        phi = None
+        if low in ("approx_quantile", "approx_quantile_tdigest",
+                   "approx_top_k", "quantile_cont"):
+            self.expect(",")
+            phi = float(self.take())
+        self.expect(")")
+        return _Agg(low, col, distinct=distinct, phi=phi, expr=expr)
+
+    def _in_aggexpr(self, fn):
+        """Run a parse callback with aggregate calls allowed as
+        expression leaves (``("agg", _Agg)`` nodes in _primary)."""
+        prev = getattr(self, "_aggexpr", False)
+        self._aggexpr = True
+        try:
+            return fn()
+        finally:
+            self._aggexpr = prev
+
+    def _expr_continue(self, left: tuple) -> tuple:
+        """Continue an expression whose first primary is already parsed
+        (same precedence as expr_tree: * and / bind tighter)."""
+        while self.peek() in ("*", "/"):
+            op = self.take()
+            left = ("bin", op, left, self._factor())
+        while self.peek() in ("+", "-"):
+            op = self.take()
+            left = ("bin", op, left, self._term())
+        return left
+
+    def _classify_item(self, tree: tuple) -> _Agg:
+        if tree[0] == "agg":
+            return tree[1]
         if tree[0] == "col":
             return _Agg("col", tree[1])
+        if _expr_aggs(tree):
+            return _Agg("aggexpr", None, expr=tree)
         return _Agg("expr", None, expr=tree)
 
     def _maybe_filter(self, ag: _Agg) -> None:
@@ -1041,6 +1113,10 @@ def _expr_cols(e: tuple) -> set:
         # uncorrelated by contract — references no outer column; it is
         # replaced by a literal before the outer plan compiles
         return set()
+    if k == "agg":
+        # hidden aggregate leaf of a post-aggregate expression; its
+        # input columns are gathered when the hidden agg registers
+        return set()
     raise ValueError(f"unknown expression node {k!r}")
 
 
@@ -1062,6 +1138,11 @@ def _fmt_expr(e: tuple) -> str:
         return f"{e[1]}({', '.join(_fmt_expr(a) for a in e[2])})"
     if k == "subq":
         return f"(SELECT {e[1].items[0].name} FROM {e[1].table} …)"
+    if k == "agg":
+        ag = e[1]
+        arg = (_fmt_expr(ag.expr) if ag.expr is not None
+               else (ag.col or "*"))
+        return f"{ag.fn.upper()}({arg})"
     whens = " ".join(f"WHEN {_fmt_preds([p])} THEN {_fmt_expr(t)}"
                      for p, t in e[1])
     els = f" ELSE {_fmt_expr(e[2])}" if e[2] is not None else ""
@@ -1185,6 +1266,10 @@ def _register_exprs(plan: _Plan, *, group_aliases: bool) -> dict:
     group keys named by their alias (must be GROUPed BY via the alias)."""
     exprs: dict[str, tuple] = {}
     for it in plan.items:
+        if it.fn == "aggexpr":
+            # post-aggregate expression — evaluated in the finish stage
+            # over the aggregated table, never a derived input column
+            continue
         if it.fn == "expr":
             if not group_aliases:
                 raise ValueError("expression SELECT items are not "
@@ -1248,6 +1333,11 @@ def _map_expr_subq(e, repl):
     k = e[0]
     if k == "subq":
         return repl(e[1])
+    if k == "agg":
+        # hidden aggregate leaf: map any scalar subquery in its argument
+        if e[1].expr is not None:
+            e[1].expr = _map_expr_subq(e[1].expr, repl)
+        return e
     if k in ("col", "lit"):
         return e
     if k == "bin":
@@ -1610,6 +1700,34 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             explain.append(f"SELECT DISTINCT -> GROUP BY "
                            f"{plan.group_by} with a dropped counter")
 
+    # -------------- post-aggregate expression items (100*SUM(a)/SUM(b))
+    # Each aggregate leaf becomes a HIDDEN aggregate output column
+    # (aggregated like any exact/sketch agg, map-side combined); the
+    # arithmetic then runs as ONE vectorized pyarrow.compute pass in the
+    # finish stage over the tiny aggregated table, and the hidden columns
+    # drop at projection. SQL's logical order, zero extra passes.
+    aggexpr_items = [it for it in plan.items if it.fn == "aggexpr"]
+    hidden_aggs: list[_Agg] = []
+    for it in aggexpr_items:
+        if not it.alias:
+            raise ValueError("an aggregate expression item needs AS "
+                             f"alias (got {_fmt_expr(it.expr)})")
+
+        def _hide(e, _alias=it.alias):
+            if not isinstance(e, tuple):
+                return e
+            if len(e) and e[0] == "agg":
+                ag = e[1]
+                if ag.fn in ("approx_top_k", "quantile_cont"):
+                    raise ValueError(f"{ag.fn.upper()} is not supported "
+                                     "inside aggregate expressions")
+                ag.alias = f"_hx{len(hidden_aggs)}_{_alias}"
+                hidden_aggs.append(ag)
+                return ("col", ag.alias)
+            return tuple(_hide(c) for c in e)
+
+        it.expr = _hide(it.expr)
+
     # ------------------------------------ scalar expressions → derived cols
     # Each expression (an aggregate's argument, or an aliased SELECT item
     # used as a group key) compiles to ONE derived Arrow column attached by
@@ -1617,11 +1735,18 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # downstream (FILTER masks, cents conversion, group keys, aggregates)
     # then sees a plain column.
     exprs = _register_exprs(plan, group_aliases=True)
+    for ag in hidden_aggs:
+        # hidden aggregates over expression args get the same derived
+        # column treatment as visible ones
+        if ag.expr is not None:
+            dname = f"_expr_{ag.alias}"
+            exprs[dname] = ag.expr
+            ag.col = dname
     derived = set(exprs)
 
     # -------------------------------------------------- read, pruned
     needed = {c for c in plan.group_by if c not in derived}
-    for it in plan.items:
+    for it in list(plan.items) + hidden_aggs:
         if it.col is not None:
             if it.col in derived:
                 needed.update(_expr_cols(exprs[it.col]))
@@ -1801,8 +1926,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     aggs, posts, bounds = [], [], []
     plain_cols = [it for it in plan.items if it.fn == "col"]
     # "expr" items are derived group keys — already validated against
-    # plan.group_by above, and they flow through the groupby like any key
-    agg_items = [it for it in plan.items if it.fn not in ("col", "expr")]
+    # plan.group_by above, and they flow through the groupby like any
+    # key; "aggexpr" items contribute their HIDDEN aggregates here and
+    # evaluate their arithmetic in the finish stage
+    agg_items = [it for it in plan.items
+                 if it.fn not in ("col", "expr", "aggexpr")] + hidden_aggs
     for it in plain_cols:
         if it.col not in plan.group_by:
             raise ValueError(f"non-aggregate column {it.col!r} must be in "
@@ -1887,6 +2015,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                    else (it.col or "*"))
             explain.append(f"AGG {it.name} = {it.fn.upper()}"
                            f"({arg}) -> {route}")
+        for it in aggexpr_items:
+            explain.append(
+                f"ITEM {it.name} = {_fmt_expr(it.expr)} -> "
+                "post-aggregate vectorized expression over hidden "
+                "aggregate columns (finish stage, group-count rows)")
         explain.append(
             f"GROUP BY {plan.group_by} -> "
             + ("Arrow-hash PRE-COMBINE per block (blocks x keys partial "
@@ -2102,7 +2235,15 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                              pa.float64())))
                 batch = batch.drop_columns([f"_cents_{it.name}",
                                             f"_cnt_{it.name}"])
-        for it in agg_items:
+        for it in aggexpr_items:
+            # post-aggregate arithmetic: one vectorized pass over the
+            # aggregated (group-count-sized) table; hidden columns drop
+            # at the projection below
+            arr = _eval_expr(batch, it.expr)
+            if isinstance(arr, pa.Array):
+                arr = pa.chunked_array([arr])
+            batch = batch.append_column(it.name, arr)
+        for it in agg_items + aggexpr_items:
             if it.round_to is not None:
                 i = batch.schema.get_field_index(it.name)
                 batch = batch.set_column(
