@@ -172,9 +172,11 @@ def run_benchmarks() -> dict:
         timed("pricing_summary", lambda: q_pricing_summary(SF_DIR))
         timed("hll_users_by_type", lambda: q_hll_users_by_type(SF_DIR))
         timed("kll_price_quantiles", lambda: q_kll_price_quantiles(SF_DIR))
-        from verdictray.entry_queries import q_sql_tpch_q1
+        from verdictray.entry_queries import q_sql_tpch_q1, q_sql_tpch_q10
 
         timed("sql_tpch_q1", lambda: q_sql_tpch_q1(SF_DIR))
+        # multi-join stressor: two bucketed hash joins + broadcast enrich
+        timed("sql_tpch_q10", lambda: q_sql_tpch_q10(SF_DIR))
 
     ray.shutdown()
     return {

@@ -1165,3 +1165,31 @@ def test_aggexpr_requires_alias(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="AS"):
         run_sql("SELECT SUM(l_quantity) / COUNT(*) FROM lineitem",
                 sf01_dir)
+
+
+def test_plain_scan_route(ray_session, sf01_dir):
+    """SELECT cols FROM t [WHERE] [ORDER BY] [LIMIT] with no aggregate:
+    a pure streaming projection/filter scan. ORDER BY may reference
+    unselected columns (sort runs before the projection)."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    sql = """SELECT c_name, c_acctbal FROM customer
+             WHERE c_acctbal > 1000
+             ORDER BY c_acctbal DESC, c_name LIMIT 25"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+    assert "PLAIN SCAN" in explain_sql(sql, sf01_dir)
+
+    # unselected ORDER BY column + join + derived expression item
+    sql = """SELECT o_orderkey, n_name, o_totalprice * 2 AS dbl
+             FROM orders JOIN customer ON o_custkey = c_custkey
+                         JOIN nation ON c_nationkey = n_nationkey
+             WHERE o_totalprice > 400000
+             ORDER BY dbl DESC, o_orderkey LIMIT 15"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+
+    sql = """SELECT c_name FROM customer
+             ORDER BY c_acctbal DESC, c_name LIMIT 5"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)

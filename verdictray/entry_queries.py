@@ -1868,6 +1868,26 @@ def q_sql_tpch_q14(sf_dir: str):
     return run_sql(SQL_TPCH_Q14, sf_dir)
 
 
+SQL_SCAN_TOP_ACCOUNTS = """
+SELECT c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_acctbal > 1000
+ORDER BY c_acctbal DESC, c_name
+LIMIT 50
+"""
+
+
+def q_sql_scan_top_accounts(sf_dir: str):
+    """Plain-scan route: no aggregate, no GROUP BY — a pure streaming
+    projection/filter query (pruned 3-column read, one vectorized
+    pushdown filter, global sort only because of the ORDER BY, LIMIT
+    cut). Deterministic tie-break on c_name keeps the cut
+    engine-portable."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_SCAN_TOP_ACCOUNTS, sf_dir)
+
+
 SQL_DERIVED_CUSTDIST = """
 SELECT n_orders, COUNT(*) AS n_cust
 FROM (SELECT o_custkey, COUNT(*) AS n_orders
@@ -4061,6 +4081,7 @@ QUERIES = {
     "sql_tpch_q10": q_sql_tpch_q10,
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q14": q_sql_tpch_q14,
+    "sql_scan_top_accounts": q_sql_scan_top_accounts,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
     "corpus_sketches_by_repo": q_corpus_sketches_by_repo,
@@ -4203,6 +4224,7 @@ ORACLES = {
     "sql_tpch_q10": SQL_TPCH_Q10_ORACLE,
     "sql_tpch_q4": SQL_TPCH_Q4,
     "sql_tpch_q14": SQL_TPCH_Q14_ORACLE,
+    "sql_scan_top_accounts": SQL_SCAN_TOP_ACCOUNTS,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
@@ -4261,6 +4283,7 @@ DRIVER_PRIORITY: list[str] = [
     # r3-checked tail keeps its order
     "sql_derived_custdist", "sql_scalar_subquery",
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
+    "sql_scan_top_accounts",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
     "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",

@@ -15,7 +15,15 @@ except membership ``IN (SELECT col FROM t)``):
     [ORDER BY ...] [LIMIT n]
 
     select_core :=
-    SELECT [DISTINCT] item ("," item)*
+    SELECT [DISTINCT] item ("," item)*         -- items may also be ALL
+                                               --   plain columns/scalar
+                                               --   exprs with no GROUP
+                                               --   BY: a streaming
+                                               --   projection/filter
+                                               --   scan (global sort
+                                               --   only if ORDER BY;
+                                               --   ORDER BY may use
+                                               --   unselected columns)
     FROM ( table | "(" select_core [ORDER BY …] [LIMIT n] ")" [AS] t )
                                       -- derived table: the inner plan
                                       --   executes as its own streaming
@@ -1699,6 +1707,73 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         if explain is not None:
             explain.append(f"SELECT DISTINCT -> GROUP BY "
                            f"{plan.group_by} with a dropped counter")
+
+    # ------------------------------------------------ plain scan route
+    # SELECT cols/exprs FROM … [WHERE …] [ORDER BY …] [LIMIT n] with no
+    # aggregate and no GROUP BY: a pure streaming projection/filter
+    # query — pruned read -> pushed-down vectorized filters -> joins ->
+    # one derive stage -> (global sort only if ORDER BY) -> limit.
+    if (not plan.group_by and not plan.having
+            and all(it.fn in ("col", "expr") for it in plan.items)):
+        exprs = {}
+        for it in plan.items:
+            if it.fn == "expr":
+                if not it.alias:
+                    raise ValueError("an expression SELECT item needs "
+                                     f"AS alias (got {_fmt_expr(it.expr)})")
+                exprs[it.alias] = it.expr
+                it.col = it.alias
+        sel_names = [it.name for it in plan.items]
+        needed = set()
+        for it in plan.items:
+            if it.col in exprs:
+                needed.update(_expr_cols(exprs[it.col]))
+            else:
+                needed.add(it.col)
+        # ORDER BY may reference unselected columns — sort runs before
+        # the projection, so they just join the pruned read
+        needed.update(c for c, _ in plan.order_by
+                      if c not in exprs and c not in sel_names)
+        for p in plan.where:
+            needed.update(_pred_cols([p]))
+        for _tbl, a, b, _how in plan.joins:
+            needed.update((a, b))
+        ds, _sch, _pt = _scan_with_joins(
+            plan, sf_dir, needed, join_buckets=join_buckets,
+            max_broadcast_rows=max_broadcast_rows,
+            approx_membership=approx_membership,
+            bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+            explain=explain, sub=sub)
+        if exprs:
+            if explain is not None:
+                for name, e in exprs.items():
+                    explain.append(f"DERIVE {name} = {_fmt_expr(e)} -> "
+                                   "one vectorized pyarrow.compute "
+                                   "column (no row loops)")
+            else:
+                ds = ds.map_batches(_expr_derive_fn(exprs),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        if explain is not None:
+            explain.append(
+                f"PLAIN SCAN -> streaming projection {sel_names}"
+                + (f"; ORDER BY {plan.order_by} -> global sort"
+                   if plan.order_by else "")
+                + (f"; LIMIT {plan.limit}" if plan.limit is not None
+                   else " (no sort/limit: fully streaming)"))
+            return rd.from_items([])
+        if plan.order_by:
+            ds = ds.sort([c for c, _ in plan.order_by],
+                         descending=[d for _, d in plan.order_by])
+        if plan.limit is not None:
+            ds = ds.limit(plan.limit)
+
+        def project(b: pa.Table, _items=tuple(
+                (it.name, it.col) for it in plan.items)) -> pa.Table:
+            return pa.table({name: b[col] for name, col in _items})
+
+        return ds.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     # -------------- post-aggregate expression items (100*SUM(a)/SUM(b))
     # Each aggregate leaf becomes a HIDDEN aggregate output column
