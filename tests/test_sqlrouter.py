@@ -238,6 +238,40 @@ def test_having_matches_duckdb(ray_session, sf01_dir):
     pdt.assert_frame_equal(mine, _duck_all(sf01_dir, sql), check_dtype=False)
 
 
+def test_having_unselected_aggregate(ray_session, sf01_dir):
+    """HAVING may call aggregates that are not in the SELECT list — they
+    are lifted into hidden aggregate items, computed by the same grouped
+    stage, filtered on, and dropped from the output."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_orderpriority, count(*) AS n FROM orders
+             GROUP BY o_orderpriority
+             HAVING max(o_totalprice) > 400000 AND count(*) > 100
+             ORDER BY o_orderpriority"""
+    mine = run_sql(sql, sf01_dir).to_pandas()
+    assert list(mine.columns) == ["o_orderpriority", "n"]
+    pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+
+    # post-aggregate arithmetic over hidden aggregates
+    sql2 = """SELECT l_returnflag, count(*) AS n FROM lineitem
+              GROUP BY l_returnflag
+              HAVING sum(l_quantity) / count(*) > 25.4
+              ORDER BY l_returnflag"""
+    mine2 = run_sql(sql2, sf01_dir).to_pandas()
+    pdt.assert_frame_equal(mine2, _duck(sf01_dir, sql2), check_dtype=False)
+
+    # a SELECTed aggregate with identical semantics is reused, not
+    # recomputed: plan gains no hidden items
+    from verdictray.sqlrouter import parse_sql
+    plan = parse_sql("SELECT k, count(*) AS n FROM t GROUP BY k "
+                     "HAVING count(*) > 5")
+    assert [it.name for it in plan.items] == ["k", "n"]
+    plan2 = parse_sql("SELECT k, count(*) AS n FROM t GROUP BY k "
+                      "HAVING sum(x) > 5")
+    assert [it.name for it in plan2.items] == ["k", "n", "_having_2"]
+    assert plan2.items[2].hidden
+
+
 def test_approx_top_k_obeys_cms_bound(ray_session, sf01_dir):
     from verdictray.sqlrouter import run_sql
 

@@ -31,7 +31,7 @@ except membership ``IN (SELECT col FROM t)``):
          (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*]
-    [HAVING pred ("AND" pred)*]       -- preds over SELECTed agg aliases
+    [HAVING pred ("AND" pred)*]       -- aliases, keys, or agg calls
     [ORDER BY col_or_position [ASC|DESC] ("," ...)*]
     [LIMIT n]
 
@@ -166,8 +166,10 @@ Routing:
   filter per side: predicates on fact-owned columns run BEFORE any join
   (pushdown), dim-attached columns after; referenced columns are pruned
   at every parquet read. HAVING compiles to the same vectorized filter
-  over the aggregated output (predicates must reference SELECTed
-  aliases or group keys — the SQL-alias form DuckDB also accepts).
+  over the aggregated output; its predicates may reference SELECTed
+  aliases / group keys OR call aggregates directly (HAVING COUNT(*) >
+  5 without selecting the count — lifted into hidden aggregate items
+  computed by the grouped stage and dropped after the filter).
 - window items (OVER …) route to window.partitioned_window and COMPOSE
   with the full scan phase — JOIN chains, pushed-down WHERE, membership
   subqueries — applied before the window per SQL's logical order; GROUP
@@ -267,6 +269,10 @@ class _Agg:
     # aggregate argument — or the whole SELECT item (fn == "expr") — is
     # not a bare column
     expr: tuple | None = None
+    # lifted from a HAVING predicate (HAVING COUNT(*) > 5 without
+    # selecting the count): computed like any aggregate item, then
+    # dropped from the output after the HAVING filter
+    hidden: bool = False
 
     @property
     def name(self) -> str:
@@ -350,6 +356,52 @@ def _flatten_and(p: _Pred) -> list:
             out.extend(_flatten_and(c))
         return out
     return [p]
+
+
+def _agg_sig(ag: _Agg) -> str:
+    """Semantic identity of an aggregate call (alias/hidden excluded), for
+    reusing an already-SELECTed aggregate from a HAVING predicate."""
+    return repr((ag.fn, ag.col, ag.distinct, ag.phi, ag.round_to,
+                 ag.window, ag.offset, ag.filter_pred, ag.expr))
+
+
+def _lift_having_aggs(plan) -> None:
+    """Rewrite aggregate calls inside HAVING predicates (``HAVING
+    COUNT(*) > 5`` without selecting the count) into column references:
+    each distinct call becomes a hidden aggregate item the grouped stage
+    computes alongside the SELECTed ones — or reuses a SELECTed item with
+    the same semantics — and the HAVING filter then sees plain columns.
+    Hidden columns are projected away after the filter."""
+    if not plan.having:
+        return
+    by_sig = {_agg_sig(it): it.name for it in plan.items
+              if it.fn not in ("col", "expr")}
+
+    def lift(ag: _Agg) -> str:
+        name = by_sig.get(_agg_sig(ag))
+        if name is None:
+            if ag.window is not None:
+                raise ValueError("window functions cannot appear in "
+                                 "HAVING")
+            ag.alias = name = f"_having_{len(plan.items)}"
+            ag.hidden = True
+            plan.items.append(ag)
+            by_sig[_agg_sig(ag)] = name
+        return name
+
+    def walk(n):
+        if isinstance(n, tuple):
+            if n and n[0] == "agg":
+                return ("col", lift(n[1]))
+            return tuple(walk(c) for c in n)
+        return n
+
+    for p in plan.having:
+        for a in _pred_atoms(p):
+            if a.lexpr is not None:
+                a.lexpr = walk(a.lexpr)
+            if a.rexpr is not None:
+                a.rexpr = walk(a.rexpr)
 
 
 @dataclass
@@ -990,7 +1042,12 @@ class _Parser:
                 plan.group_by.append(gb_key())
         if self.kw("having"):
             self.take()
-            plan.having.extend(_flatten_and(self.pred_or()))
+            # aggregate calls may appear directly in HAVING predicates
+            # (HAVING COUNT(*) > 5 without selecting the count) — parsed
+            # as ("agg", _Agg) leaves and turned into hidden aggregates
+            plan.having.extend(
+                _flatten_and(self._in_aggexpr(self.pred_or)))
+            _lift_having_aggs(plan)
         return plan
 
 
@@ -2331,6 +2388,15 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             if (it.fn == "col" and it.alias and it.alias != it.col
                     and it.alias not in batch.schema.names):
                 batch = batch.append_column(it.alias, batch[it.col])
+        # Ray's groupby shuffle can downgrade a timestamp group key to
+        # second precision (pandas block roundtrip); re-pin parquet's
+        # canonical microsecond unit so output dtypes match any SQL
+        # engine's (lossless — the values are already second-aligned)
+        for i, f in enumerate(batch.schema):
+            if pa.types.is_timestamp(f.type) and f.type.unit != "us":
+                batch = batch.set_column(
+                    i, f.name,
+                    pc.cast(batch[f.name], pa.timestamp("us", f.type.tz)))
         # projection order: as written in the SELECT list
         cols = [it.name for it in plan.items]
         extra = [n for n in batch.schema.names if n not in cols]
@@ -2351,6 +2417,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                  f"{sorted(_pred_cols([p]) - out_names)}")
         out = out.map_batches(_scalar_filter_fn(plan.having),
                               batch_format="pyarrow")
+        hidden = [it.name for it in plan.items if it.hidden]
+        if hidden:
+            out = out.map_batches(
+                lambda b, _h=tuple(hidden): b.drop_columns(list(_h)),
+                batch_format="pyarrow")
 
     # -------------------------------------------------- order / limit
     if plan.order_by:
