@@ -1199,6 +1199,17 @@ GROUP BY o_custkey HAVING n_orders >= 10
 ORDER BY n_orders DESC, o_custkey LIMIT 15
 """
 
+# HAVING calling aggregates NOT in the SELECT list (standard SQL): each
+# call is lifted into a hidden aggregate item computed by the same
+# grouped stage, filtered on, and dropped from the output. MAX/COUNT are
+# order-insensitive so the hash is exact
+SQL_HAVING_AGG = """
+SELECT o_orderpriority, count(*) AS n_orders FROM orders
+GROUP BY o_orderpriority
+HAVING max(o_totalprice) > 300000 AND count(DISTINCT o_custkey) > 50
+ORDER BY o_orderpriority
+"""
+
 SQL_ROUTER_SEMIJOIN = """
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
@@ -1247,6 +1258,17 @@ def q_sql_router_having(sf_dir: str):
     from .sqlrouter import run_sql
 
     return run_sql(SQL_ROUTER_HAVING, sf_dir)
+
+
+def q_sql_having_agg(sf_dir: str):
+    """sqlrouter HAVING with aggregates absent from the SELECT list:
+    MAX(o_totalprice) and COUNT(DISTINCT o_custkey) are lifted into
+    hidden items (sqlrouter._lift_having_aggs), computed alongside the
+    SELECTed count by the same pre-combined grouped stage, then dropped
+    after the vectorized filter."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_HAVING_AGG, sf_dir)
 
 
 def q_sql_router_topk(sf_dir: str):
@@ -4050,6 +4072,7 @@ QUERIES = {
     "sql_progressive_orders": q_sql_progressive_orders,
     "sql_router_join": q_sql_router_join,
     "sql_router_having": q_sql_router_having,
+    "sql_having_agg": q_sql_having_agg,
     "sql_router_topk": q_sql_router_topk,
     "partitioned_write_counts": q_partitioned_write_counts,
     "sql_router_semijoin": q_sql_router_semijoin,
@@ -4229,6 +4252,7 @@ ORACLES = {
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
     "sql_router_join": SQL_ROUTER_JOIN_ORACLE,
     "sql_router_having": SQL_ROUTER_HAVING,
+    "sql_having_agg": SQL_HAVING_AGG,
     # sql_router_topk: rows-only (CMS estimates; one-sided bound asserted
     # in-query against the exact grouped count)
     "partitioned_write_counts": SQL_PARTITIONED_WRITE,
@@ -4281,7 +4305,7 @@ DRIVER_PRIORITY: list[str] = [
     # never-driver-checked oracle-backed queries lead (the
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
-    "sql_derived_custdist", "sql_scalar_subquery",
+    "sql_having_agg", "sql_derived_custdist", "sql_scalar_subquery",
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
     "sql_scan_top_accounts",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
