@@ -1890,6 +1890,38 @@ def q_sql_tpch_q14(sf_dir: str):
     return run_sql(SQL_TPCH_Q14, sf_dir)
 
 
+# TPC-H Q12 shape adapted to the driver tables (the synthetic lineitem
+# has no shipmode/commitdate/receiptdate): join + IN literal list +
+# column-vs-column WHERE predicate + two CASE-conditional counts. The
+# CAST(... AS BIGINT) pins both engines to int64 (DuckDB's SUM(int) is
+# HUGEINT -> float64 in pandas otherwise). Runs VERBATIM both ways.
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_discount < l_tax
+  AND l_shipdate >= DATE '1994-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_sql_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (shipmode priority counts, adapted to the driver
+    tables — l_returnflag stands in for l_shipmode, l_discount<l_tax for
+    the commitdate<receiptdate date arithmetic): bucketed orders-lineitem
+    join, vectorized IN-list + column-vs-column WHERE pushdown, and two
+    CASE-conditional SUMs computed map-side-combined in one grouped
+    stage. Oracle-exact (integer counts, order-insensitive)."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q12, sf_dir)
+
+
 SQL_SCAN_TOP_ACCOUNTS = """
 SELECT c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -4104,6 +4136,7 @@ QUERIES = {
     "sql_tpch_q10": q_sql_tpch_q10,
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q14": q_sql_tpch_q14,
+    "sql_tpch_q12": q_sql_tpch_q12,
     "sql_scan_top_accounts": q_sql_scan_top_accounts,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
@@ -4247,6 +4280,7 @@ ORACLES = {
     "sql_tpch_q10": SQL_TPCH_Q10_ORACLE,
     "sql_tpch_q4": SQL_TPCH_Q4,
     "sql_tpch_q14": SQL_TPCH_Q14_ORACLE,
+    "sql_tpch_q12": SQL_TPCH_Q12,
     "sql_scan_top_accounts": SQL_SCAN_TOP_ACCOUNTS,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
@@ -4306,7 +4340,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_having_agg", "sql_derived_custdist", "sql_scalar_subquery",
-    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
+    "sql_tpch_q12", "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
     "sql_scan_top_accounts",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
