@@ -1922,6 +1922,37 @@ def q_sql_tpch_q12(sf_dir: str):
     return run_sql(SQL_TPCH_Q12, sf_dir)
 
 
+# TPC-H Q19 shape adapted to the driver tables (no container/shipmode
+# columns): a global MONEY_SUM gated by a 3-arm OR-of-ANDs predicate
+# mixing both join sides, BETWEEN ranges and equality/inequality atoms.
+SQL_TPCH_Q19 = """
+SELECT MONEY_SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND l_returnflag = 'R')
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+# oracle mirrors MONEY_SUM's exact integer-cents discipline
+SQL_TPCH_Q19_ORACLE = """
+SELECT SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND l_returnflag = 'R')
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_sql_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape (discounted-revenue, 3-arm OR-of-ANDs predicate
+    spanning BOTH sides of the lineitem-part join, with BETWEEN ranges):
+    the whole disjunction evaluates as one vectorized Arrow mask after
+    the bucketed join, and the MONEY_SUM revenue is exact integer cents
+    — order-independent, bit-stable against the DuckDB cents oracle."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q19, sf_dir)
+
+
 SQL_SCAN_TOP_ACCOUNTS = """
 SELECT c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -4137,6 +4168,7 @@ QUERIES = {
     "sql_tpch_q4": q_sql_tpch_q4,
     "sql_tpch_q14": q_sql_tpch_q14,
     "sql_tpch_q12": q_sql_tpch_q12,
+    "sql_tpch_q19": q_sql_tpch_q19,
     "sql_scan_top_accounts": q_sql_scan_top_accounts,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
@@ -4281,6 +4313,7 @@ ORACLES = {
     "sql_tpch_q4": SQL_TPCH_Q4,
     "sql_tpch_q14": SQL_TPCH_Q14_ORACLE,
     "sql_tpch_q12": SQL_TPCH_Q12,
+    "sql_tpch_q19": SQL_TPCH_Q19_ORACLE,
     "sql_scan_top_accounts": SQL_SCAN_TOP_ACCOUNTS,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
@@ -4340,7 +4373,8 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_having_agg", "sql_derived_custdist", "sql_scalar_subquery",
-    "sql_tpch_q12", "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
+    "sql_tpch_q12", "sql_tpch_q19",
+    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
     "sql_scan_top_accounts",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
     "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
