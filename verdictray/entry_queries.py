@@ -1953,6 +1953,34 @@ def q_sql_tpch_q19(sf_dir: str):
     return run_sql(SQL_TPCH_Q19, sf_dir)
 
 
+# TPC-H Q16 shape adapted to the driver tables (lineitem stands in for
+# the missing partsupp bridge): COUNT(DISTINCT) per composite group with
+# a NOT-IN anti-join subquery carrying its own build-side WHERE. The
+# CAST alias pins int32 p_size to int64 so both engines agree; runs
+# VERBATIM through router and DuckDB.
+SQL_TPCH_Q16 = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS size_class, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, size_class
+ORDER BY supplier_cnt DESC, p_brand, size_class
+"""
+
+
+def q_sql_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape (supplier count per part class, adapted —
+    lineitem is the part-supplier bridge): bucketed lineitem-part join,
+    int IN-list pushdown, NOT IN anti-join against a filtered supplier
+    build side (distinct keys, NOT-EXISTS null semantics), then exact
+    COUNT(DISTINCT l_suppkey) via the 8 B sorted-hash-set UDAF per
+    (p_brand, size_class) group. Oracle-exact."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q16, sf_dir)
+
+
 SQL_SCAN_TOP_ACCOUNTS = """
 SELECT c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -4169,6 +4197,7 @@ QUERIES = {
     "sql_tpch_q14": q_sql_tpch_q14,
     "sql_tpch_q12": q_sql_tpch_q12,
     "sql_tpch_q19": q_sql_tpch_q19,
+    "sql_tpch_q16": q_sql_tpch_q16,
     "sql_scan_top_accounts": q_sql_scan_top_accounts,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
@@ -4314,6 +4343,7 @@ ORACLES = {
     "sql_tpch_q14": SQL_TPCH_Q14_ORACLE,
     "sql_tpch_q12": SQL_TPCH_Q12,
     "sql_tpch_q19": SQL_TPCH_Q19_ORACLE,
+    "sql_tpch_q16": SQL_TPCH_Q16,
     "sql_scan_top_accounts": SQL_SCAN_TOP_ACCOUNTS,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
@@ -4373,7 +4403,7 @@ DRIVER_PRIORITY: list[str] = [
     # driver caps at 50); rows-only never-checked next; the
     # r3-checked tail keeps its order
     "sql_having_agg", "sql_derived_custdist", "sql_scalar_subquery",
-    "sql_tpch_q12", "sql_tpch_q19",
+    "sql_tpch_q12", "sql_tpch_q19", "sql_tpch_q16",
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
     "sql_scan_top_accounts",
     "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
