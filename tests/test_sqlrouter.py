@@ -1227,3 +1227,20 @@ def test_plain_scan_route(ray_session, sf01_dir):
              ORDER BY c_acctbal DESC, c_name LIMIT 5"""
     mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
     pdt.assert_frame_equal(mine, _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_shadow_alias_replaces_source_column(ray_session, sf01_dir):
+    """CAST(x AS T) AS x — an alias shadowing its source column — must
+    REPLACE the column in the derive stage, not append a duplicate field
+    (which breaks every downstream by-name lookup with a KeyError)."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_orderpriority, CAST(o_custkey AS BIGINT) AS o_custkey,
+                    count(*) AS n
+             FROM orders WHERE o_custkey < 40
+             GROUP BY o_orderpriority, o_custkey
+             ORDER BY o_orderpriority, o_custkey"""
+    mine = run_sql(sql, sf01_dir).to_pandas().reset_index(drop=True)
+    oracle = _duck_all(sf01_dir, sql)
+    assert [str(d) for d in mine.dtypes] == [str(d) for d in oracle.dtypes]
+    pdt.assert_frame_equal(mine, oracle, check_dtype=True)

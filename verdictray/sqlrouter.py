@@ -1318,7 +1318,14 @@ def _expr_derive_fn(exprs: dict):
 
     def fn(b: pa.Table) -> pa.Table:
         for name, e in items:
-            b = b.append_column(name, _eval_expr(b, e))
+            arr = _eval_expr(b, e)
+            # an alias that shadows a source column (CAST(x AS T) AS x)
+            # must REPLACE it — appending would leave two fields named
+            # `name` and break every downstream by-name column lookup
+            if name in b.schema.names:
+                b = b.set_column(b.schema.names.index(name), name, arr)
+            else:
+                b = b.append_column(name, arr)
         return b
 
     return fn
