@@ -1827,7 +1827,14 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                    else " (no sort/limit: fully streaming)"))
             return rd.from_items([])
         if plan.order_by:
-            ds = ds.sort([c for c, _ in plan.order_by],
+            # the sort runs BEFORE the alias-rename projection, so ORDER BY
+            # an alias of a plain column (or an ordinal, which _order_limit
+            # resolves to the alias) must translate back to the source
+            # column; expression aliases already exist as derived columns
+            alias_src = {it.alias: it.col for it in plan.items
+                         if it.fn == "col" and it.alias
+                         and it.col not in exprs}
+            ds = ds.sort([alias_src.get(c, c) for c, _ in plan.order_by],
                          descending=[d for _, d in plan.order_by])
         if plan.limit is not None:
             ds = ds.limit(plan.limit)

@@ -1301,11 +1301,19 @@ def partitioned_window(ds, key: str | list[str],
                            "ntile") else np.float64)
                     g[s["alias"]] = np.array([], dtype=dt)
             return g
-        # boundary masks over the SORTED frame (all numpy from here)
-        new_key = g[key_cols].ne(g[key_cols].shift()).any(axis=1).to_numpy()
-        new_peer = (new_key
-                    | g[ord_cols].ne(g[ord_cols].shift()).any(axis=1)
-                    .to_numpy())
+        # boundary masks over the SORTED frame (all numpy from here).
+        # SQL treats NULL partition/order keys as one group of peers, but
+        # pandas .ne() says NaN != NaN — mask out the both-null case so a
+        # run of null-keyed rows forms ONE partition, not one per row
+        def _changed(cols: list) -> np.ndarray:
+            kf = g[cols]
+            diff = kf.ne(kf.shift()) & ~(kf.isna() & kf.shift().isna())
+            return diff.any(axis=1).to_numpy()
+
+        new_key = _changed(key_cols)
+        new_key[0] = True      # row 0 always opens a partition (the
+        #                        both-null mask would clear it otherwise)
+        new_peer = new_key | _changed(ord_cols)
         rn = np.arange(n, dtype=np.int64) \
             - np.maximum.accumulate(
                 np.where(new_key, np.arange(n, dtype=np.int64), 0)) + 1
@@ -1361,7 +1369,7 @@ def partitioned_window(ds, key: str | list[str],
             elif f in ("lag", "lead"):
                 off = int(s.get("offset") or 1)
                 if grp is None:
-                    grp = g.groupby(key_cols, sort=False)
+                    grp = g.groupby(key_cols, sort=False, dropna=False)
                 g[a] = grp[c].shift(off if f == "lag" else -off)
             elif f == "first_value":
                 key_ord = new_key.cumsum() - 1
@@ -1371,14 +1379,14 @@ def partitioned_window(ds, key: str | list[str],
                 g[a] = smear_last(g[c].to_numpy())
             else:
                 if grp is None:
-                    grp = g.groupby(key_cols, sort=False)
+                    grp = g.groupby(key_cols, sort=False, dropna=False)
                 kseries = [g[kc] for kc in key_cols]
 
                 def nullsafe(scan: pd.Series) -> np.ndarray:
                     # SQL aggs ignore NULLs: a null row carries the
                     # preceding running value (per key); a frame of only
                     # nulls stays NULL (ffill from nothing is NaN)
-                    return (scan.groupby(kseries, sort=False).ffill()
+                    return (scan.groupby(kseries, sort=False, dropna=False).ffill()
                             .to_numpy())
 
                 def roll_vals(series: pd.Series, w: int,
@@ -1386,7 +1394,7 @@ def partitioned_window(ds, key: str | list[str],
                     # bounded ROWS frame: one vectorized per-key rolling
                     # scan (pandas skips NaN inside the window, so SQL's
                     # null semantics — incl. all-null frame → NULL — hold)
-                    r = (series.groupby(kseries, sort=False)
+                    r = (series.groupby(kseries, sort=False, dropna=False)
                          .rolling(w, min_periods=1))
                     out = getattr(r, how)()
                     # result index = (key…, original position); restore
@@ -1414,7 +1422,7 @@ def partitioned_window(ds, key: str | list[str],
                              "avg": "mean"}[f])
                 elif f == "count":
                     run = rn if c is None else (
-                        g[c].notna().groupby(kseries, sort=False)
+                        g[c].notna().groupby(kseries, sort=False, dropna=False)
                         .cumsum().to_numpy())
                     g[a] = fin(np.asarray(run, dtype=np.int64))
                 elif f == "sum":
@@ -1426,7 +1434,7 @@ def partitioned_window(ds, key: str | list[str],
                 else:  # avg over the frame
                     cs = fin(nullsafe(grp[c].cumsum()).astype(np.float64))
                     ct = fin(
-                        g[c].notna().groupby(kseries, sort=False)
+                        g[c].notna().groupby(kseries, sort=False, dropna=False)
                         .cumsum().to_numpy().astype(np.float64))
                     g[a] = cs / ct
         return g
