@@ -55,14 +55,21 @@ def _tag(side: str, on: str, buckets: int, all_cols: list[str]):
 
 
 def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
-              how: str = "inner"):
+              how: str = "inner", left_schema=None, right_schema=None):
     """Bucketed hash join of two Datasets → Dataset of joined rows.
 
     One groupby shuffle total; each bucket joins via pandas merge in a
     map_groups task. Column names must be disjoint across sides.
+
+    ``left_schema`` / ``right_schema``: pass a known schema (pyarrow or
+    Ray Data Schema — anything with .names/.types) when the side is a
+    LAZY pipeline whose schema the caller already knows. Calling
+    ``Dataset.schema()`` on a lazy shuffle output EXECUTES the upstream
+    plan at build time and then re-runs it on consumption — a chained
+    join pays every upstream shuffle twice without this.
     """
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     if lschema is None or rschema is None:
         # a side is empty with no typed blocks, so the joined schema cannot
         # be constructed. An empty result is only CORRECT when the empty
@@ -131,6 +138,55 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
                                                  batch_format="pyarrow")
 
 
+def broadcast_expand_join(left, dim_tbl: pa.Table, left_on: str,
+                          right_on: str, how: str = "inner"):
+    """Broadcast hash join against a small table that MAY have duplicate
+    join keys (1:N) — each fact batch pandas-merges against the broadcast
+    dim inside ``map_batches``: ZERO shuffle, and unlike the unique-key
+    ``index_in`` enrich, a fact row matching k dim rows expands to k
+    output rows (standard SQL inner/left semantics).
+
+    The dim is indexed ONCE on the driver (``set_index``); workers cache
+    the deserialized transform per process, so the pandas Index hash
+    engine builds once per worker, not once per batch. Use when the dim's
+    bytes fit the broadcast budget; use ``hash_join`` when both sides are
+    large. ``how``: "inner" or "left" (left = fact side preserved).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_expand_join: how must be 'inner' or "
+                         f"'left', got {how!r}")
+    dim_df = dim_tbl.to_pandas()
+    dim_int_cols = [n for n, t in zip(dim_tbl.schema.names,
+                                      dim_tbl.schema.types)
+                    if pa.types.is_integer(t)]
+    if how == "left":
+        # unmatched fact rows null-pad the dim columns; pre-cast dim ints
+        # to the nullable extension dtype so the merge emits <NA> instead
+        # of float-promoting (exactness above 2^53, incl. the key itself)
+        for n in dim_int_cols:
+            dim_df[n] = dim_df[n].astype("Int64")
+    # index on a RENAMED copy of the key so the key column itself stays a
+    # payload column in the output (both join keys survive, as in
+    # hash_join's merge output)
+    dim_df = dim_df.set_index(dim_df[right_on].rename("_bx_key"))
+
+    def join_batch(b: pa.Table) -> pd.DataFrame:
+        lb = b.to_pandas()
+        out = lb.join(dim_df, on=left_on, how=how)
+        if how == "inner":
+            return out
+        out = out.reset_index(drop=True)
+        for name in dim_int_cols:
+            # plain int64 when null-free — the nullable extension dtype
+            # would leak into result schemas (Int64 vs int64)
+            if out[name].dtype != np.int64 and out[name].notna().all():
+                out[name] = out[name].astype("int64")
+        return out
+
+    return left.map_batches(join_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def count_matches(left, right, left_on: str, right_on: str, buckets: int = 32):
     """LEFT-join match count per left key: Dataset of (left_on, n_matches),
     one row per distinct left key, n_matches = 0 when the right side has no
@@ -162,7 +218,8 @@ def count_matches(left, right, left_on: str, right_on: str, buckets: int = 32):
 
 
 def semi_anti_join(left, right, left_on: str, right_on: str,
-                   how: str = "semi", buckets: int = 32):
+                   how: str = "semi", buckets: int = 32,
+                   left_schema=None, right_schema=None):
     """Exact distributed semi/anti join: left rows whose key IS ("semi") /
     is NOT ("anti") present in the right side — SQL ``WHERE [NOT] EXISTS``.
 
@@ -177,15 +234,15 @@ def semi_anti_join(left, right, left_on: str, right_on: str,
     decontamination of a training corpus)."""
     if how not in ("semi", "anti"):
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
-    lschema = left.schema()
+    lschema = left_schema if left_schema is not None else left.schema()
     if lschema is None:      # left is empty with no typed blocks: nothing
         return left          # can match (semi) or survive (anti) anyway
-    if right.schema() is None:
+    rschema = right_schema if right_schema is not None else right.schema()
+    if rschema is None:
         # empty right: semi keeps nothing, anti keeps everything
         return left.limit(0) if how == "semi" else left
     if "_rkey" in lschema.names:
         raise ValueError("left side may not carry a '_rkey' column")
-    rschema = right.schema()
     rkey_type = _arrow_type(dict(zip(rschema.names, rschema.types))[right_on])
     all_cols = [(n, _arrow_type(t))
                 for n, t in zip(lschema.names, lschema.types)]

@@ -1481,28 +1481,85 @@ def _resolve_scalar_subqueries(plan: "_Plan", sf_dir: str, opts: dict,
             it.expr = _map_expr_subq(it.expr, repl)
 
 
+#: broadcast-enrich byte budget: the dim table rides serialized into every
+#: task, so gate on its compressed parquet footprint (metadata-only), not
+#: row count alone — 1M wide rows and 1M narrow keys are different beasts
+_MAX_BROADCAST_BYTES = 128 << 20
+
+
+def _parquet_col_bytes(md, cols) -> int:
+    """Compressed on-disk bytes of ``cols``, from parquet METADATA only
+    (no data pages touched) — the broadcast gate's byte estimate."""
+    want = set(cols)
+    total = 0
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            if c.path_in_schema.split(".")[0] in want:
+                total += c.total_compressed_size
+    return total
+
+
+def _first_row_group_unique(path: str, key: str) -> bool:
+    """Cheap duplicate-join-key rejector: read ONE row group's key column
+    (never the whole table). False PROVES duplicates — skip the broadcast
+    attempt without any driver-side table read (the Q3/Q10 orders/lineitem
+    case). True only admits the attempt; the authoritative uniqueness
+    check runs on the table that is actually read for broadcasting."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if pf.metadata.num_row_groups == 0:
+        return True
+    arr = pf.read_row_group(0, columns=[key])[key]
+    return pc.count_distinct(arr).as_py() == len(arr)
+
+
 def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                      join_buckets: int, max_broadcast_rows: int,
                      approx_membership: bool, bloom_capacity: int,
                      bloom_fpp: float, explain: list | None,
-                     sub: tuple | None = None):
-    """Shared scan phase: pruned fact read -> pushed-down vectorized
-    filters -> JOIN chain (size/uniqueness-gated broadcast enrich or
-    bucketed hash_join) -> dim-attached post filters -> membership
-    semi/anti joins. Used by both the aggregate route (run_sql) and the
-    window route. ``sub`` = (inner Dataset, its column names) when the
-    fact "table" is a derived table — the inner plan's streaming output
-    replaces the parquet read, everything downstream is identical.
+                     sub: tuple | None = None,
+                     needed_post: set | None = None):
+    """Shared scan phase: pruned fact read -> owner-routed pushed-down
+    vectorized filters (each single-table WHERE conjunct filters at its
+    owning table's read, BELOW the join shuffle) -> JOIN chain
+    (metadata-gated broadcast enrich or bucketed hash_join) ->
+    multi-table post filters -> membership semi/anti joins. Used by both
+    the aggregate route (run_sql) and the window route. ``sub`` = (inner
+    Dataset, its column names) when the fact "table" is a derived table —
+    the inner plan's streaming output replaces the parquet read,
+    everything downstream is identical. ``needed_post`` = the columns the
+    caller still needs AFTER the scan; when given, filter-only columns
+    are projected away before any join shuffle.
     Returns (lazy Dataset, schemas, per_table)."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     tables = [plan.table] + [j[0] for j in plan.joins]
-    schema_lists = {t: pq.read_schema(f"{sf_dir}/{t}.parquet").names
-                    for t in tables if sub is None or t != plan.table}
+    pa_schemas = {t: pq.read_schema(f"{sf_dir}/{t}.parquet")
+                  for t in tables if sub is None or t != plan.table}
+    schema_lists = {t: s.names for t, s in pa_schemas.items()}
     if sub is not None:
         schema_lists[plan.table] = list(sub[1])
     schemas = {t: set(v) for t, v in schema_lists.items()}
+    # column -> pyarrow type, from parquet METADATA (column names are
+    # unique across tables by router contract). Threaded into every
+    # hash_join/semi_anti_join as the known schema: Dataset.schema() on a
+    # lazy shuffle output EXECUTES the upstream plan at build time and
+    # re-runs it on consumption — a chained join would pay every upstream
+    # shuffle twice. With a derived-table fact (sub) the fact types are
+    # unknown -> that side falls back to .schema() as before.
+    col_type: dict = {}
+    for s in pa_schemas.values():
+        col_type.update(zip(s.names, s.types))
+
+    def _known_schema(cols):
+        import pyarrow as pa
+        if any(c not in col_type for c in cols):
+            return None
+        return pa.schema([(c, col_type[c]) for c in cols])
 
     def owner(col: str) -> str:
         hits = [t for t in tables if col in schemas[t]]
@@ -1538,21 +1595,59 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                 explain.append(f"READ {t}: pruned columns={per_table[t]}")
         ds = rd.read_parquet(f"{sf_dir}/{plan.table}.parquet",
                              columns=per_table[plan.table])
+    cur_cols = list(per_table[plan.table])   # ds's columns, tracked lazily
 
-    # ---------------------------------- WHERE: fact-owned preds push down
+    # ------------------------- WHERE: owner-routed predicate pushdown
+    # every single-table conjunct filters at its OWNING table's read,
+    # below the join shuffle: always valid for the fact table, and for a
+    # dim side when its join is INNER (a WHERE pred on the null-supplying
+    # side of a LEFT join must stay post-join — it would change the
+    # preserved row set, standard SQL). Conjuncts spanning tables run
+    # after the joins attach their columns.
     scalar = [p for p in plan.where if p.sub is None]
     member = [p for p in plan.where if p.sub is not None]
-    push = [p for p in scalar
-            if _pred_cols([p]) <= schemas[plan.table]]
-    post = [p for p in scalar
-            if not _pred_cols([p]) <= schemas[plan.table]]
+    inner_dims = {j[0] for j in plan.joins if j[3] == "inner"}
+    push, post, dim_push = [], [], {}
+    for p in scalar:
+        cols = _pred_cols([p])
+        if cols <= schemas[plan.table]:
+            push.append(p)
+            continue
+        owners = {owner(c) for c in cols}
+        if len(owners) == 1 and (t := next(iter(owners))) in inner_dims:
+            dim_push.setdefault(t, []).append(p)
+        else:
+            post.append(p)
+    # columns that must survive the scan: everything the caller needs
+    # downstream, the join keys, post-join predicate columns, and
+    # membership probe columns — filter-only columns drop before any
+    # shuffle so they never pay join/exchange bytes
+    keep = None
+    if needed_post is not None:
+        keep = set(needed_post) | _pred_cols(post)
+        keep.update(p.col for p in member)
+        for _tbl, _a, _b, _how in plan.joins:
+            keep.update((_a, _b))
     if push:
         if explain is not None:
             explain.append(
                 f"FILTER (pushed below joins): {_fmt_preds(push)} -> one "
                 "vectorized pyarrow.compute filter on the fact read")
-        ds = ds.map_batches(_scalar_filter_fn(push),
-                            batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            ds = ds.map_batches(_scalar_filter_fn(push),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    if keep is not None:
+        slim = [c for c in per_table[plan.table] if c in keep]
+        if slim and slim != per_table[plan.table]:
+            if explain is not None:
+                explain.append(
+                    f"PROJECT fact -> {slim} (filter-only columns "
+                    "dropped before the join shuffle)")
+            else:
+                ds = ds.select_columns(slim)
+            per_table[plan.table] = slim
+            cur_cols = list(slim)
 
     # -------------------------------------------------- JOINs (in order)
     attached = set(per_table[plan.table])
@@ -1565,45 +1660,115 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
             raise ValueError(
                 f"JOIN {tbl} ON {a} = {b}: one side must be a column of "
                 f"{tbl!r}, the other a column already attached")
-        dim_cols = sorted(set(per_table[tbl]) | {right_key})
+        tbl_preds = dim_push.get(tbl, [])
+        want = set(per_table[tbl])
+        if keep is not None:
+            want &= keep
+        dim_keep = sorted(want | {right_key})
+        read_cols = sorted(set(dim_keep) | _pred_cols(tbl_preds))
         dim_path = f"{sf_dir}/{tbl}.parquet"
-        out_cols = [c for c in dim_cols if c != right_key]
-        n_dim = pq.read_metadata(dim_path).num_rows
-        if n_dim <= max_broadcast_rows:
-            dim_tbl = pq.read_table(dim_path, columns=dim_cols)
-            key_arr = dim_tbl[right_key]
-            if pc.count_distinct(key_arr).as_py() == len(key_arr):
+        out_cols = [c for c in dim_keep if c != right_key]
+        md = pq.read_metadata(dim_path)
+        n_dim = md.num_rows
+        est_bytes = _parquet_col_bytes(md, read_cols)
+        pred_note = (f" [WHERE {_fmt_preds(tbl_preds)} -> vectorized "
+                     "filter on the pruned dim read, BELOW the join]"
+                     if tbl_preds else "")
+        if n_dim > max_broadcast_rows:
+            reason = (f"{n_dim} rows > max_broadcast_rows="
+                      f"{max_broadcast_rows}")
+        elif est_bytes > _MAX_BROADCAST_BYTES:
+            reason = (f"~{est_bytes >> 20} MiB compressed > broadcast "
+                      f"byte budget {_MAX_BROADCAST_BYTES >> 20} MiB")
+        else:
+            # within the broadcast budget → the dim crosses the driver
+            # EXACTLY once and is always broadcast (the read is never
+            # thrown away): unique keys -> index_in enrich; duplicate
+            # keys -> pandas-merge expand join. Either way ZERO shuffle.
+            if explain is None:
+                dim_tbl = pq.read_table(dim_path, columns=read_cols)
+                if tbl_preds:
+                    dim_tbl = dim_tbl.filter(
+                        _pred_mask(dim_tbl, tbl_preds)).select(dim_keep)
+                key_arr = dim_tbl[right_key]
+                unique = (pc.count_distinct(key_arr).as_py()
+                          == len(key_arr))
+            else:
+                # metadata-cheap hint for the trace: one row group's key
+                # column, never the whole table
+                unique = _first_row_group_unique(dim_path, right_key)
+            if unique:
                 if explain is not None:
                     explain.append(
                         f"{how.upper()} JOIN {tbl} ON {left_key} = "
-                        f"{right_key} -> BROADCAST enrich ({n_dim} rows <= "
-                        f"max_broadcast_rows={max_broadcast_rows}, unique "
-                        "key): pc.index_in lookup inside map_batches, "
-                        "ZERO shuffle"
+                        f"{right_key} -> BROADCAST enrich ({n_dim} rows, "
+                        f"~{max(est_bytes >> 10, 1)} KiB compressed, "
+                        "unique key)"
+                        f"{pred_note}: pc.index_in lookup inside "
+                        "map_batches, ZERO shuffle"
                         + ("; unmatched fact rows keep null dim columns"
                            if how == "left" else ""))
                 else:
                     ds = _broadcast_enrich(ds, dim_tbl, left_key,
                                            right_key, out_cols, how=how)
                 attached.update(out_cols)
+                cur_cols += out_cols
                 continue
-            reason = "duplicate join keys"
-        else:
-            reason = (f"{n_dim} rows > max_broadcast_rows="
-                      f"{max_broadcast_rows}")
-        # big or duplicate-keyed dimension → bucketed hash join (1 shuffle)
+            from .join import broadcast_expand_join
+
+            if explain is not None:
+                explain.append(
+                    f"{how.upper()} JOIN {tbl} ON {left_key} = "
+                    f"{right_key} -> BROADCAST expand join ({n_dim} rows, "
+                    f"~{max(est_bytes >> 10, 1)} KiB compressed, "
+                    "duplicate keys: 1:N)"
+                    f"{pred_note}: per-batch pandas merge against the "
+                    "broadcast dim, ZERO shuffle"
+                    + ("; unmatched fact rows keep null dim columns"
+                       if how == "left" else ""))
+            else:
+                ds = broadcast_expand_join(ds, dim_tbl, left_key,
+                                           right_key, how=how)
+            attached.update(dim_keep)
+            cur_cols += dim_keep
+            if how != "inner":
+                import pyarrow as pa
+                for c in dim_keep:
+                    t = col_type.get(c)
+                    if t is not None and pa.types.is_integer(t):
+                        col_type[c] = pa.int64()
+            continue
+        # both sides large → bucketed hash join (1 shuffle)
         from .join import hash_join
 
         if explain is not None:
             explain.append(
                 f"{how.upper()} JOIN {tbl} ON {left_key} = {right_key} -> "
-                f"bucketed HASH JOIN ({reason}): one shuffle, "
+                f"bucketed HASH JOIN ({reason}){pred_note}: one shuffle, "
                 f"{join_buckets} buckets")
         else:
-            dim_ds = rd.read_parquet(dim_path, columns=dim_cols)
+            dim_ds = rd.read_parquet(dim_path, columns=read_cols)
+            if tbl_preds:
+                dim_ds = dim_ds.map_batches(
+                    _scalar_filter_fn(tbl_preds),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            if read_cols != dim_keep:
+                dim_ds = dim_ds.select_columns(dim_keep)
             ds = hash_join(ds, dim_ds, left_key, right_key,
-                           buckets=join_buckets, how=how)
-        attached.update(dim_cols)
+                           buckets=join_buckets, how=how,
+                           left_schema=_known_schema(cur_cols),
+                           right_schema=_known_schema(dim_keep))
+        attached.update(dim_keep)
+        cur_cols += dim_keep                  # merge output = lcols + rcols
+        if how != "inner":
+            # the bucket merge null-pads the unpreserved side; its int
+            # columns come back as int64 (nullable-ext -> arrow int64),
+            # so keep the tracked types honest for the NEXT join's padding
+            import pyarrow as pa
+            for c in cur_cols:
+                t = col_type.get(c)
+                if t is not None and pa.types.is_integer(t):
+                    col_type[c] = pa.int64()
     if post:
         if explain is not None:
             explain.append(
@@ -1654,9 +1819,16 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                 continue
             from .join import semi_anti_join
 
+            import pyarrow as pa
+            sub_type = dict(zip(
+                (s := pq.read_schema(f"{sf_dir}/{sub_table}.parquet")).names,
+                s.types))[sub_col]
             ds = semi_anti_join(ds, _build(), p.col, sub_col,
                                 how="anti" if p.op == "not_in" else "semi",
-                                buckets=join_buckets)
+                                buckets=join_buckets,
+                                left_schema=_known_schema(cur_cols),
+                                right_schema=pa.schema([(sub_col,
+                                                         sub_type)]))
 
     return ds, schemas, per_table
 
@@ -1798,6 +1970,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         # the projection, so they just join the pruned read
         needed.update(c for c, _ in plan.order_by
                       if c not in exprs and c not in sel_names)
+        needed_post = set(needed)
         for p in plan.where:
             needed.update(_pred_cols([p]))
         for _tbl, a, b, _how in plan.joins:
@@ -1807,7 +1980,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             max_broadcast_rows=max_broadcast_rows,
             approx_membership=approx_membership,
             bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
-            explain=explain, sub=sub)
+            explain=explain, sub=sub, needed_post=needed_post)
         if exprs:
             if explain is not None:
                 for name, e in exprs.items():
@@ -1900,6 +2073,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 needed.add(it.col)
         for p in (it.filter_pred or ()):
             needed.update(_pred_cols([p]))
+    needed_post = set(needed)
     for p in plan.where:
         needed.update(_pred_cols([p]))
     for _tbl, a, b, _how in plan.joins:
@@ -1909,7 +2083,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         max_broadcast_rows=max_broadcast_rows,
         approx_membership=approx_membership,
         bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
-        explain=explain, sub=sub)
+        explain=explain, sub=sub, needed_post=needed_post)
 
     # ----------------------------- derived expression columns (one stage)
     if exprs:
@@ -2494,6 +2668,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
 
     needed = {*part, *(c for c, _ in order)}
     needed.update(it.col for it in plan.items if it.col is not None)
+    needed_post = set(needed)
     needed.update(_pred_cols(plan.where))
     for _tbl, a, b, _how in plan.joins:
         needed.update((a, b))
@@ -2502,7 +2677,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         max_broadcast_rows=max_broadcast_rows,
         approx_membership=approx_membership,
         bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
-        explain=explain, sub=sub)
+        explain=explain, sub=sub, needed_post=needed_post)
 
     specs = [{"func": it.fn, "col": it.col, "alias": it.name,
               "offset": it.offset} for it in win_items]
