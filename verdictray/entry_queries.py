@@ -1981,6 +1981,118 @@ def q_sql_tpch_q16(sf_dir: str):
     return run_sql(SQL_TPCH_Q16, sf_dir)
 
 
+SQL_TPCH_Q17 = """
+SELECT MONEY_SUM(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) AS co FROM lineitem
+                    WHERE l_partkey = p_partkey)
+"""
+SQL_TPCH_Q17_ORACLE = """
+SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0/7.0
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (SELECT 0.2*AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q_sql_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    scalar subquery ``l_quantity < 0.2*AVG(l_quantity) per part``,
+    decorrelated by the router into a grouped-aggregate build
+    (one per-partkey AVG, map-side combined) joined back on the
+    correlation key — broadcast enrich when the sub table fits the byte
+    budget, bucketed hash join at scale — then one vectorized comparison
+    filter. Exact integer cents."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q17, sf_dir)
+
+
+SQL_TPCH_Q22 = """
+SELECT SUBSTR(c_name, 10, 1) AS cntrycode, COUNT(*) AS numcust,
+  MONEY_SUM(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) AS a FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 250000.0)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+SQL_TPCH_Q22_ORACLE = """
+SELECT SUBSTR(c_name, 10, 1) AS cntrycode, COUNT(*) AS numcust,
+  SUM(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 250000.0)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+def q_sql_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape (global-sales-opportunity, adapted — the country
+    code digs into c_name since the synthetic customer has no phone):
+    an uncorrelated scalar subquery (global AVG, one scalar crosses the
+    driver) + a correlated NOT EXISTS rewritten to an exact anti-join
+    with a build-side WHERE + a SUBSTR-derived group key, exact cents."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q22, sf_dir)
+
+
+SQL_TPCH_Q2ISH = """
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM orders JOIN customer ON c_custkey = o_custkey
+WHERE o_totalprice = (SELECT MIN(o_totalprice) AS m FROM orders
+                      WHERE o_custkey = c_custkey)
+ORDER BY o_totalprice, c_custkey, o_orderkey
+LIMIT 100
+"""
+SQL_TPCH_Q2ISH_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice
+FROM orders JOIN customer ON c_custkey = o_custkey
+WHERE o_totalprice = (SELECT MIN(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = c_custkey)
+ORDER BY o_totalprice, c_custkey, o_orderkey
+LIMIT 100
+"""
+
+
+def q_sql_tpch_q2ish(sf_dir: str):
+    """TPC-H Q2's core shape (argmin-per-group via a correlated MIN
+    equality, adapted to the driver tables — no partsupp exists): each
+    customer's cheapest order(s), decorrelated to a per-custkey MIN build
+    joined back on the correlation key + an equality filter. The SELECT
+    references the dim-side join key (c_custkey), exercising the
+    zero-copy dim-key restore after a broadcast enrich."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q2ISH, sf_dir)
+
+
+SQL_EXISTS_SEMI = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 300000.0)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_sql_exists_semi(sf_dir: str):
+    """Correlated EXISTS: rewritten by the router to the exact bucketed
+    semi-join (build side pruned to the correlation key, filtered
+    vectorized, collapsed to per-bucket distinct keys — key-only
+    shuffle). Same plan as IN (SELECT …) with a build WHERE."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_EXISTS_SEMI, sf_dir)
+
+
 SQL_SCAN_TOP_ACCOUNTS = """
 SELECT c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -4198,6 +4310,10 @@ QUERIES = {
     "sql_tpch_q12": q_sql_tpch_q12,
     "sql_tpch_q19": q_sql_tpch_q19,
     "sql_tpch_q16": q_sql_tpch_q16,
+    "sql_tpch_q17": q_sql_tpch_q17,
+    "sql_tpch_q22": q_sql_tpch_q22,
+    "sql_tpch_q2ish": q_sql_tpch_q2ish,
+    "sql_exists_semi": q_sql_exists_semi,
     "sql_scan_top_accounts": q_sql_scan_top_accounts,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
@@ -4344,6 +4460,10 @@ ORACLES = {
     "sql_tpch_q12": SQL_TPCH_Q12,
     "sql_tpch_q19": SQL_TPCH_Q19_ORACLE,
     "sql_tpch_q16": SQL_TPCH_Q16,
+    "sql_tpch_q17": SQL_TPCH_Q17_ORACLE,
+    "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
+    "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
+    "sql_exists_semi": SQL_EXISTS_SEMI,
     "sql_scan_top_accounts": SQL_SCAN_TOP_ACCOUNTS,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
@@ -4394,45 +4514,37 @@ ORACLES = {
 }
 
 # The correctness driver caps its per-round run at the FIRST 50 registry
-# entries. This list front-loads (a) queries new this round and (b) the 44
-# entries the r3 driver run never reached (verified manually by the judge,
-# but the official CORRECTNESS record should cover them). Everything not
-# named here follows in QUERIES order — nothing is dropped, only reordered.
+# entries. Round-5 ordering: (a) the 23 oracle-backed entries no driver
+# round has ever reached lead, so CORRECTNESS_r5 retires them; (b) the 7
+# never-checked rows-only entries next; (c) queries NEW this round; (d) the
+# round-4-verified join/planner queries whose physical plans changed this
+# round (join-side pushdown, broadcast expand join) re-verify after them.
+# Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
-    # never-driver-checked oracle-backed queries lead (the
-    # driver caps at 50); rows-only never-checked next; the
-    # r3-checked tail keeps its order
-    "sql_having_agg", "sql_derived_custdist", "sql_scalar_subquery",
-    "sql_tpch_q12", "sql_tpch_q19", "sql_tpch_q16",
-    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q4", "sql_tpch_q14",
-    "sql_scan_top_accounts",
-    "sql_tpch_q1", "sql_tpch_q6", "sql_router_case_like",
-    "sql_router_extract", "sql_router_left_join", "sql_rows_frame",
-    "sql_router_union", "sql_router_scalarfns", "sql_router_quantile_cont",
-    "sql_window_over_join",
-    "sql_window_rownum", "sql_window_cumsum", "sql_window_ranks",
-    "sql_window_nav", "gopher_stats_by_lang", "sql_window_ntile",
-    "sql_window_parttotal", "top2gram_repetition_by_lang",
-    "sql_window_composite", "sql_router_filter", "sql_router_distinct",
-    "sql_router_orders",
-    "sql_router_semijoin", "sql_router_hll", "sql_router_join",
-    "sql_router_having", "sql_progressive_orders", "partitioned_write_counts",
-    "lineitem_qty_ranks", "ann_topk", "substring_dup_stats",
-    "ngram_decontaminated_docs", "token_entropy_by_lang", "vocab_top_terms",
-    "pii_redaction_stats", "weighted_docs_sample", "docs_split_counts",
-    "docs_mixture_counts", "customer_name_editdist", "customer_order_rows",
-    "lineitem_dispersion_by_flag", "max_value_event_per_type", "orders_price_histogram",
+    # (a) oracle-backed, never driver-checked (judge-verified r4 only)
+    "lineitem_dispersion_by_flag", "max_value_event_per_type",
+    "orders_price_histogram", "customer_order_rows",
     "events_cumulative_by_user", "mg_top_users", "price_quantiles_cont",
     "users_click_no_purchase", "users_signup_and_error", "orders_cube",
     "signup_funnel", "lineitem_profile", "kmv_set_cardinalities",
-    "lineitem_zscore_by_flag", "top_orders_per_priority", "lineitem_linreg_by_flag",
-    "orders_price_ntile", "lineitem_mode_qty", "top_orders_concat",
-    "orders_row_numbers", "lineitem_unpivoted_stats", "multimodal_features_by_lang",
-    "multimodal_frames_by_lang", "multimodal_resize_by_lang", "corpus_sketches_progressive",
-    "sql_router_quantile", "sql_store_summary", "sql_router_topk",
-    "ann_topk_ivf", "ann_topk_ivf_indexed", "ann_topk_lsh",
-    "minhash_dedup_pairs", "simhash_dedup_pairs", "embedding_neardup_pairs",
-    "neardup_drop_stats", "packed_docs_stats", "cms_join_size_orders",
+    "lineitem_zscore_by_flag", "top_orders_per_priority",
+    "lineitem_linreg_by_flag", "orders_price_ntile", "lineitem_mode_qty",
+    "top_orders_concat", "orders_row_numbers", "lineitem_unpivoted_stats",
+    "multimodal_frames_by_lang", "multimodal_resize_by_lang",
+    # (b) rows-only, never driver-checked
+    "corpus_sketches_progressive", "sql_router_topk", "sql_router_quantile",
+    "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
+    "cms_join_size_orders",
+    # (c) new this round — inserted here as they land
+    "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
+    # (d) r4-verified queries whose plans changed this round
+    "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
+    "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
+    "sql_window_over_join", "sql_router_join", "sql_router_semijoin",
+    "sql_derived_custdist", "sql_tpch_q14", "sql_having_agg",
+    "sql_scalar_subquery", "sql_tpch_q1", "sql_tpch_q6",
+    "sql_scan_top_accounts", "sql_rows_frame", "sql_router_union",
+    "sql_router_quantile_cont",
 ]
 
 

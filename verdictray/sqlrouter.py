@@ -126,6 +126,27 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   filters the pruned
                                                  --   build read (TPC-H
                                                  --   Q4 shape)
+          | [NOT] EXISTS (SELECT … FROM t WHERE t_col = outer_col
+                          [AND pred …])          -- rewritten to the
+                                                 --   membership semi/anti
+                                                 --   join above (exact;
+                                                 --   TPC-H Q22 shape)
+          | scalar op (SELECT agg(x) FROM t
+                       WHERE t_col = outer_col [AND pred …])
+                                                 -- CORRELATED scalar
+                                                 --   subquery (TPC-H
+                                                 --   Q17/Q2 shapes):
+                                                 --   decorrelated to a
+                                                 --   grouped-aggregate
+                                                 --   build joined back on
+                                                 --   the correlation key
+                                                 --   (broadcast enrich or
+                                                 --   bucketed hash join),
+                                                 --   then one vectorized
+                                                 --   filter; a column of
+                                                 --   t is inner, any
+                                                 --   other column is the
+                                                 --   outer reference
     literal := number | 'string' | DATE 'yyyy-mm-dd'
           | TIMESTAMP 'yyyy-mm-dd[ hh:mm:ss]'    -- typed; compares with
                                                  --   timestamp[us] columns
@@ -422,6 +443,27 @@ class _Plan:
     # ``table`` then holds the alias and the inner plan executes as its
     # own streaming Dataset that the outer plan consumes block-wise
     sub_from: object = None
+    # decorrelated scalar-subquery comparisons (_CorrPred), extracted from
+    # WHERE by _rewrite_correlated: each compiles to a grouped-aggregate
+    # build + join + vectorized filter at the end of the scan phase
+    corr_where: list = field(default_factory=list)
+
+
+@dataclass
+class _CorrPred:
+    """One ``outer_expr op (SELECT agg(..) FROM t WHERE t.k = outer.k
+    [AND build preds])`` conjunct, decorrelated: the subquery becomes a
+    grouped-aggregate build ``SELECT k, agg(..) GROUP BY k`` joined back
+    to the outer stream on ``outer_key = k`` (SQL semantics: a group with
+    no build row yields NULL, and NULL comparisons drop the row — the
+    inner join encodes exactly that)."""
+    outer_expr: tuple        # left side of the comparison (expr tree)
+    op: str                  # =, !=, <, <=, >, >=
+    sub_table: str
+    inner_key: str           # correlation column owned by sub_table
+    outer_key: str           # correlation column from the outer scope
+    agg_item: object         # the subquery's single _Agg item
+    build_preds: list        # sub-table-only WHERE conjuncts
 
 
 class _Parser:
@@ -832,7 +874,47 @@ class _Parser:
             node = self.pred_or()
             self.expect(")")
             return node
+        if (self.kw("not") and self.i + 1 < len(self.t)
+                and self.t[self.i + 1].lower() == "exists"):
+            self.take()
+            self.take()
+            return self._exists_pred(negated=True)
+        if self.kw("exists"):
+            self.take()
+            return self._exists_pred(negated=False)
         return self.pred()
+
+    def _exists_pred(self, negated: bool) -> _Pred:
+        """``[NOT] EXISTS (SELECT <anything> FROM t WHERE …)``. The SELECT
+        item is irrelevant (EXISTS tests row existence) and is discarded.
+        The WHERE must contain exactly one correlation equality against an
+        outer column — resolved later against the parquet schemas by
+        _rewrite_correlated, which turns this into a semi/anti join."""
+        self.expect("(")
+        self.expect("select")
+        if self.peek() == "*":
+            self.take()
+        else:
+            self.expr_tree()          # parsed and discarded
+        self.expect("from")
+        sub_table = self.take()
+        sub_preds: list = []
+        if self.kw("where"):
+            self.take()
+            sub_preds = _flatten_and(self.pred_or())
+            for sp in sub_preds:
+                for a in _pred_atoms(sp):
+                    if a.sub is not None:
+                        raise ValueError("EXISTS subqueries do not nest")
+        self.expect(")")
+        if not sub_preds:
+            raise ValueError("EXISTS subquery needs a correlated WHERE "
+                             "(uncorrelated EXISTS is a constant — "
+                             "filter on COUNT instead)")
+        # probe column unknown until schemas resolve; op is rewritten to
+        # in/not_in by _rewrite_correlated before any execution path
+        return _Pred("", "not_exists" if negated else "exists",
+                     sub=(sub_table, None, sub_preds))
 
     def pred(self) -> _Pred:
         left = self.expr_tree()
@@ -1441,6 +1523,163 @@ def _map_pred_subq(p: _Pred, repl) -> _Pred:
                                rexpr=_map_expr_subq(p.rexpr, repl))
 
 
+def _split_correlation(sub_table: str, sub_preds: list, sf_dir: str):
+    """Classify a subquery's WHERE conjuncts against the sub table's
+    parquet schema: returns (inner_key, outer_key, build_preds) when
+    exactly one conjunct is a correlation equality ``sub_col = outer_col``
+    and every other conjunct touches only sub-table columns; returns None
+    when nothing references the outer scope (uncorrelated); raises on
+    correlated shapes the planner cannot decorrelate."""
+    import pyarrow.parquet as pq
+
+    sub_cols = set(pq.read_schema(f"{sf_dir}/{sub_table}.parquet").names)
+    corr, build = [], []
+    for p in sub_preds:
+        cols = _pred_cols([p])
+        if cols <= sub_cols:
+            build.append(p)
+            continue
+        ok = (p.op == "=" and p.sub is None
+              and p.lexpr is not None and p.lexpr[0] == "col"
+              and p.rexpr is not None and p.rexpr[0] == "col")
+        a, b = ((p.lexpr[1], p.rexpr[1]) if ok else (None, None))
+        if ok and (a in sub_cols) != (b in sub_cols):
+            corr.append((a, b) if a in sub_cols else (b, a))
+            continue
+        raise ValueError(
+            f"correlated subquery on {sub_table}: cannot decorrelate "
+            f"predicate {_fmt_preds([p])!r} — only one equality "
+            "``sub_col = outer_col`` plus sub-table-only conjuncts is "
+            "supported")
+    if not corr:
+        return None
+    if len(corr) > 1:
+        raise ValueError("correlated subqueries support exactly one "
+                         f"correlation equality (got {len(corr)})")
+    inner_key, outer_key = corr[0]
+    return inner_key, outer_key, build
+
+
+def _rewrite_correlated(plan: "_Plan", sf_dir: str,
+                        explain: list | None) -> None:
+    """Decorrelate WHERE before anything executes (SQL's logical order is
+    preserved — the rewrite is algebraic):
+
+    - ``[NOT] EXISTS (SELECT … FROM t WHERE t.k = outer.k AND …)``
+      rewrites IN PLACE to the membership form ``outer.k [NOT] IN
+      (SELECT t.k FROM t WHERE …)`` — the existing exact semi/anti join
+      (or Bloom probe) executes it; NOT EXISTS anti-join semantics are
+      exactly SQL's (no ANSI NOT-IN null trap).
+    - ``outer_expr op (SELECT agg(x) FROM t WHERE t.k = outer.k AND …)``
+      moves to plan.corr_where as a _CorrPred: a grouped-aggregate build
+      ``SELECT k, agg(x) GROUP BY k`` joined back on the correlation key
+      at the end of the scan phase, then one vectorized filter.
+
+    Correlated subqueries anywhere else (under OR, in HAVING/FILTER/item
+    expressions) raise loudly rather than mis-executing as uncorrelated."""
+
+    def subq_nodes(e):
+        if not isinstance(e, tuple):
+            return
+        if len(e) and e[0] == "subq":
+            yield e[1]
+            return
+        for c in e:
+            yield from subq_nodes(c)
+
+    def assert_uncorrelated(preds, where: str):
+        for p in preds:
+            for a in _pred_atoms(p):
+                for side in (a.lexpr, a.rexpr):
+                    if side is None:
+                        continue
+                    for s in subq_nodes(side):
+                        if _split_correlation(s.table, s.where,
+                                              sf_dir) is not None:
+                            raise ValueError(
+                                "correlated scalar subqueries are only "
+                                "supported as top-level AND conjuncts in "
+                                f"WHERE (found one in {where})")
+
+    new_where = []
+    for p in plan.where:
+        if p.op in ("exists", "not_exists"):
+            sub_table, _none, sub_preds = p.sub
+            split = _split_correlation(sub_table, sub_preds, sf_dir)
+            if split is None:
+                raise ValueError(
+                    f"EXISTS ({sub_table}) has no correlation equality "
+                    "against the outer query")
+            inner_key, outer_key, build = split
+            p.col = outer_key
+            p.op = "in" if p.op == "exists" else "not_in"
+            p.sub = (sub_table, inner_key, build)
+            if explain is not None:
+                explain.append(
+                    f"[NOT] EXISTS {sub_table} -> rewritten to "
+                    f"{outer_key} [NOT] IN (SELECT {inner_key} FROM "
+                    f"{sub_table}) — exact semi/anti join")
+            new_where.append(p)
+            continue
+        # top-level comparison conjunct with a correlated scalar subquery
+        # on exactly one side
+        handled = False
+        if (p.op in ("=", "!=", "<", "<=", ">", ">=")
+                and p.sub is None):
+            sides = []
+            for side in (p.lexpr, p.rexpr):
+                subs = list(subq_nodes(side)) if side is not None else []
+                sides.append(subs)
+            lsubs, rsubs = sides
+            # bare-column comparisons store the column in p.col
+            lexpr = p.lexpr if p.lexpr is not None else (
+                ("col", p.col) if p.col else None)
+            for outer_side, sub_side, flip in ((lexpr, rsubs, False),
+                                               (p.rexpr, lsubs, True)):
+                if len(sub_side) != 1 or outer_side is None:
+                    continue
+                s = sub_side[0]
+                # the subquery must BE the whole side, not a term inside
+                # an expression (0.2*AVG(..) belongs INSIDE the subquery)
+                whole = (p.rexpr if not flip else p.lexpr)
+                if whole is None or whole[0] != "subq":
+                    continue
+                split = _split_correlation(s.table, s.where, sf_dir)
+                if split is None:
+                    continue          # uncorrelated: resolved later
+                if s.group_by or s.unions or s.joins or len(s.items) != 1:
+                    raise ValueError(
+                        "a correlated scalar subquery must SELECT one "
+                        "aggregate from one table (no GROUP BY / JOIN / "
+                        "UNION)")
+                inner_key, outer_key, build = split
+                op = p.op
+                if flip:
+                    op = {"<": ">", "<=": ">=", ">": "<",
+                          ">=": "<=", "=": "=", "!=": "!="}[op]
+                plan.corr_where.append(_CorrPred(
+                    outer_expr=outer_side, op=op, sub_table=s.table,
+                    inner_key=inner_key, outer_key=outer_key,
+                    agg_item=s.items[0], build_preds=build))
+                handled = True
+                break
+        if handled:
+            continue
+        # anything else: make sure no correlated subquery hides inside
+        assert_uncorrelated([p], "a non-decorrelatable WHERE position")
+        new_where.append(p)
+    plan.where = new_where
+    assert_uncorrelated(plan.having, "HAVING")
+    for it in plan.items:
+        if it.filter_pred:
+            assert_uncorrelated(it.filter_pred, "FILTER (WHERE …)")
+        if it.expr is not None:
+            for s in subq_nodes(it.expr):
+                if _split_correlation(s.table, s.where, sf_dir) is not None:
+                    raise ValueError("correlated scalar subqueries are "
+                                     "not supported in SELECT items")
+
+
 def _resolve_scalar_subqueries(plan: "_Plan", sf_dir: str, opts: dict,
                                explain: list | None) -> None:
     """Execute every uncorrelated scalar subquery appearing in WHERE /
@@ -1571,6 +1810,14 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         return hits[0]
 
     needed = set(needed)
+    # decorrelated comparisons consume their outer columns INSIDE the
+    # scan (join on outer_key + vectorized filter over outer_expr), so
+    # the reads and the pre-shuffle projection must carry them
+    corr_cols = set()
+    for cp in plan.corr_where:
+        corr_cols |= _expr_cols(cp.outer_expr)
+        corr_cols.add(cp.outer_key)
+    needed |= corr_cols
     if not needed:
         # a COUNT(*)-only scan still needs one physical column to stream;
         # the file's first field is typically a narrow key
@@ -1624,7 +1871,7 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
     # shuffle so they never pay join/exchange bytes
     keep = None
     if needed_post is not None:
-        keep = set(needed_post) | _pred_cols(post)
+        keep = set(needed_post) | _pred_cols(post) | corr_cols
         keep.update(p.col for p in member)
         for _tbl, _a, _b, _how in plan.joins:
             keep.update((_a, _b))
@@ -1651,6 +1898,10 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
 
     # -------------------------------------------------- JOINs (in order)
     attached = set(per_table[plan.table])
+    # join-key equivalences: a broadcast enrich attaches the dim's payload
+    # but not its key column (it equals the fact key on every surviving
+    # row) — later stages referencing the dim key use the fact equivalent
+    key_eq: dict = {}
     for tbl, a, b, how in plan.joins:
         if b in schemas[tbl] and a in attached:
             left_key, right_key = a, b
@@ -1713,6 +1964,10 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                                            right_key, out_cols, how=how)
                 attached.update(out_cols)
                 cur_cols += out_cols
+                if how == "inner":
+                    # valid only for INNER: a LEFT enrich leaves the dim
+                    # key NULL on unmatched rows, not equal to the fact key
+                    key_eq[right_key] = left_key
                 continue
             from .join import broadcast_expand_join
 
@@ -1830,6 +2085,111 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                                 right_schema=pa.schema([(sub_col,
                                                          sub_type)]))
 
+    # -------------------- decorrelated scalar-subquery comparisons
+    # each _CorrPred: grouped-aggregate build over the sub table (its own
+    # streaming run_sql plan — pruned read, map-side combine) -> join the
+    # outer stream on the correlation key (broadcast enrich when the sub
+    # table fits the budget, bucketed hash join otherwise; build keys are
+    # unique by construction) -> ONE vectorized comparison filter ->
+    # helper columns dropped
+    for ci, cp in enumerate(plan.corr_where):
+        import dataclasses
+
+        okey = cp.outer_key
+        seen = set()
+        while okey not in cur_cols and okey in key_eq and okey not in seen:
+            seen.add(okey)
+            okey = key_eq[okey]       # broadcast enrich drops dim keys;
+        if okey not in cur_cols:      # use the fact-side equivalent
+            raise ValueError(
+                f"correlated subquery outer key {cp.outer_key!r} is not "
+                "available on the scanned stream")
+        ck, cv = f"_ck{ci}", f"_cv{ci}"
+        key_item = _Agg(fn="col", col=cp.inner_key, alias=ck)
+        agg_item = dataclasses.replace(cp.agg_item, alias=cv)
+        build_plan = _Plan(table=cp.sub_table,
+                           items=[key_item, agg_item],
+                           where=list(cp.build_preds),
+                           group_by=[cp.inner_key])
+        build_opts = dict(join_buckets=join_buckets,
+                          max_broadcast_rows=max_broadcast_rows,
+                          approx_membership=approx_membership,
+                          bloom_capacity=bloom_capacity,
+                          bloom_fpp=bloom_fpp)
+        cmp_pred = _Pred("", cp.op, lexpr=cp.outer_expr,
+                         rexpr=("col", cv))
+        md = pq.read_metadata(f"{sf_dir}/{cp.sub_table}.parquet")
+        small = (md.num_rows <= max_broadcast_rows
+                 and _parquet_col_bytes(md, [cp.inner_key])
+                 * 3 <= _MAX_BROADCAST_BYTES)
+        if explain is not None:
+            explain.append(
+                f"CORRELATED SUBQUERY ({agg_item.fn or 'expr'} FROM "
+                f"{cp.sub_table} per {cp.inner_key}) -> decorrelated: "
+                "grouped-aggregate build below, then "
+                + (f"BROADCAST enrich on {cp.outer_key} (unique build "
+                   "keys, zero shuffle)" if small else
+                   f"bucketed HASH JOIN on {cp.outer_key} (one shuffle)")
+                + f", then one vectorized filter "
+                  f"{_fmt_preds([cmp_pred])}:")
+            run_sql("", sf_dir, _plan=build_plan, explain=explain,
+                    **build_opts)
+            continue
+        build_ds = run_sql("", sf_dir, _plan=build_plan, **build_opts)
+        base_cols = list(cur_cols)
+        if small:
+            # the build is one row per correlation key — it crosses the
+            # driver once, like any broadcast dim
+            bdf = build_ds.to_pandas()
+            import pyarrow as pa
+            build_tbl = pa.Table.from_pandas(bdf, preserve_index=False)
+            ds = _broadcast_enrich(ds, build_tbl, okey, ck,
+                                   [cv], how="inner")
+        else:
+            from .join import hash_join
+
+            # materialize() pins the (group-count-sized) build so the
+            # schema probe and the join consume one execution
+            build_ds = build_ds.materialize()
+            ds = hash_join(ds, build_ds, okey, ck,
+                           buckets=join_buckets,
+                           left_schema=_known_schema(cur_cols))
+        ds = ds.map_batches(_scalar_filter_fn([cmp_pred]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.select_columns(base_cols)
+
+    # -------------- re-attach SELECTed dim join keys dropped by enrich
+    # a broadcast INNER enrich attaches the dim payload but not the dim
+    # key (it equals the fact key on every surviving row); if the caller
+    # still needs the dim key by name, alias-copy its fact equivalent —
+    # one zero-copy append, no data pass
+    want_back = needed_post if needed_post is not None else needed
+    back_pairs = []
+    for c in sorted(want_back):
+        if c in cur_cols or c not in key_eq:
+            continue
+        src, seen = c, set()
+        while src not in cur_cols and src in key_eq and src not in seen:
+            seen.add(src)
+            src = key_eq[src]
+        if src in cur_cols:
+            back_pairs.append((c, src))
+    if back_pairs:
+        if explain is not None:
+            explain.append(
+                "RESTORE dim join keys "
+                f"{[f'{c} := {s}' for c, s in back_pairs]} (dropped by "
+                "the broadcast enrich; zero-copy alias of the fact key)")
+        else:
+            def _restore(b: pa.Table, _pairs=tuple(back_pairs)) -> pa.Table:
+                for name, src_col in _pairs:
+                    b = b.append_column(name, b[src_col])
+                return b
+
+            ds = ds.map_batches(_restore, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        cur_cols += [c for c, _ in back_pairs]
+
     return ds, schemas, per_table
 
 
@@ -1906,6 +2266,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                     join_buckets=join_buckets,
                     max_broadcast_rows=max_broadcast_rows,
                     cms_eps=cms_eps, cms_delta=cms_delta)
+    _rewrite_correlated(plan, sf_dir, explain)
     _resolve_scalar_subqueries(plan, sf_dir, sub_opts, explain)
     sub = None
     if plan.sub_from is not None:
