@@ -2093,6 +2093,58 @@ def q_sql_exists_semi(sf_dir: str):
     return run_sql(SQL_EXISTS_SEMI, sf_dir)
 
 
+SQL_RANGE_FRAME = """
+SELECT event_id,
+  SUM(user_id) OVER (PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS s_1h,
+  COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+"""
+# oracle: INTERVAL quoting differs per dialect and DuckDB's SUM(BIGINT)
+# returns HUGEINT (float64 in pandas) — cast pins the integer dtype
+SQL_RANGE_FRAME_ORACLE = """
+SELECT event_id,
+  CAST(SUM(user_id) OVER (PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+      AS BIGINT) AS s_1h,
+  COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+      RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_1h
+FROM events
+"""
+
+
+def q_sql_range_frame(sf_dir: str):
+    """RANGE BETWEEN INTERVAL frames through the SQL router: routed to
+    window.rolling_range_agg — one hash-bucket shuffle on the partition
+    key, per-key vectorized prefix-sum + searchsorted frames, endpoints
+    inclusive and equal-ts peers sharing frames (ANSI RANGE semantics).
+    The summed column is integer, so the accumulation is exact and the
+    value hash matches DuckDB bit-for-bit."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_RANGE_FRAME, sf_dir)
+
+
+SQL_GLOBAL_QUANTILE = """
+SELECT QUANTILE_CONT(l_extendedprice, 0.5) AS med_price,
+  QUANTILE_CONT(l_quantity, 0.9) AS p90_qty
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def q_sql_global_quantile(sf_dir: str):
+    """GLOBAL exact interpolated quantiles with no single-task funnel:
+    routed to ops.global_quantile_cont — sampled range boundaries, one
+    vectorized counting pass (per-batch searchsorted+bincount, tiny
+    per-range sum), then only the target range's ~n/ranges values sort
+    locally, recursing within a skewed range. Bit-identical to
+    np.quantile(method="linear") and DuckDB QUANTILE_CONT."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_GLOBAL_QUANTILE, sf_dir)
+
+
 SQL_SCAN_TOP_ACCOUNTS = """
 SELECT c_name, c_mktsegment, c_acctbal
 FROM customer
@@ -4314,6 +4366,8 @@ QUERIES = {
     "sql_tpch_q22": q_sql_tpch_q22,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
+    "sql_global_quantile": q_sql_global_quantile,
+    "sql_range_frame": q_sql_range_frame,
     "sql_scan_top_accounts": q_sql_scan_top_accounts,
     "sql_window_over_join": q_sql_window_over_join,
     "sql_store_summary": q_sql_store_summary,
@@ -4464,6 +4518,8 @@ ORACLES = {
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
+    "sql_global_quantile": SQL_GLOBAL_QUANTILE,
+    "sql_range_frame": SQL_RANGE_FRAME_ORACLE,
     "sql_scan_top_accounts": SQL_SCAN_TOP_ACCOUNTS,
     "sql_window_over_join": SQL_WINDOW_OVER_JOIN_ORACLE,
     "sql_progressive_orders": SQL_PROGRESSIVE_ORDERS_ORACLE,
@@ -4537,6 +4593,7 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
+    "sql_global_quantile", "sql_range_frame",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",

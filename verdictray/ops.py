@@ -1384,3 +1384,108 @@ def rank_table(ds, order_col: str, ndigits: int | None = None,
 
     return tagged.groupby("_range").map_groups(finish,
                                                batch_format="pandas")
+
+
+def global_quantile_cont(ds, col: str, phi: float, *, ranges: int = 64,
+                         sample_limit: int = 10_000,
+                         local_limit: int = 4_000_000,
+                         max_depth: int = 4) -> float | None:
+    """EXACT interpolated global quantile (SQL ``QUANTILE_CONT``) with NO
+    single-task funnel: a distributed order-statistic selection.
+
+    Shape: (1) hash-sampled range boundaries over ``col``
+    (_sample_range_bounds — driver holds ≤ sample_limit values); (2) one
+    vectorized counting pass — per-batch ``searchsorted`` + ``bincount``,
+    per-range partials summed through a tiny groupby (≤ ranges+1 rows
+    cross the driver); (3) only the range(s) holding the two target order
+    statistics are filtered out (a streaming vectorized filter) and
+    sorted locally — ~n/ranges values, never the dataset. If a skewed
+    range still exceeds ``local_limit`` it recurses WITHIN the range
+    (boundaries resampled from the filtered stream), so driver memory
+    stays bounded at any input size. The final interpolation reproduces
+    ``np.quantile(..., method="linear")`` bit-for-bit (the two order
+    statistics are lerped by np.quantile itself), matching the grouped
+    per-task route and DuckDB's QUANTILE_CONT.
+
+    Each pass re-executes the upstream (lazy) pipeline — 3 streaming
+    scans instead of one whole-dataset materialization; at scale the
+    scan is the cheap part and nothing ever funnels into one task.
+    Returns None when every value is null (SQL's NULL)."""
+
+    def _vals(b: pa.Table) -> pa.Table:
+        v = b[col]
+        return pa.table({col: pc.drop_null(pc.cast(v, pa.float64()))})
+
+    vd = ds.select_columns([col]).map_batches(
+        _vals, batch_format="pyarrow", zero_copy_batch=True)
+
+    def counts_for(vd_scoped, bounds):
+        nb = len(bounds)
+
+        def count_batch(b: pa.Table) -> pa.Table:
+            arr = b[col].to_numpy(zero_copy_only=False)
+            rid = np.searchsorted(np.asarray(bounds, dtype=np.float64),
+                                  arr, side="right")
+            cnt = np.bincount(rid, minlength=nb + 1)
+            return pa.table({"_range": np.arange(nb + 1, dtype=np.int64),
+                             "_cnt": cnt.astype(np.int64)})
+
+        parts = (vd_scoped.map_batches(count_batch, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+                 .groupby("_range").sum("_cnt").to_pandas())
+        out = np.zeros(nb + 1, dtype=np.int64)
+        if len(parts):           # empty scoped stream -> all-zero counts
+            out[parts["_range"].to_numpy()] = parts["sum(_cnt)"].to_numpy()
+        return out
+
+    def order_stats(vd_scoped, ks, depth):
+        """Values at global sorted indices ``ks`` (ascending ints) within
+        the scoped stream."""
+        bounds = _sample_range_bounds(vd_scoped, col, ranges, sample_limit)
+        if not bounds:
+            # sampler kept nothing (tiny scope): collect directly — the
+            # ~10% hash sample misses only when the scope is small
+            arr = np.sort(vd_scoped.to_pandas()[col].to_numpy())
+            return [float(arr[k]) for k in ks]
+        cnts = counts_for(vd_scoped, bounds)
+        starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        out = []
+        bnd = np.asarray(bounds, dtype=np.float64)
+        for k in ks:
+            r = int(np.searchsorted(np.cumsum(cnts), k, side="right"))
+            lo = bnd[r - 1] if r > 0 else None
+            hi = bnd[r] if r < len(bnd) else None
+
+            def in_range(b: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+                # searchsorted(side="right") ranges: bounds[r-1] <= v <
+                # bounds[r] — inclusive low, exclusive high
+                v = b[col]
+                m = None
+                if _lo is not None:
+                    m = pc.greater_equal(v, _lo)
+                if _hi is not None:
+                    m2 = pc.less(v, _hi)
+                    m = m2 if m is None else pc.and_(m, m2)
+                return b.filter(m) if m is not None else b
+
+            scoped = vd_scoped.map_batches(in_range, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+            if cnts[r] > local_limit and depth < max_depth:
+                out.extend(order_stats(scoped, [int(k - starts[r])],
+                                       depth + 1))
+                continue
+            arr = np.sort(scoped.to_pandas()[col].to_numpy())
+            out.append(float(arr[int(k - starts[r])]))
+        return out
+
+    cnts0 = counts_for(vd, [])
+    n = int(cnts0.sum())
+    if n == 0:
+        return None
+    k = phi * (n - 1)
+    k0, k1 = int(np.floor(k)), int(np.ceil(k))
+    v = order_stats(vd, sorted({k0, k1}), 0)
+    if k0 == k1:
+        return v[0]
+    return float(np.quantile(np.array(v, dtype=np.float64), k - k0,
+                             method="linear"))

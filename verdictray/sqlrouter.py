@@ -836,6 +836,32 @@ class _Parser:
             if not order:
                 raise ValueError("a ROWS frame requires ORDER BY")
             frame = ("rows", lo, 0)
+        elif self.kw("range"):
+            # RANGE BETWEEN INTERVAL n unit PRECEDING AND CURRENT ROW —
+            # time-width framing over the ORDER BY timestamp (endpoints
+            # inclusive, current-row peers share frames; routed to
+            # window.rolling_range_agg's searchsorted kernel)
+            self.take()
+            self.expect("between")
+            self.expect("interval")
+            tok = self.take()
+            n = int(tok[1:-1]) if tok.startswith("'") else int(tok)
+            unit = self.take().lower()
+            unit = unit[:-1] if unit.endswith("s") else unit
+            mult = {"second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400}.get(unit)
+            if mult is None or n < 0:
+                raise ValueError(
+                    f"RANGE frame INTERVAL takes a non-negative count of "
+                    f"SECOND/MINUTE/HOUR/DAY, got {n} {unit!r}")
+            self.expect("preceding")
+            self.expect("and")
+            self.expect("current")
+            self.expect("row")
+            if len(order) != 1 or order[0][1]:
+                raise ValueError("a RANGE INTERVAL frame requires ORDER "
+                                 "BY one ascending timestamp column")
+            frame = ("range", n * mult, 0)
         self.expect(")")
         return (tuple(part), tuple(order), frame)
 
@@ -2560,10 +2586,16 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             for it in qcont:
                 explain.append(
                     f"AGG {it.name} = QUANTILE_CONT({it.col}, {it.phi}) "
-                    "-> EXACT interpolated quantile (one groupby shuffle "
-                    "co-locates each group; one vectorized np.quantile "
-                    "per group; contract: one group's values fit a task "
-                    "- the KLL route is the sketch path otherwise)")
+                    + ("-> EXACT interpolated quantile (one groupby "
+                       "shuffle co-locates each group; one vectorized "
+                       "np.quantile per group; contract: one group's "
+                       "values fit a task - the KLL route is the sketch "
+                       "path otherwise)" if plan.group_by else
+                       "-> EXACT distributed order-statistic selection "
+                       "(ops.global_quantile_cont): sampled range bounds "
+                       "-> one vectorized counting pass -> only the "
+                       "target range's ~n/ranges values sort locally; "
+                       "NO single-task funnel"))
             return rd.from_items([])
         import numpy as np
         import pandas as pd_
@@ -2592,10 +2624,20 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         if keys:
             out = ds.groupby(keys).map_groups(qt, batch_format="pandas")
         else:
-            # global exact quantile: one task sees all values (same
-            # one-group contract); repartition(1) funnels the blocks
-            out = ds.repartition(1).map_batches(
-                qt, batch_format="pandas", batch_size=None)
+            # global exact quantile: distributed order-statistic
+            # selection — sampled range bounds, one counting pass, only
+            # the target range sorts locally (never a one-task funnel)
+            from .ops import global_quantile_cont
+
+            row = {}
+            for name, col, phi, nd in specs:
+                v = global_quantile_cont(ds, col, phi)
+                if v is not None and nd is not None:
+                    v = pc.round(pa.scalar(v), ndigits=nd,
+                                 **_ROUND).as_py()
+                row[name] = [v]
+            out = rd.from_arrow(pa.table(
+                {c: row[c] for c in col_order}))
         if plan.order_by:
             out = out.sort([c for c, _ in plan.order_by],
                            descending=[d for _, d in plan.order_by])
@@ -3019,11 +3061,24 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         raise ValueError("all window items must share one "
                          "PARTITION BY/ORDER BY spec")
     part, order, frame = spec0
-    if frame is not None:
+    if frame is not None and frame[0] == "rows":
         bad = [it.fn for it in win_items if it.fn not in _WINDOW_CUM]
         if bad:
             raise ValueError(f"a ROWS frame applies to cumulative "
                              f"aggregates only, got {bad}")
+    if frame is not None and frame[0] == "range":
+        bad = [it.fn for it in win_items
+               if it.fn not in ("sum", "avg", "count")]
+        if bad:
+            raise ValueError(f"a RANGE INTERVAL frame supports "
+                             f"SUM/AVG/COUNT only, got {bad}")
+        if len(part) != 1:
+            raise ValueError("a RANGE INTERVAL frame requires exactly "
+                             "one PARTITION BY column")
+        vcols = {it.col for it in win_items if it.fn in ("sum", "avg")}
+        if len(vcols) > 1:
+            raise ValueError("RANGE-frame SUM/AVG items must share one "
+                             f"value column (got {sorted(vcols)})")
     part = list(part)
     order = list(order)
 
@@ -3042,6 +3097,65 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
 
     specs = [{"func": it.fn, "col": it.col, "alias": it.name,
               "offset": it.offset} for it in win_items]
+    if frame is not None and frame[0] == "range":
+        from .window import rolling_range_agg
+
+        ts_col = order[0][0]
+        vcols = {it.col for it in win_items if it.fn in ("sum", "avg")}
+        value_col = next(iter(vcols)) if vcols else ts_col
+        fn_map = {"sum": "rolling_sum", "avg": "rolling_mean",
+                  "count": "rolling_count"}
+        aggs = tuple(sorted({{"sum": "sum", "avg": "mean",
+                              "count": "count"}[it.fn]
+                             for it in win_items}))
+        if explain is not None:
+            explain.append(
+                f"WINDOW OVER (PARTITION BY {part} ORDER BY {ts_col} "
+                f"RANGE BETWEEN INTERVAL {frame[1]} SECOND PRECEDING AND "
+                f"CURRENT ROW) -> window.rolling_range_agg: one "
+                f"hash-bucket shuffle on {part[0]} ({buckets} buckets), "
+                "per-key vectorized prefix-sum + searchsorted frames "
+                "(endpoints inclusive, equal-ts peers share frames); "
+                "funcs=" + ", ".join(
+                    f"{s['func']}({s['col'] or ''})" for s in specs))
+            if plan.order_by:
+                explain.append(f"ORDER BY {plan.order_by} -> sorts the "
+                               "windowed result")
+            if plan.limit is not None:
+                explain.append(f"LIMIT {plan.limit}")
+            return rd.from_items([])
+        out = rolling_range_agg(ds, key=part[0], ts_col=ts_col,
+                                value_col=value_col, width_s=frame[1],
+                                aggs=aggs, buckets=buckets)
+        sel = [it.name for it in plan.items]
+        win_map = [(fn_map[it.fn], it.name) for it in win_items]
+        renames = [(it.col, it.alias) for it in plan.items
+                   if it.fn == "col" and it.alias and it.alias != it.col]
+        rounds = [(it.name, it.round_to) for it in win_items
+                  if it.round_to is not None]
+
+        def finish_range(batch: pa.Table) -> pa.Table:
+            for src, alias in win_map:
+                if alias not in batch.schema.names:
+                    batch = batch.append_column(alias, batch[src])
+            for col, alias in renames:
+                if alias not in batch.schema.names:
+                    batch = batch.append_column(alias, batch[col])
+            for name, nd in rounds:
+                i = batch.schema.get_field_index(name)
+                batch = batch.set_column(
+                    i, name, pc.round(pc.cast(batch[name], pa.float64()),
+                                      ndigits=nd, **_ROUND))
+            return batch.select(sel)
+
+        out = out.map_batches(finish_range, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        if plan.order_by:
+            out = out.sort([c for c, _ in plan.order_by],
+                           descending=[d for _, d in plan.order_by])
+        if plan.limit is not None:
+            out = out.limit(plan.limit)
+        return out
     if explain is not None:
         frame_note = ("ANSI default RANGE framing: peers share frame "
                       "results" if frame is None else
