@@ -10,11 +10,12 @@ skew strategy are caller-visible knobs.
 Constraints (documented, checked):
 - column names of the two sides must be disjoint (TPC-H-style prefixes);
 - a single bucket must fit in one task's memory → size B so
-  max(side bytes)/B is a few hundred MB; salt hot KEYS into sub-buckets
-  by raising B (bucket id is derived from the key hash, so a single hot
-  key still lands in one bucket — for pathological single-key skew use a
-  broadcast join on the small side instead, query.semi_join_bloom /
-  the nation-lookup pattern in entry_queries).
+  max(side bytes)/B is a few hundred MB. Bucket id derives from the key
+  hash, so a single hot key lands its whole row set in one bucket; pass
+  ``hash_join(..., salt=N)`` to round-robin the LEFT side's rows over N
+  sub-buckets (the right side replicates into all N) — or use a
+  broadcast join when the small side fits memory (broadcast_expand_join
+  / query.semi_join_bloom / the nation-lookup pattern).
 
 Small-side joins should use the broadcast pattern instead (no shuffle):
 see entry_queries.q_customer_nations.
@@ -55,7 +56,8 @@ def _tag(side: str, on: str, buckets: int, all_cols: list[str]):
 
 
 def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
-              how: str = "inner", left_schema=None, right_schema=None):
+              how: str = "inner", left_schema=None, right_schema=None,
+              salt: int = 1):
     """Bucketed hash join of two Datasets → Dataset of joined rows.
 
     One groupby shuffle total; each bucket joins via pandas merge in a
@@ -67,7 +69,23 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
     ``Dataset.schema()`` on a lazy shuffle output EXECUTES the upstream
     plan at build time and then re-runs it on consumption — a chained
     join pays every upstream shuffle twice without this.
-    """
+
+    ``salt``: hot-KEY skew escape hatch. The bucket id derives from the
+    key hash, so a single hot key normally lands its entire row set in
+    ONE bucket/task. With ``salt=N`` every left row scatters round-robin
+    into one of N sub-buckets of its key bucket (per-batch ``arange % N``
+    — any assignment is correct, each left row still meets the full
+    right key group) and every RIGHT row replicates into all N, so the
+    per-task left volume drops N× at the cost of N× the right side's
+    shuffle bytes. Use when the LEFT side is the large skewed one and
+    the right side is modest. Valid for how="inner"/"left" (a salted
+    right side would emit unmatched right rows N times)."""
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    if salt > 1 and how not in ("inner", "left"):
+        raise ValueError(f"salt > 1 supports how='inner'/'left' only "
+                         f"(got {how!r}): replicated right rows would "
+                         "duplicate right-preserved output")
     lschema = left_schema if left_schema is not None else left.schema()
     rschema = right_schema if right_schema is not None else right.schema()
     if lschema is None or rschema is None:
@@ -96,10 +114,18 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
     all_cols = [(n, _arrow_type(t))
                 for n, t in list(zip(lschema.names, lschema.types))
                 + list(zip(rschema.names, rschema.types))]
-    lt = left.map_batches(_tag("l", left_on, buckets, all_cols),
-                          batch_format="pyarrow", zero_copy_batch=True)
-    rt = right.map_batches(_tag("r", right_on, buckets, all_cols),
-                           batch_format="pyarrow", zero_copy_batch=True)
+    if salt == 1:
+        lt = left.map_batches(_tag("l", left_on, buckets, all_cols),
+                              batch_format="pyarrow", zero_copy_batch=True)
+        rt = right.map_batches(_tag("r", right_on, buckets, all_cols),
+                               batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        lt = left.map_batches(
+            _tag_salted_left(left_on, buckets, salt, all_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
+        rt = right.map_batches(
+            _tag_replicated_right(right_on, buckets, salt, all_cols),
+            batch_format="pyarrow", zero_copy_batch=True)
     unioned = lt.union(rt)
 
     lcols = list(lschema.names)
@@ -136,6 +162,54 @@ def hash_join(left, right, left_on: str, right_on: str, buckets: int = 32,
 
     return unioned.groupby("_bucket").map_groups(join_bucket,
                                                  batch_format="pyarrow")
+
+
+def _tag_salted_left(on: str, buckets: int, salt: int,
+                     all_cols: list[tuple]):
+    """Left-side tag for the salted join: ``_bucket = key_bucket * salt
+    + (arange % salt)`` — each left row lands in exactly ONE sub-bucket,
+    so a hot key's rows spread over ``salt`` tasks."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        base = (hash64(batch[on], seed=17)
+                % np.uint64(buckets)).astype(np.int64)
+        sub = np.arange(len(batch), dtype=np.int64) % salt
+        batch = batch.append_column("_bucket",
+                                    pa.array(base * salt + sub))
+        batch = batch.append_column(
+            "_side", pa.array(["l"] * len(batch), pa.string()))
+        for name, typ in all_cols:
+            if name not in batch.schema.names:
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+        return batch.select([n for n, _ in all_cols] + ["_bucket", "_side"])
+
+    return fn
+
+
+def _tag_replicated_right(on: str, buckets: int, salt: int,
+                          all_cols: list[tuple]):
+    """Right-side tag for the salted join: every row REPLICATES into all
+    ``salt`` sub-buckets of its key bucket, so each left sub-bucket sees
+    the full right key group."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        base = (hash64(batch[on], seed=17)
+                % np.uint64(buckets)).astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), salt)
+        sub = np.tile(np.arange(salt, dtype=np.int64), n)
+        batch = batch.take(pa.array(idx))
+        batch = batch.append_column(
+            "_bucket", pa.array(np.repeat(base, salt) * salt + sub))
+        batch = batch.append_column(
+            "_side", pa.array(["r"] * len(batch), pa.string()))
+        for name, typ in all_cols:
+            if name not in batch.schema.names:
+                batch = batch.append_column(name, pa.nulls(len(batch), typ))
+        return batch.select([n_ for n_, _ in all_cols] + ["_bucket",
+                                                          "_side"])
+
+    return fn
 
 
 def broadcast_expand_join(left, dim_tbl: pa.Table, left_on: str,
