@@ -1,0 +1,69 @@
+"""Round-5 grouped membership builds (TPC-H Q18 shape): ``IN (SELECT k
+FROM t [WHERE …] GROUP BY k HAVING agg_pred)`` executes the build side
+as a nested aggregate plan whose surviving keys feed the exact bucketed
+semi/anti join (or the Bloom probe)."""
+
+import duckdb
+import pandas.testing as pdt
+import pytest
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+Q18 = """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100"""
+
+
+def test_q18_grouped_membership_matches_duckdb(ray_session, sf_dir):
+    """Full Q18 vs DuckDB, bit-exact (SUM over integer-valued doubles is
+    order-independent); the explain trace shows the nested build plan."""
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    want = _canon(_duck(sf_dir, Q18))
+    mine = _canon(run_sql(Q18, sf_dir).to_pandas())
+    pdt.assert_frame_equal(mine, want, check_dtype=False)
+    trace = explain_sql(Q18, sf_dir)
+    assert "grouped build: GROUP BY l_orderkey HAVING" in trace
+    # the nested plan's own routing decisions are in the trace too
+    assert trace.count("GROUP BY ['l_orderkey']") == 1
+
+
+def test_grouped_membership_with_where_and_not_in(ray_session, sf_dir):
+    """WHERE + GROUP BY + HAVING compose inside the subquery, and NOT IN
+    takes the anti side of the same build."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT COUNT(*) AS n FROM orders
+      WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+        WHERE l_discount > 0.02
+        GROUP BY l_orderkey HAVING COUNT(*) >= 3)"""
+    want = _duck(sf_dir, sql)
+    mine = run_sql(sql, sf_dir).to_pandas()
+    pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_grouped_membership_group_key_must_match_select(ray_session):
+    from verdictray.sqlrouter import parse_sql
+
+    with pytest.raises(ValueError, match="GROUP BY column"):
+        parse_sql("SELECT o_orderkey FROM orders WHERE o_orderkey IN "
+                  "(SELECT l_orderkey FROM lineitem GROUP BY l_suppkey "
+                  "HAVING COUNT(*) > 1)")

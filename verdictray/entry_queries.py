@@ -2044,6 +2044,34 @@ def q_sql_tpch_q22(sf_dir: str):
     return run_sql(SQL_TPCH_Q22, sf_dir)
 
 
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_sql_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customer, threshold 250 so the result is
+    non-empty at test scales): a GROUPED membership build — ``IN (SELECT
+    l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity)
+    > 250)`` runs as a nested aggregate plan (pruned read, Arrow-hash
+    map-side combine, HAVING filter) whose surviving keys feed the exact
+    bucketed semi-join; the outer three-table join chain then aggregates
+    per order. SUM(l_quantity) is exact (integer-valued doubles).
+    o_orderkey tie-breaks the ORDER BY for a deterministic LIMIT."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q18, sf_dir)
+
+
 SQL_TPCH_Q2ISH = """
 SELECT c_custkey, o_orderkey, o_totalprice
 FROM orders JOIN customer ON c_custkey = o_custkey
@@ -4364,6 +4392,7 @@ QUERIES = {
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q17": q_sql_tpch_q17,
     "sql_tpch_q22": q_sql_tpch_q22,
+    "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
     "sql_global_quantile": q_sql_global_quantile,
@@ -4516,6 +4545,7 @@ ORACLES = {
     "sql_tpch_q16": SQL_TPCH_Q16,
     "sql_tpch_q17": SQL_TPCH_Q17_ORACLE,
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
+    "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
     "sql_global_quantile": SQL_GLOBAL_QUANTILE,
@@ -4593,7 +4623,7 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
-    "sql_global_quantile", "sql_range_frame",
+    "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",

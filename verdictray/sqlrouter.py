@@ -120,12 +120,17 @@ except membership ``IN (SELECT col FROM t)``):
           | col [NOT] LIKE 'pattern'             -- pc.match_like, SQL %/_
           | col IS [NOT] NULL
           | col [NOT] IN (literal, ...)
-          | col [NOT] IN (SELECT col FROM table [WHERE pred …])
+          | col [NOT] IN (SELECT col FROM table [WHERE pred …]
+                          [GROUP BY col HAVING agg_pred …])
                                                  -- semi/anti join; the
                                                  --   build-side WHERE
                                                  --   filters the pruned
                                                  --   build read (TPC-H
-                                                 --   Q4 shape)
+                                                 --   Q4 shape); GROUP BY
+                                                 --   … HAVING runs the
+                                                 --   build as a nested
+                                                 --   aggregate plan
+                                                 --   (TPC-H Q18 shape)
           | [NOT] EXISTS (SELECT … FROM t WHERE t_col = outer_col
                           [AND pred …])          -- rewritten to the
                                                  --   membership semi/anti
@@ -940,7 +945,7 @@ class _Parser:
         # probe column unknown until schemas resolve; op is rewritten to
         # in/not_in by _rewrite_correlated before any execution path
         return _Pred("", "not_exists" if negated else "exists",
-                     sub=(sub_table, None, sub_preds))
+                     sub=(sub_table, None, sub_preds, []))
 
     def pred(self) -> _Pred:
         left = self.expr_tree()
@@ -1027,9 +1032,33 @@ class _Parser:
                         if a.sub is not None:
                             raise ValueError("IN (SELECT …) subqueries "
                                              "do not nest")
+            sub_having: list = []
+            if self.kw("group"):
+                # grouped membership build (TPC-H Q18 shape):
+                #   IN (SELECT k FROM t [WHERE …] GROUP BY k
+                #       HAVING agg(x) > c)
+                # executes as a nested grouped-aggregate plan (pruned
+                # read, map-side combine, HAVING filter) whose surviving
+                # keys feed the semi/anti join
+                self.take()
+                self.expect("by")
+                gb_col = self.take()
+                if gb_col != sub_col:
+                    raise ValueError(
+                        f"IN (SELECT …) GROUP BY column {gb_col!r} must "
+                        f"equal the selected key {sub_col!r}")
+                if self.kw("having"):
+                    self.take()
+                    sub_having = _flatten_and(
+                        self._in_aggexpr(self.pred_or))
+                    for sp in sub_having:
+                        for a in _pred_atoms(sp):
+                            if a.sub is not None:
+                                raise ValueError("IN (SELECT …) "
+                                                 "subqueries do not nest")
             self.expect(")")
             return _Pred(col, "not_in" if negated else "in",
-                         sub=(sub_table, sub_col, sub_preds))
+                         sub=(sub_table, sub_col, sub_preds, sub_having))
         vals = [self.literal()]
         while self.peek() == ",":
             self.take()
@@ -1630,7 +1659,7 @@ def _rewrite_correlated(plan: "_Plan", sf_dir: str,
     new_where = []
     for p in plan.where:
         if p.op in ("exists", "not_exists"):
-            sub_table, _none, sub_preds = p.sub
+            sub_table, _none, sub_preds, _hav = p.sub
             split = _split_correlation(sub_table, sub_preds, sf_dir)
             if split is None:
                 raise ValueError(
@@ -1639,7 +1668,7 @@ def _rewrite_correlated(plan: "_Plan", sf_dir: str,
             inner_key, outer_key, build = split
             p.col = outer_key
             p.op = "in" if p.op == "exists" else "not_in"
-            p.sub = (sub_table, inner_key, build)
+            p.sub = (sub_table, inner_key, build, [])
             if explain is not None:
                 explain.append(
                     f"[NOT] EXISTS {sub_table} -> rewritten to "
@@ -2060,21 +2089,45 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
     for p in member:
-        sub_table, sub_col, sub_preds = p.sub
+        sub_table, sub_col, sub_preds, sub_having = p.sub
         kind = "ANTI" if p.op == "not_in" else "SEMI"
         filt_note = (f" [build WHERE {_fmt_preds(sub_preds)} -> "
                      "vectorized filter on the pruned build read]"
                      if sub_preds else "")
         build_cols = sorted({sub_col} | _pred_cols(sub_preds))
 
-        def _build():
-            b = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
-                                columns=build_cols)
-            if sub_preds:
-                b = b.map_batches(_scalar_filter_fn(sub_preds),
-                                  batch_format="pyarrow",
-                                  zero_copy_batch=True)
-            return b.select_columns([sub_col]) if sub_preds else b
+        if sub_having:
+            # grouped membership build (TPC-H Q18 shape): the build side
+            # is a full nested aggregate plan — pruned read, map-side
+            # combine, HAVING filter — whose surviving group keys feed
+            # the probe; the outer stream never joins the raw sub table
+            build_plan = _Plan(table=sub_table,
+                               items=[_Agg(fn="col", col=sub_col,
+                                           alias=sub_col)],
+                               where=list(sub_preds),
+                               group_by=[sub_col],
+                               having=list(sub_having))
+            _lift_having_aggs(build_plan)
+            filt_note = (f" [grouped build: GROUP BY {sub_col} HAVING "
+                         f"{_fmt_preds(sub_having)} runs as a nested "
+                         "aggregate plan; only surviving keys probe]")
+            _nested_opts = dict(join_buckets=join_buckets,
+                                max_broadcast_rows=max_broadcast_rows,
+                                approx_membership=approx_membership,
+                                bloom_capacity=bloom_capacity,
+                                bloom_fpp=bloom_fpp)
+
+            def _build(_bp=build_plan, _no=_nested_opts):
+                return run_sql("", sf_dir, _plan=_bp, **_no)
+        else:
+            def _build():
+                b = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
+                                    columns=build_cols)
+                if sub_preds:
+                    b = b.map_batches(_scalar_filter_fn(sub_preds),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                return b.select_columns([sub_col]) if sub_preds else b
 
         if approx_membership:
             if explain is not None:
@@ -2083,6 +2136,9 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                     f"{filt_note} -> Bloom probe (filter built once + "
                     f"broadcast to an actor pool, NO shuffle; "
                     f"fpp<={bloom_fpp}, zero false negatives)")
+                if sub_having:
+                    run_sql("", sf_dir, _plan=build_plan,
+                            explain=explain, **_nested_opts)
                 continue
             if p.op == "not_in":
                 from .query import anti_join_bloom as _bloom_join
@@ -2097,19 +2153,33 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                     f"{filt_note} -> exact bucketed semi/anti join "
                     "(build side collapses to per-bucket distinct keys; "
                     "key-only shuffle)")
+                if sub_having:
+                    run_sql("", sf_dir, _plan=build_plan,
+                            explain=explain, **_nested_opts)
                 continue
             from .join import semi_anti_join
 
             import pyarrow as pa
-            sub_type = dict(zip(
-                (s := pq.read_schema(f"{sf_dir}/{sub_table}.parquet")).names,
-                s.types))[sub_col]
-            ds = semi_anti_join(ds, _build(), p.col, sub_col,
+            if sub_having:
+                # the grouped build is group-count-sized; materialize it
+                # so the schema probe and the join consume one execution,
+                # and take the key type from the build's actual output
+                bds = _build().materialize()
+                rschema = pa.schema(
+                    [(sub_col, dict(zip((bs := bds.schema()).names,
+                                        bs.types))[sub_col])])
+            else:
+                bds = _build()
+                sub_type = dict(zip(
+                    (s := pq.read_schema(
+                        f"{sf_dir}/{sub_table}.parquet")).names,
+                    s.types))[sub_col]
+                rschema = pa.schema([(sub_col, sub_type)])
+            ds = semi_anti_join(ds, bds, p.col, sub_col,
                                 how="anti" if p.op == "not_in" else "semi",
                                 buckets=join_buckets,
                                 left_schema=_known_schema(cur_cols),
-                                right_schema=pa.schema([(sub_col,
-                                                         sub_type)]))
+                                right_schema=rschema)
 
     # -------------------- decorrelated scalar-subquery comparisons
     # each _CorrPred: grouped-aggregate build over the sub table (its own
