@@ -2044,6 +2044,52 @@ def q_sql_tpch_q22(sf_dir: str):
     return run_sql(SQL_TPCH_Q22, sf_dir)
 
 
+SQL_TPCH_Q5 = """
+SELECT n_name, MONEY_SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+SQL_TPCH_Q5_ORACLE = """
+SELECT n_name,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+      AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q_sql_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): a SIX-table join chain
+    (lineitem->orders->customer->supplier->nation->region). Every dim
+    passes the metadata broadcast gate, so the whole chain is zero
+    shuffles: pruned reads, owner-routed pushdown (the orders date
+    window and region name filter apply BELOW their joins), broadcast
+    pc.index_in enrich per dim. The non-chain join condition
+    ``c_nationkey = s_nationkey`` — Q5's signature — runs as one
+    vectorized column-to-column post-join filter. Exact integer cents."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q5, sf_dir)
+
+
 SQL_TPCH_Q18 = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        SUM(l_quantity) AS sum_qty
@@ -4392,6 +4438,7 @@ QUERIES = {
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q17": q_sql_tpch_q17,
     "sql_tpch_q22": q_sql_tpch_q22,
+    "sql_tpch_q5": q_sql_tpch_q5,
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -4545,6 +4592,7 @@ ORACLES = {
     "sql_tpch_q16": SQL_TPCH_Q16,
     "sql_tpch_q17": SQL_TPCH_Q17_ORACLE,
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
+    "sql_tpch_q5": SQL_TPCH_Q5_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -4624,6 +4672,7 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
+    "sql_tpch_q5",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
