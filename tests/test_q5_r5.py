@@ -28,3 +28,19 @@ def test_q5_six_table_chain_matches_duckdb(ray_session, sf01_dir):
     assert "BELOW the join" in trace
     assert "FILTER (after joins" in trace
     assert "c_nationkey = s_nationkey" in trace
+
+
+def test_q7ish_dual_nation_pipeline_matches_duckdb(ray_session, sf_dir):
+    """Q7 core shape — nation joined twice (supplier side + customer
+    side); Ray pipeline with two bucketed hash joins and broadcast
+    nation/supplier lookups vs the DuckDB self-join oracle."""
+    from verdictray.entry_queries import (SQL_TPCH_Q7ISH_ORACLE,
+                                          q_sql_tpch_q7ish)
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "supplier", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.sql(SQL_TPCH_Q7ISH_ORACLE).df()
+    mine = q_sql_tpch_q7ish(sf_dir).to_pandas()
+    assert len(mine) > 0
+    pdt.assert_frame_equal(mine, want, check_dtype=False)

@@ -2090,6 +2090,137 @@ def q_sql_tpch_q5(sf_dir: str):
     return run_sql(SQL_TPCH_Q5, sf_dir)
 
 
+def q_sql_tpch_q7ish(sf_dir: str):
+    """TPC-H Q7's core shape (cross-border shipping volume) — the nation
+    table participates TWICE (supplier's nation and customer's nation),
+    which the chain-based SQL router cannot alias; expressed directly as
+    a Ray Data pipeline instead. Plan: pruned lineitem read with the
+    shipdate window filtered vectorized + exact integer-cents volume
+    derived per row; two bucketed hash joins for the fact-fact edges
+    (orders, customer — the sides that grow with the data); the
+    supplier->nation and nation-name lookups are driver-composed tiny
+    dicts (1k + 25 rows) applied via dictionary-encode inside
+    map_batches (zero shuffle); one vectorized cross-border filter; Sum
+    of int64 cents per (supp_nation, cust_nation, year) — bit-exact."""
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pydict()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pydict()
+    supp_nation = {k: nname[v] for k, v in zip(supp["s_suppkey"],
+                                               supp["s_nationkey"])}
+
+    import datetime
+
+    t0 = datetime.datetime(1995, 1, 1)
+    t1 = datetime.datetime(1996, 12, 31)
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], pa.scalar(t0)),
+                    pc.less_equal(b["l_shipdate"], pa.scalar(t1)))
+        b = b.filter(m)
+        vol = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(vol, pa.scalar(100.0)),
+                                 ndigits=0, **_ROUND), pa.int64())
+        year = pc.year(b["l_shipdate"])
+        # supplier -> nation name via dictionary-encode: only the <=|S|
+        # distinct suppkeys in the batch touch Python
+        darr = pc.dictionary_encode(b["l_suppkey"])
+        chunks = []
+        for ch in (darr.chunks if isinstance(darr, pa.ChunkedArray)
+                   else [darr]):
+            dic = pa.array([supp_nation.get(k)
+                            for k in ch.dictionary.to_pylist()],
+                           pa.string())
+            chunks.append(pa.DictionaryArray.from_arrays(ch.indices, dic)
+                          .cast(pa.string()))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "supp_nation": pa.chunked_array(chunks) if chunks
+            else pa.array([], pa.string()),
+            "l_year": pc.cast(year, pa.int64()),
+            "volume_cents": cents,
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate"]).map_batches(prep, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                   left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                          ("supp_nation", pa.string()),
+                                          ("l_year", pa.int64()),
+                                          ("volume_cents", pa.int64())]),
+                   right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                           ("o_custkey", pa.int64())]))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(j1, cust, "o_custkey", "c_custkey",
+                   left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                          ("supp_nation", pa.string()),
+                                          ("l_year", pa.int64()),
+                                          ("volume_cents", pa.int64()),
+                                          ("o_orderkey", pa.int64()),
+                                          ("o_custkey", pa.int64())]),
+                   right_schema=pa.schema([("c_custkey", pa.int64()),
+                                           ("c_nationkey", pa.int64())]))
+
+    def cust_nation_and_filter(b: pa.Table) -> pa.Table:
+        darr = pc.dictionary_encode(b["c_nationkey"])
+        chunks = []
+        for ch in (darr.chunks if isinstance(darr, pa.ChunkedArray)
+                   else [darr]):
+            dic = pa.array([nname.get(k)
+                            for k in ch.dictionary.to_pylist()],
+                           pa.string())
+            chunks.append(pa.DictionaryArray.from_arrays(ch.indices, dic)
+                          .cast(pa.string()))
+        cn = (pa.chunked_array(chunks) if chunks
+              else pa.array([], pa.string()))
+        b = b.append_column("cust_nation", cn)
+        b = b.filter(pc.not_equal(b["supp_nation"], b["cust_nation"]))
+        return b.select(["supp_nation", "cust_nation", "l_year",
+                         "volume_cents"])
+
+    out = (j2.map_batches(cust_nation_and_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("volume_cents", alias_name="cents")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(b["cents"], pa.float64()),
+                        pa.scalar(100.0))
+        return pa.table({"supp_nation": b["supp_nation"],
+                         "cust_nation": b["cust_nation"],
+                         "l_year": b["l_year"],
+                         "revenue": rev})
+
+    return (out.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["supp_nation", "cust_nation", "l_year"]))
+
+
+SQL_TPCH_Q7ISH_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+         /100.0 AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 SQL_TPCH_Q18 = """
 SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
        SUM(l_quantity) AS sum_qty
@@ -4439,6 +4570,7 @@ QUERIES = {
     "sql_tpch_q17": q_sql_tpch_q17,
     "sql_tpch_q22": q_sql_tpch_q22,
     "sql_tpch_q5": q_sql_tpch_q5,
+    "sql_tpch_q7ish": q_sql_tpch_q7ish,
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -4593,6 +4725,7 @@ ORACLES = {
     "sql_tpch_q17": SQL_TPCH_Q17_ORACLE,
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
     "sql_tpch_q5": SQL_TPCH_Q5_ORACLE,
+    "sql_tpch_q7ish": SQL_TPCH_Q7ISH_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -4672,7 +4805,7 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
-    "sql_tpch_q5",
+    "sql_tpch_q5", "sql_tpch_q7ish",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
