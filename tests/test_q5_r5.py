@@ -44,3 +44,34 @@ def test_q7ish_dual_nation_pipeline_matches_duckdb(ray_session, sf_dir):
     mine = q_sql_tpch_q7ish(sf_dir).to_pandas()
     assert len(mine) > 0
     pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_q8ish_market_share_matches_duckdb(ray_session, sf01_dir):
+    """Q8 shape — customer nation routes to the region filter, supplier
+    nation is the share dimension; CASE-summed cents / summed cents."""
+    from verdictray.entry_queries import (SQL_TPCH_Q8ISH_ORACLE,
+                                          q_sql_tpch_q8ish)
+
+    con = duckdb.connect()
+    for t in ("orders", "customer", "lineitem", "supplier", "nation",
+              "region", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf01_dir}/{t}.parquet'")
+    want = con.sql(SQL_TPCH_Q8ISH_ORACLE).df()
+    mine = q_sql_tpch_q8ish(sf01_dir).to_pandas()
+    assert len(mine) == 2
+    pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_q15ish_top_supplier_matches_duckdb(ray_session, sf01_dir):
+    """Q15 shape — revenue view computed once, scalar MAX + equality on
+    the materialized supplier-count aggregate, names broadcast."""
+    from verdictray.entry_queries import (SQL_TPCH_Q15ISH_ORACLE,
+                                          q_sql_tpch_q15ish)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf01_dir}/{t}.parquet'")
+    want = con.sql(SQL_TPCH_Q15ISH_ORACLE).df()
+    mine = q_sql_tpch_q15ish(sf01_dir).to_pandas()
+    assert len(mine) >= 1
+    pdt.assert_frame_equal(mine, want, check_dtype=False)

@@ -2205,6 +2205,208 @@ def q_sql_tpch_q7ish(sf_dir: str):
             .sort(["supp_nation", "cust_nation", "l_year"]))
 
 
+def q_sql_tpch_q8ish(sf_dir: str):
+    """TPC-H Q8 (national market share, adapted to the driver tables):
+    nation participates twice — the CUSTOMER's nation routes through
+    region to the 'AMERICA' market filter, the SUPPLIER's nation is the
+    share dimension. Plan: pruned lineitem read with the p_type part
+    filter applied as a broadcast ``pc.is_in`` key-set (part is the
+    slowest-growing table) and the supplier nation attached via a
+    dictionary-encoded broadcast dict; orders pruned+date-filtered then
+    bucketed hash join; the AMERICA-customer restriction is an exact
+    bucketed SEMI join against the region-filtered customer keys
+    (key-only shuffle, no customer payload moves); share = CASE-summed
+    int64 cents / summed cents per year — both sums exact, one IEEE
+    division at the end."""
+    from ray.data.aggregate import Sum
+
+    from .join import hash_join, semi_anti_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pydict()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    nregion = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pydict()
+    rname = dict(zip(region["r_regionkey"], region["r_name"]))
+    america_nations = {k for k, r in nregion.items()
+                       if rname[r] == "AMERICA"}
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pydict()
+    supp_nation = {k: nname[v] for k, v in zip(supp["s_suppkey"],
+                                               supp["s_nationkey"])}
+    econ_parts = pa.array(
+        pq.read_table(f"{sf_dir}/part.parquet",
+                      columns=["p_partkey", "p_type"])
+        .filter(pc.equal(pc.field("p_type"), "ECONOMY"))["p_partkey"]
+        .combine_chunks(), pa.int64())
+
+    def prep_li(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=econ_parts))
+        vol = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        cents = pc.cast(pc.round(pc.multiply(vol, pa.scalar(100.0)),
+                                 ndigits=0, **_ROUND), pa.int64())
+        darr = pc.dictionary_encode(b["l_suppkey"])
+        chunks = []
+        for ch in (darr.chunks if isinstance(darr, pa.ChunkedArray)
+                   else [darr]):
+            dic = pa.array([supp_nation.get(k)
+                            for k in ch.dictionary.to_pylist()],
+                           pa.string())
+            chunks.append(pa.DictionaryArray.from_arrays(ch.indices, dic)
+                          .cast(pa.string()))
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "nation": pa.chunked_array(chunks) if chunks
+            else pa.array([], pa.string()),
+            "volume_cents": cents,
+        })
+
+    import datetime
+
+    t0 = datetime.datetime(1995, 1, 1)
+    t1 = datetime.datetime(1996, 12, 31)
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], pa.scalar(t0)),
+                    pc.less_equal(b["o_orderdate"], pa.scalar(t1)))
+        b = b.filter(m)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+        })
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+             "l_discount"]).map_batches(prep_li, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        prep_orders, batch_format="pyarrow", zero_copy_batch=True)
+    j1 = hash_join(li, orders, "l_orderkey", "o_orderkey",
+                   left_schema=pa.schema([("l_orderkey", pa.int64()),
+                                          ("nation", pa.string()),
+                                          ("volume_cents", pa.int64())]),
+                   right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                           ("o_custkey", pa.int64()),
+                                           ("o_year", pa.int64())]))
+
+    am = pa.array(sorted(america_nations), pa.int64())
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["c_nationkey"], value_set=am))
+        return b.select(["c_custkey"])
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_nationkey"]).map_batches(
+        cust_keys, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = semi_anti_join(
+        j1, cust, "o_custkey", "c_custkey", how="semi",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("nation", pa.string()),
+                               ("volume_cents", pa.int64()),
+                               ("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_year", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    def derive_share_cols(b: pa.Table) -> pa.Table:
+        tgt = pc.if_else(pc.equal(b["nation"], pa.scalar("NATION_1")),
+                         b["volume_cents"], pa.scalar(0, pa.int64()))
+        return pa.table({"o_year": b["o_year"],
+                         "nation_cents": tgt,
+                         "total_cents": b["volume_cents"]})
+
+    out = (j2.map_batches(derive_share_cols, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_year")
+           .aggregate(Sum("nation_cents", alias_name="nc"),
+                      Sum("total_cents", alias_name="tc")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        share = pc.divide(pc.cast(b["nc"], pa.float64()),
+                          pc.cast(b["tc"], pa.float64()))
+        return pa.table({"o_year": b["o_year"], "mkt_share": share})
+
+    return (out.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True).sort("o_year"))
+
+
+SQL_TPCH_Q8ISH_ORACLE = """
+SELECT o_year,
+  CAST(SUM(CASE WHEN nation = 'NATION_1' THEN cents ELSE 0 END)
+       AS DOUBLE) / CAST(SUM(cents) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+           AS cents,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1,
+       nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+    AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND p_type = 'ECONOMY') t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_sql_tpch_q15ish(sf_dir: str):
+    """TPC-H Q15 (top supplier): the revenue view runs ONCE as a
+    streaming grouped aggregate (router plan: pruned lineitem read with
+    the quarter window pushed into the scan, Arrow-hash map-side
+    combine, exact cents) and is materialized at supplier-count size;
+    the scalar MAX and the equality filter then run on that small
+    materialized Dataset — no second pass over lineitem — and supplier
+    names attach via a driver-broadcast dict (tiny)."""
+    from .sqlrouter import run_sql
+
+    rev = run_sql(
+        "SELECT l_suppkey, MONEY_SUM(l_extendedprice * (1 - l_discount))"
+        " AS total_revenue FROM lineitem"
+        " WHERE l_shipdate >= DATE '1996-01-01'"
+        " AND l_shipdate < DATE '1996-04-01'"
+        " GROUP BY l_suppkey", sf_dir).materialize()
+    top = rev.max("total_revenue")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pydict()
+    names = dict(zip(supp["s_suppkey"], supp["s_name"]))
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["total_revenue"], pa.scalar(top)))
+        return pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "s_name": pa.array([names.get(k)
+                                for k in b["l_suppkey"].to_pylist()],
+                               pa.string()),
+            "total_revenue": b["total_revenue"],
+        })
+
+    return (rev.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort("s_suppkey"))
+
+
+SQL_TPCH_Q15ISH_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 SQL_TPCH_Q7ISH_ORACLE = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -4571,6 +4773,8 @@ QUERIES = {
     "sql_tpch_q22": q_sql_tpch_q22,
     "sql_tpch_q5": q_sql_tpch_q5,
     "sql_tpch_q7ish": q_sql_tpch_q7ish,
+    "sql_tpch_q15ish": q_sql_tpch_q15ish,
+    "sql_tpch_q8ish": q_sql_tpch_q8ish,
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -4726,6 +4930,8 @@ ORACLES = {
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
     "sql_tpch_q5": SQL_TPCH_Q5_ORACLE,
     "sql_tpch_q7ish": SQL_TPCH_Q7ISH_ORACLE,
+    "sql_tpch_q15ish": SQL_TPCH_Q15ISH_ORACLE,
+    "sql_tpch_q8ish": SQL_TPCH_Q8ISH_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -4805,7 +5011,7 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
-    "sql_tpch_q5", "sql_tpch_q7ish",
+    "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
