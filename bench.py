@@ -177,6 +177,11 @@ def run_benchmarks() -> dict:
         timed("sql_tpch_q1", lambda: q_sql_tpch_q1(SF_DIR))
         # multi-join stressor: two bucketed hash joins + broadcast enrich
         timed("sql_tpch_q10", lambda: q_sql_tpch_q10(SF_DIR))
+        # grouped-membership stressor (r5): nested aggregate build feeding
+        # an exact semi join, then a three-table join chain + aggregate
+        from verdictray.entry_queries import q_sql_tpch_q18
+
+        timed("sql_tpch_q18", lambda: q_sql_tpch_q18(SF_DIR))
 
     ray.shutdown()
     return {

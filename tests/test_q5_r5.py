@@ -75,3 +75,18 @@ def test_q15ish_top_supplier_matches_duckdb(ray_session, sf01_dir):
     mine = q_sql_tpch_q15ish(sf01_dir).to_pandas()
     assert len(mine) >= 1
     pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_q9ish_profit_matches_duckdb(ray_session, sf_dir):
+    """Q9 shape — five-table chain, LIKE pushdown below the part join,
+    profit expression spanning three tables' columns, exact cents."""
+    from verdictray.entry_queries import (SQL_TPCH_Q9ISH_ORACLE,
+                                          q_sql_tpch_q9ish)
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "supplier", "nation", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.sql(SQL_TPCH_Q9ISH_ORACLE).df()
+    mine = q_sql_tpch_q9ish(sf_dir).to_pandas()
+    assert len(mine) > 0
+    pdt.assert_frame_equal(mine, want, check_dtype=False)

@@ -2205,6 +2205,47 @@ def q_sql_tpch_q7ish(sf_dir: str):
             .sort(["supp_nation", "cust_nation", "l_year"]))
 
 
+SQL_TPCH_Q9ISH = """
+SELECT n_name, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+  MONEY_SUM(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity)
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+SQL_TPCH_Q9ISH_ORACLE = """
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+  SUM(CAST(round((l_extendedprice*(1-l_discount)
+                  - p_retailprice*l_quantity)*100) AS BIGINT))/100.0
+    AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+def q_sql_tpch_q9ish(sf_dir: str):
+    """TPC-H Q9 (product-type profit, adapted: the driver tables have no
+    partsupp, so p_retailprice stands in for ps_supplycost): five-table
+    chain through the router — the p_name LIKE filter pushes below the
+    part join, the profit expression spans THREE tables' columns
+    (derived vectorized after the joins), exact integer-cents sum per
+    (nation, year), EXTRACT-derived group key."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q9ISH, sf_dir)
+
+
 def q_sql_tpch_q8ish(sf_dir: str):
     """TPC-H Q8 (national market share, adapted to the driver tables):
     nation participates twice — the CUSTOMER's nation routes through
@@ -4775,6 +4816,7 @@ QUERIES = {
     "sql_tpch_q7ish": q_sql_tpch_q7ish,
     "sql_tpch_q15ish": q_sql_tpch_q15ish,
     "sql_tpch_q8ish": q_sql_tpch_q8ish,
+    "sql_tpch_q9ish": q_sql_tpch_q9ish,
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -4932,6 +4974,7 @@ ORACLES = {
     "sql_tpch_q7ish": SQL_TPCH_Q7ISH_ORACLE,
     "sql_tpch_q15ish": SQL_TPCH_Q15ISH_ORACLE,
     "sql_tpch_q8ish": SQL_TPCH_Q8ISH_ORACLE,
+    "sql_tpch_q9ish": SQL_TPCH_Q9ISH_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5012,6 +5055,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",
+    "sql_tpch_q9ish",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
