@@ -67,3 +67,19 @@ def test_grouped_membership_group_key_must_match_select(ray_session):
         parse_sql("SELECT o_orderkey FROM orders WHERE o_orderkey IN "
                   "(SELECT l_orderkey FROM lineitem GROUP BY l_suppkey "
                   "HAVING COUNT(*) > 1)")
+
+
+def test_q21ish_double_grouped_membership(ray_session, sf_dir):
+    """Q21 shape — the correlated EXISTS/NOT EXISTS supplier-inequality
+    pair decomposed into one semi + one anti grouped COUNT(DISTINCT)
+    membership build; bit-exact vs DuckDB running the same SQL."""
+    from verdictray.entry_queries import (SQL_TPCH_Q21ISH,
+                                          q_sql_tpch_q21ish)
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.sql(SQL_TPCH_Q21ISH).df()
+    mine = q_sql_tpch_q21ish(sf_dir).to_pandas()
+    assert len(mine) > 0
+    pdt.assert_frame_equal(mine, want, check_dtype=False)

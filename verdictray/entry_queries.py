@@ -2492,6 +2492,39 @@ def q_sql_tpch_q18(sf_dir: str):
     return run_sql(SQL_TPCH_Q18, sf_dir)
 
 
+SQL_TPCH_Q21ISH = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F' AND l_shipdate >= DATE '1999-01-01'
+  AND l_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING COUNT(DISTINCT l_suppkey) >= 2)
+  AND l_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                         WHERE l_shipdate >= DATE '1999-01-01'
+                         GROUP BY l_orderkey
+                         HAVING COUNT(DISTINCT l_suppkey) >= 2)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+def q_sql_tpch_q21ish(sf_dir: str):
+    """TPC-H Q21 (waiting suppliers, adapted: 'late' = shipped in 1999+
+    since the driver lineitem has no receipt/commit dates). The original
+    correlated ``EXISTS (l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey
+    <> l1.l_suppkey)`` pair decomposes EXACTLY into grouped membership:
+    another-supplier-exists == the order has >= 2 distinct suppliers,
+    and no-OTHER-late-supplier (given l1 itself is late) == the order's
+    LATE lines have exactly one distinct supplier. Both run as nested
+    COUNT(DISTINCT) aggregate builds feeding one semi and one anti
+    bucketed join — no per-row correlation ever executes."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q21ISH, sf_dir)
+
+
 SQL_TPCH_Q2ISH = """
 SELECT c_custkey, o_orderkey, o_totalprice
 FROM orders JOIN customer ON c_custkey = o_custkey
@@ -4818,6 +4851,7 @@ QUERIES = {
     "sql_tpch_q8ish": q_sql_tpch_q8ish,
     "sql_tpch_q9ish": q_sql_tpch_q9ish,
     "sql_tpch_q18": q_sql_tpch_q18,
+    "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
     "sql_global_quantile": q_sql_global_quantile,
@@ -4976,6 +5010,7 @@ ORACLES = {
     "sql_tpch_q8ish": SQL_TPCH_Q8ISH_ORACLE,
     "sql_tpch_q9ish": SQL_TPCH_Q9ISH_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
+    "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
     "sql_global_quantile": SQL_GLOBAL_QUANTILE,
@@ -5055,7 +5090,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",
-    "sql_tpch_q9ish",
+    "sql_tpch_q9ish", "sql_tpch_q21ish",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
