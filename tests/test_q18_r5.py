@@ -83,3 +83,18 @@ def test_q21ish_double_grouped_membership(ray_session, sf_dir):
     mine = q_sql_tpch_q21ish(sf_dir).to_pandas()
     assert len(mine) > 0
     pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_q20ish_supplier_membership(ray_session, sf01_dir):
+    """Q20 shape — supplier fact scan + broadcast nation (filter below
+    the join) probing a grouped shipped-quantity membership build."""
+    from verdictray.entry_queries import (SQL_TPCH_Q20ISH,
+                                          q_sql_tpch_q20ish)
+
+    con = duckdb.connect()
+    for t in ("nation", "lineitem", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf01_dir}/{t}.parquet'")
+    want = con.sql(SQL_TPCH_Q20ISH).df()
+    mine = q_sql_tpch_q20ish(sf01_dir).to_pandas()
+    assert len(mine) > 0
+    pdt.assert_frame_equal(mine, want, check_dtype=False)

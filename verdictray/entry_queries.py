@@ -2492,6 +2492,32 @@ def q_sql_tpch_q18(sf_dir: str):
     return run_sql(SQL_TPCH_Q18, sf_dir)
 
 
+SQL_TPCH_Q20ISH = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM lineitem
+                    WHERE l_shipdate >= DATE '1996-01-01'
+                      AND l_shipdate < DATE '1997-01-01'
+                    GROUP BY l_suppkey
+                    HAVING SUM(l_quantity) > 2000)
+ORDER BY s_name
+"""
+
+
+def q_sql_tpch_q20ish(sf_dir: str):
+    """TPC-H Q20 (excess-inventory suppliers, adapted: no partsupp, so
+    the availability test becomes a shipped-quantity threshold): the
+    supplier fact scan joins nation (broadcast, name filter pushed below
+    the join) and probes a GROUPED membership build — per-supplier
+    SUM(l_quantity) over a one-year window, HAVING-thresholded — via
+    the exact bucketed semi join."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q20ISH, sf_dir)
+
+
 SQL_TPCH_Q21ISH = """
 SELECT s_name, COUNT(*) AS numwait
 FROM lineitem
@@ -4851,6 +4877,7 @@ QUERIES = {
     "sql_tpch_q8ish": q_sql_tpch_q8ish,
     "sql_tpch_q9ish": q_sql_tpch_q9ish,
     "sql_tpch_q18": q_sql_tpch_q18,
+    "sql_tpch_q20ish": q_sql_tpch_q20ish,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5010,6 +5037,7 @@ ORACLES = {
     "sql_tpch_q8ish": SQL_TPCH_Q8ISH_ORACLE,
     "sql_tpch_q9ish": SQL_TPCH_Q9ISH_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
+    "sql_tpch_q20ish": SQL_TPCH_Q20ISH,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5090,7 +5118,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",
-    "sql_tpch_q9ish", "sql_tpch_q21ish",
+    "sql_tpch_q9ish", "sql_tpch_q21ish", "sql_tpch_q20ish",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
