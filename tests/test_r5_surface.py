@@ -1,0 +1,171 @@
+"""Round-5 SQL-surface additions: GROUP BY ROLLUP, bare UNION (distinct),
+ORDER BY … NULLS FIRST/LAST, COALESCE/NULLIF, and null group keys through
+Ray's sort-based groupby (the null-safe key wrap)."""
+
+import duckdb
+import pandas as pd
+import pandas.testing as pdt
+import pytest
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "events", "lineitem", "nation"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _cmp_ordered(sf_dir, sql, oracle=None):
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql(sql, sf_dir).to_pandas().reset_index(drop=True)
+    ref = _duck(sf_dir, oracle or sql).reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+
+
+def test_rollup_matches_duckdb(ray_session, sf01_dir):
+    """ROLLUP levels (k1,k2) / (k1) / (): counts, exact cents, min/max and
+    AVG all re-derive from the finest partials; rolled-up keys are NULL
+    and sort first via the explicit NULLS FIRST."""
+    _cmp_ordered(sf01_dir, """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               MONEY_SUM(o_totalprice) AS total,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               AVG(o_totalprice) AS av
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """, oracle="""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS total,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+               AVG(o_totalprice) AS av
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """)
+
+
+def test_rollup_single_input_pass(ray_session, sf01_dir):
+    """Row-count identity: |ROLLUP(a,b)| == |group(a,b)| + |group(a)| + 1
+    (orders has no null keys, so levels never merge)."""
+    from verdictray.sqlrouter import run_sql
+
+    fine = run_sql("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+                   "FROM orders GROUP BY o_orderpriority, o_orderstatus",
+                   sf01_dir).count()
+    mid = run_sql("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+                  "GROUP BY o_orderpriority", sf01_dir).count()
+    roll = run_sql("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+                   "FROM orders GROUP BY ROLLUP (o_orderpriority, "
+                   "o_orderstatus)", sf01_dir).count()
+    assert roll == fine + mid + 1
+
+
+def test_rollup_rejects_non_decomposable(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="decomposable"):
+        run_sql("SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nd "
+                "FROM orders GROUP BY ROLLUP (o_orderstatus)", sf01_dir)
+
+
+def test_union_distinct_matches_duckdb(ray_session, sf01_dir):
+    _cmp_ordered(sf01_dir, """
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_totalprice > 200000
+        UNION
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_totalprice < 5000
+        ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
+def test_union_mixed_flavors_rejected():
+    from verdictray.sqlrouter import parse_sql
+
+    with pytest.raises(ValueError, match="mixing UNION ALL"):
+        parse_sql("SELECT a FROM t UNION ALL SELECT a FROM u "
+                  "UNION SELECT a FROM v")
+
+
+def test_nulls_first_last_scan(ray_session, sf01_dir):
+    """Plain-scan route: explicit NULLS FIRST/LAST adds the is-null
+    sentinel sort key; row order compared verbatim vs DuckDB."""
+    _cmp_ordered(sf01_dir, """
+        SELECT NULLIF(o_orderstatus, 'F') AS st, o_orderkey FROM orders
+        ORDER BY st NULLS FIRST, o_orderkey LIMIT 25
+    """)
+    _cmp_ordered(sf01_dir, """
+        SELECT NULLIF(o_orderstatus, 'O') AS st, o_orderkey FROM orders
+        ORDER BY st DESC NULLS LAST, o_orderkey DESC LIMIT 25
+    """)
+
+
+def test_null_group_key_aggregate(ray_session, sf01_dir):
+    """Null group keys survive Ray's sort-based groupby via the
+    (is-null, filled) key wrap and come back as SQL NULLs."""
+    _cmp_ordered(sf01_dir, """
+        SELECT NULLIF(o_orderstatus, 'F') AS st, COUNT(*) AS n,
+               MONEY_SUM(o_totalprice) AS total
+        FROM orders GROUP BY st ORDER BY st NULLS FIRST
+    """, oracle="""
+        SELECT NULLIF(o_orderstatus, 'F') AS st, COUNT(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS total
+        FROM orders GROUP BY st ORDER BY st NULLS FIRST
+    """)
+
+
+def test_intersect_matches_duckdb(ray_session, sf01_dir):
+    _cmp_ordered(sf01_dir, """
+        SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_totalprice < 10000
+        ORDER BY o_custkey
+    """)
+
+
+def test_except_chain_matches_duckdb(ray_session, sf01_dir):
+    """Left-associative A EXCEPT B EXCEPT C in one presence count."""
+    _cmp_ordered(sf01_dir, """
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        EXCEPT
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
+def test_set_op_nulls_compare_equal(ray_session, sf01_dir):
+    """SQL set semantics: NULL = NULL inside INTERSECT/EXCEPT."""
+    _cmp_ordered(sf01_dir, """
+        SELECT NULLIF(o_orderstatus, 'F') AS st FROM orders
+        INTERSECT
+        SELECT NULLIF(o_orderstatus, 'O') AS st FROM orders
+        ORDER BY st NULLS FIRST
+    """)
+
+
+def test_mixed_set_operators_rejected():
+    from verdictray.sqlrouter import parse_sql
+
+    with pytest.raises(ValueError, match="mixing set operators"):
+        parse_sql("SELECT a FROM t UNION SELECT a FROM u "
+                  "INTERSECT SELECT a FROM v")
+
+
+def test_coalesce_nullif_kernels(ray_session, sf01_dir):
+    _cmp_ordered(sf01_dir, """
+        SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+               COUNT(*) AS n
+        FROM orders GROUP BY st ORDER BY st
+    """)
+    # int/float promotion inside COALESCE, NULLIF on a numeric column
+    _cmp_ordered(sf01_dir, """
+        SELECT o_orderkey, COALESCE(NULLIF(o_custkey, 1), -1.5) AS p
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)

@@ -4791,6 +4791,150 @@ SELECT * FROM (VALUES
 """
 
 
+# ===================================================================
+# Round-5 surface additions: ROLLUP, UNION DISTINCT, NULLS FIRST/LAST,
+# COALESCE/NULLIF, null group keys (each runs VERBATIM in DuckDB except
+# where a *_ORACLE twin re-spells MONEY_SUM)
+# ===================================================================
+
+# GROUP BY ROLLUP: one distributed pass at the finest level, coarser
+# levels re-aggregate the group-count-sized partials (no second input
+# scan); rolled-up keys are NULL. Ordered with NULLS FIRST so the
+# super-aggregate rows lead deterministically on both engines.
+SQL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       MONEY_SUM(o_totalprice) AS total_price,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       AVG(o_totalprice) AS avg_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+SQL_ROLLUP_ORACLE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS total_price,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+       AVG(o_totalprice) AS avg_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+# bare UNION (distinct): per-block pre-dedup, then ONE distinct-rows
+# groupby across the two streaming parts
+SQL_UNION_DISTINCT = """
+SELECT o_orderstatus, o_orderpriority FROM orders
+WHERE o_totalprice > 200000
+UNION
+SELECT o_orderstatus, o_orderpriority FROM orders
+WHERE o_totalprice < 5000
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+# NULLIF derives a null-bearing group key (Ray's sort-based groupby
+# cannot compare None — the router wraps every key as an is-null bit +
+# null-filled value and reconstructs after the shuffle); COALESCE folds
+# the reconstructed null back for a second grouping level; ORDER BY ...
+# NULLS FIRST exercises the sentinel sort key
+SQL_NULL_GROUP_KEY = """
+SELECT NULLIF(o_orderstatus, 'F') AS st, COUNT(*) AS n_orders,
+       MONEY_SUM(o_totalprice) AS total_price
+FROM orders GROUP BY st
+ORDER BY st NULLS FIRST
+"""
+SQL_NULL_GROUP_KEY_ORACLE = """
+SELECT NULLIF(o_orderstatus, 'F') AS st, COUNT(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS total_price
+FROM orders GROUP BY st
+ORDER BY st NULLS FIRST
+"""
+
+SQL_COALESCE = """
+SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY st ORDER BY st
+"""
+
+# INTERSECT / EXCEPT: per-block Arrow pre-dedup + int side indicators,
+# ONE null-safe grouped presence count, vectorized membership filter —
+# SQL distinct set semantics (NULL keys compare equal)
+SQL_INTERSECT = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice < 10000
+ORDER BY o_custkey
+"""
+
+SQL_EXCEPT = """
+SELECT o_orderstatus, o_orderpriority FROM orders
+EXCEPT
+SELECT o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_orderstatus, o_orderpriority FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_sql_rollup(sf_dir: str):
+    """sqlrouter GROUP BY ROLLUP: finest grouped aggregate runs the ONE
+    distributed pass; each coarser level re-aggregates the materialized
+    group-count-sized partials (counts/cents re-summed, min/max re-merged,
+    AVG re-derived from its sum+count pair) — never a second input scan.
+    Rolled-up keys surface as SQL NULLs via the null-safe key wrap."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROLLUP, sf_dir)
+
+
+def q_sql_union_distinct(sf_dir: str):
+    """sqlrouter bare UNION: two streaming scans block-concatenate
+    (Dataset.union, no shuffle), then per-block Arrow pre-dedup feeds one
+    distinct-rows groupby — only each block's distinct rows enter the
+    exchange."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_UNION_DISTINCT, sf_dir)
+
+
+def q_sql_null_group_key(sf_dir: str):
+    """sqlrouter null group keys + ORDER BY NULLS FIRST: group keys are
+    wrapped as (is-null int8, null-filled value) before Ray's sort-based
+    groupby (which cannot compare None), reconstructed after; the sort
+    adds an is-null sentinel key so nulls lead."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_NULL_GROUP_KEY, sf_dir)
+
+
+def q_sql_coalesce(sf_dir: str):
+    """sqlrouter COALESCE/NULLIF scalar kernels (pc.coalesce / masked
+    if_else) composed as a derived group key."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_COALESCE, sf_dir)
+
+
+def q_sql_intersect(sf_dir: str):
+    """sqlrouter INTERSECT: both parts stream, pre-dedup per block with a
+    side-indicator column, then ONE grouped presence count keeps rows
+    present on every side."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_INTERSECT, sf_dir)
+
+
+def q_sql_except(sf_dir: str):
+    """sqlrouter EXCEPT chain (left-associative A-B-C): one grouped
+    presence count keeps rows on side 1 absent from every other side."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_EXCEPT, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -4878,6 +5022,12 @@ QUERIES = {
     "sql_tpch_q9ish": q_sql_tpch_q9ish,
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q20ish": q_sql_tpch_q20ish,
+    "sql_rollup": q_sql_rollup,
+    "sql_union_distinct": q_sql_union_distinct,
+    "sql_null_group_key": q_sql_null_group_key,
+    "sql_coalesce": q_sql_coalesce,
+    "sql_intersect": q_sql_intersect,
+    "sql_except": q_sql_except,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5038,6 +5188,12 @@ ORACLES = {
     "sql_tpch_q9ish": SQL_TPCH_Q9ISH_ORACLE,
     "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q20ish": SQL_TPCH_Q20ISH,
+    "sql_rollup": SQL_ROLLUP_ORACLE,
+    "sql_union_distinct": SQL_UNION_DISTINCT,
+    "sql_null_group_key": SQL_NULL_GROUP_KEY_ORACLE,
+    "sql_coalesce": SQL_COALESCE,
+    "sql_intersect": SQL_INTERSECT,
+    "sql_except": SQL_EXCEPT,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5115,6 +5271,8 @@ DRIVER_PRIORITY: list[str] = [
     "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
+    "sql_rollup", "sql_union_distinct", "sql_null_group_key",
+    "sql_coalesce", "sql_intersect", "sql_except",
     "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",

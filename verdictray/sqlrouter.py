@@ -7,11 +7,29 @@ Supported grammar (case-insensitive keywords; unqualified column names,
 unique across the joined tables — TPC-H-style prefixes; no subqueries
 except membership ``IN (SELECT col FROM t)``):
 
-    select_core ("UNION ALL" select_core)*     -- Dataset.union: block
-                                               --   concatenation, zero
-                                               --   shuffles; trailing
-                                               --   ORDER BY/LIMIT bind to
-                                               --   the whole union
+    select_core (set_op select_core)*
+    set_op := "UNION ALL" | "UNION" ["DISTINCT"]
+            | "INTERSECT" ["DISTINCT"] | "EXCEPT" ["DISTINCT"]
+                                               -- UNION ALL: Dataset.union
+                                               --   block concatenation,
+                                               --   zero shuffles. The
+                                               --   distinct set ops:
+                                               --   per-block Arrow
+                                               --   pre-dedup (+ side
+                                               --   indicators for
+                                               --   INTERSECT/EXCEPT) ->
+                                               --   ONE null-safe
+                                               --   distinct-rows groupby
+                                               --   -> vectorized
+                                               --   presence filter
+                                               --   (intersect: in every
+                                               --   side; except: in side
+                                               --   1 and no other —
+                                               --   left-assoc A-B-C).
+                                               --   Single-operator
+                                               --   chains only; trailing
+                                               --   ORDER BY/LIMIT bind
+                                               --   to the whole result
     [ORDER BY ...] [LIMIT n]
 
     select_core :=
@@ -30,9 +48,21 @@ except membership ``IN (SELECT col FROM t)``):
                                       --   Dataset consumed block-wise
          (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
-    [GROUP BY col ("," col)*]
+    [GROUP BY col ("," col)* | GROUP BY ROLLUP "(" col ("," col)* ")"]
+                                      -- ROLLUP: ONE distributed pass at
+                                      --   the finest level; coarser
+                                      --   levels re-aggregate the
+                                      --   group-count-sized partials
+                                      --   (decomposable exact aggs only;
+                                      --   rolled-up keys are NULL)
     [HAVING pred ("AND" pred)*]       -- aliases, keys, or agg calls
-    [ORDER BY col_or_position [ASC|DESC] ("," ...)*]
+    [ORDER BY col_or_position [ASC|DESC] [NULLS FIRST|LAST] ("," ...)*]
+                                      -- default null order: NULLS LAST
+                                      --   either direction (DuckDB's
+                                      --   default); explicit placement
+                                      --   adds an is-null sentinel sort
+                                      --   key (vectorized, dropped after
+                                      --   the sort)
     [LIMIT n]
 
     item := expr ["AS" alias]
@@ -99,6 +129,9 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   to even (DuckDB's
                                                  --   DOUBLE→BIGINT cast)
           | LOWER|UPPER|TRIM|LENGTH|ABS ( scalar )
+          | COALESCE ( scalar , scalar [, …] )   -- first non-null (SQL
+                                                 --   int/float promotion)
+          | NULLIF ( scalar , scalar )           -- null where equal
           | SUBSTR[ING] ( scalar , start [, len] )   -- 1-based, literal
                                                  --   start/len
           -- aggregate arguments and derived group keys; evaluated as ONE
@@ -234,7 +267,7 @@ _EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second"}
 # scalar string/numeric functions usable inside expressions — each maps to
 # one pyarrow.compute kernel (see _eval_expr)
 _SCALAR_FNS = {"lower", "upper", "length", "trim", "abs", "substr",
-               "substring"}
+               "substring", "coalesce", "nullif"}
 
 _CAST_TYPES = {"bigint": "int64", "int": "int64", "integer": "int64",
                "smallint": "int64", "double": "float64",
@@ -440,10 +473,24 @@ class _Plan:
     group_by: list = field(default_factory=list)
     having: list = field(default_factory=list)
     order_by: list = field(default_factory=list)   # (col, desc)
+    # explicit NULLS FIRST/LAST per ORDER BY column ("first" | "last");
+    # absent = engine default (nulls last, either direction — DuckDB's
+    # default_null_order)
+    order_nulls: dict = field(default_factory=dict)
     limit: int | None = None
     # further SELECT cores chained with UNION ALL; ORDER BY/LIMIT above
     # bind to the whole union (standard SQL)
     unions: list = field(default_factory=list)
+    # bare UNION / UNION DISTINCT: dedup the concatenated result (one
+    # distinct-rows shuffle, per-block pre-dedup first)
+    union_distinct: bool = False
+    # which set operator chains `unions`: "union_all" | "union" |
+    # "intersect" | "except" (single-operator chains only)
+    set_op: str | None = None
+    # GROUP BY ROLLUP(group_by…): ONE data pass at the finest level, then
+    # each coarser level re-aggregates the (group-count-sized) partial
+    # result — decomposable exact aggregates only
+    rollup: bool = False
     # inner _Plan when FROM is a derived table ``FROM (SELECT …) [AS] t``;
     # ``table`` then holds the alias and the inner plan executes as its
     # own streaming Dataset that the outer plan consumes block-wise
@@ -633,7 +680,8 @@ class _Parser:
             self.expect(")")
             if low == "substring":
                 low = "substr"
-            n_want = {"substr": (2, 3)}.get(low, (1, 1))
+            n_want = {"substr": (2, 3), "coalesce": (2, 16),
+                      "nullif": (2, 2)}.get(low, (1, 1))
             if not n_want[0] <= len(args) <= n_want[1]:
                 raise ValueError(f"{low} takes {n_want[0]}"
                                  f"{'-' + str(n_want[1]) if n_want[1] != n_want[0] else ''}"
@@ -1069,10 +1117,34 @@ class _Parser:
     # -------------------------------------------------------------- plan
     def parse(self) -> _Plan:
         plan = self._select_core()
-        while self.kw("union"):
-            self.take()
-            self.expect("all")
+        ops: list[str] = []
+        while self.kw("union", "intersect", "except"):
+            tok = self.take().lower()
+            if tok == "union":
+                if self.kw("all"):
+                    self.take()
+                    ops.append("union_all")
+                else:
+                    if self.kw("distinct"):
+                        self.take()
+                    ops.append("union")    # bare UNION = UNION DISTINCT
+            else:
+                if self.kw("all"):
+                    raise ValueError(f"{tok.upper()} ALL is not supported "
+                                     "(distinct set semantics only)")
+                if self.kw("distinct"):
+                    self.take()
+                ops.append(tok)
             plan.unions.append(self._select_core())
+        if len(set(ops)) > 1:
+            raise ValueError(
+                "mixing UNION ALL and UNION [DISTINCT] in one query is "
+                "not supported" if set(ops) <= {"union", "union_all"}
+                else "mixing set operators (UNION/INTERSECT/EXCEPT) in "
+                     "one query is not supported — single-operator "
+                     "chains only")
+        plan.set_op = ops[0] if ops else None
+        plan.union_distinct = plan.set_op == "union"
         # ORDER BY / LIMIT bind to the WHOLE union (standard SQL)
         self._order_limit(plan)
         if self.peek() is not None:
@@ -1097,6 +1169,13 @@ class _Parser:
                 desc = False
                 if self.kw("asc", "desc"):
                     desc = self.take().lower() == "desc"
+                if self.kw("nulls"):
+                    self.take()
+                    place = self.take().lower()
+                    if place not in ("first", "last"):
+                        raise ValueError("expected FIRST or LAST after "
+                                         f"NULLS, got {place!r}")
+                    plan.order_nulls[col] = place
                 plan.order_by.append((col, desc))
                 if self.peek() == ",":
                     self.take()
@@ -1162,6 +1241,21 @@ class _Parser:
         if self.kw("group"):
             self.take()
             self.expect("by")
+            if self.kw("rollup"):
+                # GROUP BY ROLLUP (a, b, …): hierarchical super-aggregate
+                # levels (a,b,…), (a,b), … (a), () — rolled-up keys NULL
+                self.take()
+                self.expect("(")
+                plan.rollup = True
+                plan.group_by.append(self.take())
+                while self.peek() == ",":
+                    self.take()
+                    plan.group_by.append(self.take())
+                self.expect(")")
+                if self.kw("having"):
+                    raise ValueError("HAVING does not combine with "
+                                     "GROUP BY ROLLUP in this router")
+                return plan
 
             def gb_key() -> str:
                 tok = self.take()
@@ -1427,6 +1521,14 @@ def _eval_expr(batch: pa.Table, e: tuple):
             start = e[2][1][1] - 1
             stop = (start + e[2][2][1]) if len(e[2]) > 2 else None
             return pc.utf8_slice_codeunits(args[0], start, stop)
+        if name == "coalesce":
+            # SQL type unification across branches (int+float → float64)
+            return pc.coalesce(*_unify_branch(args))
+        if name == "nullif":
+            a, b = _unify_branch(args)
+            # NULLIF(a, b): null where a = b (null compare → keep a)
+            eq = pc.fill_null(pc.equal(a, b), False)
+            return pc.if_else(eq, pa.scalar(None, type=a.type), a)
         raise ValueError(f"unknown scalar function {name!r}")
     if k == "case":
         whens, els = e[1], e[2]
@@ -2289,6 +2391,71 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
     return ds, schemas, per_table
 
 
+def _zero_like(t):
+    """A type-correct fill scalar for null group keys (the paired is-null
+    bit disambiguates it from real zeros/empties); None = unsupported
+    type, the key passes through unwrapped (pre-wrap crash behavior)."""
+    try:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.scalar("", type=t)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.scalar(b"", type=t)
+        if (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_boolean(t) or pa.types.is_timestamp(t)
+                or pa.types.is_date(t) or pa.types.is_time(t)
+                or pa.types.is_decimal(t)):
+            return pa.scalar(0, type=t)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OverflowError,
+            ValueError, TypeError):
+        pass
+    return None
+
+
+def _sort_with_nulls(out, order_by: list, order_nulls: dict,
+                     rename: dict | None = None):
+    """Global Dataset sort honoring explicit NULLS FIRST/LAST.
+
+    Ray Data's sort (Arrow sort_indices) places nulls at the end in either
+    direction — DuckDB's default — so when no explicit placement was
+    written this is a plain ``ds.sort``. An explicit placement adds a
+    derived is-null sentinel key IN FRONT of that column (int8, one
+    vectorized kernel; also makes the range-partitioned shuffle of null
+    rows deterministic), sorts on the widened key list, and drops the
+    sentinels. ``rename`` maps ORDER BY names to physical columns (the
+    plain-scan route sorts before its alias projection)."""
+    rename = rename or {}
+    keys: list[str] = []
+    desc: list[bool] = []
+    helpers: list[tuple[str, str]] = []
+    for c, d in order_by:
+        phys = rename.get(c, c)
+        place = order_nulls.get(c)
+        if place is not None:
+            h = f"_nulls_{phys}"
+            helpers.append((h, phys))
+            keys.append(h)
+            # is_null=1 first ⇒ sort the sentinel DESCENDING
+            desc.append(place == "first")
+        keys.append(phys)
+        desc.append(d)
+    if helpers:
+        def _add(b: pa.Table, _h=tuple(helpers)) -> pa.Table:
+            for name, src in _h:
+                b = b.append_column(
+                    name, pc.cast(pc.is_null(b[src]), pa.int8()))
+            return b
+
+        out = out.map_batches(_add, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = out.sort(keys, descending=desc)
+    if helpers:
+        out = out.map_batches(
+            lambda b, _h=tuple(h for h, _ in helpers): b.drop_columns(
+                list(_h)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return out
+
+
 def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             with_bounds: bool = False, approx_membership: bool = False,
             bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
@@ -2325,7 +2492,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         for i, p in enumerate(parts[1:], 2):
             names = [it.name for it in p.items]
             if names != names0:
-                raise ValueError(f"UNION ALL part {i} columns {names} "
+                raise ValueError(f"set-operation part {i} columns {names} "
                                  f"!= part 1 columns {names0}")
         opts = dict(hll_p=hll_p, kll_k=kll_k, with_bounds=with_bounds,
                     approx_membership=approx_membership,
@@ -2333,22 +2500,98 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                     join_buckets=join_buckets,
                     max_broadcast_rows=max_broadcast_rows,
                     cms_eps=cms_eps, cms_delta=cms_delta, explain=explain)
+        set_op = plan.set_op or "union_all"
         outs = []
         for i, p in enumerate(parts, 1):
             sub = dataclasses.replace(p, order_by=[], limit=None,
-                                      unions=[])
+                                      unions=[], set_op=None,
+                                      union_distinct=False)
             if explain is not None:
-                explain.append(f"UNION ALL part {i}/{len(parts)}:")
+                explain.append(f"{set_op.upper()} part {i}/{len(parts)}:")
             outs.append(run_sql(sql, sf_dir, _plan=sub, **opts))
         if explain is not None:
             explain.append(
-                f"UNION ALL -> Dataset.union of {len(parts)} streaming "
-                "parts (block concatenation, no shuffle)")
+                f"{set_op.upper()} -> Dataset.union of {len(parts)} "
+                "streaming parts (block concatenation, no shuffle)"
+                + ("" if set_op == "union_all" else
+                   "; then per-block Arrow pre-dedup "
+                   + ("+ side-indicator columns " if set_op != "union"
+                      else "")
+                   + "-> ONE null-safe distinct-rows groupby shuffle"
+                   + ("" if set_op == "union" else
+                      " -> vectorized presence filter")))
             return rd.from_items([])
-        out = outs[0].union(*outs[1:])
+        if set_op == "union_all":
+            out = outs[0].union(*outs[1:])
+        else:
+            # SQL set semantics (distinct rows; NULLs compare equal):
+            # each part pre-dedups per block and, for INTERSECT/EXCEPT,
+            # carries one int side-indicator column per part; ONE grouped
+            # presence count across the concatenation decides membership
+            # (intersect: present in every side; except: in side 0 and no
+            # other). Output columns ride the same null-safe (is-null,
+            # filled) key wrap the aggregate route uses — Ray's
+            # sort-based groupby cannot compare None.
+            from ray.data.aggregate import Count, Sum
+
+            side_cols = ([f"_s{j}" for j in range(len(outs))]
+                         if set_op != "union" else [])
+
+            def _tag_fn(idx: int):
+                def fn(b: pa.Table) -> pa.Table:
+                    b = b.group_by(names0).aggregate([])
+                    b = b.select(names0)
+                    for j, s in enumerate(side_cols):
+                        b = b.append_column(
+                            s, pa.chunked_array([pa.array(
+                                [1 if j == idx else 0] * b.num_rows,
+                                pa.int64())]))
+                    return b
+                return fn
+
+            tagged = [o.map_batches(_tag_fn(i), batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                      for i, o in enumerate(outs)]
+            allp = tagged[0].union(*tagged[1:])
+            gkp = [(c, f"_gkn_{c}", f"_gk_{c}") for c in names0]
+
+            def _wrap(b: pa.Table, _gk=tuple(gkp)) -> pa.Table:
+                for c, gkn, gkc in _gk:
+                    col = b[c]
+                    z = _zero_like(col.type)
+                    b = b.append_column(gkn, pc.cast(pc.is_null(col),
+                                                     pa.int8()))
+                    b = b.append_column(gkc, col if z is None
+                                        else pc.fill_null(col, z))
+                return b.drop_columns(list(names0))
+
+            allp = allp.map_batches(_wrap, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            group_cols = [c for _, gkn, gkc in gkp for c in (gkn, gkc)]
+            aggs_ = ([Sum(s, alias_name=s) for s in side_cols]
+                     or [Count(alias_name="_union_dn")])
+            grouped = allp.groupby(group_cols).aggregate(*aggs_)
+
+            def _present(b: pa.Table, _op=set_op,
+                         _gk=tuple(gkp)) -> pa.Table:
+                if _op != "union":
+                    m = pc.greater(b[side_cols[0]], 0)
+                    for s in side_cols[1:]:
+                        other = pc.greater(b[s], 0)
+                        m = (pc.and_(m, other) if _op == "intersect"
+                             else pc.and_(m, pc.invert(other)))
+                    b = b.filter(pc.fill_null(m, False))
+                for c, gkn, gkc in _gk:
+                    arr = b[gkc]
+                    b = b.append_column(
+                        c, pc.if_else(pc.cast(b[gkn], pa.bool_()),
+                                      pa.scalar(None, type=arr.type),
+                                      arr))
+                return b.select(names0)
+
+            out = grouped.map_batches(_present, batch_format="pyarrow")
         if plan.order_by:
-            out = out.sort([c for c, _ in plan.order_by],
-                           descending=[d for _, d in plan.order_by])
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -2464,8 +2707,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             alias_src = {it.alias: it.col for it in plan.items
                          if it.fn == "col" and it.alias
                          and it.col not in exprs}
-            ds = ds.sort([alias_src.get(c, c) for c, _ in plan.order_by],
-                         descending=[d for _, d in plan.order_by])
+            ds = _sort_with_nulls(ds, plan.order_by, plan.order_nulls,
+                                  rename=alias_src)
         if plan.limit is not None:
             ds = ds.limit(plan.limit)
 
@@ -2617,8 +2860,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
             out = grouped.map_batches(explode, batch_format="pyarrow")
             if plan.order_by:
-                out = out.sort([c for c, _ in plan.order_by],
-                               descending=[d for _, d in plan.order_by])
+                out = _sort_with_nulls(out, plan.order_by,
+                                       plan.order_nulls)
             if plan.limit is not None:
                 out = out.limit(plan.limit)
             return out
@@ -2709,8 +2952,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             out = rd.from_arrow(pa.table(
                 {c: row[c] for c in col_order}))
         if plan.order_by:
-            out = out.sort([c for c, _ in plan.order_by],
-                           descending=[d for _, d in plan.order_by])
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -2782,6 +3024,14 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                   and all(it.fn in _EXACT_KINDS and not it.distinct
                           for it in agg_items)
                   and _os.environ.get("VR_SQL_PRECOMBINE", "1") != "0")
+    if plan.rollup and not precombine:
+        raise ValueError(
+            "GROUP BY ROLLUP supports exact decomposable aggregates only "
+            "(COUNT/SUM/AVG/MIN/MAX/MONEY_SUM/MONEY_AVG, no DISTINCT) — "
+            "the coarser levels re-aggregate the finest level's partials")
+    if plan.rollup and plan.sub_from is not None:
+        raise ValueError("GROUP BY ROLLUP over a derived table is not "
+                         "supported (key types come from parquet schema)")
 
     if explain is not None:
         routes = {
@@ -2973,13 +3223,139 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     if plan.select_distinct and not aggs:
         # groupby needs ≥1 aggregate; the counter is dropped by finish()
         aggs.append(Count(alias_name="_distinct_n"))
+    # Ray's sort-based groupby shuffle cannot compare None keys ('<' on
+    # NoneType), so SQL's null group keys would crash. Wrap every key as
+    # (_gkn_k is-null int8, _gk_k null-filled value) — bijective with the
+    # original (the is-null bit disambiguates a real zero/'' from a filled
+    # null), nulls form one SQL-style group, and `finish` reconstructs the
+    # original column. Runs AFTER the map-side pre-combine, so the extra
+    # bytes ride only the already-combined distinct-row blocks.
+    gk_pairs: list[tuple[str, str, str]] = []   # (k, gkn, gk)
     if key_cols:
-        out = ds.groupby(key_cols).aggregate(*aggs)
+        gk_pairs = [(k, f"_gkn_{k}", f"_gk_{k}") for k in key_cols]
+
+        def _wrap_keys(b: pa.Table, _ks=tuple(gk_pairs)) -> pa.Table:
+            for k, gkn, gk in _ks:
+                col = b[k]
+                z = _zero_like(col.type)
+                b = b.append_column(gkn, pc.cast(pc.is_null(col),
+                                                 pa.int8()))
+                b = b.append_column(gk, col if z is None
+                                    else pc.fill_null(col, z))
+            return b
+
+        ds = ds.map_batches(_wrap_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        out = ds.groupby(
+            [c for _, gkn, gk in gk_pairs for c in (gkn, gk)]
+        ).aggregate(*aggs)
     else:
         row = ds.aggregate(*aggs)
         out = rd.from_items([row])
 
+    if plan.rollup:
+        # ROLLUP = ONE distributed pass over the data (the finest grouped
+        # aggregate above), then each coarser level re-aggregates the
+        # group-count-sized finest PARTIALS (counts/sums/cents/min/max are
+        # decomposable; AVG and MONEY_AVG re-sum their sum+count pairs) —
+        # never a second scan of the input. Rolled-up keys are NULL with
+        # their parquet-pinned types so the level union block-concatenates
+        # cleanly; `finish` below then runs once over the union.
+        import pyarrow.parquet as pq_
+
+        # the finest partials feed len(key_cols)+1 consumers; without this
+        # checkpoint each level would LAZILY re-run the whole input scan +
+        # shuffle. The materialized set is group-count-sized (aggregate
+        # output, not input) — the one place mid-pipeline materialization
+        # is the scale-correct choice.
+        out = out.materialize()
+        ktypes: dict = {}
+        for t in [plan.table] + [j[0] for j in plan.joins]:
+            s_ = pq_.read_schema(f"{sf_dir}/{t}.parquet")
+            ktypes.update((n, ty) for n, ty in zip(s_.names, s_.types)
+                          if n in key_cols)
+        missing_t = [k for k in key_cols if k not in ktypes]
+        if missing_t:
+            raise ValueError("GROUP BY ROLLUP keys must be plain table "
+                             f"columns, got derived {missing_t}")
+        reaggs, re_names = [], []
+        for it in agg_items:
+            name = it.name
+            if it.fn in ("count", "sum"):
+                reaggs.append(Sum(name, alias_name=name))
+                re_names.append(name)
+            elif it.fn == "min":
+                reaggs.append(Min(name, alias_name=name))
+                re_names.append(name)
+            elif it.fn == "max":
+                reaggs.append(Max(name, alias_name=name))
+                re_names.append(name)
+            elif it.fn == "money_sum":
+                reaggs.append(Sum(f"_cents_{name}",
+                                  alias_name=f"_cents_{name}"))
+                re_names.append(f"_cents_{name}")
+            elif it.fn == "money_avg":
+                reaggs.append(Sum(f"_cents_{name}",
+                                  alias_name=f"_cents_{name}"))
+                reaggs.append(Sum(f"_cnt_{name}",
+                                  alias_name=f"_cnt_{name}"))
+                re_names.extend([f"_cents_{name}", f"_cnt_{name}"])
+            else:                       # avg: re-sum the sum+count pair
+                reaggs.append(Sum(f"_avgs_{name}",
+                                  alias_name=f"_avgs_{name}"))
+                reaggs.append(Sum(f"_avgn_{name}",
+                                  alias_name=f"_avgn_{name}"))
+                re_names.extend([f"_avgs_{name}", f"_avgn_{name}"])
+        # the finest aggregate's key columns are the null-safe wrapped
+        # pairs; a rolled-up key is simply (_gkn=1, _gk=null) — `finish`
+        # reconstructs it as SQL NULL with no extra machinery
+        col_order = ([c for _, gkn, gk in gk_pairs for c in (gkn, gk)]
+                     + re_names)
+
+        def _level_fn(level_keys: tuple):
+            absent = tuple((gkn, gk, ktypes[k])
+                           for k, gkn, gk in gk_pairs
+                           if k not in level_keys)
+
+            def fn(b: pa.Table) -> pa.Table:
+                for gkn, gk, ty in absent:
+                    b = b.append_column(
+                        gkn, pa.chunked_array([pa.array(
+                            [1] * b.num_rows, pa.int8())]))
+                    b = b.append_column(gk, pa.nulls(b.num_rows, type=ty))
+                return b.select(col_order)
+            return fn
+
+        parts = [out.map_batches(_level_fn(tuple(key_cols)),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+        for n_keys in range(len(key_cols) - 1, -1, -1):
+            lv = key_cols[:n_keys]
+            if lv:
+                lvl = out.groupby(
+                    [c for k, gkn, gk in gk_pairs if k in lv
+                     for c in (gkn, gk)]).aggregate(*reaggs)
+            else:
+                grand = out.aggregate(*reaggs)
+                lvl = rd.from_arrow(pa.table(
+                    {n: pa.array([grand[n]]) for n in re_names}))
+            parts.append(lvl.map_batches(_level_fn(tuple(lv)),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True))
+        out = parts[0].union(*parts[1:])
+
     def finish(batch: pa.Table) -> pa.Table:
+        # reconstruct the original group-key columns from the null-safe
+        # (_gkn, _gk) wrap — a filled value with _gkn=1 (including every
+        # rolled-up ROLLUP key) becomes SQL NULL
+        for k, gkn, gk in gk_pairs:
+            if gk in batch.schema.names:
+                arr = batch[gk]
+                nul = pc.cast(batch[gkn], pa.bool_())
+                batch = batch.append_column(
+                    k, pc.if_else(nul, pa.scalar(None, type=arr.type),
+                                  arr))
+                batch = batch.drop_columns([gkn, gk])
         for name, phi, phis in posts:
             lst = batch[f"_kll_{name}"]
             vals = pc.list_element(lst, phis.index(phi))
@@ -3086,9 +3462,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     # -------------------------------------------------- order / limit
     if plan.order_by:
-        if len(plan.order_by) > 1:
-            out = out.sort([c for c, _ in plan.order_by],
-                           descending=[d for _, d in plan.order_by])
+        if plan.order_nulls or len(plan.order_by) > 1:
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
         else:
             c, d = plan.order_by[0]
             out = out.sort(c, descending=d)
@@ -3221,8 +3596,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         out = out.map_batches(finish_range, batch_format="pyarrow",
                               zero_copy_batch=True)
         if plan.order_by:
-            out = out.sort([c for c, _ in plan.order_by],
-                           descending=[d for _, d in plan.order_by])
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -3269,8 +3643,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     out = out.map_batches(finish, batch_format="pyarrow",
                           zero_copy_batch=True)
     if plan.order_by:
-        out = out.sort([c for c, _ in plan.order_by],
-                       descending=[d for _, d in plan.order_by])
+        out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
     if plan.limit is not None:
         out = out.limit(plan.limit)
     return out
