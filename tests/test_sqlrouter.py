@@ -919,7 +919,7 @@ def test_union_all_matches_duckdb(ray_session, sf01_dir):
         _duck(sf01_dir, sql), check_dtype=False)
 
     # mismatched column names across parts → loud
-    with pytest.raises(ValueError, match="UNION ALL part 2"):
+    with pytest.raises(ValueError, match="set-operation part 2"):
         run_sql("SELECT COUNT(*) AS a FROM orders UNION ALL "
                 "SELECT COUNT(*) AS b FROM customer", sf01_dir)
     # progressive refuses unions loudly
