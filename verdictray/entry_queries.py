@@ -2044,6 +2044,52 @@ def q_sql_tpch_q22(sf_dir: str):
     return run_sql(SQL_TPCH_Q22, sf_dir)
 
 
+SQL_TPCH_Q11ISH = """
+SELECT l_suppkey, MONEY_SUM(l_extendedprice * (1 - l_discount)) AS value
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 13
+GROUP BY l_suppkey
+HAVING MONEY_SUM(l_extendedprice * (1 - l_discount)) >
+       (SELECT MONEY_SUM(l_extendedprice * (1 - l_discount)) * 0.002
+               AS thresh
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 13)
+ORDER BY value DESC, l_suppkey ASC
+"""
+SQL_TPCH_Q11ISH_ORACLE = """
+SELECT l_suppkey,
+  SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+  AS value
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_nationkey < 13
+GROUP BY l_suppkey
+HAVING SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+       /100.0 >
+       (SELECT SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                        AS BIGINT))/100.0 * 0.002
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 13)
+ORDER BY value DESC, l_suppkey ASC
+"""
+
+
+def q_sql_tpch_q11ish(sf_dir: str):
+    """TPC-H Q11 shape (important-stock identification, adapted — the
+    synthetic schema has no partsupp, so per-supplier revenue share
+    stands in for per-part stock value): a grouped exact-cents aggregate
+    over a join whose HAVING compares the group sum against an
+    UNCORRELATED scalar subquery that itself carries a JOIN + WHERE (the
+    global total × fraction). The subquery streams first as its own plan
+    — one scalar crosses the driver and substitutes as a literal — and
+    the outer HAVING compiles to one vectorized filter. Closes the last
+    classic-TPC-H shape (correlation classifier is join-aware:
+    sqlrouter._split_correlation). No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q11ISH, sf_dir)
+
+
 SQL_TPCH_Q5 = """
 SELECT n_name, MONEY_SUM(l_extendedprice * (1 - l_discount)) AS revenue
 FROM lineitem
@@ -5014,6 +5060,7 @@ QUERIES = {
     "sql_tpch_q19": q_sql_tpch_q19,
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q17": q_sql_tpch_q17,
+    "sql_tpch_q11ish": q_sql_tpch_q11ish,
     "sql_tpch_q22": q_sql_tpch_q22,
     "sql_tpch_q5": q_sql_tpch_q5,
     "sql_tpch_q7ish": q_sql_tpch_q7ish,
@@ -5180,6 +5227,7 @@ ORACLES = {
     "sql_tpch_q19": SQL_TPCH_Q19_ORACLE,
     "sql_tpch_q16": SQL_TPCH_Q16,
     "sql_tpch_q17": SQL_TPCH_Q17_ORACLE,
+    "sql_tpch_q11ish": SQL_TPCH_Q11ISH_ORACLE,
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
     "sql_tpch_q5": SQL_TPCH_Q5_ORACLE,
     "sql_tpch_q7ish": SQL_TPCH_Q7ISH_ORACLE,
@@ -5273,7 +5321,8 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_rollup", "sql_union_distinct", "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",
-    "sql_tpch_q17", "sql_tpch_q22", "sql_tpch_q2ish", "sql_exists_semi",
+    "sql_tpch_q17", "sql_tpch_q11ish", "sql_tpch_q22", "sql_tpch_q2ish",
+    "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",
     "sql_tpch_q9ish", "sql_tpch_q21ish", "sql_tpch_q20ish",

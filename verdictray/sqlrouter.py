@@ -1680,16 +1680,21 @@ def _map_pred_subq(p: _Pred, repl) -> _Pred:
                                rexpr=_map_expr_subq(p.rexpr, repl))
 
 
-def _split_correlation(sub_table: str, sub_preds: list, sf_dir: str):
+def _split_correlation(sub_table: str, sub_preds: list, sf_dir: str,
+                       sub_joins: list = ()):
     """Classify a subquery's WHERE conjuncts against the sub table's
-    parquet schema: returns (inner_key, outer_key, build_preds) when
+    parquet schema (plus the schemas of the subquery's OWN joined
+    tables — a column the subquery attaches via JOIN is inner, not an
+    outer reference): returns (inner_key, outer_key, build_preds) when
     exactly one conjunct is a correlation equality ``sub_col = outer_col``
-    and every other conjunct touches only sub-table columns; returns None
+    and every other conjunct touches only sub-side columns; returns None
     when nothing references the outer scope (uncorrelated); raises on
     correlated shapes the planner cannot decorrelate."""
     import pyarrow.parquet as pq
 
     sub_cols = set(pq.read_schema(f"{sf_dir}/{sub_table}.parquet").names)
+    for j in sub_joins:
+        sub_cols |= set(pq.read_schema(f"{sf_dir}/{j[0]}.parquet").names)
     corr, build = [], []
     for p in sub_preds:
         cols = _pred_cols([p])
@@ -1752,7 +1757,8 @@ def _rewrite_correlated(plan: "_Plan", sf_dir: str,
                         continue
                     for s in subq_nodes(side):
                         if _split_correlation(s.table, s.where,
-                                              sf_dir) is not None:
+                                              sf_dir,
+                                              s.joins) is not None:
                             raise ValueError(
                                 "correlated scalar subqueries are only "
                                 "supported as top-level AND conjuncts in "
@@ -1801,7 +1807,8 @@ def _rewrite_correlated(plan: "_Plan", sf_dir: str,
                 whole = (p.rexpr if not flip else p.lexpr)
                 if whole is None or whole[0] != "subq":
                     continue
-                split = _split_correlation(s.table, s.where, sf_dir)
+                split = _split_correlation(s.table, s.where, sf_dir,
+                                           s.joins)
                 if split is None:
                     continue          # uncorrelated: resolved later
                 if s.group_by or s.unions or s.joins or len(s.items) != 1:
@@ -1832,7 +1839,8 @@ def _rewrite_correlated(plan: "_Plan", sf_dir: str,
             assert_uncorrelated(it.filter_pred, "FILTER (WHERE …)")
         if it.expr is not None:
             for s in subq_nodes(it.expr):
-                if _split_correlation(s.table, s.where, sf_dir) is not None:
+                if _split_correlation(s.table, s.where, sf_dir,
+                                      s.joins) is not None:
                     raise ValueError("correlated scalar subqueries are "
                                      "not supported in SELECT items")
 
