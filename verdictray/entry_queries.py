@@ -2090,6 +2090,44 @@ def q_sql_tpch_q11ish(sf_dir: str):
     return run_sql(SQL_TPCH_Q11ISH, sf_dir)
 
 
+SQL_CTE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         MONEY_SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) AS m FROM revenue)
+ORDER BY s_suppkey
+"""
+SQL_CTE_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+         /100.0 AS total_revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_sql_cte_q15(sf_dir: str):
+    """TPC-H Q15, VERBATIM shape — the revenue view as a CTE referenced
+    TWICE (join build + scalar-MAX subquery). The router materializes
+    the CTE once (streaming distributed write_parquet into a session
+    overlay that symlinks the base tables — the spool strategy for
+    multiply-referenced CTEs) and both references read the spool as a
+    plain table: the MAX resolves first as its own plan (one scalar
+    crosses the driver), the join broadcasts whichever side the
+    metadata gate picks. Exact integer cents. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_CTE_Q15, sf_dir)
+
+
 SQL_TPCH_Q5 = """
 SELECT n_name, MONEY_SUM(l_extendedprice * (1 - l_discount)) AS revenue
 FROM lineitem
@@ -5061,6 +5099,7 @@ QUERIES = {
     "sql_tpch_q16": q_sql_tpch_q16,
     "sql_tpch_q17": q_sql_tpch_q17,
     "sql_tpch_q11ish": q_sql_tpch_q11ish,
+    "sql_cte_q15": q_sql_cte_q15,
     "sql_tpch_q22": q_sql_tpch_q22,
     "sql_tpch_q5": q_sql_tpch_q5,
     "sql_tpch_q7ish": q_sql_tpch_q7ish,
@@ -5228,6 +5267,7 @@ ORACLES = {
     "sql_tpch_q16": SQL_TPCH_Q16,
     "sql_tpch_q17": SQL_TPCH_Q17_ORACLE,
     "sql_tpch_q11ish": SQL_TPCH_Q11ISH_ORACLE,
+    "sql_cte_q15": SQL_CTE_Q15_ORACLE,
     "sql_tpch_q22": SQL_TPCH_Q22_ORACLE,
     "sql_tpch_q5": SQL_TPCH_Q5_ORACLE,
     "sql_tpch_q7ish": SQL_TPCH_Q7ISH_ORACLE,
@@ -5321,7 +5361,8 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_rollup", "sql_union_distinct", "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",
-    "sql_tpch_q17", "sql_tpch_q11ish", "sql_tpch_q22", "sql_tpch_q2ish",
+    "sql_tpch_q17", "sql_tpch_q11ish", "sql_cte_q15", "sql_tpch_q22",
+    "sql_tpch_q2ish",
     "sql_exists_semi",
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",

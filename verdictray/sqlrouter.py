@@ -7,6 +7,24 @@ Supported grammar (case-insensitive keywords; unqualified column names,
 unique across the joined tables — TPC-H-style prefixes; no subqueries
 except membership ``IN (SELECT col FROM t)``):
 
+    [WITH name AS "(" query ")" ("," name2 AS "(" query2 ")")*]
+                                               -- CTEs: each body runs
+                                               --   ONCE as its own
+                                               --   streaming plan and
+                                               --   write_parquets
+                                               --   (distributed parts)
+                                               --   into a temp overlay
+                                               --   dir symlinking the
+                                               --   base tables; the
+                                               --   main query sees the
+                                               --   CTE as a plain table
+                                               --   in EVERY position
+                                               --   (FROM/JOIN/sub-
+                                               --   queries/EXISTS).
+                                               --   Later CTEs may
+                                               --   reference earlier
+                                               --   ones; a CTE may
+                                               --   shadow a base table
     select_core (set_op select_core)*
     set_op := "UNION ALL" | "UNION" ["DISTINCT"]
             | "INTERSECT" ["DISTINCT"] | "EXCEPT" ["DISTINCT"]
@@ -1692,9 +1710,9 @@ def _split_correlation(sub_table: str, sub_preds: list, sf_dir: str,
     correlated shapes the planner cannot decorrelate."""
     import pyarrow.parquet as pq
 
-    sub_cols = set(pq.read_schema(f"{sf_dir}/{sub_table}.parquet").names)
+    sub_cols = set(_table_schema(f"{sf_dir}/{sub_table}.parquet").names)
     for j in sub_joins:
-        sub_cols |= set(pq.read_schema(f"{sf_dir}/{j[0]}.parquet").names)
+        sub_cols |= set(_table_schema(f"{sf_dir}/{j[0]}.parquet").names)
     corr, build = [], []
     for p in sub_preds:
         cols = _pred_cols([p])
@@ -1905,6 +1923,36 @@ def _parquet_col_bytes(md, cols) -> int:
     return total
 
 
+def _table_parts(path: str) -> list:
+    """``{sf_dir}/{table}.parquet`` may be a single file (the driver
+    tables) or a DIRECTORY of parquet parts (a CTE materialized by
+    ``write_parquet``). Return the part file paths — metadata/schema
+    reads iterate these, ray.data.read_parquet takes ``path`` as-is."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise ValueError(f"no parquet parts under {path}")
+        return parts
+    return [path]
+
+
+def _table_schema(path: str):
+    """Arrow schema of a parquet file or part-directory (metadata-only)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_schema(_table_parts(path)[0])
+
+
+def _table_meta(path: str) -> list:
+    """FileMetaData per part — callers sum num_rows / column bytes."""
+    import pyarrow.parquet as pq
+
+    return [pq.read_metadata(p) for p in _table_parts(path)]
+
+
 def _first_row_group_unique(path: str, key: str) -> bool:
     """Cheap duplicate-join-key rejector: read ONE row group's key column
     (never the whole table). False PROVES duplicates — skip the broadcast
@@ -1913,7 +1961,7 @@ def _first_row_group_unique(path: str, key: str) -> bool:
     check runs on the table that is actually read for broadcasting."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    pf = pq.ParquetFile(_table_parts(path)[0])
     if pf.metadata.num_row_groups == 0:
         return True
     arr = pf.read_row_group(0, columns=[key])[key]
@@ -1942,7 +1990,7 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
     import ray.data as rd
 
     tables = [plan.table] + [j[0] for j in plan.joins]
-    pa_schemas = {t: pq.read_schema(f"{sf_dir}/{t}.parquet")
+    pa_schemas = {t: _table_schema(f"{sf_dir}/{t}.parquet")
                   for t in tables if sub is None or t != plan.table}
     schema_lists = {t: s.names for t, s in pa_schemas.items()}
     if sub is not None:
@@ -2084,9 +2132,9 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         read_cols = sorted(set(dim_keep) | _pred_cols(tbl_preds))
         dim_path = f"{sf_dir}/{tbl}.parquet"
         out_cols = [c for c in dim_keep if c != right_key]
-        md = pq.read_metadata(dim_path)
-        n_dim = md.num_rows
-        est_bytes = _parquet_col_bytes(md, read_cols)
+        mds = _table_meta(dim_path)
+        n_dim = sum(m.num_rows for m in mds)
+        est_bytes = sum(_parquet_col_bytes(m, read_cols) for m in mds)
         pred_note = (f" [WHERE {_fmt_preds(tbl_preds)} -> vectorized "
                      "filter on the pruned dim read, BELOW the join]"
                      if tbl_preds else "")
@@ -2281,7 +2329,7 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
             else:
                 bds = _build()
                 sub_type = dict(zip(
-                    (s := pq.read_schema(
+                    (s := _table_schema(
                         f"{sf_dir}/{sub_table}.parquet")).names,
                     s.types))[sub_col]
                 rschema = pa.schema([(sub_col, sub_type)])
@@ -2324,9 +2372,10 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                           bloom_fpp=bloom_fpp)
         cmp_pred = _Pred("", cp.op, lexpr=cp.outer_expr,
                          rexpr=("col", cv))
-        md = pq.read_metadata(f"{sf_dir}/{cp.sub_table}.parquet")
-        small = (md.num_rows <= max_broadcast_rows
-                 and _parquet_col_bytes(md, [cp.inner_key])
+        mds = _table_meta(f"{sf_dir}/{cp.sub_table}.parquet")
+        small = (sum(m.num_rows for m in mds) <= max_broadcast_rows
+                 and sum(_parquet_col_bytes(m, [cp.inner_key])
+                         for m in mds)
                  * 3 <= _MAX_BROADCAST_BYTES)
         if explain is not None:
             explain.append(
@@ -2464,6 +2513,99 @@ def _sort_with_nulls(out, order_by: list, order_nulls: dict,
     return out
 
 
+def _split_ctes(sql: str):
+    """Parse ``WITH name AS (body) [, name2 AS (body2)]* main`` at the
+    text level (single-quote-aware parenthesis matching — a CTE body is
+    any router-supported query text). Returns ([(name, body), …], main)."""
+    i = re.match(r"\s*WITH\s+", sql, re.I).end()
+    ctes = []
+    while True:
+        m = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(", sql[i:], re.I)
+        if not m:
+            raise ValueError("WITH: expected ``name AS ( select … )``")
+        name = m.group(1).lower()
+        j = i + m.end()
+        depth, k, instr = 1, j, False
+        while k < len(sql):
+            ch = sql[k]
+            if instr:
+                instr = ch != "'"
+            elif ch == "'":
+                instr = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            raise ValueError("WITH: unbalanced parentheses in CTE body")
+        if name in {n for n, _ in ctes}:
+            raise ValueError(f"WITH: duplicate CTE name {name!r}")
+        ctes.append((name, sql[j:k]))
+        i = k + 1
+        m2 = re.match(r"\s*,\s*", sql[i:])
+        if not m2:
+            break
+        i += m2.end()
+    return ctes, sql[i:]
+
+
+def _materialize_ctes(sql: str, sf_dir: str, opts: dict,
+                      explain: list | None):
+    """Execute a ``WITH`` prelude by materializing each CTE ONCE: the
+    body runs as its own streaming plan and ``write_parquet``s
+    (distributed, many part files — never a driver funnel) into a temp
+    OVERLAY directory that symlinks every base table; the main query and
+    any later CTE then run against the overlay, so a CTE is a
+    first-class table in EVERY position — FROM, JOIN, membership /
+    scalar subqueries, EXISTS, the correlation classifier. This is the
+    spool strategy engines use for multiply-referenced CTEs; a
+    single-use CTE pays one extra materialization vs inlining
+    (documented trade — the spool is columnar parquet with pruned reads
+    downstream). A CTE may shadow a base table and may reference earlier
+    CTEs (including its own nested WITH). Explain mode still EXECUTES
+    the CTE bodies (the main plan's metadata checks need their output
+    schemas on disk); only the main query stays plan-only."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    ctes, main = _split_ctes(sql)
+    overlay = tempfile.mkdtemp(prefix="vr_cte_")
+    for fn in os.listdir(sf_dir):
+        if fn.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, fn),
+                       os.path.join(overlay, fn))
+    for name, body in ctes:
+        if explain is not None:
+            explain.append(
+                f"CTE {name} -> materialized ONCE (streaming distributed "
+                "write_parquet into a session overlay); referenced below "
+                "as a plain table")
+        out = run_sql(body, overlay, **{**opts, "explain": None})
+        path = os.path.join(overlay, f"{name}.parquet")
+        if os.path.islink(path):
+            # the CTE shadows a base table: earlier CTEs (and this
+            # body, just executed) saw the base; from here on the name
+            # resolves to the spool — standard SQL WITH scoping
+            os.remove(path)
+        out.write_parquet(path)
+        import glob
+
+        if not glob.glob(os.path.join(path, "*.parquet")):
+            # empty CTE result: pin one zero-row part so downstream
+            # schema/metadata reads stay uniform
+            sch = out.schema()
+            pq.write_table(
+                pa.table({n: pa.array([], type=t)
+                          for n, t in zip(sch.names, sch.types)}),
+                os.path.join(path, "empty.parquet"))
+    return main, overlay
+
+
 def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             with_bounds: bool = False, approx_membership: bool = False,
             bloom_capacity: int = 1_000_000, bloom_fpp: float = 0.01,
@@ -2485,6 +2627,17 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     from .udaf import ExactDistinct, HllAgg, KllAgg
+
+    if _plan is None and re.match(r"\s*WITH\b", sql, re.I):
+        sql, sf_dir = _materialize_ctes(
+            sql, sf_dir,
+            dict(hll_p=hll_p, kll_k=kll_k, with_bounds=with_bounds,
+                 approx_membership=approx_membership,
+                 bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+                 join_buckets=join_buckets,
+                 max_broadcast_rows=max_broadcast_rows,
+                 cms_eps=cms_eps, cms_delta=cms_delta),
+            explain)
 
     plan = _plan if _plan is not None else parse_sql(sql)
 
@@ -3279,7 +3432,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         out = out.materialize()
         ktypes: dict = {}
         for t in [plan.table] + [j[0] for j in plan.joins]:
-            s_ = pq_.read_schema(f"{sf_dir}/{t}.parquet")
+            s_ = _table_schema(f"{sf_dir}/{t}.parquet")
             ktypes.update((n, ty) for n, ty in zip(s_.names, s_.types)
                           if n in key_cols)
         missing_t = [k for k in key_cols if k not in ktypes]
@@ -3985,7 +4138,7 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
     exprs = _register_exprs(plan, group_aliases=False)
 
     path = f"{sf_dir}/{plan.table}.parquet"
-    rows_total = pq.read_metadata(path).num_rows
+    rows_total = sum(m.num_rows for m in _table_meta(path))
     derived = set(exprs)
     needed = {it.col for it in items
               if it.col is not None and it.col not in derived}
