@@ -2115,7 +2115,161 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
     # but not its key column (it equals the fact key on every surviving
     # row) — later stages referencing the dim key use the fact equivalent
     key_eq: dict = {}
+    def _apply_membership(ds, p):
+        """One membership semi/anti join (or Bloom probe), applied at the
+        earliest chain position where the probe column exists — an
+        AND-conjunct row filter commutes with the remaining inner/left
+        joins, so probing early shrinks every later join's input."""
+        sub_table, sub_col, sub_preds, sub_having = p.sub
+        kind = "ANTI" if p.op == "not_in" else "SEMI"
+        filt_note = (f" [build WHERE {_fmt_preds(sub_preds)} -> "
+                     "vectorized filter on the pruned build read]"
+                     if sub_preds else "")
+        build_cols = sorted({sub_col} | _pred_cols(sub_preds))
+
+        if sub_having:
+            # grouped membership build (TPC-H Q18 shape): the build side
+            # is a full nested aggregate plan — pruned read, map-side
+            # combine, HAVING filter — whose surviving group keys feed
+            # the probe; the outer stream never joins the raw sub table
+            build_plan = _Plan(table=sub_table,
+                               items=[_Agg(fn="col", col=sub_col,
+                                           alias=sub_col)],
+                               where=list(sub_preds),
+                               group_by=[sub_col],
+                               having=list(sub_having))
+            _lift_having_aggs(build_plan)
+            filt_note = (f" [grouped build: GROUP BY {sub_col} HAVING "
+                         f"{_fmt_preds(sub_having)} runs as a nested "
+                         "aggregate plan; only surviving keys probe]")
+            _nested_opts = dict(join_buckets=join_buckets,
+                                max_broadcast_rows=max_broadcast_rows,
+                                approx_membership=approx_membership,
+                                bloom_capacity=bloom_capacity,
+                                bloom_fpp=bloom_fpp)
+
+            def _build(_bp=build_plan, _no=_nested_opts):
+                return run_sql("", sf_dir, _plan=_bp, **_no)
+        else:
+            def _build():
+                b = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
+                                    columns=build_cols)
+                if sub_preds:
+                    b = b.map_batches(_scalar_filter_fn(sub_preds),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                return b.select_columns([sub_col]) if sub_preds else b
+
+        if approx_membership:
+            if explain is not None:
+                explain.append(
+                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col}"
+                    f"{filt_note} -> Bloom probe (filter built once + "
+                    f"broadcast to an actor pool, NO shuffle; "
+                    f"fpp<={bloom_fpp}, zero false negatives)")
+                if sub_having:
+                    run_sql("", sf_dir, _plan=build_plan,
+                            explain=explain, **_nested_opts)
+                return ds
+            if p.op == "not_in":
+                from .query import anti_join_bloom as _bloom_join
+            else:
+                from .query import semi_join_bloom as _bloom_join
+            pcol = (p.col if p.col in cur_cols
+                    else key_eq.get(p.col, p.col))
+            ds = _bloom_join(ds, _build(), pcol, sub_col,
+                             capacity=bloom_capacity, fpp=bloom_fpp)
+        else:
+            if explain is not None:
+                explain.append(
+                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col}"
+                    f"{filt_note} -> exact bucketed semi/anti join "
+                    "(build side collapses to per-bucket distinct keys; "
+                    "key-only shuffle)")
+                if sub_having:
+                    run_sql("", sf_dir, _plan=build_plan,
+                            explain=explain, **_nested_opts)
+                return ds
+            from .join import semi_anti_join
+
+            import pyarrow as pa
+            if sub_having:
+                # the grouped build is group-count-sized; materialize it
+                # so the schema probe and the join consume one execution,
+                # and take the key type from the build's actual output
+                bds = _build().materialize()
+                if bds.count() <= max_broadcast_rows:
+                    # small surviving-key set (the TPC-H Q18 case): pull
+                    # the ONE narrow key column to the driver and filter
+                    # the probe stream with a vectorized pc.is_in — NO
+                    # probe-side shuffle at all. Exactly the broadcast
+                    # gate the enrich join uses; at 100 TB the probe
+                    # stream is the big side, so skipping its bucket
+                    # exchange is the win. Null build keys never match
+                    # (SQL IN); null probe keys are kept for NOT IN
+                    # (documented NOT EXISTS semantics).
+                    import ray as _ray
+                    ktabs = [t for t in _ray.get(
+                        bds.select_columns([sub_col]).to_arrow_refs())
+                        if t.num_rows]       # drop schemaless empties
+                    ktype = dict(zip((bs := bds.schema()).names,
+                                     bs.types))[sub_col]
+                    keys = (pa.concat_tables(ktabs)[sub_col]
+                            if ktabs else pa.chunked_array([], ktype))
+                    keys = pc.drop_null(keys.combine_chunks())
+                    pcol = (p.col if p.col in cur_cols
+                            else key_eq.get(p.col, p.col))
+                    anti = p.op == "not_in"
+
+                    def _bcast_probe(b: pa.Table, _k=keys, _c=pcol,
+                                     _anti=anti) -> pa.Table:
+                        m = pc.fill_null(
+                            pc.is_in(b[_c], value_set=_k), False)
+                        if _anti:
+                            m = pc.or_(pc.invert(m), pc.is_null(b[_c]))
+                        else:
+                            m = pc.and_(m, pc.is_valid(b[_c]))
+                        return b.filter(m)
+
+                    return ds.map_batches(_bcast_probe,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                rschema = pa.schema(
+                    [(sub_col, dict(zip((bs := bds.schema()).names,
+                                        bs.types))[sub_col])])
+            else:
+                bds = _build()
+                sub_type = dict(zip(
+                    (s := _table_schema(
+                        f"{sf_dir}/{sub_table}.parquet")).names,
+                    s.types))[sub_col]
+                rschema = pa.schema([(sub_col, sub_type)])
+            pcol = (p.col if p.col in cur_cols
+                    else key_eq.get(p.col, p.col))
+            ds = semi_anti_join(ds, bds, pcol, sub_col,
+                                how="anti" if p.op == "not_in" else "semi",
+                                buckets=join_buckets,
+                                left_schema=_known_schema(cur_cols),
+                                right_schema=rschema)
+        return ds
+
+    member_left = list(member)
+
+    def _apply_ready_members(ds):
+        """Apply every not-yet-applied membership whose probe column is
+        attached (directly, or via an inner-join key equivalence)."""
+        avail = set(cur_cols)
+        for p in list(member_left):
+            if p.col in avail or key_eq.get(p.col) in avail:
+                member_left.remove(p)
+                ds = _apply_membership(ds, p)
+        return ds
+
+
+    ds = _apply_ready_members(ds)   # fact-owned probe columns
+
     for tbl, a, b, how in plan.joins:
+        ds = _apply_ready_members(ds)  # probes readied by the previous join
         if b in schemas[tbl] and a in attached:
             left_key, right_key = a, b
         elif a in schemas[tbl] and b in attached:
@@ -2237,6 +2391,7 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                 t = col_type.get(c)
                 if t is not None and pa.types.is_integer(t):
                     col_type[c] = pa.int64()
+    ds = _apply_ready_members(ds)      # probes readied by the last join
     if post:
         if explain is not None:
             explain.append(
@@ -2246,98 +2401,11 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
             ds = ds.map_batches(_scalar_filter_fn(post),
                                 batch_format="pyarrow",
                                 zero_copy_batch=True)
-    for p in member:
-        sub_table, sub_col, sub_preds, sub_having = p.sub
-        kind = "ANTI" if p.op == "not_in" else "SEMI"
-        filt_note = (f" [build WHERE {_fmt_preds(sub_preds)} -> "
-                     "vectorized filter on the pruned build read]"
-                     if sub_preds else "")
-        build_cols = sorted({sub_col} | _pred_cols(sub_preds))
-
-        if sub_having:
-            # grouped membership build (TPC-H Q18 shape): the build side
-            # is a full nested aggregate plan — pruned read, map-side
-            # combine, HAVING filter — whose surviving group keys feed
-            # the probe; the outer stream never joins the raw sub table
-            build_plan = _Plan(table=sub_table,
-                               items=[_Agg(fn="col", col=sub_col,
-                                           alias=sub_col)],
-                               where=list(sub_preds),
-                               group_by=[sub_col],
-                               having=list(sub_having))
-            _lift_having_aggs(build_plan)
-            filt_note = (f" [grouped build: GROUP BY {sub_col} HAVING "
-                         f"{_fmt_preds(sub_having)} runs as a nested "
-                         "aggregate plan; only surviving keys probe]")
-            _nested_opts = dict(join_buckets=join_buckets,
-                                max_broadcast_rows=max_broadcast_rows,
-                                approx_membership=approx_membership,
-                                bloom_capacity=bloom_capacity,
-                                bloom_fpp=bloom_fpp)
-
-            def _build(_bp=build_plan, _no=_nested_opts):
-                return run_sql("", sf_dir, _plan=_bp, **_no)
-        else:
-            def _build():
-                b = rd.read_parquet(f"{sf_dir}/{sub_table}.parquet",
-                                    columns=build_cols)
-                if sub_preds:
-                    b = b.map_batches(_scalar_filter_fn(sub_preds),
-                                      batch_format="pyarrow",
-                                      zero_copy_batch=True)
-                return b.select_columns([sub_col]) if sub_preds else b
-
-        if approx_membership:
-            if explain is not None:
-                explain.append(
-                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col}"
-                    f"{filt_note} -> Bloom probe (filter built once + "
-                    f"broadcast to an actor pool, NO shuffle; "
-                    f"fpp<={bloom_fpp}, zero false negatives)")
-                if sub_having:
-                    run_sql("", sf_dir, _plan=build_plan,
-                            explain=explain, **_nested_opts)
-                continue
-            if p.op == "not_in":
-                from .query import anti_join_bloom as _bloom_join
-            else:
-                from .query import semi_join_bloom as _bloom_join
-            ds = _bloom_join(ds, _build(), p.col, sub_col,
-                             capacity=bloom_capacity, fpp=bloom_fpp)
-        else:
-            if explain is not None:
-                explain.append(
-                    f"MEMBERSHIP {p.col} {kind} {sub_table}.{sub_col}"
-                    f"{filt_note} -> exact bucketed semi/anti join "
-                    "(build side collapses to per-bucket distinct keys; "
-                    "key-only shuffle)")
-                if sub_having:
-                    run_sql("", sf_dir, _plan=build_plan,
-                            explain=explain, **_nested_opts)
-                continue
-            from .join import semi_anti_join
-
-            import pyarrow as pa
-            if sub_having:
-                # the grouped build is group-count-sized; materialize it
-                # so the schema probe and the join consume one execution,
-                # and take the key type from the build's actual output
-                bds = _build().materialize()
-                rschema = pa.schema(
-                    [(sub_col, dict(zip((bs := bds.schema()).names,
-                                        bs.types))[sub_col])])
-            else:
-                bds = _build()
-                sub_type = dict(zip(
-                    (s := _table_schema(
-                        f"{sf_dir}/{sub_table}.parquet")).names,
-                    s.types))[sub_col]
-                rschema = pa.schema([(sub_col, sub_type)])
-            ds = semi_anti_join(ds, bds, p.col, sub_col,
-                                how="anti" if p.op == "not_in" else "semi",
-                                buckets=join_buckets,
-                                left_schema=_known_schema(cur_cols),
-                                right_schema=rschema)
+    for p in member_left:
+        # leftovers whose probe column never attached: apply at the end
+        # (same loud failure mode as before the early-probe rewrite)
+        ds = _apply_membership(ds, p)
+    member_left = []
 
     # -------------------- decorrelated scalar-subquery comparisons
     # each _CorrPred: grouped-aggregate build over the sub table (its own
@@ -2511,6 +2579,55 @@ def _sort_with_nulls(out, order_by: list, order_nulls: dict,
                 list(_h)),
             batch_format="pyarrow", zero_copy_batch=True)
     return out
+
+
+def _bucketed_group_merge(ds, gk_pairs: list, specs: list, buckets: int):
+    """High-cardinality-safe exact grouped aggregate: ONE shuffle keyed
+    on a small int bucket (``hash64(keys) % B``) + a fully vectorized
+    Arrow hash aggregate per bucket. Ray's sort-based
+    ``groupby(keys).aggregate`` sorts and merge-reduces blocks×keys
+    partial rows BY KEY — measured 3.5–7× slower at 150k groups (sf0.1
+    lineitem/l_orderkey: 4.2–8.6 s vs 1.2 s) and no faster at 4 groups.
+    Input: the map-side pre-combined partials with wrapped group keys;
+    ``specs`` = (partial col, arrow merge fn, output alias). Output is
+    column-identical to the Ray aggregate route (wrapped keys + aliases).
+    Bucket skew is bounded: per-block pre-combine caps any single key at
+    n_blocks partial rows, so a bucket holds ≈ keys/B × blocks rows."""
+    import numpy as np
+
+    from .sketches.hashing import hash64
+
+    wrapped = [c for _, gkn, gk in gk_pairs for c in (gkn, gk)]
+    B = np.uint64(buckets)
+    FNV = np.uint64(1099511628211)
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = np.zeros(len(b), dtype=np.uint64)
+        for _, _gkn, gk in gk_pairs:
+            col = b[gk]
+            if (pa.types.is_temporal(col.type)
+                    or pa.types.is_boolean(col.type)):
+                col = pc.cast(col, pa.int64())
+            h = (h * FNV) ^ hash64(col, seed=23)
+        return b.append_column("_bkt",
+                               pa.array((h % B).astype(np.int64)))
+
+    agg_list = sorted({(pcol, fn) for pcol, fn, _ in specs})
+
+    def merge(g: pa.Table, _wr=tuple(wrapped),
+              _al=tuple(agg_list),
+              _sp=tuple(specs)) -> pa.Table:
+        o = g.group_by(list(_wr), use_threads=False).aggregate(list(_al))
+        cols: dict = {}
+        for w in _wr:
+            cols[w] = o[w]
+        for pcol, fn, alias in _sp:
+            cols[alias] = o[f"{pcol}_{fn}"]
+        return pa.table(cols)
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("_bkt").map_groups(merge, batch_format="pyarrow"))
 
 
 def _split_ctes(sql: str):
@@ -3251,39 +3368,43 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             arrow_specs[key] = f"_pc{len(arrow_specs)}"
         return arrow_specs[key]
 
+    # (partial column, arrow merge fn, output alias) — drives BOTH the
+    # Ray aggregate fallback and the bucketed Arrow hash-merge fast path
+    merge_specs: list[tuple] = []
+
+    def _padd(kind: str, pcol: str, alias: str) -> None:
+        merge_specs.append((pcol, kind, alias))
+        aggs.append({"sum": Sum, "min": Min,
+                     "max": Max}[kind](pcol, alias_name=alias))
+
     if precombine:
         for it in agg_items:
             name = it.name
             fcol = f"_flt_{name}" if it.filter_pred else it.col
             if it.fn == "count":
                 if it.filter_pred:      # 0/1 mask column: sum of sums
-                    aggs.append(Sum(_partial(fcol, "sum"),
-                                    alias_name=name))
+                    _padd("sum", _partial(fcol, "sum"), name)
                 elif it.col is None:
-                    aggs.append(Sum(_partial(None, "count_all"),
-                                    alias_name=name))
+                    _padd("sum", _partial(None, "count_all"), name)
                 else:
-                    aggs.append(Sum(_partial(it.col, "count"),
-                                    alias_name=name))
+                    _padd("sum", _partial(it.col, "count"), name)
             elif it.fn == "sum":
-                aggs.append(Sum(_partial(fcol, "sum"), alias_name=name))
+                _padd("sum", _partial(fcol, "sum"), name)
             elif it.fn == "money_sum":
-                aggs.append(Sum(_partial(f"_cents_{name}", "sum"),
-                                alias_name=f"_cents_{name}"))
+                _padd("sum", _partial(f"_cents_{name}", "sum"),
+                      f"_cents_{name}")
             elif it.fn == "money_avg":
-                aggs.append(Sum(_partial(f"_cents_{name}", "sum"),
-                                alias_name=f"_cents_{name}"))
-                aggs.append(Sum(_partial(f"_cents_{name}", "count"),
-                                alias_name=f"_cnt_{name}"))
+                _padd("sum", _partial(f"_cents_{name}", "sum"),
+                      f"_cents_{name}")
+                _padd("sum", _partial(f"_cents_{name}", "count"),
+                      f"_cnt_{name}")
             elif it.fn == "min":
-                aggs.append(Min(_partial(fcol, "min"), alias_name=name))
+                _padd("min", _partial(fcol, "min"), name)
             elif it.fn == "max":
-                aggs.append(Max(_partial(fcol, "max"), alias_name=name))
+                _padd("max", _partial(fcol, "max"), name)
             else:                        # avg = Sum(sums)/Sum(counts)
-                aggs.append(Sum(_partial(fcol, "sum"),
-                                alias_name=f"_avgs_{name}"))
-                aggs.append(Sum(_partial(fcol, "count"),
-                                alias_name=f"_avgn_{name}"))
+                _padd("sum", _partial(fcol, "sum"), f"_avgs_{name}")
+                _padd("sum", _partial(fcol, "count"), f"_avgn_{name}")
                 avg_div.append(name)
     for it in (() if precombine else agg_items):
         name = it.name
@@ -3407,9 +3528,15 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
         ds = ds.map_batches(_wrap_keys, batch_format="pyarrow",
                             zero_copy_batch=True)
-        out = ds.groupby(
-            [c for _, gkn, gk in gk_pairs for c in (gkn, gk)]
-        ).aggregate(*aggs)
+        if precombine and _os.environ.get("VR_SQL_BUCKETAGG", "1") != "0":
+            # exact decomposable aggs: bucketed Arrow hash merge — the
+            # shuffle sorts a small int instead of the full key tuple
+            out = _bucketed_group_merge(ds, gk_pairs, merge_specs,
+                                        buckets=join_buckets * 2)
+        else:
+            out = ds.groupby(
+                [c for _, gkn, gk in gk_pairs for c in (gkn, gk)]
+            ).aggregate(*aggs)
     else:
         row = ds.aggregate(*aggs)
         out = rd.from_items([row])
