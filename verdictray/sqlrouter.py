@@ -254,7 +254,18 @@ Routing:
   engine).
 - exact-only grouped aggregates PRE-COMBINE inside map_batches via
   Arrow's hash aggregate, so the wide groupby shuffles blocks×keys
-  partial rows instead of raw rows (VR_SQL_PRECOMBINE=0 disables).
+  partial rows instead of raw rows (VR_SQL_PRECOMBINE=0 disables), and
+  their merge runs as a BUCKETED Arrow hash aggregate — one shuffle
+  keyed on ``hash64(keys) % B`` (a small-int sort) + one vectorized
+  per-bucket combine — instead of Ray's sort-based groupby, which
+  merge-reduces the partial rows BY KEY (3.5–7× slower at 150k groups,
+  no faster at 4; VR_SQL_BUCKETAGG=0 reverts). Sketch/distinct
+  aggregates keep the Ray aggregate route (their merge is a UDAF).
+- membership semi/anti joins apply at the EARLIEST join-chain position
+  where the probe column exists (the AND-conjunct filter commutes with
+  the remaining inner/left joins), and a grouped membership build that
+  survives small broadcasts its key set — one vectorized ``pc.is_in``
+  per probe batch, NO probe-side shuffle.
 
 Scale: everything is a streaming Dataset pipeline — no driver-side row
 loops; ORDER BY runs on the (post-aggregate) result only.
