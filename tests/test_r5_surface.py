@@ -169,3 +169,39 @@ def test_coalesce_nullif_kernels(ray_session, sf01_dir):
         SELECT o_orderkey, COALESCE(NULLIF(o_custkey, 1), -1.5) AS p
         FROM orders ORDER BY o_orderkey LIMIT 10
     """)
+
+
+def test_cube_matches_duckdb(ray_session, sf01_dir):
+    """CUBE levels = all key subsets (a,b)/(a)/(b)/(); same one-pass
+    re-aggregation machinery as ROLLUP."""
+    _cmp_ordered(sf01_dir, """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               MONEY_SUM(o_totalprice) AS total, AVG(o_totalprice) AS av
+        FROM orders WHERE o_totalprice > 100000.0
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """, oracle="""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS total, AVG(o_totalprice) AS av
+        FROM orders WHERE o_totalprice > 100000.0
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """)
+
+
+def test_cube_level_count(ray_session, sf01_dir):
+    """|CUBE(a,b)| == |group(a,b)| + |group(a)| + |group(b)| + 1."""
+    from verdictray.sqlrouter import run_sql
+
+    fine = run_sql("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+                   "FROM orders GROUP BY o_orderpriority, o_orderstatus",
+                   sf01_dir).count()
+    a = run_sql("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+                "GROUP BY o_orderpriority", sf01_dir).count()
+    b = run_sql("SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+                "GROUP BY o_orderstatus", sf01_dir).count()
+    cube = run_sql("SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n "
+                   "FROM orders GROUP BY CUBE (o_orderpriority, "
+                   "o_orderstatus)", sf01_dir).count()
+    assert cube == fine + a + b + 1

@@ -4905,6 +4905,37 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_CUBE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       MONEY_SUM(o_totalprice) AS total_price,
+       AVG(o_totalprice) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+SQL_CUBE_ORACLE = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+           AS total_price,
+       AVG(o_totalprice) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q_sql_cube(sf_dir: str):
+    """GROUP BY CUBE through the SQL router: ONE distributed pass at the
+    finest level, then every key SUBSET (2^k levels) re-aggregates the
+    group-count-sized finest partials (counts/cents re-summed, AVG from
+    its sum+count pair) — never a second input scan. Rolled-up keys are
+    SQL NULL via the same null-safe key wrap ROLLUP uses. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_CUBE, sf_dir)
+
+
 # bare UNION (distinct): per-block pre-dedup, then ONE distinct-rows
 # groupby across the two streaming parts
 SQL_UNION_DISTINCT = """
@@ -5109,6 +5140,7 @@ QUERIES = {
     "sql_tpch_q18": q_sql_tpch_q18,
     "sql_tpch_q20ish": q_sql_tpch_q20ish,
     "sql_rollup": q_sql_rollup,
+    "sql_cube": q_sql_cube,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5277,6 +5309,7 @@ ORACLES = {
     "sql_tpch_q18": SQL_TPCH_Q18,
     "sql_tpch_q20ish": SQL_TPCH_Q20ISH,
     "sql_rollup": SQL_ROLLUP_ORACLE,
+    "sql_cube": SQL_CUBE_ORACLE,
     "sql_union_distinct": SQL_UNION_DISTINCT,
     "sql_null_group_key": SQL_NULL_GROUP_KEY_ORACLE,
     "sql_coalesce": SQL_COALESCE,
@@ -5359,7 +5392,8 @@ DRIVER_PRIORITY: list[str] = [
     "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
-    "sql_rollup", "sql_union_distinct", "sql_null_group_key",
+    "sql_rollup", "sql_cube", "sql_union_distinct",
+    "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",
     "sql_tpch_q17", "sql_tpch_q11ish", "sql_cte_q15", "sql_tpch_q22",
     "sql_tpch_q2ish",

@@ -66,13 +66,16 @@ except membership ``IN (SELECT col FROM t)``):
                                       --   Dataset consumed block-wise
          (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
-    [GROUP BY col ("," col)* | GROUP BY ROLLUP "(" col ("," col)* ")"]
+    [GROUP BY col ("," col)*
+     | GROUP BY ROLLUP|CUBE "(" col ("," col)* ")"]
                                       -- ROLLUP: ONE distributed pass at
                                       --   the finest level; coarser
                                       --   levels re-aggregate the
                                       --   group-count-sized partials
                                       --   (decomposable exact aggs only;
-                                      --   rolled-up keys are NULL)
+                                      --   rolled-up keys are NULL).
+                                      --   CUBE: same machinery, ALL 2^k
+                                      --   key subsets (k <= 8)
     [HAVING pred ("AND" pred)*]       -- aliases, keys, or agg calls
     [ORDER BY col_or_position [ASC|DESC] [NULLS FIRST|LAST] ("," ...)*]
                                       -- default null order: NULLS LAST
@@ -520,6 +523,9 @@ class _Plan:
     # each coarser level re-aggregates the (group-count-sized) partial
     # result — decomposable exact aggregates only
     rollup: bool = False
+    # GROUP BY CUBE(group_by…): same single-pass machinery as ROLLUP but
+    # the re-aggregated levels are ALL key subsets (2^k), not prefixes
+    cube: bool = False
     # inner _Plan when FROM is a derived table ``FROM (SELECT …) [AS] t``;
     # ``table`` then holds the alias and the inner plan executes as its
     # own streaming Dataset that the outer plan consumes block-wise
@@ -1270,9 +1276,13 @@ class _Parser:
         if self.kw("group"):
             self.take()
             self.expect("by")
-            if self.kw("rollup"):
+            if self.kw("rollup") or self.kw("cube"):
                 # GROUP BY ROLLUP (a, b, …): hierarchical super-aggregate
-                # levels (a,b,…), (a,b), … (a), () — rolled-up keys NULL
+                # levels (a,b,…), (a,b), … (a), () — rolled-up keys NULL.
+                # GROUP BY CUBE (a, b, …): ALL 2^k key subsets, same
+                # one-input-pass machinery (each level re-aggregates the
+                # finest level's group-count-sized partials)
+                plan.cube = self.kw("cube")
                 self.take()
                 self.expect("(")
                 plan.rollup = True
@@ -1281,9 +1291,13 @@ class _Parser:
                     self.take()
                     plan.group_by.append(self.take())
                 self.expect(")")
+                if plan.cube and len(plan.group_by) > 8:
+                    raise ValueError("GROUP BY CUBE supports at most 8 "
+                                     "keys (2^k super-aggregate levels)")
                 if self.kw("having"):
                     raise ValueError("HAVING does not combine with "
-                                     "GROUP BY ROLLUP in this router")
+                                     "GROUP BY ROLLUP/CUBE in this "
+                                     "router")
                 return plan
 
             def gb_key() -> str:
@@ -3628,8 +3642,15 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         parts = [out.map_batches(_level_fn(tuple(key_cols)),
                                  batch_format="pyarrow",
                                  zero_copy_batch=True)]
-        for n_keys in range(len(key_cols) - 1, -1, -1):
-            lv = key_cols[:n_keys]
+        if plan.cube:
+            from itertools import combinations
+            _levels = [list(c)
+                       for n in range(len(key_cols) - 1, -1, -1)
+                       for c in combinations(key_cols, n)]
+        else:
+            _levels = [key_cols[:n]
+                       for n in range(len(key_cols) - 1, -1, -1)]
+        for lv in _levels:
             if lv:
                 lvl = out.groupby(
                     [c for k, gkn, gk in gk_pairs if k in lv
