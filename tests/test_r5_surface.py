@@ -205,3 +205,30 @@ def test_cube_level_count(ray_session, sf01_dir):
                    "FROM orders GROUP BY CUBE (o_orderpriority, "
                    "o_orderstatus)", sf01_dir).count()
     assert cube == fine + a + b + 1
+
+
+def test_multi_window_specs_match_duckdb(ray_session, sf01_dir):
+    """Three DISTINCT window specs chain as three partitioned_window
+    passes on one streaming Dataset; bit-exact vs DuckDB."""
+    from verdictray.entry_queries import (SQL_MULTI_WINDOW,
+                                          q_sql_multi_window)
+    from verdictray.sqlrouter import explain_sql
+
+    mine = q_sql_multi_window(sf01_dir).to_pandas()
+    ref = _duck(sf01_dir, SQL_MULTI_WINDOW)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+    trace = explain_sql(SQL_MULTI_WINDOW, sf01_dir)
+    assert trace.count("WINDOW OVER") == 3
+
+
+def test_multi_window_range_frame_mix_raises(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="RANGE INTERVAL frame cannot"):
+        run_sql("""SELECT user_id,
+            SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS r,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts)
+                AS rn
+            FROM events""", sf01_dir)

@@ -500,9 +500,12 @@ def test_window_range_framing_ties_nulls_desc_match_duckdb(ray_session):
 def test_window_errors_are_loud(ray_session, sf01_dir):
     from verdictray.sqlrouter import run_sql, run_sql_progressive
 
-    with pytest.raises(ValueError, match="share one"):
-        run_sql("""SELECT RANK() OVER (PARTITION BY a ORDER BY b) AS r1,
-                   RANK() OVER (PARTITION BY c ORDER BY b) AS r2
+    # two DISTINCT specs are supported now (chained passes) — but an
+    # unknown column in a spec still fails loudly
+    with pytest.raises(ValueError, match="unknown column"):
+        run_sql("""SELECT RANK() OVER (PARTITION BY user_id ORDER BY ts)
+                   AS r1,
+                   RANK() OVER (PARTITION BY nope ORDER BY ts) AS r2
                    FROM events""", sf01_dir)
     with pytest.raises(ValueError, match="GROUP BY"):
         run_sql("""SELECT event_type, count(*) AS n,

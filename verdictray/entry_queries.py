@@ -4905,6 +4905,32 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_MULTI_WINDOW = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC) AS rn,
+  SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate) AS run_tot,
+  RANK() OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC) AS st_rank
+FROM orders WHERE o_totalprice > 150000.0
+ORDER BY o_orderkey LIMIT 5000
+"""
+
+
+def q_sql_multi_window(sf_dir: str):
+    """THREE distinct window specs in one query — each distinct
+    (PARTITION BY, ORDER BY, frame) spec runs as its own
+    window.partitioned_window pass (one hash-bucket shuffle appending
+    its columns, the rest streaming through), chained on one Dataset;
+    the shared scan phase (pushed-down WHERE) runs once before the
+    first pass. Bit-exact vs DuckDB (identical SQL text). No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_MULTI_WINDOW, sf_dir)
+
+
 SQL_CUBE = """
 SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
        MONEY_SUM(o_totalprice) AS total_price,
@@ -5141,6 +5167,7 @@ QUERIES = {
     "sql_tpch_q20ish": q_sql_tpch_q20ish,
     "sql_rollup": q_sql_rollup,
     "sql_cube": q_sql_cube,
+    "sql_multi_window": q_sql_multi_window,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5310,6 +5337,7 @@ ORACLES = {
     "sql_tpch_q20ish": SQL_TPCH_Q20ISH,
     "sql_rollup": SQL_ROLLUP_ORACLE,
     "sql_cube": SQL_CUBE_ORACLE,
+    "sql_multi_window": SQL_MULTI_WINDOW,
     "sql_union_distinct": SQL_UNION_DISTINCT,
     "sql_null_group_key": SQL_NULL_GROUP_KEY_ORACLE,
     "sql_coalesce": SQL_COALESCE,
@@ -5392,7 +5420,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
-    "sql_rollup", "sql_cube", "sql_union_distinct",
+    "sql_rollup", "sql_cube", "sql_multi_window", "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",
     "sql_tpch_q17", "sql_tpch_q11ish", "sql_cte_q15", "sql_tpch_q22",

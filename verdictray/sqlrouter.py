@@ -138,7 +138,15 @@ except membership ``IN (SELECT col FROM t)``):
                                                 --   only for SUM/COUNT/AVG/
                                                 --   MIN/MAX (full-partition
                                                 --   frame)
-                                                -- one shared spec per query;
+                                                -- MULTIPLE distinct specs
+                                                --   per query chain: each
+                                                --   spec is one
+                                                --   hash-bucket shuffle
+                                                --   pass appending its
+                                                --   columns (RANGE
+                                                --   INTERVAL frames may
+                                                --   not mix with other
+                                                --   specs);
                                                 --   routed to
                                                 --   window.partitioned_window
     scalar := scalar (+|-|*|/) scalar | - scalar | ( scalar )
@@ -3821,10 +3829,93 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         if it.fn != "col":
             raise ValueError("non-window aggregates cannot mix with "
                              "window items (no implicit GROUP BY)")
+    # group items by their window spec — each DISTINCT spec runs as its
+    # own partitioned_window pass (one hash-bucket shuffle per spec;
+    # every pass appends its columns and passes the rest through, so the
+    # passes chain on one streaming Dataset)
+    groups: list[tuple[tuple, list]] = []
+    for it in win_items:
+        for sp, its in groups:
+            if sp == it.window:
+                its.append(it)
+                break
+        else:
+            groups.append((it.window, [it]))
+    if len(groups) > 1:
+        if any(sp[2] is not None and sp[2][0] == "range"
+               for sp, _ in groups):
+            raise ValueError("a RANGE INTERVAL frame cannot mix with "
+                             "other window specs in one query")
+        for sp, its in groups:
+            bad = [it.fn for it in its
+                   if sp[2] is not None and sp[2][0] == "rows"
+                   and it.fn not in _WINDOW_CUM]
+            if bad:
+                raise ValueError(f"a ROWS frame applies to cumulative "
+                                 f"aggregates only, got {bad}")
+        needed = set()
+        for (g_part, g_order, _g_frame), _its in groups:
+            needed |= {*g_part, *(c for c, _ in g_order)}
+        needed.update(it.col for it in plan.items if it.col is not None)
+        needed_post = set(needed)
+        needed.update(_pred_cols(plan.where))
+        for _tbl, a, b, _how in plan.joins:
+            needed.update((a, b))
+        ds, _schemas2, _pt2 = _scan_with_joins(
+            plan, sf_dir, needed, join_buckets=buckets,
+            max_broadcast_rows=max_broadcast_rows,
+            approx_membership=approx_membership,
+            bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+            explain=explain, sub=sub, needed_post=needed_post)
+        out = ds
+        for (g_part, g_order, g_frame), its in groups:
+            g_specs = [{"func": it.fn, "col": it.col, "alias": it.name,
+                        "offset": it.offset} for it in its]
+            if explain is not None:
+                explain.append(
+                    f"WINDOW OVER (PARTITION BY {list(g_part)} ORDER BY "
+                    f"{list(g_order)}) -> one hash-bucket shuffle on "
+                    f"{list(g_part)} ({buckets} buckets), vectorized "
+                    "per-bucket prefix scans; funcs="
+                    + ", ".join(f"{sp_['func']}({sp_['col'] or ''})"
+                                for sp_ in g_specs))
+                continue
+            out = partitioned_window(out, list(g_part), list(g_order),
+                                     g_specs, buckets=buckets,
+                                     frame=g_frame)
+        if explain is not None:
+            if plan.order_by:
+                explain.append(f"ORDER BY {plan.order_by} -> sorts the "
+                               "windowed result")
+            if plan.limit is not None:
+                explain.append(f"LIMIT {plan.limit}")
+            return rd.from_items([])
+        rounds = [(it.name, it.round_to) for it in win_items
+                  if it.round_to is not None]
+        sel = [it.name for it in plan.items]
+        renames = [(it.col, it.alias) for it in plan.items
+                   if it.fn == "col" and it.alias and it.alias != it.col]
+
+        def finish_multi(batch: pa.Table) -> pa.Table:
+            for name, nd in rounds:
+                i = batch.schema.get_field_index(name)
+                batch = batch.set_column(
+                    i, name, pc.round(pc.cast(batch[name], pa.float64()),
+                                      ndigits=nd, **_ROUND))
+            for col, alias in renames:
+                if alias not in batch.schema.names:
+                    batch = batch.append_column(alias, batch[col])
+            return batch.select(sel)
+
+        out = out.map_batches(finish_multi, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        if plan.order_by:
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+        if plan.limit is not None:
+            out = out.limit(plan.limit)
+        return out
+
     spec0 = win_items[0].window
-    if any(it.window != spec0 for it in win_items):
-        raise ValueError("all window items must share one "
-                         "PARTITION BY/ORDER BY spec")
     part, order, frame = spec0
     if frame is not None and frame[0] == "rows":
         bad = [it.fn for it in win_items if it.fn not in _WINDOW_CUM]
