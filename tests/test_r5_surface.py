@@ -232,3 +232,23 @@ def test_multi_window_range_frame_mix_raises(ray_session, sf01_dir):
             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts)
                 AS rn
             FROM events""", sf01_dir)
+
+
+def test_date_trunc_and_strftime_match_duckdb(ray_session, sf01_dir):
+    from verdictray.entry_queries import (SQL_DATE_TRUNC,
+                                          SQL_DATE_TRUNC_ORACLE,
+                                          q_sql_date_trunc)
+    from verdictray.sqlrouter import run_sql
+
+    mine = q_sql_date_trunc(sf01_dir).to_pandas()
+    ref = _duck(sf01_dir, SQL_DATE_TRUNC_ORACLE)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+
+    sql = """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+             FROM events GROUP BY day ORDER BY day LIMIT 10"""
+    pdt.assert_frame_equal(run_sql(sql, sf01_dir).to_pandas(),
+                           _duck(sf01_dir, sql), check_dtype=False)
+
+    with pytest.raises(ValueError, match="DATE_TRUNC part"):
+        run_sql("SELECT DATE_TRUNC('fortnight', o_orderdate) AS x, "
+                "COUNT(*) AS n FROM orders GROUP BY x", sf01_dir)

@@ -4905,6 +4905,29 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_DATE_TRUNC = """
+SELECT DATE_TRUNC('month', o_orderdate) AS month,
+       COUNT(*) AS n, MONEY_SUM(o_totalprice) AS total
+FROM orders GROUP BY month ORDER BY month
+"""
+SQL_DATE_TRUNC_ORACLE = """
+SELECT DATE_TRUNC('month', o_orderdate) AS month,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
+def q_sql_date_trunc(sf_dir: str):
+    """DATE_TRUNC as a derived group key: one vectorized
+    pc.floor_temporal per batch (Arrow week flooring starts Monday =
+    DuckDB/ISO), grouped via the bucketed Arrow hash merge, exact cents.
+    No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_DATE_TRUNC, sf_dir)
+
+
 SQL_MULTI_WINDOW = """
 SELECT o_orderkey, o_custkey, o_totalprice,
   ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -5168,6 +5191,7 @@ QUERIES = {
     "sql_rollup": q_sql_rollup,
     "sql_cube": q_sql_cube,
     "sql_multi_window": q_sql_multi_window,
+    "sql_date_trunc": q_sql_date_trunc,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5338,6 +5362,7 @@ ORACLES = {
     "sql_rollup": SQL_ROLLUP_ORACLE,
     "sql_cube": SQL_CUBE_ORACLE,
     "sql_multi_window": SQL_MULTI_WINDOW,
+    "sql_date_trunc": SQL_DATE_TRUNC_ORACLE,
     "sql_union_distinct": SQL_UNION_DISTINCT,
     "sql_null_group_key": SQL_NULL_GROUP_KEY_ORACLE,
     "sql_coalesce": SQL_COALESCE,
@@ -5420,7 +5445,8 @@ DRIVER_PRIORITY: list[str] = [
     "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
-    "sql_rollup", "sql_cube", "sql_multi_window", "sql_union_distinct",
+    "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
+    "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",
     "sql_tpch_q17", "sql_tpch_q11ish", "sql_cte_q15", "sql_tpch_q22",

@@ -163,6 +163,12 @@ except membership ``IN (SELECT col FROM t)``):
           | NULLIF ( scalar , scalar )           -- null where equal
           | SUBSTR[ING] ( scalar , start [, len] )   -- 1-based, literal
                                                  --   start/len
+          | DATE_TRUNC ( 'part' , scalar )       -- one pc.floor_temporal
+                                                 --   per batch; part in
+                                                 --   year..second (week
+                                                 --   starts Monday =
+                                                 --   DuckDB/ISO)
+          | STRFTIME ( scalar , 'format' )       -- vectorized pc.strftime
           -- aggregate arguments and derived group keys; evaluated as ONE
           -- vectorized pyarrow.compute column per expression ("/" is SQL
           -- float division). Expression aggregates / items require an
@@ -307,7 +313,13 @@ _EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second"}
 # scalar string/numeric functions usable inside expressions — each maps to
 # one pyarrow.compute kernel (see _eval_expr)
 _SCALAR_FNS = {"lower", "upper", "length", "trim", "abs", "substr",
-               "substring", "coalesce", "nullif"}
+               "substring", "coalesce", "nullif", "date_trunc",
+               "strftime"}
+
+#: DATE_TRUNC parts — each maps to one pc.floor_temporal unit (Arrow week
+#: flooring starts Monday, matching DuckDB/ISO)
+_TRUNC_PARTS = {"year", "quarter", "month", "week", "day", "hour",
+                "minute", "second"}
 
 _CAST_TYPES = {"bigint": "int64", "int": "int64", "integer": "int64",
                "smallint": "int64", "double": "float64",
@@ -724,13 +736,22 @@ class _Parser:
             if low == "substring":
                 low = "substr"
             n_want = {"substr": (2, 3), "coalesce": (2, 16),
-                      "nullif": (2, 2)}.get(low, (1, 1))
+                      "nullif": (2, 2), "date_trunc": (2, 2),
+                      "strftime": (2, 2)}.get(low, (1, 1))
             if not n_want[0] <= len(args) <= n_want[1]:
                 raise ValueError(f"{low} takes {n_want[0]}"
                                  f"{'-' + str(n_want[1]) if n_want[1] != n_want[0] else ''}"
                                  f" args, got {len(args)}")
             if low == "substr" and any(a[0] != "lit" for a in args[1:]):
                 raise ValueError("substr start/length must be literals")
+            if low == "date_trunc":
+                if (args[0][0] != "lit"
+                        or str(args[0][1]).lower() not in _TRUNC_PARTS):
+                    raise ValueError(
+                        "DATE_TRUNC part must be a string literal in "
+                        f"{sorted(_TRUNC_PARTS)}")
+            if low == "strftime" and args[1][0] != "lit":
+                raise ValueError("strftime format must be a literal")
             return ("fn", low, tuple(args))
         return ("col", ident)
 
@@ -1580,6 +1601,13 @@ def _eval_expr(batch: pa.Table, e: tuple):
             # NULLIF(a, b): null where a = b (null compare → keep a)
             eq = pc.fill_null(pc.equal(a, b), False)
             return pc.if_else(eq, pa.scalar(None, type=a.type), a)
+        if name == "date_trunc":
+            # part validated at parse; Arrow week flooring starts Monday
+            # (DuckDB/ISO); output keeps the input temporal type
+            return pc.floor_temporal(args[1],
+                                     unit=str(e[2][0][1]).lower())
+        if name == "strftime":
+            return pc.strftime(args[0], format=str(e[2][1][1]))
         raise ValueError(f"unknown scalar function {name!r}")
     if k == "case":
         whens, els = e[1], e[2]
