@@ -73,3 +73,37 @@ def test_cte_parse_errors(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="unbalanced"):
         run_sql("WITH a AS (SELECT COUNT(*) AS n FROM orders "
                 "SELECT n FROM a", sf01_dir)
+
+
+def test_nested_with_inside_cte_body(ray_session, sf01_dir):
+    """A CTE body may itself start with WITH — the hook recurses, the
+    inner overlay symlinks the outer one."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """WITH top AS (
+               WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                            GROUP BY o_custkey HAVING COUNT(*) > 12)
+               SELECT COUNT(*) AS m FROM big)
+             SELECT m FROM top"""
+    mine = run_sql(sql, sf01_dir).to_pandas()
+    want = _duck(sf01_dir, sql)
+    pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_cte_feeding_window(ray_session, sf01_dir):
+    """Window functions run over a CTE spool like over any table."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """WITH per_cust AS (
+               SELECT o_custkey, COUNT(*) AS n_orders,
+                      MONEY_SUM(o_totalprice) AS total
+               FROM orders GROUP BY o_custkey)
+             SELECT o_custkey, n_orders, total,
+                    RANK() OVER (PARTITION BY n_orders
+                                 ORDER BY total DESC) AS rnk
+             FROM per_cust ORDER BY o_custkey LIMIT 500"""
+    mine = run_sql(sql, sf01_dir).to_pandas()
+    want = _duck(sf01_dir, sql.replace(
+        "MONEY_SUM(o_totalprice)",
+        "SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0"))
+    pdt.assert_frame_equal(mine, want, check_dtype=False)
