@@ -252,3 +252,37 @@ def test_date_trunc_and_strftime_match_duckdb(ray_session, sf01_dir):
     with pytest.raises(ValueError, match="DATE_TRUNC part"):
         run_sql("SELECT DATE_TRUNC('fortnight', o_orderdate) AS x, "
                 "COUNT(*) AS n FROM orders GROUP BY x", sf01_dir)
+
+
+def test_grouping_and_having_over_rollup(ray_session, sf01_dir):
+    """GROUPING(col) markers + HAVING filtering the union of levels,
+    bit-exact vs DuckDB (identical SQL text, incl. CUBE double
+    GROUPING)."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_orderpriority, o_orderstatus,
+             GROUPING(o_orderstatus) AS g_status, COUNT(*) AS n
+             FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+             HAVING COUNT(*) > 100
+             ORDER BY o_orderpriority NULLS FIRST,
+                      o_orderstatus NULLS FIRST"""
+    pdt.assert_frame_equal(run_sql(sql, sf01_dir).to_pandas(),
+                           _duck(sf01_dir, sql), check_dtype=False)
+
+    sql2 = """SELECT o_orderpriority, o_orderstatus,
+              GROUPING(o_orderpriority) AS gp,
+              GROUPING(o_orderstatus) AS gs, COUNT(*) AS n
+              FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+              ORDER BY gp, gs, o_orderpriority NULLS FIRST,
+                       o_orderstatus NULLS FIRST"""
+    pdt.assert_frame_equal(run_sql(sql2, sf01_dir).to_pandas(),
+                           _duck(sf01_dir, sql2), check_dtype=False)
+
+    with pytest.raises(ValueError, match="requires GROUP BY"):
+        run_sql("SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, "
+                "COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+                sf01_dir)
+    with pytest.raises(ValueError, match="not \\w*ROLLUP/CUBE keys"):
+        run_sql("SELECT o_orderstatus, GROUPING(o_custkey) AS g, "
+                "COUNT(*) AS n FROM orders "
+                "GROUP BY ROLLUP (o_orderstatus)", sf01_dir)

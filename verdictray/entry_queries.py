@@ -4905,6 +4905,36 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_GROUPING = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderstatus) AS g_status, COUNT(*) AS n,
+       MONEY_SUM(o_totalprice) AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+HAVING COUNT(*) > 100
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+SQL_GROUPING_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderstatus) AS g_status, COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+HAVING COUNT(*) > 100
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q_sql_grouping(sf_dir: str):
+    """GROUPING(col) markers + HAVING over ROLLUP: GROUPING is a
+    per-level literal column attached where the level re-aggregates
+    (1 = rolled up, 0 = grouped — disambiguates super-aggregate rows
+    from real NULL keys); HAVING filters the post-finish union of
+    levels, SQL grouping-sets semantics. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_GROUPING, sf_dir)
+
+
 SQL_DATE_TRUNC = """
 SELECT DATE_TRUNC('month', o_orderdate) AS month,
        COUNT(*) AS n, MONEY_SUM(o_totalprice) AS total
@@ -5192,6 +5222,7 @@ QUERIES = {
     "sql_cube": q_sql_cube,
     "sql_multi_window": q_sql_multi_window,
     "sql_date_trunc": q_sql_date_trunc,
+    "sql_grouping": q_sql_grouping,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5363,6 +5394,7 @@ ORACLES = {
     "sql_cube": SQL_CUBE_ORACLE,
     "sql_multi_window": SQL_MULTI_WINDOW,
     "sql_date_trunc": SQL_DATE_TRUNC_ORACLE,
+    "sql_grouping": SQL_GROUPING_ORACLE,
     "sql_union_distinct": SQL_UNION_DISTINCT,
     "sql_null_group_key": SQL_NULL_GROUP_KEY_ORACLE,
     "sql_coalesce": SQL_COALESCE,
@@ -5446,6 +5478,7 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
+    "sql_grouping",
     "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",

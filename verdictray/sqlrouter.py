@@ -75,7 +75,12 @@ except membership ``IN (SELECT col FROM t)``):
                                       --   (decomposable exact aggs only;
                                       --   rolled-up keys are NULL).
                                       --   CUBE: same machinery, ALL 2^k
-                                      --   key subsets (k <= 8)
+                                      --   key subsets (k <= 8).
+                                      --   HAVING composes (filters the
+                                      --   union of levels, grouping-sets
+                                      --   semantics); GROUPING(col)
+                                      --   items emit the 0/1 rolled-up
+                                      --   marker per level
     [HAVING pred ("AND" pred)*]       -- aliases, keys, or agg calls
     [ORDER BY col_or_position [ASC|DESC] [NULLS FIRST|LAST] ("," ...)*]
                                       -- default null order: NULLS LAST
@@ -773,6 +778,18 @@ class _Parser:
             ag = _Agg(low, None)
             ag.window = self._over()          # OVER is mandatory here
             return ag
+        if low == "grouping":
+            # GROUPING(col) -> 1 on rows where col is rolled up by the
+            # current ROLLUP/CUBE level, else 0 (disambiguates super-
+            # aggregate rows from real NULL keys, as in any SQL engine)
+            self.expect("(")
+            gcol = self.take()
+            self.expect(")")
+            ag = _Agg("grouping", gcol)
+            if self.kw("as"):
+                self.take()
+                ag.alias = self.take()
+            return ag
         if low == "ntile":
             self.expect("(")
             n_tiles = int(self.take())
@@ -1323,26 +1340,26 @@ class _Parser:
                 if plan.cube and len(plan.group_by) > 8:
                     raise ValueError("GROUP BY CUBE supports at most 8 "
                                      "keys (2^k super-aggregate levels)")
-                if self.kw("having"):
-                    raise ValueError("HAVING does not combine with "
-                                     "GROUP BY ROLLUP/CUBE in this "
-                                     "router")
-                return plan
+                # falls through: HAVING parses like any grouped query
+                # and filters the post-finish union of levels (SQL
+                # grouping-sets semantics: HAVING applies per
+                # grouping-set row)
+            else:
+                def gb_key() -> str:
+                    tok = self.take()
+                    if tok.isdigit():
+                        idx = int(tok)
+                        if not 1 <= idx <= len(plan.items):
+                            raise ValueError(
+                                f"GROUP BY position {idx} out "
+                                f"of range (1..{len(plan.items)})")
+                        return plan.items[idx - 1].name
+                    return tok
 
-            def gb_key() -> str:
-                tok = self.take()
-                if tok.isdigit():
-                    idx = int(tok)
-                    if not 1 <= idx <= len(plan.items):
-                        raise ValueError(f"GROUP BY position {idx} out "
-                                         f"of range (1..{len(plan.items)})")
-                    return plan.items[idx - 1].name
-                return tok
-
-            plan.group_by.append(gb_key())
-            while self.peek() == ",":
-                self.take()
                 plan.group_by.append(gb_key())
+                while self.peek() == ",":
+                    self.take()
+                    plan.group_by.append(gb_key())
         if self.kw("having"):
             self.take()
             # aggregate calls may appear directly in HAVING predicates
@@ -3303,8 +3320,19 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # plan.group_by above, and they flow through the groupby like any
     # key; "aggexpr" items contribute their HIDDEN aggregates here and
     # evaluate their arithmetic in the finish stage
+    grouping_items = [it for it in plan.items if it.fn == "grouping"]
+    if grouping_items:
+        if not plan.rollup:
+            raise ValueError("GROUPING(col) requires GROUP BY "
+                             "ROLLUP/CUBE")
+        bad_g = [it.col for it in grouping_items
+                 if it.col not in plan.group_by]
+        if bad_g:
+            raise ValueError(f"GROUPING column(s) {bad_g} are not "
+                             "ROLLUP/CUBE keys")
     agg_items = [it for it in plan.items
-                 if it.fn not in ("col", "expr", "aggexpr")] + hidden_aggs
+                 if it.fn not in ("col", "expr", "aggexpr",
+                                  "grouping")] + hidden_aggs
     for it in plain_cols:
         if it.col not in plan.group_by:
             raise ValueError(f"non-aggregate column {it.col!r} must be in "
@@ -3659,12 +3687,17 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         # pairs; a rolled-up key is simply (_gkn=1, _gk=null) — `finish`
         # reconstructs it as SQL NULL with no extra machinery
         col_order = ([c for _, gkn, gk in gk_pairs for c in (gkn, gk)]
-                     + re_names)
+                     + re_names
+                     + [it.name for it in grouping_items])
 
         def _level_fn(level_keys: tuple):
             absent = tuple((gkn, gk, ktypes[k])
                            for k, gkn, gk in gk_pairs
                            if k not in level_keys)
+            # GROUPING(col) is a per-LEVEL literal: 1 where the level
+            # rolls the key up, 0 where it groups by it
+            gmarks = tuple((it.name, 0 if it.col in level_keys else 1)
+                           for it in grouping_items)
 
             def fn(b: pa.Table) -> pa.Table:
                 for gkn, gk, ty in absent:
@@ -3672,6 +3705,10 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                         gkn, pa.chunked_array([pa.array(
                             [1] * b.num_rows, pa.int8())]))
                     b = b.append_column(gk, pa.nulls(b.num_rows, type=ty))
+                for gname, gval in gmarks:
+                    b = b.append_column(
+                        gname, pa.chunked_array([pa.array(
+                            [gval] * b.num_rows, pa.int64())]))
                 return b.select(col_order)
             return fn
 
