@@ -286,3 +286,20 @@ def test_grouping_and_having_over_rollup(ray_session, sf01_dir):
         run_sql("SELECT o_orderstatus, GROUPING(o_custkey) AS g, "
                 "COUNT(*) AS n FROM orders "
                 "GROUP BY ROLLUP (o_orderstatus)", sf01_dir)
+
+
+def test_topk_pushdown_matches_full_sort(ray_session, sf01_dir):
+    """ORDER BY + LIMIT pre-truncates every block to its local top-n
+    before the global sort (identical comparator incl. null sentinels);
+    result is bit-identical to DuckDB's full sort."""
+    from verdictray.sqlrouter import run_sql
+
+    sql = """SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"""
+    pdt.assert_frame_equal(run_sql(sql, sf01_dir).to_pandas(),
+                           _duck(sf01_dir, sql), check_dtype=False)
+    # alias + ordinal + NULLS FIRST through the same path
+    sql2 = """SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+              ORDER BY 2 ASC NULLS FIRST, k DESC LIMIT 30"""
+    pdt.assert_frame_equal(run_sql(sql2, sf01_dir).to_pandas(),
+                           _duck(sf01_dir, sql2), check_dtype=False)

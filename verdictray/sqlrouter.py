@@ -2615,7 +2615,7 @@ def _zero_like(t):
 
 
 def _sort_with_nulls(out, order_by: list, order_nulls: dict,
-                     rename: dict | None = None):
+                     rename: dict | None = None, limit: int | None = None):
     """Global Dataset sort honoring explicit NULLS FIRST/LAST.
 
     Ray Data's sort (Arrow sort_indices) places nulls at the end in either
@@ -2625,7 +2625,15 @@ def _sort_with_nulls(out, order_by: list, order_nulls: dict,
     vectorized kernel; also makes the range-partitioned shuffle of null
     rows deterministic), sorts on the widened key list, and drops the
     sentinels. ``rename`` maps ORDER BY names to physical columns (the
-    plain-scan route sorts before its alias projection)."""
+    plain-scan route sorts before its alias projection).
+
+    ``limit``: TOP-K PUSHDOWN — when the caller follows this sort with
+    ``.limit(n)``, pass n and every block pre-truncates to its local
+    top-n first (one vectorized pc.sort_indices + take per block, same
+    comparator incl. the null sentinels), so the global sort shuffles
+    blocks×n rows instead of every row. The global top-n is a subset of
+    the union of per-block top-n, so the result is identical; at 100 TB
+    this turns an all-rows exchange into a KiB-scale one."""
     rename = rename or {}
     keys: list[str] = []
     desc: list[bool] = []
@@ -2649,6 +2657,20 @@ def _sort_with_nulls(out, order_by: list, order_nulls: dict,
             return b
 
         out = out.map_batches(_add, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if limit is not None and limit <= 100_000:
+        sort_keys = tuple((k, "descending" if d else "ascending")
+                          for k, d in zip(keys, desc))
+
+        def _topk_block(b: pa.Table, _sk=sort_keys,
+                        _n=limit) -> pa.Table:
+            if b.num_rows <= _n:
+                return b
+            idx = pc.sort_indices(b, sort_keys=list(_sk),
+                                  null_placement="at_end")
+            return b.take(idx.slice(0, _n))
+
+        out = out.map_batches(_topk_block, batch_format="pyarrow",
                               zero_copy_batch=True)
     out = out.sort(keys, descending=desc)
     if helpers:
@@ -2947,7 +2969,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
             out = grouped.map_batches(_present, batch_format="pyarrow")
         if plan.order_by:
-            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
+                                   limit=plan.limit)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -3064,7 +3087,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                          if it.fn == "col" and it.alias
                          and it.col not in exprs}
             ds = _sort_with_nulls(ds, plan.order_by, plan.order_nulls,
-                                  rename=alias_src)
+                                  rename=alias_src, limit=plan.limit)
         if plan.limit is not None:
             ds = ds.limit(plan.limit)
 
@@ -3308,7 +3331,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             out = rd.from_arrow(pa.table(
                 {c: row[c] for c in col_order}))
         if plan.order_by:
-            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
+                                   limit=plan.limit)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -3856,7 +3880,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # -------------------------------------------------- order / limit
     if plan.order_by:
         if plan.order_nulls or len(plan.order_by) > 1:
-            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
+                                   limit=plan.limit)
         else:
             c, d = plan.order_by[0]
             out = out.sort(c, descending=d)
@@ -3975,7 +4000,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         out = out.map_batches(finish_multi, batch_format="pyarrow",
                               zero_copy_batch=True)
         if plan.order_by:
-            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
+                                   limit=plan.limit)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -4072,7 +4098,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         out = out.map_batches(finish_range, batch_format="pyarrow",
                               zero_copy_batch=True)
         if plan.order_by:
-            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+            out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
+                                   limit=plan.limit)
         if plan.limit is not None:
             out = out.limit(plan.limit)
         return out
@@ -4119,7 +4146,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     out = out.map_batches(finish, batch_format="pyarrow",
                           zero_copy_batch=True)
     if plan.order_by:
-        out = _sort_with_nulls(out, plan.order_by, plan.order_nulls)
+        out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
+                               limit=plan.limit)
     if plan.limit is not None:
         out = out.limit(plan.limit)
     return out
