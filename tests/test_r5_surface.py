@@ -303,3 +303,21 @@ def test_topk_pushdown_matches_full_sort(ray_session, sf01_dir):
               ORDER BY 2 ASC NULLS FIRST, k DESC LIMIT 30"""
     pdt.assert_frame_equal(run_sql(sql2, sf01_dir).to_pandas(),
                            _duck(sf01_dir, sql2), check_dtype=False)
+
+
+def test_qualify_top_n_per_group(ray_session, sf01_dir):
+    """QUALIFY rn <= 2 (top-N per customer) bit-exact vs DuckDB; loud
+    errors for non-window use and unselected references."""
+    from verdictray.entry_queries import SQL_QUALIFY, q_sql_qualify
+    from verdictray.sqlrouter import run_sql
+
+    pdt.assert_frame_equal(q_sql_qualify(sf01_dir).to_pandas(),
+                           _duck(sf01_dir, SQL_QUALIFY),
+                           check_dtype=False)
+    with pytest.raises(ValueError, match="window function item"):
+        run_sql("SELECT o_orderkey FROM orders QUALIFY o_orderkey > 5",
+                sf01_dir)
+    with pytest.raises(ValueError, match="SELECTed items"):
+        run_sql("SELECT ROW_NUMBER() OVER (PARTITION BY o_custkey "
+                "ORDER BY o_orderkey) AS rn FROM orders "
+                "QUALIFY o_totalprice > 5", sf01_dir)

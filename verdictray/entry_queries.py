@@ -4905,6 +4905,27 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_QUALIFY = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC) AS rn
+FROM orders
+QUALIFY rn <= 2
+ORDER BY o_custkey, rn LIMIT 1000
+"""
+
+
+def q_sql_qualify(sf_dir: str):
+    """QUALIFY — the top-N-per-group idiom through SQL: one hash-bucket
+    window shuffle computes ROW_NUMBER per customer, then QUALIFY runs
+    as one vectorized post-window filter (before ORDER BY/LIMIT, SQL's
+    logical order). Bit-exact identical-text DuckDB oracle. No
+    reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_QUALIFY, sf_dir)
+
+
 SQL_GROUPING = """
 SELECT o_orderpriority, o_orderstatus,
        GROUPING(o_orderstatus) AS g_status, COUNT(*) AS n,
@@ -5223,6 +5244,7 @@ QUERIES = {
     "sql_multi_window": q_sql_multi_window,
     "sql_date_trunc": q_sql_date_trunc,
     "sql_grouping": q_sql_grouping,
+    "sql_qualify": q_sql_qualify,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5395,6 +5417,7 @@ ORACLES = {
     "sql_multi_window": SQL_MULTI_WINDOW,
     "sql_date_trunc": SQL_DATE_TRUNC_ORACLE,
     "sql_grouping": SQL_GROUPING_ORACLE,
+    "sql_qualify": SQL_QUALIFY,
     "sql_union_distinct": SQL_UNION_DISTINCT,
     "sql_null_group_key": SQL_NULL_GROUP_KEY_ORACLE,
     "sql_coalesce": SQL_COALESCE,
@@ -5478,7 +5501,7 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
-    "sql_grouping",
+    "sql_grouping", "sql_qualify",
     "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",

@@ -82,6 +82,10 @@ except membership ``IN (SELECT col FROM t)``):
                                       --   items emit the 0/1 rolled-up
                                       --   marker per level
     [HAVING pred ("AND" pred)*]       -- aliases, keys, or agg calls
+    [QUALIFY pred ("AND" pred)*]      -- window queries only: vectorized
+                                      --   filter AFTER window columns
+                                      --   attach (top-N-per-group), may
+                                      --   reference SELECTed items
     [ORDER BY col_or_position [ASC|DESC] [NULLS FIRST|LAST] ("," ...)*]
                                       -- default null order: NULLS LAST
                                       --   either direction (DuckDB's
@@ -559,6 +563,9 @@ class _Plan:
     # WHERE by _rewrite_correlated: each compiles to a grouped-aggregate
     # build + join + vectorized filter at the end of the scan phase
     corr_where: list = field(default_factory=list)
+    # QUALIFY predicates — vectorized filter over the windowed stream
+    # AFTER window columns attach (window queries only, as in DuckDB)
+    qualify: list = field(default_factory=list)
 
 
 @dataclass
@@ -1368,6 +1375,12 @@ class _Parser:
             plan.having.extend(
                 _flatten_and(self._in_aggexpr(self.pred_or)))
             _lift_having_aggs(plan)
+        if self.kw("qualify"):
+            self.take()
+            plan.qualify.extend(_flatten_and(self.pred_or()))
+            if not any(it.window for it in plan.items):
+                raise ValueError("QUALIFY requires at least one window "
+                                 "function item (as in DuckDB)")
         return plan
 
 
@@ -3890,6 +3903,25 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     return out
 
 
+def _apply_qualify(out, plan: "_Plan", explain: list | None):
+    """QUALIFY — one vectorized filter over the windowed stream after
+    window columns attach (post-finish, so predicates reference SELECTed
+    item names; runs before ORDER BY/LIMIT, SQL's logical order)."""
+    if not plan.qualify:
+        return out
+    names = {it.name for it in plan.items}
+    bad = _pred_cols(plan.qualify) - names
+    if bad:
+        raise ValueError("QUALIFY predicates must reference SELECTed "
+                         f"items, got {sorted(bad)}")
+    if explain is not None:
+        explain.append(f"QUALIFY {_fmt_preds(plan.qualify)} -> "
+                       "vectorized post-window filter")
+        return out
+    return out.map_batches(_scalar_filter_fn(plan.qualify),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                     max_broadcast_rows: int = 2_000_000,
                     approx_membership: bool = False,
@@ -3974,6 +4006,9 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                                      g_specs, buckets=buckets,
                                      frame=g_frame)
         if explain is not None:
+            if plan.qualify:
+                explain.append(f"QUALIFY {_fmt_preds(plan.qualify)} -> "
+                               "vectorized post-window filter")
             if plan.order_by:
                 explain.append(f"ORDER BY {plan.order_by} -> sorts the "
                                "windowed result")
@@ -3999,6 +4034,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
 
         out = out.map_batches(finish_multi, batch_format="pyarrow",
                               zero_copy_batch=True)
+        out = _apply_qualify(out, plan, explain)
         if plan.order_by:
             out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
                                    limit=plan.limit)
@@ -4097,6 +4133,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
 
         out = out.map_batches(finish_range, batch_format="pyarrow",
                               zero_copy_batch=True)
+        out = _apply_qualify(out, plan, explain)
         if plan.order_by:
             out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
                                    limit=plan.limit)
@@ -4116,6 +4153,9 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             "vectorized per-bucket prefix scans; funcs="
             + ", ".join(f"{s['func']}({s['col'] or ''})" for s in specs)
             + f" ({frame_note})")
+        if plan.qualify:
+            explain.append(f"QUALIFY {_fmt_preds(plan.qualify)} -> "
+                           "vectorized post-window filter")
         if plan.order_by:
             explain.append(f"ORDER BY {plan.order_by} -> sorts the "
                            "windowed result")
@@ -4145,6 +4185,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
 
     out = out.map_batches(finish, batch_format="pyarrow",
                           zero_copy_batch=True)
+    out = _apply_qualify(out, plan, explain)
     if plan.order_by:
         out = _sort_with_nulls(out, plan.order_by, plan.order_nulls,
                                limit=plan.limit)
