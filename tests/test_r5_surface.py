@@ -321,3 +321,36 @@ def test_qualify_top_n_per_group(ray_session, sf01_dir):
         run_sql("SELECT ROW_NUMBER() OVER (PARTITION BY o_custkey "
                 "ORDER BY o_orderkey) AS rn FROM orders "
                 "QUALIFY o_totalprice > 5", sf01_dir)
+
+
+def test_hll_rollup_within_bound_every_level(ray_session, sf01_dir):
+    """APPROX_COUNT_DISTINCT over ROLLUP: finest level keeps HLL blobs,
+    coarser levels re-merge them (exact DISTINCT is non-decomposable;
+    the sketch is). Every level's estimate within the 3-sigma bound of
+    DuckDB's exact ROLLUP; exact COUNT(*) rides along bit-exact."""
+    import numpy as np
+
+    from verdictray.entry_queries import q_sql_hll_rollup
+
+    mine = q_sql_hll_rollup(sf01_dir).to_pandas()
+    ref = _duck(sf01_dir, """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS nd, COUNT(*) AS n
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """)
+    assert len(mine) == len(ref)
+    assert (mine["n"].values == ref["n"].values).all()
+    rel = 3 * 1.04 / (2 ** 14) ** 0.5
+    err = (np.abs(mine["nd"].values - ref["nd"].values)
+           / np.maximum(ref["nd"].values, 1))
+    assert (err <= rel).all(), f"max rel err {err.max()} > {rel}"
+
+
+def test_rollup_rejects_non_mergeable(ray_session, sf01_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
+        run_sql("SELECT o_orderstatus, APPROX_QUANTILE(o_totalprice, "
+                "0.5) AS q FROM orders GROUP BY ROLLUP (o_orderstatus)",
+                sf01_dir)

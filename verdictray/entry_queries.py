@@ -4905,6 +4905,30 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_HLL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       APPROX_COUNT_DISTINCT(o_custkey) AS nd, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q_sql_hll_rollup(sf_dir: str):
+    """APPROX_COUNT_DISTINCT over GROUP BY ROLLUP — the flagship
+    mergeable-sketch algebra through SQL: exact DISTINCT is the classic
+    NON-decomposable aggregate (a coarser level cannot re-add finer
+    distinct counts), but the HLL register blobs merge associatively,
+    so the finest level keeps serialized sketches and every coarser
+    level re-MERGES blobs (SketchMergeAgg) with no second input scan;
+    finish decodes blob -> estimate over the group-count-sized union.
+    Approximate by design (rows-only driver check); the 3-sigma bound
+    vs DuckDB's exact ROLLUP is asserted per level in pytest. No
+    reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_HLL_ROLLUP, sf_dir)
+
+
 SQL_QUALIFY = """
 SELECT o_custkey, o_orderkey, o_totalprice,
   ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -5245,6 +5269,7 @@ QUERIES = {
     "sql_date_trunc": q_sql_date_trunc,
     "sql_grouping": q_sql_grouping,
     "sql_qualify": q_sql_qualify,
+    "sql_hll_rollup": q_sql_hll_rollup,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5501,7 +5526,7 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
-    "sql_grouping", "sql_qualify",
+    "sql_grouping", "sql_qualify", "sql_hll_rollup",
     "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",

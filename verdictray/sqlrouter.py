@@ -72,8 +72,12 @@ except membership ``IN (SELECT col FROM t)``):
                                       --   the finest level; coarser
                                       --   levels re-aggregate the
                                       --   group-count-sized partials
-                                      --   (decomposable exact aggs only;
-                                      --   rolled-up keys are NULL).
+                                      --   (decomposable exact aggs +
+                                      --   APPROX_COUNT_DISTINCT — HLL
+                                      --   blobs merge associatively
+                                      --   across levels where exact
+                                      --   DISTINCT cannot; rolled-up
+                                      --   keys are NULL).
                                       --   CUBE: same machinery, ALL 2^k
                                       --   key subsets (k <= 8).
                                       --   HAVING composes (filters the
@@ -3352,6 +3356,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     # -------------------------------------------------- aggregates
     aggs, posts, bounds = [], [], []
+    hll_blob_items: list[str] = []   # rollup APPROX_COUNT_DISTINCT names
     plain_cols = [it for it in plan.items if it.fn == "col"]
     # "expr" items are derived group keys — already validated against
     # plan.group_by above, and they flow through the groupby like any
@@ -3428,11 +3433,22 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                   and all(it.fn in _EXACT_KINDS and not it.distinct
                           for it in agg_items)
                   and _os.environ.get("VR_SQL_PRECOMBINE", "1") != "0")
+    # ROLLUP/CUBE re-aggregates the finest level's outputs, so every
+    # aggregate must be mergeable from them: exact decomposables ride the
+    # precombine partials; without precombine, COUNT/SUM/MIN/MAX/cents
+    # re-aggregate from their finalized values and APPROX_COUNT_DISTINCT
+    # re-MERGES HLL blobs (the flagship mergeable-sketch algebra — exact
+    # DISTINCT is the classic non-decomposable case, the sketch is not)
+    _ROLLUP_REAGG = {"count", "sum", "min", "max", "money_sum",
+                     "money_avg", "approx_count_distinct"}
     if plan.rollup and not precombine:
-        raise ValueError(
-            "GROUP BY ROLLUP supports exact decomposable aggregates only "
-            "(COUNT/SUM/AVG/MIN/MAX/MONEY_SUM/MONEY_AVG, no DISTINCT) — "
-            "the coarser levels re-aggregate the finest level's partials")
+        bad_r = [it.fn for it in agg_items if it.fn not in _ROLLUP_REAGG
+                 or it.distinct]
+        if bad_r:
+            raise ValueError(
+                "GROUP BY ROLLUP/CUBE supports exact decomposable "
+                "aggregates and APPROX_COUNT_DISTINCT (HLL blobs merge "
+                f"associatively across levels) — got {bad_r}")
     if plan.rollup and plan.sub_from is not None:
         raise ValueError("GROUP BY ROLLUP over a derived table is not "
                          "supported (key types come from parquet schema)")
@@ -3576,7 +3592,15 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         elif it.fn == "max":
             aggs.append(Max(fcol, alias_name=name))
         elif it.fn == "approx_count_distinct":
-            aggs.append(HllAgg(on=it.col, alias_name=name, p=hll_p))
+            if plan.rollup:
+                # finest level keeps the SERIALIZED sketch; each coarser
+                # level re-merges blobs (SketchMergeAgg below), finish
+                # decodes blob -> estimate once over the level union
+                aggs.append(HllAgg(on=it.col, alias_name=f"_blob_{name}",
+                                   p=hll_p, output="blob"))
+                hll_blob_items.append(name)
+            else:
+                aggs.append(HllAgg(on=it.col, alias_name=name, p=hll_p))
             if with_bounds:
                 rel = 3 * 1.04 / (2 ** hll_p) ** 0.5
                 bounds.append((name, "hll_rel", rel))
@@ -3714,6 +3738,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 reaggs.append(Sum(f"_cnt_{name}",
                                   alias_name=f"_cnt_{name}"))
                 re_names.extend([f"_cents_{name}", f"_cnt_{name}"])
+            elif it.fn == "approx_count_distinct":
+                from .udaf import SketchMergeAgg
+                reaggs.append(SketchMergeAgg(f"_blob_{name}",
+                                             alias_name=f"_blob_{name}"))
+                re_names.append(f"_blob_{name}")
             else:                       # avg: re-sum the sum+count pair
                 reaggs.append(Sum(f"_avgs_{name}",
                                   alias_name=f"_avgs_{name}"))
@@ -3799,6 +3828,14 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                     pc.cast(pc.list_element(lst, len(phis) - 1),
                             pa.float64()))
             batch = batch.drop_columns([f"_kll_{name}"])
+        for name in hll_blob_items:
+            # group-count-sized level union: one python decode per row
+            from .sketches.base import Sketch as _Sk
+            blobs = batch[f"_blob_{name}"].to_pylist()
+            batch = batch.append_column(name, pa.array(
+                [None if b is None else float(_Sk.from_bytes(b).finalize())
+                 for b in blobs], pa.float64()))
+            batch = batch.drop_columns([f"_blob_{name}"])
         for name, kind, rel in bounds:
             est = pc.cast(batch[name], pa.float64())
             batch = batch.append_column(
