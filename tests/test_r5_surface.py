@@ -350,7 +350,51 @@ def test_hll_rollup_within_bound_every_level(ray_session, sf01_dir):
 def test_rollup_rejects_non_mergeable(ray_session, sf01_dir):
     from verdictray.sqlrouter import run_sql
 
-    with pytest.raises(ValueError, match="APPROX_COUNT_DISTINCT"):
-        run_sql("SELECT o_orderstatus, APPROX_QUANTILE(o_totalprice, "
+    # exact QUANTILE_CONT cannot re-aggregate from level outputs
+    with pytest.raises(ValueError, match="cannot roll up"):
+        run_sql("SELECT o_orderstatus, QUANTILE_CONT(o_totalprice, "
                 "0.5) AS q FROM orders GROUP BY ROLLUP (o_orderstatus)",
                 sf01_dir)
+
+
+def test_quantile_sketches_over_rollup_and_tdigest_route(ray_session,
+                                                         sf01_dir):
+    """KLL and t-digest blobs merge across ROLLUP levels (quantiles are
+    non-decomposable exactly; the sketches are mergeable); also covers
+    the APPROX_QUANTILE_TDIGEST grouped route, which previously parsed
+    but never appended an aggregate (crashed with 'requires at least
+    one aggregation')."""
+    import numpy as np
+
+    from verdictray.sqlrouter import run_sql
+
+    out = run_sql("""SELECT o_orderstatus,
+                     APPROX_QUANTILE(o_totalprice, 0.5) AS med,
+                     APPROX_QUANTILE_TDIGEST(o_totalprice, 0.99) AS p99,
+                     COUNT(*) AS n
+                     FROM orders GROUP BY ROLLUP (o_orderstatus)
+                     ORDER BY o_orderstatus NULLS FIRST""",
+                  sf01_dir).to_pandas()
+    ref = _duck(sf01_dir, """SELECT o_orderstatus,
+                 quantile_cont(o_totalprice, 0.5) AS med,
+                 quantile_cont(o_totalprice, 0.99) AS p99, COUNT(*) AS n
+                 FROM orders GROUP BY ROLLUP (o_orderstatus)
+                 ORDER BY o_orderstatus NULLS FIRST""")
+    assert (out["n"].values == ref["n"].values).all()
+    # KLL: eps = 1.65/k rank error; on this distribution the value-space
+    # deviation stays well under 2% — assert a loose envelope
+    assert (np.abs(out["med"].values - ref["med"].values)
+            / ref["med"].values).max() < 0.02
+    assert (np.abs(out["p99"].values - ref["p99"].values)
+            / ref["p99"].values).max() < 0.02
+
+    # plain grouped t-digest route (the regression)
+    out2 = run_sql("SELECT o_orderstatus, "
+                   "APPROX_QUANTILE_TDIGEST(o_totalprice, 0.9) AS q "
+                   "FROM orders GROUP BY o_orderstatus "
+                   "ORDER BY o_orderstatus", sf01_dir).to_pandas()
+    ref2 = _duck(sf01_dir, "SELECT o_orderstatus, "
+                 "quantile_cont(o_totalprice, 0.9) AS q FROM orders "
+                 "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+    assert (np.abs(out2["q"].values - ref2["q"].values)
+            / ref2["q"].values).max() < 0.02

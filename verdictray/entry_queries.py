@@ -4905,6 +4905,28 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
 """
 
+SQL_QUANTILE_ROLLUP = """
+SELECT o_orderstatus, APPROX_QUANTILE(o_totalprice, 0.5) AS med,
+       APPROX_QUANTILE_TDIGEST(o_totalprice, 0.99) AS p99, COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus)
+ORDER BY o_orderstatus NULLS FIRST
+"""
+
+
+def q_sql_quantile_rollup(sf_dir: str):
+    """KLL + t-digest over GROUP BY ROLLUP: exact quantiles are not
+    re-aggregable from level outputs, but both sketches' blobs merge
+    associatively, so the finest level keeps serialized sketches and
+    each coarser level re-merges (SketchMergeAgg); finish decodes
+    blob -> quantile(phi) per level row. Approximate by design
+    (rows-only driver check; value-envelope vs DuckDB quantile_cont
+    asserted in pytest). No reference file:line — /root/reference is
+    empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_QUANTILE_ROLLUP, sf_dir)
+
+
 SQL_HLL_ROLLUP = """
 SELECT o_orderpriority, o_orderstatus,
        APPROX_COUNT_DISTINCT(o_custkey) AS nd, COUNT(*) AS n
@@ -5270,6 +5292,7 @@ QUERIES = {
     "sql_grouping": q_sql_grouping,
     "sql_qualify": q_sql_qualify,
     "sql_hll_rollup": q_sql_hll_rollup,
+    "sql_quantile_rollup": q_sql_quantile_rollup,
     "sql_union_distinct": q_sql_union_distinct,
     "sql_null_group_key": q_sql_null_group_key,
     "sql_coalesce": q_sql_coalesce,
@@ -5527,6 +5550,7 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
     "sql_grouping", "sql_qualify", "sql_hll_rollup",
+    "sql_quantile_rollup",
     "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",

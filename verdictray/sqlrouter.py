@@ -73,11 +73,13 @@ except membership ``IN (SELECT col FROM t)``):
                                       --   levels re-aggregate the
                                       --   group-count-sized partials
                                       --   (decomposable exact aggs +
-                                      --   APPROX_COUNT_DISTINCT — HLL
+                                      --   the mergeable sketches
+                                      --   APPROX_COUNT_DISTINCT /
+                                      --   APPROX_QUANTILE[_TDIGEST] —
                                       --   blobs merge associatively
                                       --   across levels where exact
-                                      --   DISTINCT cannot; rolled-up
-                                      --   keys are NULL).
+                                      --   DISTINCT/quantiles cannot;
+                                      --   rolled-up keys are NULL).
                                       --   CUBE: same machinery, ALL 2^k
                                       --   key subsets (k <= 8).
                                       --   HAVING composes (filters the
@@ -3196,6 +3198,10 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # ------------------------------------- APPROX_TOP_K (heavy hitters)
     topk = [it for it in plan.items if it.fn == "approx_top_k"]
     if topk:
+        if plan.rollup:
+            raise ValueError("APPROX_TOP_K does not roll up in this "
+                             "router (heavy-hitter rows explode per "
+                             "group; use one level per query)")
         non_key = [it for it in plan.items
                    if it.fn != "approx_top_k"
                    and not (it.fn == "col" and it.col in plan.group_by)]
@@ -3283,6 +3289,13 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # ----------------------------- QUANTILE_CONT (exact, per-group task)
     qcont = [it for it in plan.items if it.fn == "quantile_cont"]
     if qcont:
+        if plan.rollup:
+            raise ValueError(
+                "QUANTILE_CONT cannot roll up (exact quantiles are not "
+                "re-aggregable from level outputs) — GROUP BY "
+                "ROLLUP/CUBE supports exact decomposables and the "
+                "mergeable sketches APPROX_QUANTILE[_TDIGEST] / "
+                "APPROX_COUNT_DISTINCT")
         bad = [it.fn for it in plan.items
                if it.fn not in ("col", "quantile_cont")]
         if bad or plan.having:
@@ -3357,6 +3370,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # -------------------------------------------------- aggregates
     aggs, posts, bounds = [], [], []
     hll_blob_items: list[str] = []   # rollup APPROX_COUNT_DISTINCT names
+    qblob_items: list[tuple] = []    # rollup quantile sketches (name, phi)
     plain_cols = [it for it in plan.items if it.fn == "col"]
     # "expr" items are derived group keys — already validated against
     # plan.group_by above, and they flow through the groupby like any
@@ -3440,15 +3454,17 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # re-MERGES HLL blobs (the flagship mergeable-sketch algebra — exact
     # DISTINCT is the classic non-decomposable case, the sketch is not)
     _ROLLUP_REAGG = {"count", "sum", "min", "max", "money_sum",
-                     "money_avg", "approx_count_distinct"}
+                     "money_avg", "approx_count_distinct",
+                     "approx_quantile", "approx_quantile_tdigest"}
     if plan.rollup and not precombine:
         bad_r = [it.fn for it in agg_items if it.fn not in _ROLLUP_REAGG
                  or it.distinct]
         if bad_r:
             raise ValueError(
                 "GROUP BY ROLLUP/CUBE supports exact decomposable "
-                "aggregates and APPROX_COUNT_DISTINCT (HLL blobs merge "
-                f"associatively across levels) — got {bad_r}")
+                "aggregates and the mergeable sketches "
+                "APPROX_COUNT_DISTINCT / APPROX_QUANTILE[_TDIGEST] "
+                f"(blobs merge associatively across levels) — got {bad_r}")
     if plan.rollup and plan.sub_from is not None:
         raise ValueError("GROUP BY ROLLUP over a derived table is not "
                          "supported (key types come from parquet schema)")
@@ -3608,9 +3624,29 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             phis = (it.phi,) if not with_bounds else tuple(sorted({
                 max(0.0, it.phi - 1.65 / kll_k * 3), it.phi,
                 min(1.0, it.phi + 1.65 / kll_k * 3)}))
-            aggs.append(KllAgg(on=it.col, alias_name=f"_kll_{name}",
-                               k=kll_k, phis=phis, output="quantiles"))
-            posts.append((name, it.phi, phis))
+            if plan.rollup:
+                aggs.append(KllAgg(on=it.col, alias_name=f"_blob_{name}",
+                                   k=kll_k, output="blob"))
+                qblob_items.append((name, it.phi))
+            else:
+                aggs.append(KllAgg(on=it.col, alias_name=f"_kll_{name}",
+                                   k=kll_k, phis=phis,
+                                   output="quantiles"))
+                posts.append((name, it.phi, phis))
+        elif it.fn == "approx_quantile_tdigest":
+            from .udaf import TDigestAgg
+
+            if plan.rollup:
+                aggs.append(TDigestAgg(on=it.col,
+                                       alias_name=f"_blob_{name}",
+                                       output="blob"))
+                qblob_items.append((name, it.phi))
+            else:
+                aggs.append(TDigestAgg(on=it.col,
+                                       alias_name=f"_kll_{name}",
+                                       phis=(it.phi,),
+                                       output="quantiles"))
+                posts.append((name, it.phi, (it.phi,)))
         if it.round_to is not None:
             # rounding applies after finalize (and after Mean division)
             pass
@@ -3738,7 +3774,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 reaggs.append(Sum(f"_cnt_{name}",
                                   alias_name=f"_cnt_{name}"))
                 re_names.extend([f"_cents_{name}", f"_cnt_{name}"])
-            elif it.fn == "approx_count_distinct":
+            elif it.fn in ("approx_count_distinct", "approx_quantile",
+                           "approx_quantile_tdigest"):
                 from .udaf import SketchMergeAgg
                 reaggs.append(SketchMergeAgg(f"_blob_{name}",
                                              alias_name=f"_blob_{name}"))
@@ -3834,6 +3871,14 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             blobs = batch[f"_blob_{name}"].to_pylist()
             batch = batch.append_column(name, pa.array(
                 [None if b is None else float(_Sk.from_bytes(b).finalize())
+                 for b in blobs], pa.float64()))
+            batch = batch.drop_columns([f"_blob_{name}"])
+        for name, phi in qblob_items:
+            from .sketches.base import Sketch as _Sk
+            blobs = batch[f"_blob_{name}"].to_pylist()
+            batch = batch.append_column(name, pa.array(
+                [None if b is None
+                 else float(_Sk.from_bytes(b).quantiles([phi])[0])
                  for b in blobs], pa.float64()))
             batch = batch.drop_columns([f"_blob_{name}"])
         for name, kind, rel in bounds:
