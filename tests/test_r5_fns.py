@@ -1,0 +1,215 @@
+"""Round-5 late-session SQL-surface additions: the widened scalar-function
+set (math / string / regexp kernels, `||` and `%` operators), INTERVAL
+arithmetic + DATEDIFF, the variance aggregate family (rewritten onto exact
+decomposable hidden aggregates), MEDIAN, and GROUP BY GROUPING SETS.
+
+Every positive test runs the SAME (or operation-equivalent) SQL through
+DuckDB; scalar-function outputs compare exactly, variance compares at
+rtol=1e-9 (two correct float algorithms on large-magnitude columns cannot
+match at an absolute 1e-9 — the ORACLE registry entry therefore uses a
+small-magnitude integer column where abs-tolerance holds)."""
+
+import duckdb
+import pandas.testing as pdt
+import pytest
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "part", "lineitem", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _cmp(sf_dir, sql, oracle=None, rtol=0.0, atol=1e-9):
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql(sql, sf_dir).to_pandas().reset_index(drop=True)
+    ref = _duck(sf_dir, oracle or sql).reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False,
+                           rtol=rtol, atol=atol)
+
+
+def test_math_scalar_fns_match_duckdb(ray_session, sf_dir):
+    """ROUND/FLOOR/CEIL/SQRT/LN/LOG/POWER/MOD/%/SIGN — each one
+    pyarrow.compute kernel, DuckDB-typed (DOUBLE out; SIGN integral)."""
+    _cmp(sf_dir, """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS r2,
+               ROUND(o_totalprice) AS r0, FLOOR(o_totalprice) AS f,
+               CEIL(o_totalprice) AS c, SQRT(o_totalprice) AS s,
+               LN(o_totalprice) AS l, LOG(o_totalprice) AS lg,
+               LOG2(o_totalprice) AS l2, POWER(o_totalprice, 0.5) AS p,
+               MOD(o_orderkey, 7) AS m, o_orderkey % 5 AS m5,
+               CAST(SIGN(o_totalprice - 100000) AS BIGINT) AS sg,
+               GREATEST(o_totalprice, 200000.0) AS g,
+               LEAST(o_orderkey, 100) AS le
+        FROM orders ORDER BY o_orderkey LIMIT 200
+    """)
+
+
+def test_string_scalar_fns_match_duckdb(ray_session, sf_dir):
+    """||, CONCAT (null-skipping), REPLACE, REVERSE, LEFT/RIGHT, STRPOS,
+    CONTAINS/STARTS_WITH/ENDS_WITH, REPEAT, SPLIT_PART (incl. the
+    past-last-part '' case), LTRIM/RTRIM."""
+    _cmp(sf_dir, """
+        SELECT c_name || '-' || c_mktsegment AS cat,
+               CONCAT(c_name, ':', c_mktsegment) AS cc,
+               REPLACE(c_mktsegment, 'A', '_') AS rep,
+               REVERSE(c_mktsegment) AS rev,
+               LEFT(c_name, 4) AS lf, RIGHT(c_name, 3) AS rt,
+               STRPOS(c_name, 'er') AS sp,
+               CONTAINS(c_mktsegment, 'MA') AS ct,
+               STARTS_WITH(c_mktsegment, 'BU') AS sw,
+               ENDS_WITH(c_mktsegment, 'RY') AS ew,
+               REPEAT(c_mktsegment, 2) AS rp,
+               SPLIT_PART(c_name, '0', 2) AS s2,
+               SPLIT_PART(c_name, '0', 9) AS s9,
+               LTRIM(c_name) AS ltr, RTRIM(c_name) AS rtr
+        FROM customer ORDER BY c_custkey LIMIT 200
+    """)
+
+
+def test_regexp_fns_match_duckdb(ray_session, sf_dir):
+    """REGEXP_REPLACE (first-match default, 'g' global flag) and
+    REGEXP_MATCHES — both RE2 on both engines."""
+    _cmp(sf_dir, """
+        SELECT REGEXP_REPLACE(c_name, '[0-9]+', '#') AS r1,
+               REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS rg,
+               REGEXP_MATCHES(c_name, '00+1') AS rm
+        FROM customer ORDER BY c_custkey LIMIT 200
+    """)
+
+
+def test_interval_arith_and_datediff_match_duckdb(ray_session, sf_dir):
+    """ts ± INTERVAL n unit (fixed-width units → one Arrow duration
+    literal) and DATEDIFF boundary-crossing counts (floor_temporal for
+    fixed-width parts, EXTRACT arithmetic for calendar parts)."""
+    _cmp(sf_dir, """
+        SELECT o_orderkey, o_orderdate + INTERVAL 3 DAY AS d3,
+               o_orderdate - INTERVAL 12 HOUR AS h12,
+               o_orderdate + INTERVAL '2' WEEK AS w2,
+               DATEDIFF('day', o_orderdate,
+                        TIMESTAMP '1996-01-01 00:00:00') AS dd,
+               DATEDIFF('month', o_orderdate,
+                        TIMESTAMP '1996-01-01 00:00:00') AS dm,
+               DATEDIFF('quarter', o_orderdate,
+                        TIMESTAMP '1996-01-01 00:00:00') AS dq,
+               DATEDIFF('year', o_orderdate,
+                        TIMESTAMP '1996-01-01 00:00:00') AS dy,
+               DATEDIFF('hour', o_orderdate,
+                        TIMESTAMP '1996-01-01 00:00:00') AS dh
+        FROM orders ORDER BY o_orderkey LIMIT 200
+    """)
+
+
+def test_variance_family_small_ints_abs_exact(ray_session, sf_dir):
+    """Variance over a small-magnitude integer column: the hidden
+    aggregates (COUNT, SUM, SUM(x*x)) are exact int64, so the float
+    finalize agrees with DuckDB's Welford within abs 1e-9 — the same
+    contract the ORACLE entry relies on. Also exercises a variance
+    aggregate inside HAVING and the shared-hidden-aggregate dedup
+    (STDDEV + VAR of the same column compute COUNT/SUM/SUM(x*x) once)."""
+    _cmp(sf_dir, """
+        SELECT p_brand, COUNT(*) AS n, VAR_POP(p_size) AS vp,
+               VAR_SAMP(p_size) AS vs, VARIANCE(p_size) AS v2,
+               STDDEV_POP(p_size) AS sp, STDDEV_SAMP(p_size) AS ss,
+               STDDEV(p_size) AS s2
+        FROM part GROUP BY p_brand HAVING STDDEV_SAMP(p_size) > 1
+        ORDER BY p_brand
+    """)
+
+
+def test_variance_large_doubles_rel_exact(ray_session, sf_dir):
+    """Global variance over a large-magnitude double column matches
+    DuckDB at rtol 1e-9 (absolute match between two float algorithms is
+    impossible at variance ~1e10 — documented; the oracle entry uses the
+    integer-column form above)."""
+    _cmp(sf_dir, """
+        SELECT VAR_SAMP(o_totalprice) AS vs,
+               STDDEV_SAMP(o_totalprice) AS ss,
+               VAR_POP(o_totalprice) AS vp
+        FROM orders
+    """, rtol=1e-9, atol=0)
+
+
+def test_variance_null_and_single_row_semantics(ray_session, sf_dir, tmp_path):
+    """SQL edge semantics: var_samp of a 1-row group is NULL (NULLIF
+    guard), var_pop is 0.0, and an all-NULL group stays NULL (the
+    internal _clamp0 uses skip_nulls=False precisely for this)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "k": ["a", "b", "b", "c", "c"],
+        "x": pa.array([5, 1, 3, None, None], type=pa.int64()),
+    }), d / "orders.parquet")
+    from verdictray.sqlrouter import run_sql
+
+    mine = (run_sql("SELECT k, VAR_SAMP(x) AS vs, VAR_POP(x) AS vp, "
+                    "STDDEV_SAMP(x) AS ss FROM orders GROUP BY k "
+                    "ORDER BY k", str(d))
+            .to_pandas().reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{d / 'orders.parquet'}'")
+    ref = con.sql("SELECT k, VAR_SAMP(x) AS vs, VAR_POP(x) AS vp, "
+                  "STDDEV_SAMP(x) AS ss FROM orders GROUP BY k "
+                  "ORDER BY k").df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False, atol=1e-12)
+
+
+def test_median_matches_duckdb(ray_session, sf_dir):
+    """MEDIAN == QUANTILE_CONT(·, 0.5): exact interpolated, integer
+    inputs surface as DOUBLE (DuckDB semantics)."""
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, MEDIAN(o_totalprice) AS med_price,
+               MEDIAN(o_custkey) AS med_key
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+
+
+def test_grouping_sets_match_duckdb(ray_session, sf_dir):
+    """GROUP BY GROUPING SETS: only the REQUESTED levels emit (the union
+    pass re-aggregates its partials per set), GROUPING() markers
+    disambiguate rolled-up keys, HAVING filters the level union."""
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus) AS g1,
+               GROUPING(o_orderpriority) AS g2, COUNT(*) AS n
+        FROM orders GROUP BY GROUPING SETS
+             ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+        ORDER BY g1, g2, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
+    """)
+
+
+def test_new_surface_errors_are_loud(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="INTERVAL unit"):
+        run_sql("SELECT o_orderdate + INTERVAL 3 MONTH AS d "
+                "FROM orders LIMIT 1", sf_dir)
+    with pytest.raises(ValueError, match="DATEDIFF part"):
+        run_sql("SELECT DATEDIFF('week', o_orderdate, o_orderdate) AS d "
+                "FROM orders LIMIT 1", sf_dir)
+    with pytest.raises(ValueError, match="plain column"):
+        run_sql("SELECT STDDEV(o_totalprice * 2) AS s FROM orders",
+                sf_dir)
+    with pytest.raises(ValueError, match="aggregate"):
+        run_sql("SELECT o_orderkey FROM orders "
+                "WHERE STDDEV(o_totalprice) > 1", sf_dir)
+    with pytest.raises(ValueError, match="literal"):
+        run_sql("SELECT SPLIT_PART(c_name, c_name, 1) AS s "
+                "FROM customer LIMIT 1", sf_dir)
+    with pytest.raises(ValueError, match="positive"):
+        run_sql("SELECT SPLIT_PART(c_name, '0', 0) AS s "
+                "FROM customer LIMIT 1", sf_dir)
+    with pytest.raises(ValueError, match="flag"):
+        run_sql("SELECT REGEXP_REPLACE(c_name, '0', 'x', 'i') AS s "
+                "FROM customer LIMIT 1", sf_dir)
+    with pytest.raises(ValueError, match="non-empty"):
+        run_sql("SELECT COUNT(*) AS n FROM orders "
+                "GROUP BY GROUPING SETS ((), ())", sf_dir)

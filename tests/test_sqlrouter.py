@@ -970,8 +970,16 @@ def test_cast_scalar_fns_and_order_position(ray_session, sf01_dir):
 
     with pytest.raises(ValueError, match="out of range"):
         run_sql("SELECT COUNT(*) AS n FROM orders ORDER BY 3", sf01_dir)
+    # SQRT became a supported scalar fn in the round-5 widening — SUM
+    # over it now runs (and matches DuckDB within float-sum noise);
+    # genuinely unknown functions still raise loudly
+    sq = run_sql("SELECT SUM(sqrt(o_totalprice)) AS s FROM orders",
+                 sf01_dir).to_pandas()
+    osq = _duck(sf01_dir, "SELECT SUM(sqrt(o_totalprice)) AS s "
+                          "FROM orders")
+    assert abs(sq.s[0] - osq.s[0]) <= 1e-9 * abs(osq.s[0])
     with pytest.raises(ValueError, match="not supported"):
-        run_sql("SELECT SUM(sqrt(o_totalprice)) AS s FROM orders",
+        run_sql("SELECT SUM(cbrt(o_totalprice)) AS s FROM orders",
                 sf01_dir)
 
 

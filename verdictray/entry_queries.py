@@ -5196,6 +5196,149 @@ def q_sql_except(sf_dir: str):
     return run_sql(SQL_EXCEPT, sf_dir)
 
 
+SQL_SCALAR_FNS_R5 = """
+SELECT c_custkey,
+       c_name || '-' || c_mktsegment AS cat,
+       CONCAT(c_name, ':', c_mktsegment) AS joined,
+       REPLACE(c_mktsegment, 'A', '_') AS repl,
+       REVERSE(c_mktsegment) AS rev,
+       LEFT(c_name, 8) AS lft, RIGHT(c_name, 3) AS rgt,
+       STRPOS(c_name, 'er') AS pos,
+       CONTAINS(c_mktsegment, 'MA') AS has_ma,
+       STARTS_WITH(c_mktsegment, 'BU') AS is_bu,
+       SPLIT_PART(c_name, '0', 2) AS part2,
+       REGEXP_REPLACE(c_name, '[0-9]', '#', 'g') AS masked,
+       ROUND(c_acctbal, 1) AS bal1, FLOOR(c_acctbal) AS bal_f,
+       CEIL(c_acctbal) AS bal_c, SQRT(c_custkey) AS rootk,
+       MOD(c_custkey, 97) AS m97, c_custkey % 10 AS m10,
+       CAST(SIGN(c_acctbal) AS BIGINT) AS bal_sign,
+       GREATEST(c_acctbal, 0.0) AS bal_pos
+FROM customer ORDER BY c_custkey LIMIT 2000
+"""
+
+
+def q_sql_scalar_fns_r5(sf_dir: str):
+    """Round-5 widened scalar-function surface in one scan: string
+    kernels (||, CONCAT, REPLACE, REVERSE, LEFT/RIGHT, STRPOS,
+    CONTAINS/STARTS_WITH, SPLIT_PART, REGEXP_REPLACE-global) and math
+    kernels (ROUND/FLOOR/CEIL/SQRT/MOD/%/SIGN/GREATEST) — every one
+    compiles to a single vectorized pyarrow.compute call inside the one
+    derive stage (zero row loops, zero shuffles before the top-k sort).
+    Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_SCALAR_FNS_R5, sf_dir)
+
+
+SQL_VARIANCE = """
+SELECT p_brand, COUNT(*) AS n,
+       VAR_POP(p_size) AS size_var_pop,
+       VAR_SAMP(p_size) AS size_var_samp,
+       STDDEV_POP(p_size) AS size_sd_pop,
+       STDDEV_SAMP(p_size) AS size_sd_samp
+FROM part GROUP BY p_brand
+HAVING STDDEV_SAMP(p_size) > 1
+ORDER BY p_brand
+"""
+
+
+def q_sql_variance(sf_dir: str):
+    """Variance aggregate family — parse-time sugar over EXACT
+    decomposable hidden aggregates (COUNT, SUM(x), SUM(x*x), deduped
+    across the four items), so it rides the map-side Arrow pre-combine
+    and the bucketed hash merge; only the finalize is float. Over a
+    small-magnitude integer column the int64 sums are exact and the
+    result agrees with DuckDB's streaming Welford within the driver's
+    abs 1e-9 (large-magnitude doubles hold at rtol 1e-9 — asserted in
+    pytest instead). Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_VARIANCE, sf_dir)
+
+
+SQL_INTERVAL_DATEDIFF = """
+SELECT o_orderkey,
+       o_orderdate + INTERVAL 3 DAY AS due,
+       o_orderdate - INTERVAL 12 HOUR AS cutoff,
+       DATEDIFF('day', o_orderdate,
+                TIMESTAMP '1996-01-01 00:00:00') AS days_to_96,
+       DATEDIFF('month', o_orderdate,
+                TIMESTAMP '1996-01-01 00:00:00') AS months_to_96,
+       DATEDIFF('year', o_orderdate,
+                TIMESTAMP '1996-01-01 00:00:00') AS years_to_96
+FROM orders ORDER BY o_orderkey LIMIT 2000
+"""
+
+
+def q_sql_interval_datediff(sf_dir: str):
+    """Temporal arithmetic: ts ± INTERVAL n unit (fixed-width units
+    become ONE Arrow duration literal added vectorized; MONTH/YEAR raise
+    loudly — calendar-dependent) and DATEDIFF part-boundary counts
+    (floor_temporal + exact integer microsecond division for fixed
+    parts, EXTRACT arithmetic for month/quarter/year). All integer-exact
+    — bit-identical to DuckDB. Identical text runs in DuckDB. No
+    reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_INTERVAL_DATEDIFF, sf_dir)
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n, MONEY_SUM(o_totalprice) AS total
+FROM orders GROUP BY GROUPING SETS
+     ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST
+"""
+SQL_GROUPING_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders GROUP BY GROUPING SETS
+     ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+         o_orderpriority NULLS FIRST
+"""
+
+
+def q_sql_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS — the explicit-level generalization of
+    ROLLUP/CUBE on the same one-input-pass machinery: the single finest
+    pass groups by the UNION of all set keys, then ONLY the requested
+    levels re-aggregate its group-count-sized partials (here the
+    (status,prio) set IS the finest pass — zero re-aggregation for it);
+    GROUPING() markers disambiguate rolled-up keys. Exact cents via
+    MONEY_SUM. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_GROUPING_SETS, sf_dir)
+
+
+SQL_MEDIAN = """
+SELECT o_orderstatus, MEDIAN(o_totalprice) AS med_price,
+       MEDIAN(o_custkey) AS med_key
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_sql_median(sf_dir: str):
+    """MEDIAN(col) == QUANTILE_CONT(col, 0.5): exact interpolated
+    median through the per-group vectorized np.quantile route (one
+    groupby shuffle co-locates each group); integer inputs surface as
+    DOUBLE, matching DuckDB. Identical text runs in DuckDB. No
+    reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_MEDIAN, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5298,6 +5441,11 @@ QUERIES = {
     "sql_coalesce": q_sql_coalesce,
     "sql_intersect": q_sql_intersect,
     "sql_except": q_sql_except,
+    "sql_scalar_fns_r5": q_sql_scalar_fns_r5,
+    "sql_variance": q_sql_variance,
+    "sql_interval_datediff": q_sql_interval_datediff,
+    "sql_grouping_sets": q_sql_grouping_sets,
+    "sql_median": q_sql_median,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5471,6 +5619,11 @@ ORACLES = {
     "sql_coalesce": SQL_COALESCE,
     "sql_intersect": SQL_INTERSECT,
     "sql_except": SQL_EXCEPT,
+    "sql_scalar_fns_r5": SQL_SCALAR_FNS_R5,
+    "sql_variance": SQL_VARIANCE,
+    "sql_interval_datediff": SQL_INTERVAL_DATEDIFF,
+    "sql_grouping_sets": SQL_GROUPING_SETS_ORACLE,
+    "sql_median": SQL_MEDIAN,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5548,6 +5701,8 @@ DRIVER_PRIORITY: list[str] = [
     "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
+    "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
+    "sql_grouping_sets", "sql_median",
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
     "sql_grouping", "sql_qualify", "sql_hll_rollup",
     "sql_quantile_rollup",

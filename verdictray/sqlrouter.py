@@ -67,7 +67,14 @@ except membership ``IN (SELECT col FROM t)``):
          (["LEFT" ["OUTER"]] "JOIN" table "ON" col "=" col)*
     [WHERE pred ("AND" pred)*]
     [GROUP BY col ("," col)*
-     | GROUP BY ROLLUP|CUBE "(" col ("," col)* ")"]
+     | GROUP BY ROLLUP|CUBE "(" col ("," col)* ")"
+     | GROUP BY GROUPING SETS "(" "(" [col ("," col)*] ")" ("," …)* ")"]
+                                      -- GROUPING SETS: the explicit-
+                                      --   level generalization — ONE
+                                      --   finest pass over the union of
+                                      --   set keys; only the REQUESTED
+                                      --   levels re-aggregate (() = the
+                                      --   grand total)
                                       -- ROLLUP: ONE distributed pass at
                                       --   the finest level; coarser
                                       --   levels re-aggregate the
@@ -122,6 +129,15 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   quantile; one group's
                                                  --   values fit a task
           | APPROX_QUANTILE_TDIGEST(col, phi)   -- t-digest (tail-accurate)
+          | MEDIAN(col)                          -- == QUANTILE_CONT(·, 0.5)
+          | VAR_POP|VAR_SAMP|VARIANCE(col)       -- parse-time sugar over
+          | STDDEV_POP|STDDEV_SAMP|STDDEV(col)   --   exact decomposable
+                                                 --   hidden aggs (COUNT,
+                                                 --   SUM, SUM(x*x), deduped
+                                                 --   across items); float
+                                                 --   finalize only — rides
+                                                 --   pre-combine, bucketed
+                                                 --   merge, HAVING
           | APPROX_TOP_K(col, k)                -- CMS heavy hitters
           | <exact agg> FILTER ( WHERE pred [AND pred]* )
                                                 -- per-aggregate condition
@@ -184,10 +200,40 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   starts Monday =
                                                  --   DuckDB/ISO)
           | STRFTIME ( scalar , 'format' )       -- vectorized pc.strftime
+          | scalar (%|"||") scalar               -- C-sign modulo (int-exact)
+                                                 --   / string concat (NULL
+                                                 --   if either side NULL)
+          | ROUND(x[, n]) | FLOOR | CEIL[ING] | SQRT | EXP | LN
+          | LOG[2|10] | POWER|POW(x, y) | MOD(x, y) | SIGN
+                                                 -- DuckDB-typed: DOUBLE
+                                                 --   out, SIGN integral
+          | GREATEST|LEAST ( scalar , … )        -- null-skipping (DuckDB)
+          | CONCAT ( scalar , … )                -- null-SKIPPING concat
+                                                 --   (contrast ||)
+          | REPLACE|REGEXP_REPLACE ( s, 'pat', 'rep' [, 'g'] )
+                                                 -- regexp: FIRST match
+                                                 --   unless 'g' (RE2)
+          | LTRIM|RTRIM|REVERSE ( s )
+          | LEFT|RIGHT|REPEAT ( s, n )           -- literal n >= 0
+          | STRPOS ( s, 'sub' )                  -- 1-based; 0 if absent
+          | CONTAINS|STARTS_WITH|ENDS_WITH ( s, 'sub' )
+          | SPLIT_PART ( s, 'sep', n )           -- 1-based; '' past last
+          | scalar ± INTERVAL [']n['] unit       -- fixed-width units
+                                                 --   (SECOND..WEEK) as one
+                                                 --   Arrow duration;
+                                                 --   MONTH/YEAR raise
+          | DATEDIFF ( 'part', a, b )            -- boundary-crossing count
+                                                 --   (DuckDB): fixed parts
+                                                 --   via floor_temporal +
+                                                 --   exact int division,
+                                                 --   month/quarter/year via
+                                                 --   EXTRACT arithmetic
           -- aggregate arguments and derived group keys; evaluated as ONE
           -- vectorized pyarrow.compute column per expression ("/" is SQL
           -- float division). Expression aggregates / items require an
           -- AS alias. Sketch aggregates keep bare columns by design.
+          -- Pattern-ish args (search/regex/sep strings, counts) must be
+          -- literals — they compile to Arrow kernel OPTIONS.
 
     pred := pred OR pred | pred AND pred | ( pred )    -- SQL precedence;
                                                  --   IN (SELECT …) may not
@@ -316,7 +362,20 @@ _ROUND = {"round_mode": "half_towards_infinity"}
 
 _AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
          "approx_count_distinct", "approx_quantile",
-         "approx_quantile_tdigest", "approx_top_k", "quantile_cont"}
+         "approx_quantile_tdigest", "approx_top_k", "quantile_cont",
+         "median"}
+
+# variance-family aggregates: parsed as sugar and REWRITTEN at parse time
+# into a post-aggregate expression over the exact decomposable hidden
+# aggregates COUNT / SUM(x) / SUM(x*x) — they therefore ride the map-side
+# pre-combine, the bucketed Arrow-hash merge, ROLLUP/CUBE and HAVING for
+# free.  Finalize is float64 over exact integer sums when the column is
+# integral (sum-of-squares fits int64 up to |x| ≈ 3e6 at 1e6 rows/block —
+# larger magnitudes should CAST to DOUBLE first), so the result is
+# deterministic under any partitioning and matches DuckDB's streaming
+# Welford within ~1e-12 relative (the driver compares at atol=1e-9).
+_VAR_AGGS = {"var_pop", "var_samp", "variance",   # variance = var_samp
+             "stddev_pop", "stddev_samp", "stddev"}  # stddev = stddev_samp
 
 # exact aggregates whose argument may be a scalar EXPRESSION (arithmetic /
 # CASE / EXTRACT over columns); sketches keep bare columns — hashing an
@@ -326,10 +385,43 @@ _EXPR_AGGS = {"sum", "avg", "min", "max", "money_sum", "money_avg"}
 _EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second"}
 
 # scalar string/numeric functions usable inside expressions — each maps to
-# one pyarrow.compute kernel (see _eval_expr)
+# one pyarrow.compute kernel (or a short fixed composition of kernels; see
+# _eval_expr).  Pattern-ish arguments (search strings, regexes, pad/sep
+# strings, counts) must be literals — they become Arrow kernel OPTIONS,
+# not arrays, which is also what keeps every call a single vectorized
+# kernel invocation.
 _SCALAR_FNS = {"lower", "upper", "length", "trim", "abs", "substr",
                "substring", "coalesce", "nullif", "date_trunc",
-               "strftime"}
+               "strftime",
+               # math — DuckDB-typed: floor/ceil/round/sqrt/exp/ln/log*
+               # return DOUBLE, sign returns the comparable int
+               "round", "floor", "ceil", "ceiling", "sqrt", "exp",
+               "ln", "log", "log2", "log10", "power", "pow", "mod",
+               "sign", "greatest", "least",
+               # strings
+               "concat", "replace", "ltrim", "rtrim", "reverse",
+               "left", "right", "strpos", "contains", "starts_with",
+               "ends_with", "repeat", "split_part",
+               "regexp_replace", "regexp_matches",
+               # temporal — datediff(part, a, b) counts part-boundary
+               # crossings (DuckDB semantics), vectorized from
+               # floor_temporal / EXTRACT arithmetic
+               "datediff"}
+
+#: DATEDIFF parts — fixed-width ones go through floor_temporal + exact
+#: integer microsecond division; month/quarter/year count calendar
+#: boundaries via EXTRACT arithmetic (matching DuckDB's datediff)
+_DATEDIFF_US = {"day": 86_400_000_000, "hour": 3_600_000_000,
+                "minute": 60_000_000, "second": 1_000_000}
+_DATEDIFF_CAL = {"year", "quarter", "month"}
+
+#: INTERVAL units usable in scalar expressions (fixed-width → one Arrow
+#: duration literal; MONTH/YEAR are not fixed-width and raise loudly)
+_INTERVAL_US = {"second": 1_000_000, "seconds": 1_000_000,
+                "minute": 60_000_000, "minutes": 60_000_000,
+                "hour": 3_600_000_000, "hours": 3_600_000_000,
+                "day": 86_400_000_000, "days": 86_400_000_000,
+                "week": 604_800_000_000, "weeks": 604_800_000_000}
 
 #: DATE_TRUNC parts — each maps to one pc.floor_temporal unit (Arrow week
 #: flooring starts Monday, matching DuckDB/ISO)
@@ -354,7 +446,7 @@ _TOKEN = re.compile(r"""
         '(?:[^']|'')*'            # string literal
       | [A-Za-z_][A-Za-z_0-9.]*   # ident / keyword
       | \d+\.\d+ | \.\d+ | \d+    # number
-      | <> | != | <= | >= | [(),*=<>+\-/]
+      | <> | != | <= | >= | \|\| | [(),*=<>+\-/%]
     )""", re.VERBOSE)
 
 
@@ -561,6 +653,10 @@ class _Plan:
     # GROUP BY CUBE(group_by…): same single-pass machinery as ROLLUP but
     # the re-aggregated levels are ALL key subsets (2^k), not prefixes
     cube: bool = False
+    # GROUP BY GROUPING SETS ((…), …): the EXPLICIT level list (tuples of
+    # key names; () is the grand total); group_by holds the union of all
+    # keys (the single finest data pass every set re-aggregates from)
+    gsets: list | None = None
     # inner _Plan when FROM is a derived table ``FROM (SELECT …) [AS] t``;
     # ``table`` then holds the alias and the inner plan executes as its
     # own streaming Dataset that the outer plan consumes block-wise
@@ -655,14 +751,14 @@ class _Parser:
     # ("case", ((pred, then_expr), …), else_expr_or_None)
     def expr_tree(self) -> tuple:
         node = self._term()
-        while self.peek() in ("+", "-"):
+        while self.peek() in ("+", "-", "||"):
             op = self.take()
             node = ("bin", op, node, self._term())
         return node
 
     def _term(self) -> tuple:
         node = self._factor()
-        while self.peek() in ("*", "/"):
+        while self.peek() in ("*", "/", "%"):
             op = self.take()
             node = ("bin", op, node, self._factor())
         return node
@@ -732,6 +828,28 @@ class _Parser:
         if (low in ("date", "timestamp") and self.i + 1 < len(self.t)
                 and self.t[self.i + 1].startswith("'")):
             return ("lit", self.literal())
+        if low == "interval":
+            # INTERVAL [']n['] unit — fixed-width units only (a duration
+            # literal Arrow can add to a timestamp); MONTH/YEAR are
+            # calendar-dependent and raise loudly
+            self.take()
+            raw = self.take()
+            if raw.startswith("'"):
+                raw = raw[1:-1].replace("''", "'")
+            try:
+                qty = int(raw)
+            except ValueError:
+                raise ValueError(f"INTERVAL quantity must be an integer "
+                                 f"literal, got {raw!r}") from None
+            unit = self.take().lower()
+            if unit not in _INTERVAL_US:
+                raise ValueError(
+                    f"INTERVAL unit {unit!r} not supported in scalar "
+                    f"expressions (have {sorted(set(_INTERVAL_US))}; "
+                    "MONTH/YEAR are calendar-dependent)")
+            import datetime as _dt
+            return ("lit", _dt.timedelta(
+                microseconds=qty * _INTERVAL_US[unit]))
         if tok.startswith("'") or tok[0].isdigit() or tok[0] == ".":
             return ("lit", self.literal())
         ident = self.take()
@@ -741,6 +859,15 @@ class _Parser:
                 # aggregate call as an expression leaf — only while
                 # parsing SELECT items (post-aggregate arithmetic)
                 return ("agg", self._agg_call(low))
+            if low in _VAR_AGGS:
+                if not getattr(self, "_aggexpr", False):
+                    raise ValueError(f"{low.upper()} is an aggregate — "
+                                     "it is valid only in SELECT items "
+                                     "or HAVING")
+                self.take()
+                arg = self.expr_tree()
+                self.expect(")")
+                return _variance_tree(low, arg)
             if low not in _SCALAR_FNS:
                 raise ValueError(f"function {ident!r} not supported "
                                  "inside scalar expressions "
@@ -751,17 +878,63 @@ class _Parser:
                 self.take()
                 args.append(self.expr_tree())
             self.expect(")")
-            if low == "substring":
-                low = "substr"
+            low = {"substring": "substr", "ceiling": "ceil",
+                   "pow": "power", "log": "log10"}.get(low, low)
             n_want = {"substr": (2, 3), "coalesce": (2, 16),
                       "nullif": (2, 2), "date_trunc": (2, 2),
-                      "strftime": (2, 2)}.get(low, (1, 1))
+                      "strftime": (2, 2), "round": (1, 2),
+                      "power": (2, 2), "mod": (2, 2),
+                      "greatest": (2, 16), "least": (2, 16),
+                      "concat": (2, 16), "replace": (3, 3),
+                      "left": (2, 2), "right": (2, 2),
+                      "strpos": (2, 2), "contains": (2, 2),
+                      "starts_with": (2, 2), "ends_with": (2, 2),
+                      "repeat": (2, 2), "split_part": (3, 3),
+                      "regexp_replace": (3, 4),
+                      "regexp_matches": (2, 2),
+                      "datediff": (3, 3)}.get(low, (1, 1))
             if not n_want[0] <= len(args) <= n_want[1]:
                 raise ValueError(f"{low} takes {n_want[0]}"
                                  f"{'-' + str(n_want[1]) if n_want[1] != n_want[0] else ''}"
                                  f" args, got {len(args)}")
             if low == "substr" and any(a[0] != "lit" for a in args[1:]):
                 raise ValueError("substr start/length must be literals")
+            # pattern-ish / count-ish arguments become Arrow kernel
+            # OPTIONS, so they must be literals (loud parse error beats a
+            # runtime kernel-dispatch failure)
+            _lit_args = {"replace": (1, 2), "left": (1,), "right": (1,),
+                         "strpos": (1,), "contains": (1,),
+                         "starts_with": (1,), "ends_with": (1,),
+                         "repeat": (1,), "split_part": (1, 2),
+                         "regexp_replace": (1, 2, 3),
+                         "regexp_matches": (1,), "round": (1,),
+                         "datediff": (0,)}
+            for pos in _lit_args.get(low, ()):
+                if pos < len(args) and args[pos][0] != "lit":
+                    raise ValueError(f"{low} argument {pos + 1} must be "
+                                     "a literal")
+            if low == "round" and len(args) == 2 \
+                    and not isinstance(args[1][1], int):
+                raise ValueError("round digits must be an integer literal")
+            if low in ("left", "right", "repeat") \
+                    and (not isinstance(args[1][1], int)
+                         or args[1][1] < 0):
+                raise ValueError(f"{low} count must be a non-negative "
+                                 "integer literal")
+            if low == "split_part" and (not isinstance(args[2][1], int)
+                                        or args[2][1] < 1):
+                raise ValueError("split_part index must be a positive "
+                                 "integer literal (1-based)")
+            if low == "regexp_replace" and len(args) == 4 \
+                    and args[3][1] != "g":
+                raise ValueError("regexp_replace flag must be 'g' "
+                                 "(global) when given")
+            if low == "datediff":
+                part = str(args[0][1]).lower()
+                if part not in _DATEDIFF_US and part not in _DATEDIFF_CAL:
+                    raise ValueError(
+                        f"DATEDIFF part {part!r} not supported (have "
+                        f"{sorted(set(_DATEDIFF_US) | _DATEDIFF_CAL)})")
             if low == "date_trunc":
                 if (args[0][0] != "lit"
                         or str(args[0][1]).lower() not in _TRUNC_PARTS):
@@ -778,13 +951,30 @@ class _Parser:
         tok = self.take()
         low = tok.lower()
         if low == "round":
-            self.expect("(")
-            inner = self.item()
-            self.expect(",")
-            nd = int(self.take())
-            self.expect(")")
-            inner.round_to = nd
-            return inner
+            # Two ROUND spellings share this name: the ITEM wrapper
+            # (ROUND(QUANTILE_CONT(…), 2), ROUND(SUM(x) FILTER …, 2),
+            # ROUND(SUM(v) OVER …, 2) — a finish-stage round_to on the
+            # aggregate/window item) and the plain SCALAR function
+            # (ROUND(col[, n]) — one pc.round kernel in the expression
+            # route). Try the wrapper; a plain-column/expression inner
+            # backtracks to the scalar parse.
+            save = self.i - 1
+            inner = nd = None
+            try:
+                self.expect("(")
+                inner = self.item()
+                nd = 0
+                if self.peek() == ",":
+                    self.take()
+                    nd = int(self.take())
+                self.expect(")")
+            except (ValueError, IndexError):
+                inner = None
+            if inner is not None and inner.fn not in ("col", "expr"):
+                inner.round_to = nd
+                return inner
+            self.i = save
+            return self._classify_item(self._in_aggexpr(self.expr_tree))
         if low in _WINDOW_FNS:
             self.expect("(")
             self.expect(")")
@@ -883,6 +1073,10 @@ class _Parser:
             self.expect(",")
             phi = float(self.take())
         self.expect(")")
+        if low == "median":
+            # MEDIAN(col) == QUANTILE_CONT(col, 0.5) — exact interpolated
+            # (DuckDB's MEDIAN; integer inputs surface as DOUBLE)
+            low, phi = "quantile_cont", 0.5
         return _Agg(low, col, distinct=distinct, phi=phi, expr=expr)
 
     def _in_aggexpr(self, fn):
@@ -898,10 +1092,10 @@ class _Parser:
     def _expr_continue(self, left: tuple) -> tuple:
         """Continue an expression whose first primary is already parsed
         (same precedence as expr_tree: * and / bind tighter)."""
-        while self.peek() in ("*", "/"):
+        while self.peek() in ("*", "/", "%"):
             op = self.take()
             left = ("bin", op, left, self._factor())
-        while self.peek() in ("+", "-"):
+        while self.peek() in ("+", "-", "||"):
             op = self.take()
             left = ("bin", op, left, self._term())
         return left
@@ -1335,7 +1529,44 @@ class _Parser:
         if self.kw("group"):
             self.take()
             self.expect("by")
-            if self.kw("rollup") or self.kw("cube"):
+            if self.kw("grouping"):
+                # GROUP BY GROUPING SETS ((a,b),(a),()) — explicit level
+                # list over the same one-input-pass machinery as ROLLUP:
+                # the finest pass groups by the UNION of all set keys and
+                # every requested set re-aggregates its group-count-sized
+                # partials (decomposable exact aggregates only)
+                self.take()
+                self.expect("sets")
+                self.expect("(")
+                sets: list[tuple] = []
+                while True:
+                    self.expect("(")
+                    s: list[str] = []
+                    if self.peek() != ")":
+                        s.append(self.take())
+                        while self.peek() == ",":
+                            self.take()
+                            s.append(self.take())
+                    self.expect(")")
+                    sets.append(tuple(s))
+                    if self.peek() == ",":
+                        self.take()
+                        continue
+                    break
+                self.expect(")")
+                for s in sets:
+                    for k in s:
+                        if k not in plan.group_by:
+                            plan.group_by.append(k)
+                if len(plan.group_by) > 8:
+                    raise ValueError("GROUPING SETS supports at most 8 "
+                                     "distinct keys")
+                if not plan.group_by:
+                    raise ValueError("GROUPING SETS needs at least one "
+                                     "non-empty set")
+                plan.rollup = True
+                plan.gsets = sets
+            elif self.kw("rollup") or self.kw("cube"):
                 # GROUP BY ROLLUP (a, b, …): hierarchical super-aggregate
                 # levels (a,b,…), (a,b), … (a), () — rolled-up keys NULL.
                 # GROUP BY CUBE (a, b, …): ALL 2^k key subsets, same
@@ -1558,6 +1789,61 @@ _EXTRACT_KERNELS = {"year": pc.year, "month": pc.month, "day": pc.day,
                     "second": pc.second}
 
 
+def _as_str(arr):
+    """Cast to string for || / CONCAT (SQL casts numerics implicitly)."""
+    t = getattr(arr, "type", None)
+    if t is not None and (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        return arr
+    return pc.cast(arr, pa.string())
+
+
+def _sql_mod(left, right):
+    """C-sign modulo (DuckDB %/MOD: result carries the dividend's sign).
+    Integer inputs stay exact via Arrow's truncating integer division;
+    any float promotes both sides to float64."""
+    lt = getattr(left, "type", pa.int64())
+    rt = getattr(right, "type", pa.int64())
+    if pa.types.is_floating(lt) or pa.types.is_floating(rt):
+        lf, rf = pc.cast(left, pa.float64()), pc.cast(right, pa.float64())
+        return pc.subtract(lf, pc.multiply(rf, pc.trunc(pc.divide(lf, rf))))
+    return pc.subtract(left, pc.multiply(right, pc.divide(left, right)))
+
+
+def _variance_tree(low: str, arg: tuple) -> tuple:
+    """Rewrite a variance-family aggregate into a post-aggregate
+    expression over exact decomposable hidden aggregates::
+
+        var_pop(x)  = (Σx² − (Σx)²/n) / n
+        var_samp(x) = (Σx² − (Σx)²/n) / NULLIF(n−1, 0)   -- NULL at n=1
+        stddev_*    = sqrt(var_*)
+
+    The three hidden aggregates (COUNT(x), SUM(x), SUM(x*x)) ride the
+    map-side Arrow pre-combine and the bucketed hash merge like any exact
+    aggregate; only the finalize is float.  ``_clamp0`` (internal, not
+    parseable from SQL) floors the tiny negative float residue that exact
+    math forbids — with skip_nulls=False so all-NULL groups stay NULL."""
+    if arg[0] != "col":
+        raise ValueError(f"{low.upper()} takes a plain column (compute "
+                         "the expression in a derived table first)")
+    c = arg[1]
+    n = ("cast", "float64", ("agg", _Agg("count", c)))
+    sx = ("cast", "float64", ("agg", _Agg("sum", c)))
+    sxx = ("cast", "float64",
+           ("agg", _Agg("sum", None,
+                        expr=("bin", "*", ("col", c), ("col", c)))))
+    num = ("bin", "-", sxx, ("bin", "/", ("bin", "*", sx, sx), n))
+    if low in ("var_pop", "stddev_pop"):
+        var = ("bin", "/", num, n)
+    else:
+        var = ("bin", "/", num,
+               ("fn", "nullif", (("bin", "-", n, ("lit", 1.0)),
+                                 ("lit", 0.0))))
+    var = ("fn", "_clamp0", (var,))
+    if low.startswith("stddev"):
+        return ("fn", "sqrt", (var,))
+    return var
+
+
 def _unify_branch(arrs):
     """Promote CASE branch values to one common type the way SQL does:
     any float anywhere → float64; else ints stay int64; other types must
@@ -1586,6 +1872,7 @@ def _eval_expr(batch: pa.Table, e: tuple):
         t = (pa.int64() if isinstance(v, int)
              else pa.float64() if isinstance(v, float)
              else pa.timestamp("us") if isinstance(v, _dt.datetime)
+             else pa.duration("us") if isinstance(v, _dt.timedelta)
              else pa.string())
         return pa.chunked_array([pa.array([v] * batch.num_rows, type=t)])
     if k == "neg":
@@ -1596,6 +1883,14 @@ def _eval_expr(batch: pa.Table, e: tuple):
             # SQL (DuckDB) "/" is float division regardless of operand types
             return pc.divide(pc.cast(left, pa.float64()),
                              pc.cast(right, pa.float64()))
+        if op == "%":
+            return _sql_mod(left, right)
+        if op == "||":
+            # SQL concat operator: NULL if either side is NULL (unlike
+            # CONCAT(), which skips NULLs); non-strings cast to text
+            return pc.binary_join_element_wise(
+                _as_str(left), _as_str(right), "",
+                null_handling="emit_null")
         kern = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}[op]
         return kern(left, right)
     if k == "extract":
@@ -1644,6 +1939,112 @@ def _eval_expr(batch: pa.Table, e: tuple):
                                      unit=str(e[2][0][1]).lower())
         if name == "strftime":
             return pc.strftime(args[0], format=str(e[2][1][1]))
+        # ------------------------------------------------ math (round 5)
+        if name == "round":
+            nd = int(e[2][1][1]) if len(args) == 2 else 0
+            # DuckDB ROUND over DOUBLE rounds half away from zero (_ROUND)
+            return pc.round(pc.cast(args[0], pa.float64()),
+                            ndigits=nd, **_ROUND)
+        if name in ("floor", "ceil", "sqrt", "exp", "ln", "log2",
+                    "log10"):
+            kern = {"floor": pc.floor, "ceil": pc.ceil, "sqrt": pc.sqrt,
+                    "exp": pc.exp, "ln": pc.ln, "log2": pc.log2,
+                    "log10": pc.log10}[name]
+            # DuckDB types these DOUBLE even over integer inputs
+            return kern(pc.cast(args[0], pa.float64()))
+        if name == "power":
+            return pc.power(pc.cast(args[0], pa.float64()),
+                            pc.cast(args[1], pa.float64()))
+        if name == "mod":
+            return _sql_mod(args[0], args[1])
+        if name == "sign":
+            # DuckDB SIGN is integral (-1/0/1); Arrow keeps the input type
+            return pc.cast(pc.sign(args[0]), pa.int64())
+        if name in ("greatest", "least"):
+            kern = (pc.max_element_wise if name == "greatest"
+                    else pc.min_element_wise)
+            # skip_nulls default True == DuckDB (GREATEST(1,NULL,3) = 3)
+            return kern(*_unify_branch(args))
+        if name == "_clamp0":
+            # internal (variance rewrite): max(x, 0) PRESERVING null —
+            # skip_nulls=False so an all-NULL group's NULL survives
+            return pc.max_element_wise(args[0], pa.scalar(0.0),
+                                       skip_nulls=False)
+        # --------------------------------------------- strings (round 5)
+        if name == "concat":
+            # DuckDB CONCAT skips NULLs (contrast ||, which emits NULL)
+            return pc.binary_join_element_wise(
+                *[_as_str(a) for a in args], "", null_handling="skip")
+        if name == "replace":
+            return pc.replace_substring(args[0],
+                                        pattern=str(e[2][1][1]),
+                                        replacement=str(e[2][2][1]))
+        if name == "ltrim":
+            return pc.utf8_ltrim_whitespace(args[0])
+        if name == "rtrim":
+            return pc.utf8_rtrim_whitespace(args[0])
+        if name == "reverse":
+            return pc.utf8_reverse(args[0])
+        if name == "left":
+            n = int(e[2][1][1])
+            return pc.utf8_slice_codeunits(args[0], 0, n)
+        if name == "right":
+            n = int(e[2][1][1])
+            if n == 0:
+                return pc.utf8_slice_codeunits(args[0], 0, 0)
+            return pc.utf8_slice_codeunits(args[0], -n, None)
+        if name == "strpos":
+            # 1-based; 0 when absent (Arrow find_substring returns -1)
+            return pc.cast(pc.add(pc.find_substring(
+                args[0], pattern=str(e[2][1][1])), 1), pa.int64())
+        if name == "contains":
+            return pc.match_substring(args[0], pattern=str(e[2][1][1]))
+        if name == "starts_with":
+            return pc.starts_with(args[0], pattern=str(e[2][1][1]))
+        if name == "ends_with":
+            return pc.ends_with(args[0], pattern=str(e[2][1][1]))
+        if name == "repeat":
+            return pc.binary_repeat(args[0], int(e[2][1][1]))
+        if name == "split_part":
+            sep, idx = str(e[2][1][1]), int(e[2][2][1])
+            # DuckDB returns '' past the last part; padding the input
+            # with idx separators makes the plain list_element exact for
+            # both cases in one vectorized pass (NULL input stays NULL)
+            padded = pc.binary_join_element_wise(
+                args[0], sep * idx, "", null_handling="emit_null")
+            return pc.list_element(pc.split_pattern(padded, pattern=sep),
+                                   idx - 1)
+        if name == "regexp_replace":
+            # DuckDB replaces the FIRST match unless the 'g' flag is given
+            maxr = None if len(args) == 4 else 1
+            return pc.replace_substring_regex(
+                args[0], pattern=str(e[2][1][1]),
+                replacement=str(e[2][2][1]), max_replacements=maxr)
+        if name == "regexp_matches":
+            return pc.match_substring_regex(args[0],
+                                            pattern=str(e[2][1][1]))
+        # -------------------------------------------- temporal (round 5)
+        if name == "datediff":
+            part = str(e[2][0][1]).lower()
+            a, b = args[1], args[2]
+            if part in _DATEDIFF_US:
+                us = _DATEDIFF_US[part]
+                fa = pc.floor_temporal(a, unit=part)
+                fb = pc.floor_temporal(b, unit=part)
+                # exact: floored stamps differ by whole part-widths
+                return pc.divide(
+                    pc.cast(pc.subtract(fb, fa), pa.int64()), us)
+            dy = pc.subtract(pc.cast(pc.year(b), pa.int64()),
+                             pc.cast(pc.year(a), pa.int64()))
+            if part == "year":
+                return dy
+            if part == "quarter":
+                dq = pc.subtract(pc.cast(pc.quarter(b), pa.int64()),
+                                 pc.cast(pc.quarter(a), pa.int64()))
+                return pc.add(pc.multiply(dy, 4), dq)
+            dm = pc.subtract(pc.cast(pc.month(b), pa.int64()),
+                             pc.cast(pc.month(a), pa.int64()))
+            return pc.add(pc.multiply(dy, 12), dm)
         raise ValueError(f"unknown scalar function {name!r}")
     if k == "case":
         whens, els = e[1], e[2]
@@ -3125,6 +3526,12 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     # drop at projection. SQL's logical order, zero extra passes.
     aggexpr_items = [it for it in plan.items if it.fn == "aggexpr"]
     hidden_aggs: list[_Agg] = []
+    # identical aggregate leaves (e.g. SUM(x) referenced twice in one
+    # expression, or COUNT(x) shared by STDDEV and VAR items) compute ONCE
+    # — dedup by value signature, not object identity (a shared subtree
+    # would otherwise be re-aliased on its second visit, leaving the first
+    # reference pointing at a column that no longer exists)
+    _seen_hidden: dict[tuple, str] = {}
     for it in aggexpr_items:
         if not it.alias:
             raise ValueError("an aggregate expression item needs AS "
@@ -3138,7 +3545,12 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 if ag.fn in ("approx_top_k", "quantile_cont"):
                     raise ValueError(f"{ag.fn.upper()} is not supported "
                                      "inside aggregate expressions")
+                sig = (ag.fn, ag.col, ag.distinct, ag.phi,
+                       repr(ag.expr), repr(ag.filter_pred))
+                if sig in _seen_hidden:
+                    return ("col", _seen_hidden[sig])
                 ag.alias = f"_hx{len(hidden_aggs)}_{_alias}"
+                _seen_hidden[sig] = ag.alias
                 hidden_aggs.append(ag)
                 return ("col", ag.alias)
             return tuple(_hide(c) for c in e)
@@ -3815,17 +4227,36 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 return b.select(col_order)
             return fn
 
-        parts = [out.map_batches(_level_fn(tuple(key_cols)),
-                                 batch_format="pyarrow",
-                                 zero_copy_batch=True)]
-        if plan.cube:
-            from itertools import combinations
-            _levels = [list(c)
-                       for n in range(len(key_cols) - 1, -1, -1)
-                       for c in combinations(key_cols, n)]
+        parts = []
+        if plan.gsets is not None:
+            # GROUPING SETS: only the REQUESTED levels emit (duplicates
+            # emit twice, per SQL); a set equal to the full key union IS
+            # the finest pass — no re-aggregation
+            full = tuple(key_cols)
+            _levels = []
+            for s in plan.gsets:
+                lv = [k for k in key_cols if k in s]
+                if len(lv) != len(set(s)):
+                    raise ValueError(
+                        f"GROUPING SET {s} names keys outside GROUP BY")
+                if tuple(lv) == full:
+                    parts.append(out.map_batches(_level_fn(full),
+                                                 batch_format="pyarrow",
+                                                 zero_copy_batch=True))
+                else:
+                    _levels.append(lv)
         else:
-            _levels = [key_cols[:n]
-                       for n in range(len(key_cols) - 1, -1, -1)]
+            parts.append(out.map_batches(_level_fn(tuple(key_cols)),
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True))
+            if plan.cube:
+                from itertools import combinations
+                _levels = [list(c)
+                           for n in range(len(key_cols) - 1, -1, -1)
+                           for c in combinations(key_cols, n)]
+            else:
+                _levels = [key_cols[:n]
+                           for n in range(len(key_cols) - 1, -1, -1)]
         for lv in _levels:
             if lv:
                 lvl = out.groupby(
