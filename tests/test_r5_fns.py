@@ -213,3 +213,88 @@ def test_new_surface_errors_are_loud(ray_session, sf_dir):
     with pytest.raises(ValueError, match="non-empty"):
         run_sql("SELECT COUNT(*) AS n FROM orders "
                 "GROUP BY GROUPING SETS ((), ())", sf_dir)
+
+
+def test_lag_lead_default_matches_duckdb(ray_session, sf_dir):
+    """LAG/LEAD(col, n, default): the default fills only where the
+    offset row does not EXIST in the partition — an existing NULL offset
+    row stays NULL (no blanket fillna); integer columns keep their type
+    when the fill leaves no NaN."""
+    _cmp(sf_dir, """
+        SELECT o_custkey, o_orderkey,
+               LAG(o_totalprice, 1, 0.0) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_p,
+               LEAD(o_orderkey, 2, -1) OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt2,
+               LAG(o_orderstatus, 1, 'NONE') OVER
+                   (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_s
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 1000
+    """)
+
+
+def test_lag_default_null_rows_stay_null(ray_session, tmp_path):
+    """The SQL subtlety the kernel must honor: LAG's default applies at
+    partition starts only; a NULL stored in the offset row propagates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "o": [1, 2, 3, 1, 2],
+        "x": pa.array([10, None, 30, None, 50], type=pa.int64()),
+    }), d / "orders.parquet")
+    from verdictray.sqlrouter import run_sql
+
+    mine = (run_sql("SELECT k, o, LAG(x, 1, -99) OVER "
+                    "(PARTITION BY k ORDER BY o) AS p FROM orders "
+                    "ORDER BY k, o", str(d)).to_pandas())
+    assert mine.p.tolist()[0] == -99          # partition start -> default
+    assert mine.p.tolist()[2] != mine.p.tolist()[2] or \
+        mine.p.isna().tolist()[2]             # offset row IS null -> NULL
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM "
+            f"'{d / 'orders.parquet'}'")
+    ref = con.sql("SELECT k, o, LAG(x, 1, -99) OVER "
+                  "(PARTITION BY k ORDER BY o) AS p FROM orders "
+                  "ORDER BY k, o").df()
+    pdt.assert_frame_equal(mine.reset_index(drop=True), ref,
+                           check_dtype=False)
+
+
+def test_simple_case_matches_duckdb(ray_session, sf_dir):
+    """CASE x WHEN v THEN r … — parse-time rewrite to searched equality;
+    works as SELECT items and as derived group keys."""
+    _cmp(sf_dir, """
+        SELECT o_orderkey,
+               CASE o_orderstatus WHEN 'O' THEN 'open'
+                    WHEN 'F' THEN 'done' ELSE 'other' END AS st,
+               CASE o_orderpriority WHEN '1-URGENT' THEN 1
+                    WHEN '2-HIGH' THEN 2 END AS pri
+        FROM orders ORDER BY o_orderkey LIMIT 1000
+    """)
+    _cmp(sf_dir, """
+        SELECT CASE o_orderkey % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                    ELSE 'c' END AS k, COUNT(*) AS n
+        FROM orders GROUP BY k ORDER BY k
+    """)
+
+
+def test_expr_items_in_window_queries(ray_session, sf_dir):
+    """Plain scalar-expression items (CASE/arithmetic/fns) ride window
+    queries: each derives as one vectorized column after the scan,
+    before the window shuffle — multi-spec queries included. rtol, not
+    atol: the running SUM over ~1e8-magnitude doubles carries last-ulp
+    accumulation-order noise (pre-existing window behavior)."""
+    _cmp(sf_dir, rtol=1e-9, atol=0, sql="""
+        SELECT o_custkey, o_orderkey,
+               CASE o_orderstatus WHEN 'O' THEN 'open' ELSE 'done' END
+                   AS st,
+               ROUND(o_totalprice / 1000, 1) AS kprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn,
+               SUM(o_totalprice) OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_orderkey) AS run_st
+        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500
+    """)

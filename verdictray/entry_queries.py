@@ -5339,6 +5339,30 @@ def q_sql_median(sf_dir: str):
     return run_sql(SQL_MEDIAN, sf_dir)
 
 
+SQL_NAV_CASE = """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice, 1, 0.0) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+       LEAD(o_orderkey, 2, -1) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderkey) AS next2_key,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+            ELSE 'other' END AS status_word
+FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
+"""
+
+
+def q_sql_nav_case(sf_dir: str):
+    """LAG/LEAD with a DEFAULT third argument (fills only where the
+    offset row does not exist in the partition — an existing NULL offset
+    row stays NULL, per SQL) plus simple CASE (CASE x WHEN v THEN …,
+    rewritten at parse time to searched equality). One hash-bucket
+    window shuffle, vectorized per-bucket shifts. Identical text runs in
+    DuckDB. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_NAV_CASE, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5446,6 +5470,7 @@ QUERIES = {
     "sql_interval_datediff": q_sql_interval_datediff,
     "sql_grouping_sets": q_sql_grouping_sets,
     "sql_median": q_sql_median,
+    "sql_nav_case": q_sql_nav_case,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5624,6 +5649,7 @@ ORACLES = {
     "sql_interval_datediff": SQL_INTERVAL_DATEDIFF,
     "sql_grouping_sets": SQL_GROUPING_SETS_ORACLE,
     "sql_median": SQL_MEDIAN,
+    "sql_nav_case": SQL_NAV_CASE,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5702,7 +5728,7 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_orders",
     # (c) new this round — inserted here as they land
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
-    "sql_grouping_sets", "sql_median",
+    "sql_grouping_sets", "sql_median", "sql_nav_case",
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
     "sql_grouping", "sql_qualify", "sql_hll_rollup",
     "sql_quantile_rollup",

@@ -161,7 +161,13 @@ except membership ``IN (SELECT col FROM t)``):
           | SUM|COUNT|AVG|MIN|MAX(col) OVER w   -- cumulative (ANSI default
                                                 --   RANGE framing: peer rows
                                                 --   share frame results)
-          | LAG|LEAD(col [, n]) OVER w          -- navigation (frameless)
+          | LAG|LEAD(col [, n [, default]]) OVER w
+                                                -- navigation (frameless);
+                                                --   default fills ONLY
+                                                --   where the offset row
+                                                --   does not exist (an
+                                                --   existing NULL stays
+                                                --   NULL, per SQL)
           | FIRST_VALUE|LAST_VALUE(col) OVER w  -- default-frame semantics
           | NTILE(n) OVER w                     -- SQL tile numbering
     w    := ( PARTITION BY col [ORDER BY col [ASC|DESC] ("," ...)*] )
@@ -183,6 +189,11 @@ except membership ``IN (SELECT col FROM t)``):
     scalar := scalar (+|-|*|/) scalar | - scalar | ( scalar )
           | literal | col
           | CASE WHEN pred THEN scalar [WHEN …]* [ELSE scalar] END
+          | CASE scalar WHEN scalar THEN scalar [WHEN …]* [ELSE …] END
+                                                 -- simple CASE: rewritten
+                                                 --   to searched equality
+                                                 --   at parse (NULL base
+                                                 --   matches nothing)
           | EXTRACT ( YEAR|MONTH|DAY|HOUR|MINUTE|SECOND FROM scalar )
           | CAST ( scalar AS BIGINT|INTEGER|DOUBLE|VARCHAR|… )
                                                  -- float→int rounds half
@@ -481,6 +492,9 @@ class _Agg:
     # OVER clause — routed to window.partitioned_window
     window: tuple | None = None
     offset: int | None = None  # LAG/LEAD row offset (default 1)
+    # LAG/LEAD third argument: the value when the offset row does NOT
+    # exist (an existing-but-NULL offset row stays NULL, per SQL)
+    default: object = None
     # conjunction of scalar predicates from ``FILTER (WHERE …)``
     filter_pred: list | None = None
     # scalar expression tree (tuples; see _Parser.expr_tree) when the
@@ -789,10 +803,20 @@ class _Parser:
             return node
         if low == "case":
             self.take()
+            # simple CASE (CASE x WHEN v THEN r …) rewrites each WHEN to
+            # the searched equality x = v at parse time (a NULL base
+            # matches nothing, exactly SQL's simple-CASE semantics)
+            base = None
+            if not self.kw("when"):
+                base = self.expr_tree()
             whens = []
             while self.kw("when"):
                 self.take()
-                p = self.pred_or()
+                if base is not None:
+                    p = _Pred("", "=", lexpr=base,
+                              rexpr=self.expr_tree())
+                else:
+                    p = self.pred_or()
                 self.expect("then")
                 whens.append((p, self.expr_tree()))
             if not whens:
@@ -1004,13 +1028,23 @@ class _Parser:
         if low in _WINDOW_NAV:
             self.expect("(")
             col = self.take()
-            off = None
+            off = dflt = None
             if self.peek() == ",":
                 self.take()
                 off = int(self.take())
+                if self.peek() == ",":
+                    # LAG/LEAD(col, n, default) — fills only where the
+                    # offset row does not EXIST (SQL: an existing NULL
+                    # offset row stays NULL)
+                    if low in ("first_value", "last_value"):
+                        raise ValueError(f"{low.upper()} takes one "
+                                         "argument")
+                    self.take()
+                    dflt = self.literal()
             self.expect(")")
             ag = _Agg(low, col, )
             ag.offset = off
+            ag.default = dflt
             ag.window = self._over()          # OVER is mandatory here
             return ag
         if low in _AGGS:
@@ -4460,10 +4494,22 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                          "GROUP BY/HAVING in one router query")
     win_items = [it for it in plan.items if it.window]
     passthru = [it for it in plan.items if not it.window]
+    # plain scalar-expression items (CASE, arithmetic, scalar fns) ride
+    # along: each derives as ONE vectorized column right after the scan,
+    # before any window shuffle
+    pass_exprs: dict[str, tuple] = {}
     for it in passthru:
-        if it.fn != "col":
+        if it.fn == "expr":
+            if not it.alias:
+                raise ValueError("a scalar expression item in a window "
+                                 "query needs AS alias")
+            pass_exprs[it.alias] = it.expr
+        elif it.fn != "col":
             raise ValueError("non-window aggregates cannot mix with "
                              "window items (no implicit GROUP BY)")
+    expr_cols = set()
+    for tree in pass_exprs.values():
+        expr_cols |= _expr_cols(tree)
     # group items by their window spec — each DISTINCT spec runs as its
     # own partitioned_window pass (one hash-bucket shuffle per spec;
     # every pass appends its columns and passes the rest through, so the
@@ -4492,6 +4538,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         for (g_part, g_order, _g_frame), _its in groups:
             needed |= {*g_part, *(c for c, _ in g_order)}
         needed.update(it.col for it in plan.items if it.col is not None)
+        needed |= expr_cols
         needed_post = set(needed)
         needed.update(_pred_cols(plan.where))
         for _tbl, a, b, _how in plan.joins:
@@ -4502,10 +4549,14 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             approx_membership=approx_membership,
             bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
             explain=explain, sub=sub, needed_post=needed_post)
+        if pass_exprs and explain is None:
+            ds = ds.map_batches(_expr_derive_fn(pass_exprs),
+                                batch_format="pyarrow")
         out = ds
         for (g_part, g_order, g_frame), its in groups:
             g_specs = [{"func": it.fn, "col": it.col, "alias": it.name,
-                        "offset": it.offset} for it in its]
+                        "offset": it.offset, "default": it.default}
+                       for it in its]
             if explain is not None:
                 explain.append(
                     f"WINDOW OVER (PARTITION BY {list(g_part)} ORDER BY "
@@ -4580,6 +4631,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
 
     needed = {*part, *(c for c, _ in order)}
     needed.update(it.col for it in plan.items if it.col is not None)
+    needed |= expr_cols
     needed_post = set(needed)
     needed.update(_pred_cols(plan.where))
     for _tbl, a, b, _how in plan.joins:
@@ -4590,9 +4642,13 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         approx_membership=approx_membership,
         bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
         explain=explain, sub=sub, needed_post=needed_post)
+    if pass_exprs and explain is None:
+        ds = ds.map_batches(_expr_derive_fn(pass_exprs),
+                            batch_format="pyarrow")
 
     specs = [{"func": it.fn, "col": it.col, "alias": it.name,
-              "offset": it.offset} for it in win_items]
+              "offset": it.offset, "default": it.default}
+             for it in win_items]
     if frame is not None and frame[0] == "range":
         from .window import rolling_range_agg
 

@@ -1370,7 +1370,26 @@ def partitioned_window(ds, key: str | list[str],
                 off = int(s.get("offset") or 1)
                 if grp is None:
                     grp = g.groupby(key_cols, sort=False, dropna=False)
-                g[a] = grp[c].shift(off if f == "lag" else -off)
+                shifted = grp[c].shift(off if f == "lag" else -off)
+                dflt = s.get("default")
+                if dflt is not None:
+                    # SQL default fills only where the offset row does
+                    # not EXIST in the partition — an existing NULL
+                    # offset row stays NULL (so no blanket fillna)
+                    pos = grp.cumcount().to_numpy()
+                    if f == "lag":
+                        missing = pos < off
+                    else:
+                        size = grp[c].transform("size").to_numpy()
+                        missing = pos >= size - off
+                    vals = shifted.to_numpy(copy=True)
+                    vals[missing] = dflt
+                    if (pd.api.types.is_integer_dtype(g[c].dtype)
+                            and isinstance(dflt, int)
+                            and not pd.isna(vals).any()):
+                        vals = vals.astype("int64")
+                    shifted = vals
+                g[a] = shifted
             elif f == "first_value":
                 key_ord = new_key.cumsum() - 1
                 key_first = np.flatnonzero(new_key)
