@@ -98,3 +98,27 @@ def test_q20ish_supplier_membership(ray_session, sf01_dir):
     mine = q_sql_tpch_q20ish(sf01_dir).to_pandas()
     assert len(mine) > 0
     pdt.assert_frame_equal(mine, want, check_dtype=False)
+
+
+def test_membership_key_set_prunes_dim_reads(ray_session, sf01_dir):
+    """A broadcast membership key set also pre-filters LATER dim reads
+    joined on the probed column (a dim row whose key the probe removed
+    can never match): Q18's lineitem broadcast shrinks to the surviving
+    orders' rows. Asserted via the EXPLAIN note and a hash-exact result
+    vs DuckDB."""
+    import duckdb
+    import pandas.testing as pdt
+
+    from verdictray.entry_queries import SQL_TPCH_Q18
+    from verdictray.sqlrouter import explain_sql, run_sql
+
+    trace = explain_sql(SQL_TPCH_Q18, sf01_dir)
+    assert "pre-filter" in trace and "membership key set" in trace
+    mine = run_sql(SQL_TPCH_Q18, sf01_dir).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf01_dir}/{t}.parquet'")
+    ref = con.sql(SQL_TPCH_Q18).df()
+    pdt.assert_frame_equal(mine.reset_index(drop=True), ref,
+                           check_dtype=False, atol=1e-9, rtol=0)

@@ -2647,6 +2647,13 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
     # but not its key column (it equals the fact key on every surviving
     # row) — later stages referencing the dim key use the fact equivalent
     key_eq: dict = {}
+    # membership key sets that reached the driver (broadcast probes):
+    # {probe_col: (keys_arrow_array_or_None, anti)} — a LATER join whose
+    # fact-side key equals a probed column pre-filters its DIM read with
+    # the same key set (a dim row whose key the probe removed from the
+    # fact can never match), shrinking the broadcast/hash-join build side
+    member_keys: dict[str, tuple] = {}
+
     def _apply_membership(ds, p):
         """One membership semi/anti join (or Bloom probe), applied at the
         earliest chain position where the probe column exists — an
@@ -2719,6 +2726,10 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                     "(build side collapses to per-bucket distinct keys; "
                     "key-only shuffle)")
                 if sub_having:
+                    # the grouped build's key set may broadcast at run
+                    # time — record the probe column so later joins can
+                    # note the dim pre-filter in the trace
+                    member_keys[p.col] = (None, p.op == "not_in")
                     run_sql("", sf_dir, _plan=build_plan,
                             explain=explain, **_nested_opts)
                 return ds
@@ -2763,6 +2774,7 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                             m = pc.and_(m, pc.is_valid(b[_c]))
                         return b.filter(m)
 
+                    member_keys[p.col] = member_keys[pcol] = (keys, anti)
                     return ds.map_batches(_bcast_probe,
                                           batch_format="pyarrow",
                                           zero_copy_batch=True)
@@ -2824,6 +2836,29 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         pred_note = (f" [WHERE {_fmt_preds(tbl_preds)} -> vectorized "
                      "filter on the pruned dim read, BELOW the join]"
                      if tbl_preds else "")
+        # a membership probe already removed fact rows whose key is
+        # outside (SEMI) / inside (ANTI) its key set — a dim row with
+        # such a key can never match this join, so when the key set
+        # reached the driver the dim read pre-filters with the SAME
+        # vectorized is_in (Q18: lineitem shrinks to the surviving
+        # orders' rows before it is broadcast)
+        mk = member_keys.get(left_key) or member_keys.get(
+            key_eq.get(left_key, ""))
+        if mk is not None and mk[0] is not None and explain is None:
+            _mkeys, _manti = mk
+
+            def _dim_member_mask(t: pa.Table):
+                m = pc.fill_null(
+                    pc.is_in(t[right_key], value_set=_mkeys), False)
+                return pc.invert(m) if _manti else m
+        else:
+            _dim_member_mask = None
+        if _dim_member_mask is not None:
+            pred_note += (" [dim read pre-filtered by the membership "
+                          "key set]")
+        elif mk is not None and explain is not None:
+            pred_note += (" [dim read pre-filters by the membership "
+                          "key set when it broadcasts]")
         if n_dim > max_broadcast_rows:
             reason = (f"{n_dim} rows > max_broadcast_rows="
                       f"{max_broadcast_rows}")
@@ -2840,6 +2875,8 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                 if tbl_preds:
                     dim_tbl = dim_tbl.filter(
                         _pred_mask(dim_tbl, tbl_preds)).select(dim_keep)
+                if _dim_member_mask is not None:
+                    dim_tbl = dim_tbl.filter(_dim_member_mask(dim_tbl))
                 key_arr = dim_tbl[right_key]
                 unique = (pc.count_distinct(key_arr).as_py()
                           == len(key_arr))
@@ -2905,6 +2942,10 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
             if tbl_preds:
                 dim_ds = dim_ds.map_batches(
                     _scalar_filter_fn(tbl_preds),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            if _dim_member_mask is not None:
+                dim_ds = dim_ds.map_batches(
+                    lambda t, _f=_dim_member_mask: t.filter(_f(t)),
                     batch_format="pyarrow", zero_copy_batch=True)
             if read_cols != dim_keep:
                 dim_ds = dim_ds.select_columns(dim_keep)
