@@ -5363,6 +5363,67 @@ def q_sql_nav_case(sf_dir: str):
     return run_sql(SQL_NAV_CASE, sf_dir)
 
 
+SQL_ROWS_FRAME2 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+  SUM(l_quantity) OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_extendedprice
+      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS qty_around,
+  MIN(l_quantity) OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_extendedprice
+      ROWS BETWEEN 2 PRECEDING AND UNBOUNDED FOLLOWING) AS qty_floor,
+  COUNT(*) OVER (PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_extendedprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS rows_thru
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 3000
+"""
+
+
+def q_sql_rows_frame2(sf_dir: str):
+    """Two-sided ROWS frames (… AND m|UNBOUNDED FOLLOWING): SUM/COUNT
+    resolve both clamped frame endpoints from ONE per-partition
+    cumulative pass (prefix sums indexed at the absolute positions —
+    integer-valued quantities stay exact in float64); MIN combines a
+    backward and a reversed-forward rolling window with NaN-ignoring
+    fmin. One hash-bucket window shuffle total. (l_linenumber is NOT
+    unique per order in this synthetic data — l_extendedprice completes
+    the total order, making per-row ROWS frames deterministic across
+    engines.) Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROWS_FRAME2, sf_dir)
+
+
+SQL_CAST_DATE = """
+SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n,
+       MONEY_SUM(o_totalprice) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+GROUP BY day ORDER BY day
+"""
+SQL_CAST_DATE_ORACLE = """
+SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day, COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+GROUP BY day ORDER BY day
+"""
+
+
+def q_sql_cast_date(sf_dir: str):
+    """CAST(ts AS DATE) as a derived group key — surfaces as the
+    day-floored TIMESTAMP[us] (the parquet/pandas canonical form; the
+    oracle re-casts to TIMESTAMP so both sides carry identical dtypes
+    AND values). Date filter pushes below the read; exact cents. No
+    reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_CAST_DATE, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5471,6 +5532,8 @@ QUERIES = {
     "sql_grouping_sets": q_sql_grouping_sets,
     "sql_median": q_sql_median,
     "sql_nav_case": q_sql_nav_case,
+    "sql_rows_frame2": q_sql_rows_frame2,
+    "sql_cast_date": q_sql_cast_date,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5650,6 +5713,8 @@ ORACLES = {
     "sql_grouping_sets": SQL_GROUPING_SETS_ORACLE,
     "sql_median": SQL_MEDIAN,
     "sql_nav_case": SQL_NAV_CASE,
+    "sql_rows_frame2": SQL_ROWS_FRAME2,
+    "sql_cast_date": SQL_CAST_DATE_ORACLE,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5729,6 +5794,7 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
     "sql_grouping_sets", "sql_median", "sql_nav_case",
+    "sql_rows_frame2", "sql_cast_date",
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
     "sql_grouping", "sql_qualify", "sql_hll_rollup",
     "sql_quantile_rollup",

@@ -170,7 +170,19 @@ except membership ``IN (SELECT col FROM t)``):
                                                 --   NULL, per SQL)
           | FIRST_VALUE|LAST_VALUE(col) OVER w  -- default-frame semantics
           | NTILE(n) OVER w                     -- SQL tile numbering
-    w    := ( PARTITION BY col [ORDER BY col [ASC|DESC] ("," ...)*] )
+    w    := ( PARTITION BY col [ORDER BY col [ASC|DESC] ("," ...)*]
+              [ROWS BETWEEN {n|UNBOUNDED} PRECEDING
+                    AND {CURRENT ROW|m FOLLOWING|UNBOUNDED FOLLOWING}
+               | RANGE BETWEEN INTERVAL n unit PRECEDING
+                    AND CURRENT ROW] )
+                                                -- two-sided ROWS frames:
+                                                --   SUM/AVG/COUNT from ONE
+                                                --   per-partition prefix
+                                                --   pass (clamped endpoint
+                                                --   indexing); MIN/MAX =
+                                                --   backward + reversed-
+                                                --   forward rolling pieces
+                                                --   combined NaN-ignoring
                                                 -- ORDER BY may be omitted
                                                 --   only for SUM/COUNT/AVG/
                                                 --   MIN/MAX (full-partition
@@ -195,10 +207,14 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   at parse (NULL base
                                                  --   matches nothing)
           | EXTRACT ( YEAR|MONTH|DAY|HOUR|MINUTE|SECOND FROM scalar )
-          | CAST ( scalar AS BIGINT|INTEGER|DOUBLE|VARCHAR|… )
+          | CAST ( scalar AS BIGINT|INTEGER|DOUBLE|VARCHAR|DATE|TIMESTAMP|… )
                                                  -- float→int rounds half
                                                  --   to even (DuckDB's
-                                                 --   DOUBLE→BIGINT cast)
+                                                 --   DOUBLE→BIGINT cast);
+                                                 --   DATE = day-floored
+                                                 --   TIMESTAMP[us] (the
+                                                 --   parquet/pandas
+                                                 --   canonical form)
           | LOWER|UPPER|TRIM|LENGTH|ABS ( scalar )
           | COALESCE ( scalar , scalar [, …] )   -- first non-null (SQL
                                                  --   int/float promotion)
@@ -442,7 +458,12 @@ _TRUNC_PARTS = {"year", "quarter", "month", "week", "day", "hour",
 _CAST_TYPES = {"bigint": "int64", "int": "int64", "integer": "int64",
                "smallint": "int64", "double": "float64",
                "float": "float64", "real": "float64",
-               "varchar": "string", "text": "string"}
+               "varchar": "string", "text": "string",
+               # DATE surfaces as the day-floored TIMESTAMP[us] — the
+               # parquet/pandas canonical form DuckDB's .df() also
+               # produces (datetime64[us] at midnight), so oracle dtype
+               # AND value compares hold bit-exactly
+               "date": "date", "timestamp": "timestamp"}
 
 # argless ranking functions valid only with OVER (...)
 _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
@@ -1206,11 +1227,26 @@ class _Parser:
                     raise ValueError("ROWS frame needs n >= 0 PRECEDING")
             self.expect("preceding")
             self.expect("and")
-            self.expect("current")
-            self.expect("row")
+            if self.kw("current"):
+                self.take()
+                self.expect("row")
+                hi = 0
+            elif self.kw("unbounded"):
+                self.take()
+                self.expect("following")
+                hi = None
+            else:
+                # ROWS BETWEEN … AND m FOLLOWING — two-sided frame
+                tok2 = self.take()
+                if tok2 == "-":          # tokenizer splits the sign off
+                    tok2 = "-" + self.take()
+                hi = int(tok2)
+                if hi < 0:
+                    raise ValueError("ROWS frame needs m >= 0 FOLLOWING")
+                self.expect("following")
             if not order:
                 raise ValueError("a ROWS frame requires ORDER BY")
-            frame = ("rows", lo, 0)
+            frame = ("rows", lo, hi)
         elif self.kw("range"):
             # RANGE BETWEEN INTERVAL n unit PRECEDING AND CURRENT ROW —
             # time-width framing over the ORDER BY timestamp (endpoints
@@ -1932,6 +1968,12 @@ def _eval_expr(batch: pa.Table, e: tuple):
                        pa.int64())
     if k == "cast":
         val = _eval_expr(batch, e[2])
+        if e[1] in ("date", "timestamp"):
+            # string inputs parse ISO forms vectorized; temporal inputs
+            # re-pin to the canonical microsecond unit
+            val = pc.cast(val, pa.timestamp("us"))
+            return (pc.floor_temporal(val, unit="day")
+                    if e[1] == "date" else val)
         target = {"int64": pa.int64(), "float64": pa.float64(),
                   "string": pa.string()}[e[1]]
         if e[1] == "int64" and pa.types.is_floating(val.type):

@@ -1244,9 +1244,13 @@ def partitioned_window(ds, key: str | list[str],
     overflow idiom when they don't). Appends one column per spec alias;
     input columns pass through unchanged."""
     if frame is not None:
-        if frame[0] != "rows" or frame[2] != 0:
-            raise ValueError("frame supports ('rows', n_or_None, 0) — "
-                             "ROWS BETWEEN … PRECEDING AND CURRENT ROW")
+        if frame[0] != "rows" or not (
+                frame[2] is None
+                or (isinstance(frame[2], int) and frame[2] >= 0)):
+            raise ValueError(
+                "frame supports ('rows', n_or_None, m_or_None) — ROWS "
+                "BETWEEN {n|UNBOUNDED} PRECEDING AND {CURRENT ROW|m|"
+                "UNBOUNDED FOLLOWING}")
         bad = [s["func"] for s in specs if s["func"] not in _WINDOW_CUMAGGS]
         if bad:
             raise ValueError(f"a ROWS frame applies to cumulative "
@@ -1423,6 +1427,75 @@ def partitioned_window(ds, key: str | list[str],
                 # frame semantics: None → ANSI default RANGE (peer rows
                 # share the frame result → smear); ROWS → per-row frames
                 fin = smear_last if frame is None else (lambda x: x)
+                if frame is not None and frame[2] != 0:
+                    # two-sided ROWS frame [i-lo, i+hi] (hi None =
+                    # UNBOUNDED FOLLOWING), clamped to the partition.
+                    # SUM/AVG/COUNT: exact frame endpoints from ONE
+                    # cumulative pass (prefix sums indexed at the clamped
+                    # absolute positions — int-valued columns stay exact
+                    # in float64 below 2^53); MIN/MAX: the frame splits
+                    # at i into a backward window and a forward window
+                    # (reversed per-key rolling), overlapping at i —
+                    # harmless for min/max — combined with np.fmin/fmax
+                    # (NaN-ignoring, so all-null frames stay NULL)
+                    lo, hi = frame[1], frame[2]
+                    idx = np.arange(n, dtype=np.int64)
+                    key_ord2 = new_key.cumsum() - 1
+                    kfirst = np.flatnonzero(new_key)[key_ord2]
+                    klast = np.flatnonzero(
+                        np.append(new_key[1:], True))[key_ord2]
+                    i0 = (kfirst if lo is None
+                          else np.maximum(idx - int(lo), kfirst))
+                    j1 = (klast if hi is None
+                          else np.minimum(idx + int(hi), klast))
+                    if f == "count" and c is None:
+                        g[a] = (j1 - i0 + 1).astype(np.int64)
+                    elif f in ("sum", "avg", "count"):
+                        vals = g[c].to_numpy(dtype=np.float64,
+                                             na_value=np.nan)
+                        valid = ~np.isnan(vals)
+                        cs0 = np.concatenate(
+                            ([0.0], np.cumsum(np.where(valid, vals, 0.0))))
+                        cn0 = np.concatenate(
+                            ([0], np.cumsum(valid.astype(np.int64))))
+                        fsum = cs0[j1 + 1] - cs0[i0]
+                        fcnt = cn0[j1 + 1] - cn0[i0]
+                        if f == "count":
+                            g[a] = fcnt
+                        elif f == "sum":
+                            g[a] = np.where(fcnt > 0, fsum, np.nan)
+                        else:
+                            g[a] = np.where(
+                                fcnt > 0, fsum / np.maximum(fcnt, 1),
+                                np.nan)
+                    else:                       # min / max
+                        if lo is None:
+                            back = nullsafe(getattr(grp[c],
+                                                    f"cum{f}")())
+                        else:
+                            back = roll_vals(g[c], int(lo) + 1, f)
+                        sr = g[c].iloc[::-1].reset_index(drop=True)
+                        kr = [ks.iloc[::-1].reset_index(drop=True)
+                              for ks in kseries]
+                        gb = sr.groupby(kr, sort=False, dropna=False)
+                        if hi is None:
+                            # suffix scan; ffill carries the running
+                            # value over null rows (pandas cum* leaves
+                            # NaN at null positions), mirroring nullsafe
+                            fscan = getattr(gb, f"cum{f}")()
+                            fwd = (fscan.groupby(kr, sort=False,
+                                                 dropna=False)
+                                   .ffill().to_numpy()[::-1])
+                        else:
+                            r = gb.rolling(int(hi) + 1, min_periods=1)
+                            fwd = (getattr(r, f)()
+                                   .droplevel(list(range(len(key_cols))))
+                                   .sort_index().to_numpy())[::-1]
+                        comb = (np.fmin if f == "min" else np.fmax)(
+                            np.asarray(back, dtype=np.float64),
+                            np.asarray(fwd, dtype=np.float64))
+                        g[a] = comb
+                    continue
                 bounded_w = (int(frame[1]) + 1
                              if frame is not None and frame[1] is not None
                              else None)
