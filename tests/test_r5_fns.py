@@ -298,3 +298,35 @@ def test_expr_items_in_window_queries(ray_session, sf_dir):
                                        ORDER BY o_orderkey) AS run_st
         FROM orders ORDER BY o_custkey, o_orderkey LIMIT 500
     """)
+
+
+def test_extract_parts_extended(ray_session, sf_dir):
+    """EXTRACT dow (Sunday=0) / doy / week (ISO) / quarter / decade /
+    millisecond (whole sub-minute ms) / epoch (DOUBLE seconds) — all
+    DuckDB-typed."""
+    _cmp(sf_dir, """
+        SELECT o_orderkey,
+               EXTRACT(dow FROM o_orderdate) AS dw,
+               EXTRACT(doy FROM o_orderdate) AS dy,
+               EXTRACT(week FROM o_orderdate) AS wk,
+               EXTRACT(quarter FROM o_orderdate) AS q,
+               EXTRACT(decade FROM o_orderdate) AS dec,
+               EXTRACT(epoch FROM o_orderdate) AS ep,
+               EXTRACT(millisecond FROM o_orderdate) AS ms
+        FROM orders ORDER BY o_orderkey LIMIT 500
+    """)
+
+
+def test_cast_date_and_timestamp(ray_session, sf_dir):
+    """CAST(ts AS DATE) day-floors to TIMESTAMP[us] (the pandas form
+    DuckDB's .df() also produces); CAST(varchar AS TIMESTAMP) parses
+    ISO strings vectorized."""
+    _cmp(sf_dir, """
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST('1996-01-02 03:04:05' AS TIMESTAMP) AS t
+        FROM orders ORDER BY o_orderkey LIMIT 100
+    """, oracle="""
+        SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS d,
+               CAST('1996-01-02 03:04:05' AS TIMESTAMP) AS t
+        FROM orders ORDER BY o_orderkey LIMIT 100
+    """)

@@ -5424,6 +5424,31 @@ def q_sql_cast_date(sf_dir: str):
     return run_sql(SQL_CAST_DATE, sf_dir)
 
 
+SQL_EXTRACT_PARTS = """
+SELECT EXTRACT(quarter FROM o_orderdate) AS q,
+       EXTRACT(dow FROM o_orderdate) AS dw,
+       COUNT(*) AS n, MONEY_SUM(o_totalprice) AS total
+FROM orders GROUP BY q, dw ORDER BY q, dw
+"""
+SQL_EXTRACT_PARTS_ORACLE = """
+SELECT EXTRACT(quarter FROM o_orderdate) AS q,
+       EXTRACT(dow FROM o_orderdate) AS dw,
+       COUNT(*) AS n,
+       SUM(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS total
+FROM orders GROUP BY q, dw ORDER BY q, dw
+"""
+
+
+def q_sql_extract_parts(sf_dir: str):
+    """Extended EXTRACT parts as derived group keys — quarter and dow
+    (Sunday=0, DuckDB's numbering, via Arrow DayOfWeekOptions); the full
+    part set (doy/week/decade/millisecond/epoch) is pytest-verified.
+    Exact cents. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_EXTRACT_PARTS, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5534,6 +5559,7 @@ QUERIES = {
     "sql_nav_case": q_sql_nav_case,
     "sql_rows_frame2": q_sql_rows_frame2,
     "sql_cast_date": q_sql_cast_date,
+    "sql_extract_parts": q_sql_extract_parts,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5715,6 +5741,7 @@ ORACLES = {
     "sql_nav_case": SQL_NAV_CASE,
     "sql_rows_frame2": SQL_ROWS_FRAME2,
     "sql_cast_date": SQL_CAST_DATE_ORACLE,
+    "sql_extract_parts": SQL_EXTRACT_PARTS_ORACLE,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5794,7 +5821,7 @@ DRIVER_PRIORITY: list[str] = [
     # (c) new this round — inserted here as they land
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
     "sql_grouping_sets", "sql_median", "sql_nav_case",
-    "sql_rows_frame2", "sql_cast_date",
+    "sql_rows_frame2", "sql_cast_date", "sql_extract_parts",
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
     "sql_grouping", "sql_qualify", "sql_hll_rollup",
     "sql_quantile_rollup",

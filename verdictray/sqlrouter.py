@@ -409,7 +409,9 @@ _VAR_AGGS = {"var_pop", "var_samp", "variance",   # variance = var_samp
 # ephemeral derived value into a reusable sketch would be a footgun
 _EXPR_AGGS = {"sum", "avg", "min", "max", "money_sum", "money_avg"}
 
-_EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second"}
+_EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second",
+                  "quarter", "dow", "doy", "week", "decade",
+                  "millisecond", "epoch"}
 
 # scalar string/numeric functions usable inside expressions — each maps to
 # one pyarrow.compute kernel (or a short fixed composition of kernels; see
@@ -1856,7 +1858,28 @@ def _fmt_expr(e: tuple) -> str:
 
 _EXTRACT_KERNELS = {"year": pc.year, "month": pc.month, "day": pc.day,
                     "hour": pc.hour, "minute": pc.minute,
-                    "second": pc.second}
+                    "second": pc.second,
+                    # DuckDB-typed extensions (all BIGINT except EPOCH,
+                    # which is DOUBLE seconds):
+                    #   dow Sunday=0, doy 1-based, week = ISO week,
+                    #   millisecond = whole sub-minute milliseconds
+                    #   (sec*1000 + ms), decade = year // 10
+                    "quarter": pc.quarter,
+                    "doy": pc.day_of_year,
+                    "week": pc.iso_week,
+                    "dow": lambda a: pc.day_of_week(
+                        a, options=pc.DayOfWeekOptions(
+                            count_from_zero=True, week_start=7)),
+                    "decade": lambda a: pc.divide(pc.cast(
+                        pc.year(a), pa.int64()), 10),
+                    "millisecond": lambda a: pc.add(
+                        pc.multiply(pc.cast(pc.second(a), pa.int64()),
+                                    1000),
+                        pc.cast(pc.millisecond(a), pa.int64())),
+                    "epoch": lambda a: pc.divide(
+                        pc.cast(pc.cast(a, pa.timestamp("us")),
+                                pa.int64()),
+                        pa.scalar(1_000_000.0))}
 
 
 def _as_str(arr):
@@ -1965,7 +1988,7 @@ def _eval_expr(batch: pa.Table, e: tuple):
         return kern(left, right)
     if k == "extract":
         return pc.cast(_EXTRACT_KERNELS[e[1]](_eval_expr(batch, e[2])),
-                       pa.int64())
+                       pa.float64() if e[1] == "epoch" else pa.int64())
     if k == "cast":
         val = _eval_expr(batch, e[2])
         if e[1] in ("date", "timestamp"):
