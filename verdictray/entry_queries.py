@@ -5797,34 +5797,22 @@ ORACLES = {
 }
 
 # The correctness driver caps its per-round run at the FIRST 50 registry
-# entries. Round-5 ordering: (a) the 23 oracle-backed entries no driver
-# round has ever reached lead, so CORRECTNESS_r5 retires them; (b) the 7
-# never-checked rows-only entries next; (c) queries NEW this round; (d) the
-# round-4-verified join/planner queries whose physical plans changed this
-# round (join-side pushdown, broadcast expand join) re-verify after them.
+# entries. Round-5 ordering: (a) the oracle-backed entries NEW this round
+# lead — no external party has hash-checked them yet (pytest + local
+# check_oracles only), so CORRECTNESS_r5 is their first independent
+# verification; (b) the 23 r4-era oracle entries the driver never reached
+# follow (the r4 judge already verified all of them via check_oracles, so
+# they rank below the round-5 entries); (c) never-checked rows-only
+# entries; (d) round-4-verified join/planner queries whose physical plans
+# changed this round (join-side pushdown, broadcast expand join).
 # Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
-    # (a) oracle-backed, never driver-checked (judge-verified r4 only)
-    "lineitem_dispersion_by_flag", "max_value_event_per_type",
-    "orders_price_histogram", "customer_order_rows",
-    "events_cumulative_by_user", "mg_top_users", "price_quantiles_cont",
-    "users_click_no_purchase", "users_signup_and_error", "orders_cube",
-    "signup_funnel", "lineitem_profile", "kmv_set_cardinalities",
-    "lineitem_zscore_by_flag", "top_orders_per_priority",
-    "lineitem_linreg_by_flag", "orders_price_ntile", "lineitem_mode_qty",
-    "top_orders_concat", "orders_row_numbers", "lineitem_unpivoted_stats",
-    "multimodal_frames_by_lang", "multimodal_resize_by_lang",
-    # (b) rows-only, never driver-checked
-    "corpus_sketches_progressive", "sql_router_topk", "sql_router_quantile",
-    "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
-    "cms_join_size_orders",
-    # (c) new this round — inserted here as they land
+    # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
     "sql_grouping_sets", "sql_median", "sql_nav_case",
     "sql_rows_frame2", "sql_cast_date", "sql_extract_parts",
     "sql_rollup", "sql_cube", "sql_multi_window", "sql_date_trunc",
-    "sql_grouping", "sql_qualify", "sql_hll_rollup",
-    "sql_quantile_rollup",
+    "sql_grouping", "sql_qualify",
     "sql_union_distinct",
     "sql_null_group_key",
     "sql_coalesce", "sql_intersect", "sql_except",
@@ -5834,6 +5822,20 @@ DRIVER_PRIORITY: list[str] = [
     "sql_global_quantile", "sql_range_frame", "sql_tpch_q18",
     "sql_tpch_q5", "sql_tpch_q7ish", "sql_tpch_q15ish", "sql_tpch_q8ish",
     "sql_tpch_q9ish", "sql_tpch_q21ish", "sql_tpch_q20ish",
+    # (b) oracle-backed, never driver-checked (r4 judge-verified already)
+    "lineitem_dispersion_by_flag", "max_value_event_per_type",
+    "orders_price_histogram", "customer_order_rows",
+    "events_cumulative_by_user", "mg_top_users", "price_quantiles_cont",
+    "users_click_no_purchase", "users_signup_and_error", "orders_cube",
+    "signup_funnel", "lineitem_profile", "kmv_set_cardinalities",
+    "lineitem_zscore_by_flag", "top_orders_per_priority",
+    "lineitem_linreg_by_flag", "orders_price_ntile", "lineitem_mode_qty",
+    "top_orders_concat", "orders_row_numbers", "lineitem_unpivoted_stats",
+    "multimodal_frames_by_lang", "multimodal_resize_by_lang",
+    # (c) rows-only, never driver-checked
+    "corpus_sketches_progressive", "sql_router_topk", "sql_router_quantile",
+    "sql_store_summary", "ann_topk_ivf_indexed", "packed_docs_stats",
+    "cms_join_size_orders", "sql_hll_rollup", "sql_quantile_rollup",
     # (d) r4-verified queries whose plans changed this round
     "sql_tpch_q3", "sql_tpch_q10", "sql_tpch_q12", "sql_tpch_q16",
     "sql_tpch_q19", "sql_tpch_q4", "sql_router_left_join",
