@@ -330,3 +330,75 @@ def test_cast_date_and_timestamp(ray_session, sf_dir):
                CAST('1996-01-02 03:04:05' AS TIMESTAMP) AS t
         FROM orders ORDER BY o_orderkey LIMIT 100
     """)
+
+
+def test_corr_regr_family_matches_duckdb(ray_session, sf_dir):
+    """Two-column regression/correlation family over driver tables —
+    identical text both engines (the ORACLE entry's contract): six
+    pairwise-masked exact hidden sums, float finalize, ROUND(·, 6) for
+    hash-stable floats, REGR_COUNT cast to BIGINT for dtype parity
+    (DuckDB returns uint32)."""
+    from verdictray.entry_queries import SQL_CORR_REGR
+
+    _cmp(sf_dir, SQL_CORR_REGR)
+
+
+def test_corr_regr_null_pairs_and_degenerate_groups(ray_session,
+                                                    tmp_path):
+    """SQL pairwise-NULL semantics: a row drops from EVERY hidden sum
+    when either argument is NULL; constant-x groups give NULL
+    corr/slope (zero-variance NULLIF guard); 1-row groups give NULL
+    covar_samp but 0.0 covar_pop; a group with no pairwise-complete row
+    gives regr_count 0 and NULLs elsewhere — all checked against
+    DuckDB on a synthetic table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    x = rng.integers(0, 50, n).astype("float64")
+    y = 2.5 * x + rng.normal(0, 3, n)
+    g = rng.integers(0, 3, n)
+    mx = rng.random(n) < 0.15
+    my = rng.random(n) < 0.15
+    extra = pa.table({
+        "g": [10, 10, 10, 11, 12, 12],
+        "x": pa.array([5.0, 5.0, 5.0, 1.0, None, 2.0]),
+        "y": pa.array([1.0, 2.0, 3.0, 4.0, 1.0, None]),
+    })
+    base = pa.table({"g": g, "x": pa.array(x, mask=mx),
+                     "y": pa.array(y, mask=my)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.concat_tables([base, extra]), d / "t.parquet")
+    from verdictray.sqlrouter import run_sql
+
+    sql = ("SELECT g, CAST(REGR_COUNT(y, x) AS BIGINT) AS n, "
+           "CORR(y, x) AS r, COVAR_SAMP(y, x) AS cs, "
+           "COVAR_POP(y, x) AS cp, REGR_SLOPE(y, x) AS sl, "
+           "REGR_INTERCEPT(y, x) AS ic, REGR_SXX(y, x) AS sxx, "
+           "REGR_SYY(y, x) AS syy, REGR_SXY(y, x) AS sxy, "
+           "REGR_AVGX(y, x) AS ax, REGR_AVGY(y, x) AS ay "
+           "FROM t GROUP BY g ORDER BY g")
+    mine = run_sql(sql, str(d)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{d / 't.parquet'}'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False,
+                           rtol=1e-9, atol=1e-9)
+    row12 = mine[mine.g == 12].iloc[0]
+    import pandas as pd
+    assert row12["n"] == 0 and pd.isna(row12["r"])
+
+
+def test_corr_regr_loud_errors(ray_session, sf_dir):
+    """Non-column arguments and bare (non-item) use raise loudly."""
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="plain columns"):
+        run_sql("SELECT CORR(l_quantity + 1, l_linenumber) AS r "
+                "FROM lineitem", sf_dir)
+    with pytest.raises(ValueError, match="aggregate"):
+        run_sql("SELECT l_orderkey FROM lineitem "
+                "WHERE CORR(l_quantity, l_linenumber) > 0", sf_dir)

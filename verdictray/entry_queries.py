@@ -5243,6 +5243,38 @@ ORDER BY p_brand
 """
 
 
+SQL_CORR_REGR = """
+SELECT l_returnflag,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       ROUND(CORR(l_extendedprice, l_quantity), 6) AS r,
+       ROUND(COVAR_POP(l_quantity, l_linenumber), 6) AS cpop,
+       ROUND(COVAR_SAMP(l_quantity, l_linenumber), 6) AS csamp,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS icept,
+       ROUND(REGR_AVGX(l_quantity, l_linenumber), 6) AS avgx,
+       ROUND(REGR_AVGY(l_quantity, l_linenumber), 6) AS avgy,
+       ROUND(REGR_SXY(l_quantity, l_linenumber), 6) AS sxy
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sql_corr_regr(sf_dir: str):
+    """Two-column regression/correlation aggregate family (CORR,
+    COVAR_POP/SAMP, REGR_SLOPE/INTERCEPT/COUNT/AVGX/AVGY/SXX/SYY/SXY) —
+    parse-time sugar over SIX pairwise-masked exact decomposable hidden
+    sums (n, Σx, Σy, Σx², Σy², Σxy; SUM over CASE WHEN x IS NOT NULL AND
+    y IS NOT NULL), deduped by value signature across the ten items, so
+    one grouped pass feeds the whole family through the map-side Arrow
+    pre-combine and bucketed hash merge; only the finalize is float.
+    Zero denominators surface as NULL via NULLIF (constant x ⇒
+    corr/slope NULL; n=1 ⇒ covar_samp NULL) — SQL semantics, verified
+    against DuckDB on degenerate groups in pytest. Identical text runs
+    in DuckDB. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_CORR_REGR, sf_dir)
+
+
 def q_sql_variance(sf_dir: str):
     """Variance aggregate family — parse-time sugar over EXACT
     decomposable hidden aggregates (COUNT, SUM(x), SUM(x*x), deduped
@@ -5553,6 +5585,7 @@ QUERIES = {
     "sql_except": q_sql_except,
     "sql_scalar_fns_r5": q_sql_scalar_fns_r5,
     "sql_variance": q_sql_variance,
+    "sql_corr_regr": q_sql_corr_regr,
     "sql_interval_datediff": q_sql_interval_datediff,
     "sql_grouping_sets": q_sql_grouping_sets,
     "sql_median": q_sql_median,
@@ -5735,6 +5768,7 @@ ORACLES = {
     "sql_except": SQL_EXCEPT,
     "sql_scalar_fns_r5": SQL_SCALAR_FNS_R5,
     "sql_variance": SQL_VARIANCE,
+    "sql_corr_regr": SQL_CORR_REGR,
     "sql_interval_datediff": SQL_INTERVAL_DATEDIFF,
     "sql_grouping_sets": SQL_GROUPING_SETS_ORACLE,
     "sql_median": SQL_MEDIAN,
@@ -5808,6 +5842,7 @@ ORACLES = {
 # Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
+    "sql_corr_regr",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
     "sql_grouping_sets", "sql_median", "sql_nav_case",
     "sql_rows_frame2", "sql_cast_date", "sql_extract_parts",

@@ -138,6 +138,12 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   finalize only — rides
                                                  --   pre-combine, bucketed
                                                  --   merge, HAVING
+          | CORR|COVAR_POP|COVAR_SAMP(y, x)      -- two-column family: same
+          | REGR_SLOPE|REGR_INTERCEPT(y, x)      --   rewrite over SIX
+          | REGR_COUNT|REGR_AVGX|REGR_AVGY(y, x) --   pairwise-masked exact
+          | REGR_SXX|REGR_SYY|REGR_SXY(y, x)     --   sums (n Σx Σy Σx² Σy²
+                                                 --   Σxy); zero denominators
+                                                 --   → NULL via NULLIF
           | APPROX_TOP_K(col, k)                -- CMS heavy hitters
           | <exact agg> FILTER ( WHERE pred [AND pred]* )
                                                 -- per-aggregate condition
@@ -403,6 +409,13 @@ _AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
 # Welford within ~1e-12 relative (the driver compares at atol=1e-9).
 _VAR_AGGS = {"var_pop", "var_samp", "variance",   # variance = var_samp
              "stddev_pop", "stddev_samp", "stddev"}  # stddev = stddev_samp
+
+# two-column regression/correlation family — same hidden-aggregate rewrite
+# as _VAR_AGGS, over SIX pairwise-masked exact sums (n, Σx, Σy, Σx², Σy²,
+# Σxy); SQL argument order is fn(y, x)
+_COVAR_AGGS = {"corr", "covar_pop", "covar_samp", "regr_slope",
+               "regr_intercept", "regr_count", "regr_avgx", "regr_avgy",
+               "regr_sxx", "regr_syy", "regr_sxy"}
 
 # exact aggregates whose argument may be a scalar EXPRESSION (arithmetic /
 # CASE / EXTRACT over columns); sketches keep bare columns — hashing an
@@ -915,6 +928,17 @@ class _Parser:
                 arg = self.expr_tree()
                 self.expect(")")
                 return _variance_tree(low, arg)
+            if low in _COVAR_AGGS:
+                if not getattr(self, "_aggexpr", False):
+                    raise ValueError(f"{low.upper()} is an aggregate — "
+                                     "it is valid only in SELECT items "
+                                     "or HAVING")
+                self.take()
+                argy = self.expr_tree()
+                self.expect(",")
+                argx = self.expr_tree()
+                self.expect(")")
+                return _covar_tree(low, argy, argx)
             if low not in _SCALAR_FNS:
                 raise ValueError(f"function {ident!r} not supported "
                                  "inside scalar expressions "
@@ -1935,6 +1959,74 @@ def _variance_tree(low: str, arg: tuple) -> tuple:
     if low.startswith("stddev"):
         return ("fn", "sqrt", (var,))
     return var
+
+
+def _covar_tree(low: str, argy: tuple, argx: tuple) -> tuple:
+    """Rewrite a two-column regression/correlation aggregate (SQL argument
+    order ``fn(y, x)``) into a post-aggregate expression over six exact
+    decomposable hidden sums, each PAIRWISE-masked (SQL ignores a row when
+    EITHER argument is NULL, so every sum runs over
+    ``CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN … END``)::
+
+        n, Σx, Σy, Σx², Σy², Σxy        -- int-exact partials
+        mxy = Σxy − ΣxΣy/n              -- n·covar_pop
+        mxx = clamp0(Σx² − (Σx)²/n)     -- n·var_pop(x)
+
+        covar_pop  = mxy/n     covar_samp = mxy/nullif(n−1, 0)
+        corr       = mxy / nullif(sqrt(mxx)·sqrt(myy), 0)
+        regr_slope = mxy/nullif(mxx, 0)
+        regr_intercept = Σy/n − slope·Σx/n
+        regr_sxx/syy/sxy = mxx/myy/mxy;  regr_avgx/avgy = Σx/n, Σy/n
+        regr_count = n (BIGINT, 0 when no pairwise-complete row)
+
+    Shared sums dedupe across calls by value signature, so
+    ``SELECT corr(y,x), regr_slope(y,x)`` costs six hidden aggregates,
+    not twelve. Zero denominators surface as NULL via NULLIF — constant x
+    ⇒ corr/slope NULL, n=1 ⇒ covar_samp NULL — matching SQL."""
+    if argy[0] != "col" or argx[0] != "col":
+        raise ValueError(f"{low.upper()} takes plain columns (compute "
+                         "the expressions in a derived table first)")
+    y, x = argy[1], argx[1]
+    both = _Pred("", "and", value=[_Pred(x, "not_null"),
+                                   _Pred(y, "not_null")])
+
+    def s(e: tuple) -> tuple:
+        masked = ("case", ((both, e),), None)
+        return ("cast", "float64", ("agg", _Agg("sum", None, expr=masked)))
+
+    n = s(("lit", 1))
+    sx, sy = s(argx), s(argy)
+    sxx = s(("bin", "*", argx, argx))
+    syy = s(("bin", "*", argy, argy))
+    sxy = s(("bin", "*", argx, argy))
+    mxy = ("bin", "-", sxy, ("bin", "/", ("bin", "*", sx, sy), n))
+    mxx = ("fn", "_clamp0",
+           (("bin", "-", sxx, ("bin", "/", ("bin", "*", sx, sx), n)),))
+    myy = ("fn", "_clamp0",
+           (("bin", "-", syy, ("bin", "/", ("bin", "*", sy, sy), n)),))
+    if low == "regr_count":
+        return ("cast", "int64", ("fn", "coalesce", (n, ("lit", 0.0))))
+    if low == "covar_pop":
+        return ("bin", "/", mxy, n)
+    if low == "covar_samp":
+        return ("bin", "/", mxy,
+                ("fn", "nullif", (("bin", "-", n, ("lit", 1.0)),
+                                  ("lit", 0.0))))
+    if low == "corr":
+        denom = ("bin", "*", ("fn", "sqrt", (mxx,)),
+                 ("fn", "sqrt", (myy,)))
+        return ("bin", "/", mxy, ("fn", "nullif", (denom, ("lit", 0.0))))
+    if low == "regr_slope":
+        return ("bin", "/", mxy, ("fn", "nullif", (mxx, ("lit", 0.0))))
+    if low == "regr_intercept":
+        slope = ("bin", "/", mxy, ("fn", "nullif", (mxx, ("lit", 0.0))))
+        return ("bin", "-", ("bin", "/", sy, n),
+                ("bin", "*", slope, ("bin", "/", sx, n)))
+    if low == "regr_avgx":
+        return ("bin", "/", sx, n)
+    if low == "regr_avgy":
+        return ("bin", "/", sy, n)
+    return {"regr_sxx": mxx, "regr_syy": myy, "regr_sxy": mxy}[low]
 
 
 def _unify_branch(arrs):
