@@ -402,3 +402,97 @@ def test_corr_regr_loud_errors(ray_session, sf_dir):
     with pytest.raises(ValueError, match="aggregate"):
         run_sql("SELECT l_orderkey FROM lineitem "
                 "WHERE CORR(l_quantity, l_linenumber) > 0", sf_dir)
+
+
+def test_sum_avg_distinct_match_duckdb(ray_session, sf_dir):
+    """Exact SUM/AVG(DISTINCT) — the ORACLE entry's identical text, plus
+    a global (no GROUP BY) form over a float column."""
+    from verdictray.entry_queries import SQL_SUM_DISTINCT
+
+    _cmp(sf_dir, SQL_SUM_DISTINCT)
+    _cmp(sf_dir, """
+        SELECT CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS s,
+               AVG(DISTINCT l_extendedprice) AS a
+        FROM lineitem
+    """, rtol=1e-12, atol=0)
+
+
+def test_sum_distinct_null_and_error_semantics(ray_session, sf_dir,
+                                               tmp_path):
+    """NULLs drop from the distinct set; an all-NULL group yields NULL
+    (SQL SUM semantics). Non-column and non-numeric arguments raise
+    loudly; DISTINCT in MIN stays rejected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "x": pa.array([3, 3, None, None, None], type=pa.int64()),
+    }), d / "t.parquet")
+    from verdictray.sqlrouter import run_sql
+
+    sql = ("SELECT k, CAST(SUM(DISTINCT x) AS BIGINT) AS s, "
+           "AVG(DISTINCT x) AS a FROM t GROUP BY k ORDER BY k")
+    mine = run_sql(sql, str(d)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{d / 't.parquet'}'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+    with pytest.raises(ValueError, match="plain column"):
+        run_sql("SELECT SUM(DISTINCT l_quantity + 1) AS s FROM lineitem",
+                sf_dir)
+    with pytest.raises(ValueError, match="COUNT/SUM/AVG"):
+        run_sql("SELECT MIN(DISTINCT l_quantity) AS m FROM lineitem",
+                sf_dir)
+
+
+def test_arg_minmax_matches_duckdb(ray_session, sf_dir):
+    """ARG_MAX/ARG_MIN + MAX_BY/MIN_BY aliases — the ORACLE entry's
+    identical text (unique val column ⇒ deterministic), plus a global
+    (no GROUP BY) form."""
+    from verdictray.entry_queries import SQL_ARG_MINMAX
+
+    _cmp(sf_dir, SQL_ARG_MINMAX)
+    _cmp(sf_dir, """
+        SELECT ARG_MAX(o_totalprice, o_orderkey) AS p,
+               ARG_MIN(o_orderstatus, o_orderkey) AS s
+        FROM orders
+    """)
+
+
+def test_arg_minmax_null_and_error_semantics(ray_session, sf_dir,
+                                             tmp_path):
+    """Rows with NULL in EITHER column drop (DuckDB 1.0 semantics — a
+    NULL arg at the extreme val does NOT surface); a group with no
+    complete row yields NULL. OVER and expression arguments raise
+    loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "g": [1, 1, 1, 2, 2, 3, 3],
+        "a": pa.array(["x", None, "y", "z", None, "q", "r"]),
+        "v": pa.array([5, 9, 3, None, None, 1, None],
+                      type=pa.int64()),
+    }), d / "t.parquet")
+    from verdictray.sqlrouter import run_sql
+
+    sql = ("SELECT g, ARG_MAX(a, v) AS am, ARG_MIN(a, v) AS an "
+           "FROM t GROUP BY g ORDER BY g")
+    mine = run_sql(sql, str(d)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{d / 't.parquet'}'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+    assert mine.loc[mine.g == 1, "am"].iloc[0] == "x"   # NULL arg at v=9 drops
+    assert mine.loc[mine.g == 2, "am"].isna().all()
+    with pytest.raises(ValueError, match="OVER"):
+        run_sql("SELECT ARG_MAX(o_custkey, o_orderkey) OVER "
+                "(PARTITION BY o_orderstatus) AS c FROM orders", sf_dir)
+    with pytest.raises(ValueError, match="plain columns"):
+        run_sql("SELECT ARG_MAX(o_custkey + 1, o_orderkey) AS c "
+                "FROM orders", sf_dir)

@@ -107,7 +107,7 @@ def test_parse_errors_are_loud():
                 "SELECT count(*) FROM t WHERE a LIKE 5",   # non-string pat
                 # membership subqueries may not sit under OR
                 "SELECT count(*) FROM t WHERE a = 1 OR b IN (SELECT c FROM u)",
-                "SELECT sum(DISTINCT b) FROM t"):
+                "SELECT min(DISTINCT b) FROM t"):
         with pytest.raises(ValueError):
             plan = parse_sql(bad)
             # grouping check happens at execution; force it for case 2

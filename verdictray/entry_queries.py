@@ -5243,6 +5243,54 @@ ORDER BY p_brand
 """
 
 
+SQL_ARG_MINMAX = """
+SELECT o_orderpriority,
+       ARG_MAX(o_totalprice, o_orderkey) AS last_price,
+       ARG_MIN(o_custkey, o_orderkey) AS first_cust,
+       MAX_BY(o_orderstatus, o_orderkey) AS last_status,
+       MIN_BY(o_totalprice, o_orderkey) AS first_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_sql_arg_minmax(sf_dir: str):
+    """ARG_MAX/ARG_MIN (MAX_BY/MIN_BY) via udaf.ArgMinMaxAgg — the
+    "latest record per key" primitive as an O(1)-state decomposable
+    aggregate: each block reduces to one (best_val, best_arg) pair,
+    merges compare pairs, so nothing wider than two scalars crosses the
+    shuffle. Rows with NULL in either column are ignored (DuckDB 1.0
+    semantics); val ties break toward the smallest arg — deterministic
+    under any partitioning, so the oracle orders by the UNIQUE
+    o_orderkey. Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ARG_MINMAX, sf_dir)
+
+
+SQL_SUM_DISTINCT = """
+SELECT l_returnflag,
+       CAST(SUM(DISTINCT l_quantity) AS BIGINT) AS sum_dq,
+       AVG(DISTINCT l_quantity) AS avg_dq,
+       COUNT(DISTINCT l_quantity) AS n_dq,
+       CAST(SUM(DISTINCT l_linenumber) AS BIGINT) AS sum_dl
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_sql_sum_distinct(sf_dir: str):
+    """Exact SUM(DISTINCT) / AVG(DISTINCT) via udaf.DistinctValuesAgg —
+    sorted unique 8 B VALUE sets (the ExactDistinct discipline, but the
+    reduction needs the values, not hashes) merged with np.union1d; the
+    finalize reduces the sorted set, so even float results are the same
+    deterministic reduction on every run / merge order. Integer results
+    CAST to BIGINT in identical text for dtype parity (DuckDB SUMs ints
+    to HUGEINT). No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_SUM_DISTINCT, sf_dir)
+
+
 SQL_CORR_REGR = """
 SELECT l_returnflag,
        CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n,
@@ -5586,6 +5634,8 @@ QUERIES = {
     "sql_scalar_fns_r5": q_sql_scalar_fns_r5,
     "sql_variance": q_sql_variance,
     "sql_corr_regr": q_sql_corr_regr,
+    "sql_sum_distinct": q_sql_sum_distinct,
+    "sql_arg_minmax": q_sql_arg_minmax,
     "sql_interval_datediff": q_sql_interval_datediff,
     "sql_grouping_sets": q_sql_grouping_sets,
     "sql_median": q_sql_median,
@@ -5769,6 +5819,8 @@ ORACLES = {
     "sql_scalar_fns_r5": SQL_SCALAR_FNS_R5,
     "sql_variance": SQL_VARIANCE,
     "sql_corr_regr": SQL_CORR_REGR,
+    "sql_sum_distinct": SQL_SUM_DISTINCT,
+    "sql_arg_minmax": SQL_ARG_MINMAX,
     "sql_interval_datediff": SQL_INTERVAL_DATEDIFF,
     "sql_grouping_sets": SQL_GROUPING_SETS_ORACLE,
     "sql_median": SQL_MEDIAN,
@@ -5842,7 +5894,7 @@ ORACLES = {
 # Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
-    "sql_corr_regr",
+    "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
     "sql_grouping_sets", "sql_median", "sql_nav_case",
     "sql_rows_frame2", "sql_cast_date", "sql_extract_parts",

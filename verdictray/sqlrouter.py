@@ -116,6 +116,16 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   the same spelling)
           | COUNT(*) | COUNT([DISTINCT] col)
           | SUM(scalar) | AVG(scalar) | MIN(scalar) | MAX(scalar)
+          | SUM(DISTINCT col) | AVG(DISTINCT col) -- exact: sorted-unique
+                                                 --   8 B value sets merge
+                                                 --   via union, finalize
+                                                 --   reduces the set
+          | ARG_MAX|ARG_MIN(arg, val)            -- MAX_BY/MIN_BY aliases;
+                                                 --   O(1) (val, arg) pair
+                                                 --   accumulator; rows with
+                                                 --   NULL in EITHER column
+                                                 --   ignored (DuckDB 1.0);
+                                                 --   val ties -> smallest arg
           | MONEY_SUM(scalar)                    -- exact integer-cents sum:
                                                  --   order-independent, so
                                                  --   bit-stable vs any oracle
@@ -396,7 +406,7 @@ _ROUND = {"round_mode": "half_towards_infinity"}
 _AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
          "approx_count_distinct", "approx_quantile",
          "approx_quantile_tdigest", "approx_top_k", "quantile_cont",
-         "median"}
+         "median", "arg_max", "arg_min", "max_by", "min_by"}
 
 # variance-family aggregates: parsed as sugar and REWRITTEN at parse time
 # into a post-aggregate expression over the exact decomposable hidden
@@ -531,6 +541,9 @@ class _Agg:
     # LAG/LEAD third argument: the value when the offset row does NOT
     # exist (an existing-but-NULL offset row stays NULL, per SQL)
     default: object = None
+    # second column of a two-column aggregate: the ordering column of
+    # ARG_MAX/ARG_MIN(arg, val)
+    col2: str | None = None
     # conjunction of scalar predicates from ``FILTER (WHERE …)``
     filter_pred: list | None = None
     # scalar expression tree (tuples; see _Parser.expr_tree) when the
@@ -630,7 +643,7 @@ def _agg_sig(ag: _Agg) -> str:
     """Semantic identity of an aggregate call (alias/hidden excluded), for
     reusing an already-SELECTed aggregate from a HAVING predicate."""
     return repr((ag.fn, ag.col, ag.distinct, ag.phi, ag.round_to,
-                 ag.window, ag.offset, ag.filter_pred, ag.expr))
+                 ag.window, ag.offset, ag.filter_pred, ag.expr, ag.col2))
 
 
 def _lift_having_aggs(plan) -> None:
@@ -1133,12 +1146,27 @@ class _Parser:
             self.take()
             self.expect(")")
             return _Agg("count", None)
+        if low in ("arg_max", "arg_min", "max_by", "min_by"):
+            # ARG_MAX(arg, val) — two plain columns
+            col = self.take()
+            comma = self.take()
+            col2 = self.take()
+            closep = self.take()
+            if (comma, closep) != (",", ")") or not (
+                    col.replace("_", "a").isalnum()
+                    and col2.replace("_", "a").isalnum()):
+                raise ValueError(f"{low.upper()} takes two plain columns "
+                                 "(compute expressions in a derived "
+                                 "table first)")
+            low = {"max_by": "arg_max", "min_by": "arg_min"}.get(low, low)
+            return _Agg(low, col, col2=col2)
         distinct = False
         if self.kw("distinct"):
             self.take()
             distinct = True
-            if low != "count":
-                raise ValueError("DISTINCT only supported in COUNT")
+            if low not in ("count", "sum", "avg"):
+                raise ValueError("DISTINCT supported in COUNT/SUM/AVG "
+                                 f"only, got {low.upper()}")
         expr = None
         if low in _EXPR_AGGS:
             tree = self.expr_tree()
@@ -1158,6 +1186,10 @@ class _Parser:
             # MEDIAN(col) == QUANTILE_CONT(col, 0.5) — exact interpolated
             # (DuckDB's MEDIAN; integer inputs surface as DOUBLE)
             low, phi = "quantile_cont", 0.5
+        if distinct and low != "count" and col is None:
+            raise ValueError("SUM/AVG(DISTINCT) takes a plain column "
+                             "(compute the expression in a derived "
+                             "table first)")
         return _Agg(low, col, distinct=distinct, phi=phi, expr=expr)
 
     def _in_aggexpr(self, fn):
@@ -3813,6 +3845,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                 needed.update(_expr_cols(exprs[it.col]))
             else:
                 needed.add(it.col)
+        if it.col2 is not None:
+            needed.add(it.col2)
         for p in (it.filter_pred or ()):
             needed.update(_pred_cols([p]))
     needed_post = set(needed)
@@ -4132,6 +4166,12 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         for it in agg_items:
             if it.fn == "count" and it.distinct:
                 route = "ExactDistinct (sorted 8-byte hash sets)"
+            elif it.distinct:
+                route = ("DistinctValuesAgg (sorted 8-byte value sets, "
+                         f"{it.fn} finalize)")
+            elif it.fn in ("arg_max", "arg_min"):
+                route = ("ArgMinMaxAgg (O(1) (best_val, best_arg) pair "
+                         "accumulator)")
             else:
                 route = routes[it.fn]
             arg = (_fmt_expr(it.expr) if it.expr is not None
@@ -4213,6 +4253,16 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         fcol = f"_flt_{name}" if it.filter_pred else it.col
         if it.fn == "count" and it.distinct:
             aggs.append(ExactDistinct(it.col, alias_name=name))
+        elif it.fn in ("sum", "avg") and it.distinct:
+            from .udaf import DistinctValuesAgg
+
+            aggs.append(DistinctValuesAgg(it.col, alias_name=name,
+                                          finalize=it.fn))
+        elif it.fn in ("arg_max", "arg_min"):
+            from .udaf import ArgMinMaxAgg
+
+            aggs.append(ArgMinMaxAgg(it.col, it.col2, alias_name=name,
+                                     mode=it.fn[4:]))
         elif it.fn == "count":
             if it.filter_pred:        # sum of the 0/1 mask column
                 aggs.append(Sum(fcol, alias_name=name))

@@ -282,6 +282,132 @@ class ExactDistinct(AggregateFnV2):
         return 0 if not accumulator else len(accumulator) // 8
 
 
+class DistinctValuesAgg(AggregateFnV2):
+    """Exact SUM(DISTINCT col) / AVG(DISTINCT col) for numeric columns —
+    the same sorted-unique-array accumulator discipline as
+    ``ExactDistinct``, but over the VALUES themselves (the reduction
+    needs them; a hash set could only count). Accumulators are sorted
+    unique int64/float64 arrays as raw bytes behind a 1-byte dtype tag
+    (8 B per distinct value, no pickle on the wire), merged with
+    ``np.union1d``. The finalize sums the SORTED unique array, so a
+    float result is the same left-to-right reduction on every run /
+    merge order — deterministic, unlike a float SUM over shuffled rows.
+    NULLs drop per SQL; a group with no non-null value yields NULL."""
+
+    _TAGS = {b"i": "int64", b"f": "float64"}
+
+    def __init__(self, on: str, alias_name: str = None,
+                 finalize: str = "sum"):
+        if finalize not in ("sum", "avg"):
+            raise ValueError(f"finalize must be sum|avg, got {finalize!r}")
+        self._mode = finalize
+        super().__init__(alias_name or f"distinct_{finalize}({on})",
+                         on=on, ignore_nulls=True,
+                         zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col = _column(block, self._target_col_name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        if len(col) == 0:
+            return b""
+        if pa.types.is_integer(col.type):
+            tag, arr = b"i", pc.cast(col, pa.int64()).to_numpy()
+        elif pa.types.is_floating(col.type):
+            tag, arr = b"f", pc.cast(col, pa.float64()).to_numpy()
+        else:
+            raise ValueError("SUM/AVG(DISTINCT) supports numeric columns, "
+                             f"got {col.type}")
+        return tag + np.unique(arr).tobytes()
+
+    def combine(self, current, new):
+        import numpy as np
+
+        if not current:
+            return new
+        if not new:
+            return current
+        if current[:1] != new[:1]:      # can't happen for one column
+            raise ValueError("mixed dtype tags in DISTINCT accumulator")
+        dt = self._TAGS[current[:1]]
+        return current[:1] + np.union1d(
+            np.frombuffer(current[1:], dtype=dt),
+            np.frombuffer(new[1:], dtype=dt),
+        ).tobytes()
+
+    def finalize(self, accumulator):
+        import numpy as np
+
+        if not accumulator:
+            return None                 # SQL: no non-null input -> NULL
+        vals = np.frombuffer(accumulator[1:],
+                             dtype=self._TAGS[accumulator[:1]])
+        if self._mode == "avg":
+            return float(vals.sum() / len(vals))
+        total = vals.sum()
+        return int(total) if vals.dtype.kind == "i" else float(total)
+
+
+class ArgMinMaxAgg(AggregateFnV2):
+    """Exact ARG_MAX(arg, val) / ARG_MIN(arg, val) (a.k.a. MAX_BY /
+    MIN_BY): the value of ``arg`` at the row where ``val`` is extreme —
+    the "latest record per key" primitive. Decomposable with an O(1)
+    accumulator: each block reduces to one ``(best_val, best_arg)``
+    pair, merges compare pairs — nothing wider than two scalars ever
+    crosses the shuffle. Rows where EITHER column is NULL are ignored
+    (DuckDB 1.0 semantics, verified empirically); a group with no
+    complete row yields NULL. Ties on ``val`` break toward the SMALLEST
+    ``arg``, which is deterministic under any partitioning / merge order
+    (DuckDB's tie choice is scan-order-dependent — oracle queries use a
+    unique ``val``)."""
+
+    def __init__(self, arg_col: str, val_col: str, alias_name: str = None,
+                 mode: str = "max"):
+        if mode not in ("max", "min"):
+            raise ValueError(f"mode must be max|min, got {mode!r}")
+        self._arg_col, self._val_col, self._mode = arg_col, val_col, mode
+        # on=None: Ray prunes aggregate input blocks to [on, *keys], and
+        # this aggregate needs TWO columns — None passes the whole
+        # (already read-pruned) block through; only the O(1) pair
+        # accumulator crosses the shuffle either way
+        super().__init__(alias_name or f"arg_{mode}({arg_col},{val_col})",
+                         on=None, ignore_nulls=True,
+                         zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        a, v = (_column(block, self._arg_col),
+                _column(block, self._val_col))
+        mask = pc.and_(pc.is_valid(a), pc.is_valid(v))
+        a, v = pc.filter(a, mask), pc.filter(v, mask)
+        if len(v) == 0:
+            return None
+        best_v = (pc.max(v) if self._mode == "max" else pc.min(v))
+        cand = pc.filter(a, pc.equal(v, best_v))
+        return (best_v.as_py(), pc.min(cand).as_py())
+
+    def combine(self, current, new):
+        if current is None:
+            return new
+        if new is None:
+            return current
+        if current[0] == new[0]:        # val tie -> smallest arg
+            return current if current[1] <= new[1] else new
+        better = (current[0] > new[0] if self._mode == "max"
+                  else current[0] < new[0])
+        return current if better else new
+
+    def finalize(self, accumulator):
+        return None if accumulator is None else accumulator[1]
+
+
 def as_aggregate(sketch_cls, on: str, alias_name: str = None, output: str = "estimate",
                  phis=None, **params) -> SketchAgg:
     """Wrap ANY Sketch subclass (including user extensions) into a Ray Data
