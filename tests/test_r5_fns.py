@@ -496,3 +496,54 @@ def test_arg_minmax_null_and_error_semantics(ray_session, sf_dir,
     with pytest.raises(ValueError, match="plain columns"):
         run_sql("SELECT ARG_MAX(o_custkey + 1, o_orderkey) AS c "
                 "FROM orders", sf_dir)
+
+
+def test_string_agg_matches_duckdb(ray_session, sf_dir):
+    """STRING_AGG with in-call ORDER BY (ASC and DESC) — the ORACLE
+    entry's identical text, plus the LISTAGG alias (compared against a
+    STRING_AGG DuckDB oracle) and a global form."""
+    from verdictray.entry_queries import SQL_STRING_AGG
+
+    _cmp(sf_dir, SQL_STRING_AGG)
+    _cmp(sf_dir, """
+        SELECT LISTAGG(o_orderstatus, '-' ORDER BY o_orderkey) AS s
+        FROM orders WHERE o_orderkey <= 500
+    """, oracle="""
+        SELECT STRING_AGG(o_orderstatus, '-' ORDER BY o_orderkey) AS s
+        FROM orders WHERE o_orderkey <= 500
+    """)
+
+
+def test_string_agg_null_and_error_semantics(ray_session, sf_dir,
+                                             tmp_path):
+    """NULL values skip (all-NULL group -> NULL); NULL order keys sort
+    LAST (DuckDB default null order); omitted ORDER BY and non-string
+    separators raise loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "g": [1, 1, 1, 1, 2, 2],
+        "k": pa.array([3, 1, None, 2, 1, 2], type=pa.int64()),
+        "s": pa.array(["c", "a", "z", None, None, None]),
+    }), d / "t.parquet")
+    from verdictray.sqlrouter import run_sql
+
+    sql = ("SELECT g, STRING_AGG(s, '/' ORDER BY k) AS agg "
+           "FROM t GROUP BY g ORDER BY g")
+    mine = run_sql(sql, str(d)).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{d / 't.parquet'}'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+    assert mine.loc[mine.g == 1, "agg"].iloc[0] == "a/c/z"
+    import pandas as pd
+    assert pd.isna(mine.loc[mine.g == 2, "agg"].iloc[0])
+    with pytest.raises(ValueError, match="ORDER BY"):
+        run_sql("SELECT STRING_AGG(o_orderstatus, ',') AS s FROM orders",
+                sf_dir)
+    with pytest.raises(ValueError, match="string literal"):
+        run_sql("SELECT STRING_AGG(o_orderstatus, 5 ORDER BY "
+                "o_orderkey) AS s FROM orders", sf_dir)

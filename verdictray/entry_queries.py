@@ -5243,6 +5243,31 @@ ORDER BY p_brand
 """
 
 
+SQL_STRING_AGG = """
+SELECT o_orderpriority,
+       STRING_AGG(o_orderstatus, '' ORDER BY o_orderkey) AS status_seq,
+       STRING_AGG(o_orderstatus, ',' ORDER BY o_orderkey DESC) AS rev_seq,
+       COUNT(*) AS n
+FROM orders WHERE o_orderkey <= 5000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_sql_string_agg(sf_dir: str):
+    """STRING_AGG(col, sep ORDER BY k [DESC]) via udaf.StringAggAgg —
+    ordered concatenation as a decomposable aggregate: blocks reduce to
+    (order_key, value) pair lists, merges concatenate, ONE sort+join at
+    finalize. The in-call ORDER BY is REQUIRED (without it the order is
+    scan-order-dependent — unreproducible distributed, and DuckDB's
+    would differ anyway); NULL values skip per SQL, NULL order keys
+    sort last. Identical text runs in DuckDB; o_orderkey is unique so
+    the order is total. No reference file:line — /root/reference is
+    empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_STRING_AGG, sf_dir)
+
+
 SQL_ARG_MINMAX = """
 SELECT o_orderpriority,
        ARG_MAX(o_totalprice, o_orderkey) AS last_price,
@@ -5636,6 +5661,7 @@ QUERIES = {
     "sql_corr_regr": q_sql_corr_regr,
     "sql_sum_distinct": q_sql_sum_distinct,
     "sql_arg_minmax": q_sql_arg_minmax,
+    "sql_string_agg": q_sql_string_agg,
     "sql_interval_datediff": q_sql_interval_datediff,
     "sql_grouping_sets": q_sql_grouping_sets,
     "sql_median": q_sql_median,
@@ -5821,6 +5847,7 @@ ORACLES = {
     "sql_corr_regr": SQL_CORR_REGR,
     "sql_sum_distinct": SQL_SUM_DISTINCT,
     "sql_arg_minmax": SQL_ARG_MINMAX,
+    "sql_string_agg": SQL_STRING_AGG,
     "sql_interval_datediff": SQL_INTERVAL_DATEDIFF,
     "sql_grouping_sets": SQL_GROUPING_SETS_ORACLE,
     "sql_median": SQL_MEDIAN,
@@ -5895,6 +5922,7 @@ ORACLES = {
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
+    "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
     "sql_grouping_sets", "sql_median", "sql_nav_case",
     "sql_rows_frame2", "sql_cast_date", "sql_extract_parts",

@@ -126,6 +126,11 @@ except membership ``IN (SELECT col FROM t)``):
                                                  --   NULL in EITHER column
                                                  --   ignored (DuckDB 1.0);
                                                  --   val ties -> smallest arg
+          | STRING_AGG(col, 'sep' ORDER BY k [ASC|DESC])
+                                                 -- LISTAGG alias; ORDER BY
+                                                 --   REQUIRED (determinism);
+                                                 --   NULL values skip, NULL
+                                                 --   keys sort last
           | MONEY_SUM(scalar)                    -- exact integer-cents sum:
                                                  --   order-independent, so
                                                  --   bit-stable vs any oracle
@@ -406,7 +411,8 @@ _ROUND = {"round_mode": "half_towards_infinity"}
 _AGGS = {"count", "sum", "avg", "min", "max", "money_sum", "money_avg",
          "approx_count_distinct", "approx_quantile",
          "approx_quantile_tdigest", "approx_top_k", "quantile_cont",
-         "median", "arg_max", "arg_min", "max_by", "min_by"}
+         "median", "arg_max", "arg_min", "max_by", "min_by",
+         "string_agg", "listagg"}
 
 # variance-family aggregates: parsed as sugar and REWRITTEN at parse time
 # into a post-aggregate expression over the exact decomposable hidden
@@ -643,7 +649,8 @@ def _agg_sig(ag: _Agg) -> str:
     """Semantic identity of an aggregate call (alias/hidden excluded), for
     reusing an already-SELECTed aggregate from a HAVING predicate."""
     return repr((ag.fn, ag.col, ag.distinct, ag.phi, ag.round_to,
-                 ag.window, ag.offset, ag.filter_pred, ag.expr, ag.col2))
+                 ag.window, ag.offset, ag.filter_pred, ag.expr, ag.col2,
+                 ag.default))
 
 
 def _lift_having_aggs(plan) -> None:
@@ -1160,6 +1167,30 @@ class _Parser:
                                  "table first)")
             low = {"max_by": "arg_max", "min_by": "arg_min"}.get(low, low)
             return _Agg(low, col, col2=col2)
+        if low in ("string_agg", "listagg"):
+            # STRING_AGG(col, 'sep' ORDER BY k [ASC|DESC]) — the ORDER BY
+            # is REQUIRED: without it the concatenation order is
+            # scan-order-dependent, which a distributed engine cannot
+            # reproduce (and DuckDB's would differ anyway)
+            col = self.take()
+            self.expect(",")
+            sep = self.literal()
+            if not isinstance(sep, str):
+                raise ValueError("STRING_AGG separator must be a string "
+                                 f"literal, got {sep!r}")
+            if not self.kw("order"):
+                raise ValueError("STRING_AGG requires ORDER BY inside "
+                                 "the call (deterministic order under "
+                                 "any partitioning)")
+            self.take()
+            self.expect("by")
+            okey = self.take()
+            desc = False
+            if self.kw("asc", "desc"):
+                desc = self.take().lower() == "desc"
+            self.expect(")")
+            return _Agg("string_agg", col, col2=okey,
+                        default=(sep, desc))
         distinct = False
         if self.kw("distinct"):
             self.take()
@@ -4172,6 +4203,9 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             elif it.fn in ("arg_max", "arg_min"):
                 route = ("ArgMinMaxAgg (O(1) (best_val, best_arg) pair "
                          "accumulator)")
+            elif it.fn == "string_agg":
+                route = ("StringAggAgg ((order_key, value) pair lists, "
+                         "one sort+join at finalize)")
             else:
                 route = routes[it.fn]
             arg = (_fmt_expr(it.expr) if it.expr is not None
@@ -4263,6 +4297,12 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
             aggs.append(ArgMinMaxAgg(it.col, it.col2, alias_name=name,
                                      mode=it.fn[4:]))
+        elif it.fn == "string_agg":
+            from .udaf import StringAggAgg
+
+            sep, desc = it.default
+            aggs.append(StringAggAgg(it.col, sep, it.col2, desc=desc,
+                                     alias_name=name))
         elif it.fn == "count":
             if it.filter_pred:        # sum of the 0/1 mask column
                 aggs.append(Sum(fcol, alias_name=name))

@@ -408,6 +408,54 @@ class ArgMinMaxAgg(AggregateFnV2):
         return None if accumulator is None else accumulator[1]
 
 
+class StringAggAgg(AggregateFnV2):
+    """STRING_AGG(col, sep ORDER BY k [DESC]) — ordered string
+    concatenation per group. The ORDER BY is REQUIRED: without it the
+    result depends on scan/partition order, which a distributed engine
+    cannot (and should not pretend to) reproduce. Accumulator = a list
+    of (order_key, value) pairs for the group's non-NULL values (NULL
+    values skip, per SQL; NULL order keys sort last like ORDER BY);
+    merges concatenate lists, the finalize does ONE sort + join —
+    O(group) state, same class as DistinctValuesAgg. on=None because
+    the aggregate reads two columns (Ray prunes input blocks to
+    [on, *keys])."""
+
+    def __init__(self, col: str, sep: str, order_col: str,
+                 desc: bool = False, alias_name: str = None):
+        self._col, self._sep = col, sep
+        self._order_col, self._desc = order_col, desc
+        super().__init__(alias_name or f"string_agg({col})",
+                         on=None, ignore_nulls=True,
+                         zero_factory=lambda: None)
+
+    def aggregate_block(self, block: Block):
+        import pyarrow.compute as pc
+
+        v = _column(block, self._col)
+        k = _column(block, self._order_col)
+        mask = pc.is_valid(v)
+        v, k = pc.filter(v, mask), pc.filter(k, mask)
+        if len(v) == 0:
+            return None
+        return list(zip(k.to_pylist(), v.to_pylist()))
+
+    def combine(self, current, new):
+        if current is None:
+            return new
+        if new is None:
+            return current
+        return current + new
+
+    def finalize(self, accumulator):
+        if accumulator is None:
+            return None
+        nones = [val for key, val in accumulator if key is None]
+        keyed = sorted(((key, val) for key, val in accumulator
+                        if key is not None), reverse=self._desc)
+        vals = [val for _, val in keyed] + nones    # NULL keys last
+        return self._sep.join(str(x) for x in vals)
+
+
 def as_aggregate(sketch_cls, on: str, alias_name: str = None, output: str = "estimate",
                  phis=None, **params) -> SketchAgg:
     """Wrap ANY Sketch subclass (including user extensions) into a Ray Data
