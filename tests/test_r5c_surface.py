@@ -1,0 +1,90 @@
+"""Round-5 continuation SQL-surface additions, block 1: LIMIT … OFFSET,
+ILIKE / NOT ILIKE, IS [NOT] DISTINCT FROM, and SELECT without FROM.
+
+Every positive test runs the SAME SQL through DuckDB and compares
+frames exactly (these are all exact relational features)."""
+
+import duckdb
+import pandas.testing as pdt
+import pytest
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("orders", "customer", "events", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _cmp(sf_dir, sql, oracle=None):
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql(sql, sf_dir).to_pandas().reset_index(drop=True)
+    ref = _duck(sf_dir, oracle or sql).reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+
+
+def test_limit_offset_plain_scan(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 10 OFFSET 5
+    """)
+
+
+def test_limit_offset_grouped(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY n DESC, o_orderpriority LIMIT 2 OFFSET 1
+    """)
+
+
+def test_offset_requires_order_and_limit(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="OFFSET requires"):
+        run_sql("SELECT o_orderkey FROM orders LIMIT 5 OFFSET 2", sf_dir)
+    with pytest.raises(ValueError, match="OFFSET requires"):
+        run_sql("SELECT o_orderkey FROM orders ORDER BY o_orderkey "
+                "OFFSET 2", sf_dir)
+
+
+def test_ilike_and_not_ilike(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_orderpriority ILIKE '%urgent%')
+                   AS n_urgent
+        FROM orders WHERE o_orderpriority NOT ILIKE '%low%'
+    """)
+
+
+def test_is_distinct_from_literal_and_null(ray_session, sf_dir):
+    # events.props is nullable: IS DISTINCT FROM NULL == IS NOT NULL,
+    # and a NULL row IS DISTINCT FROM any literal (never yields NULL)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS a FROM events WHERE props IS DISTINCT FROM NULL
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS b FROM events
+        WHERE props IS NOT DISTINCT FROM NULL
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS c FROM orders
+        WHERE o_orderstatus IS DISTINCT FROM 'F'
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS d FROM orders
+        WHERE o_orderstatus IS NOT DISTINCT FROM 'F'
+    """)
+
+
+def test_select_without_from(ray_session, sf_dir):
+    _cmp(sf_dir, "SELECT 1 + 2 AS x, 'y' AS s, 2.5 * 4 AS f")
+
+
+def test_select_without_from_rejects_columns(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="without a FROM"):
+        run_sql("SELECT o_orderkey", sf_dir)

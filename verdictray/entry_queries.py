@@ -5554,6 +5554,29 @@ def q_sql_extract_parts(sf_dir: str):
     return run_sql(SQL_EXTRACT_PARTS, sf_dir)
 
 
+SQL_OFFSET_ILIKE = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderpriority ILIKE '%urgent%'
+  AND o_orderstatus IS DISTINCT FROM 'F'
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 10
+"""
+
+
+def q_sql_offset_ilike(sf_dir: str):
+    """LIMIT … OFFSET (deterministic: parse requires ORDER BY + LIMIT;
+    the route fetches limit+offset rows through the top-k-pushdown sort,
+    then slices the small collected prefix), ILIKE (pc.match_like with
+    ignore_case), and IS DISTINCT FROM (null-safe inequality — never
+    NULL, so the filter keeps NULL-status rows a plain != would drop).
+    Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_OFFSET_ILIKE, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5669,6 +5692,7 @@ QUERIES = {
     "sql_rows_frame2": q_sql_rows_frame2,
     "sql_cast_date": q_sql_cast_date,
     "sql_extract_parts": q_sql_extract_parts,
+    "sql_offset_ilike": q_sql_offset_ilike,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5855,6 +5879,7 @@ ORACLES = {
     "sql_rows_frame2": SQL_ROWS_FRAME2,
     "sql_cast_date": SQL_CAST_DATE_ORACLE,
     "sql_extract_parts": SQL_EXTRACT_PARTS_ORACLE,
+    "sql_offset_ilike": SQL_OFFSET_ILIKE,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5921,6 +5946,7 @@ ORACLES = {
 # Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
+    "sql_offset_ilike",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

@@ -516,8 +516,9 @@ _TOKEN = re.compile(r"""
 # keywords that may legally follow a derived table's closing paren — a
 # bare token NOT in this set is taken as the table alias
 _RESERVED_AFTER_FROM = frozenset(
-    ("join", "left", "where", "group", "having", "order", "limit",
-     "union"))
+    ("join", "left", "right", "full", "cross", "inner", "where", "group",
+     "having", "order", "limit", "offset", "union", "intersect",
+     "except", "qualify", "on"))
 
 
 def _tokenize(sql: str) -> list[str]:
@@ -707,6 +708,13 @@ class _Plan:
     # default_null_order)
     order_nulls: dict = field(default_factory=dict)
     limit: int | None = None
+    # LIMIT n OFFSET m — m rows skipped AFTER the global sort; requires
+    # ORDER BY + LIMIT (deterministic and bounded: the routes fetch
+    # limit+offset rows, then one driver-side slice of the small result)
+    offset: int = 0
+    # SELECT <literal exprs> with no FROM clause — evaluated over one
+    # synthetic row, returned as a 1-row Dataset (no reads, no shuffle)
+    no_from: bool = False
     # further SELECT cores chained with UNION ALL; ORDER BY/LIMIT above
     # bind to the whole union (standard SQL)
     unions: list = field(default_factory=list)
@@ -1466,26 +1474,39 @@ class _Parser:
         col = left[1]
         if self.kw("is"):
             self.take()
+            neg = False
             if self.kw("not"):
                 self.take()
-                self.expect("null")
-                return _Pred(col, "not_null")
+                neg = True
+            if self.kw("distinct"):
+                # col IS [NOT] DISTINCT FROM <literal|NULL> — null-safe
+                # (in)equality: NULL compares EQUAL to NULL, never yields
+                # NULL itself (SQL's three-valued escape hatch)
+                self.take()
+                self.expect("from")
+                if self.kw("null"):
+                    self.take()
+                    val = None
+                else:
+                    val = self.literal()
+                return _Pred(col, "not_dist_from" if neg else "dist_from",
+                             val)
             self.expect("null")
-            return _Pred(col, "is_null")
-        if self.kw("like"):
-            self.take()
+            return _Pred(col, "not_null" if neg else "is_null")
+        if self.kw("like", "ilike"):
+            ci = self.take().lower() == "ilike"
             pat = self.literal()
             if not isinstance(pat, str):
                 raise ValueError("LIKE takes a string pattern")
-            return _Pred(col, "like", pat)
+            return _Pred(col, "ilike" if ci else "like", pat)
         if self.kw("not"):
             self.take()
-            if self.kw("like"):
-                self.take()
+            if self.kw("like", "ilike"):
+                ci = self.take().lower() == "ilike"
                 pat = self.literal()
                 if not isinstance(pat, str):
                     raise ValueError("LIKE takes a string pattern")
-                return _Pred(col, "not_like", pat)
+                return _Pred(col, "not_ilike" if ci else "not_like", pat)
             self.expect("in")
             return self._in_pred(col, negated=True)
         if self.kw("in"):
@@ -1631,6 +1652,16 @@ class _Parser:
         if self.kw("limit"):
             self.take()
             plan.limit = int(self.take())
+        if self.kw("offset"):
+            self.take()
+            plan.offset = int(self.take())
+            if plan.offset < 0:
+                raise ValueError("OFFSET must be >= 0")
+            if plan.offset and (plan.limit is None or not plan.order_by):
+                raise ValueError(
+                    "OFFSET requires both ORDER BY and LIMIT (without "
+                    "them the skipped rows are engine-order-dependent "
+                    "and the scan is unbounded)")
 
     def _select_core(self) -> _Plan:
         self.expect("select")
@@ -1648,6 +1679,10 @@ class _Parser:
             if self.kw("as"):
                 self.take()
                 items[-1].alias = self.take()
+        if not self.kw("from"):
+            # SELECT <exprs> with no FROM — constant row (SELECT 1+2 AS x)
+            return _Plan(table="", items=items, select_distinct=distinct,
+                         no_from=True)
         self.expect("from")
         if self.peek() == "(":
             # derived table: FROM (SELECT …) [AS] t — the inner plan runs
@@ -1801,9 +1836,14 @@ def _fmt_preds(preds: list[_Pred]) -> str:
         elif p.op in ("is_null", "not_null"):
             parts.append(f"{p.col} IS {'NOT ' if p.op == 'not_null' else ''}"
                          "NULL")
-        elif p.op in ("like", "not_like"):
-            parts.append(f"{p.col} {'NOT ' if p.op == 'not_like' else ''}"
-                         f"LIKE {p.value!r}")
+        elif p.op in ("like", "not_like", "ilike", "not_ilike"):
+            parts.append(f"{p.col} {'NOT ' if p.op.startswith('not') else ''}"
+                         f"{'ILIKE' if p.op.endswith('ilike') else 'LIKE'} "
+                         f"{p.value!r}")
+        elif p.op in ("dist_from", "not_dist_from"):
+            parts.append(
+                f"{p.col} IS {'NOT ' if p.op.startswith('not') else ''}"
+                f"DISTINCT FROM {'NULL' if p.value is None else p.value!r}")
         elif p.lexpr is not None:
             rhs = (_fmt_expr(p.rexpr) if p.rexpr is not None
                    else repr(p.value))
@@ -1858,6 +1898,18 @@ def _one_pred_mask(batch: pa.Table, p: _Pred):
         return pc.match_like(col, p.value)
     if p.op == "not_like":
         return pc.invert(pc.match_like(col, p.value))
+    if p.op == "ilike":
+        return pc.match_like(col, p.value, ignore_case=True)
+    if p.op == "not_ilike":
+        return pc.invert(pc.match_like(col, p.value, ignore_case=True))
+    if p.op in ("dist_from", "not_dist_from"):
+        # null-safe (in)equality: never NULL. IS DISTINCT FROM NULL ==
+        # IS NOT NULL; vs a literal, a NULL row IS distinct from it
+        if p.value is None:
+            return (pc.is_valid(col) if p.op == "dist_from"
+                    else pc.is_null(col))
+        eq = pc.fill_null(pc.equal(col, pa.scalar(p.value)), False)
+        return pc.invert(eq) if p.op == "dist_from" else eq
     if p.op == "is_null":
         return pc.is_null(col)
     if p.op == "not_null":
@@ -3572,6 +3624,56 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             explain)
 
     plan = _plan if _plan is not None else parse_sql(sql)
+
+    if plan.no_from:
+        # SELECT <literal exprs> with no FROM — one synthetic row through
+        # the same _eval_expr kernels, no reads, no shuffle
+        one = pa.table({"_one": pa.array([1])})
+        cols: dict = {}
+        for it in plan.items:
+            if it.fn == "col":
+                raise ValueError(
+                    f"column {it.col!r} referenced without a FROM clause")
+            if it.fn != "expr" or it.expr is None:
+                raise ValueError("SELECT without FROM supports literal "
+                                 "scalar expressions only")
+            v = _eval_expr(one, it.expr)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()])
+            elif isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) > 1:
+                v = v.slice(0, 1)
+            cols[it.name] = v
+        if explain is not None:
+            explain.append("SELECT (no FROM) -> one constant row, no "
+                           "reads, no shuffle")
+            return rd.from_items([])
+        return rd.from_arrow(pa.table(cols))
+
+    if plan.offset:
+        # LIMIT n OFFSET m: run the same plan with LIMIT n+m (parse
+        # guarantees ORDER BY + LIMIT, so the result is deterministic and
+        # small), then slice the skipped prefix off the collected rows —
+        # a driver-side op over <= n+m rows, never over the input
+        import dataclasses
+        inner = dataclasses.replace(
+            plan, limit=plan.limit + plan.offset, offset=0)
+        out = run_sql(sql, sf_dir, hll_p=hll_p, kll_k=kll_k,
+                      with_bounds=with_bounds,
+                      approx_membership=approx_membership,
+                      bloom_capacity=bloom_capacity, bloom_fpp=bloom_fpp,
+                      join_buckets=join_buckets,
+                      max_broadcast_rows=max_broadcast_rows,
+                      cms_eps=cms_eps, cms_delta=cms_delta,
+                      explain=explain, _plan=inner)
+        if explain is not None:
+            explain.append(f"OFFSET {plan.offset} -> slice of the "
+                           f"<= {inner.limit}-row sorted result")
+            return out
+        parts = list(out.iter_batches(batch_size=None,
+                                      batch_format="pyarrow"))
+        tbl = (pa.concat_tables(parts) if parts
+               else out.schema().base_schema.empty_table())
+        return rd.from_arrow(tbl.slice(plan.offset))
 
     if plan.unions:
         # UNION ALL: each SELECT core runs as its own streaming plan and
