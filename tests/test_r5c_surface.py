@@ -88,3 +88,54 @@ def test_select_without_from_rejects_columns(ray_session, sf_dir):
 
     with pytest.raises(ValueError, match="without a FROM"):
         run_sql("SELECT o_orderkey", sf_dir)
+
+
+def test_order_by_expression_plain_scan(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice * -1, o_orderkey LIMIT 10
+    """)
+    # unselected expression key (hidden derived column, dropped after sort)
+    _cmp(sf_dir, """
+        SELECT o_orderkey FROM orders
+        ORDER BY o_totalprice - o_orderkey, o_orderkey LIMIT 10
+    """)
+
+
+def test_order_by_aggregate_expression(ray_session, sf_dir):
+    # ORDER BY an aggregate that is not in the SELECT list (hidden agg)
+    _cmp(sf_dir, """
+        SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+        ORDER BY COUNT(*) DESC, o_orderpriority LIMIT 3
+    """)
+    # and one that text-matches a SELECTed aggregate (reuses its column)
+    _cmp(sf_dir, """
+        SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        GROUP BY o_orderpriority ORDER BY COUNT(*) DESC, o_orderpriority
+    """)
+
+
+def test_order_by_hidden_agg_with_having(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+        HAVING COUNT(*) > 10 ORDER BY SUM(o_totalprice) DESC LIMIT 2
+    """)
+
+
+def test_group_by_expression(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT EXTRACT(year FROM o_orderdate) AS y, COUNT(*) AS n
+        FROM orders GROUP BY EXTRACT(year FROM o_orderdate) ORDER BY y
+    """)
+    _cmp(sf_dir, """
+        SELECT SUBSTR(o_orderpriority, 1, 1) AS p, COUNT(*) AS n
+        FROM orders GROUP BY SUBSTR(o_orderpriority, 1, 1) ORDER BY p
+    """)
+
+
+def test_group_by_unselected_expression(ray_session, sf_dir):
+    # grouping key not in the SELECT list: hidden derived column
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders
+        GROUP BY o_orderkey % 3 ORDER BY n, s
+    """)

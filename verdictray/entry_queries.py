@@ -5577,6 +5577,28 @@ def q_sql_offset_ilike(sf_dir: str):
     return run_sql(SQL_OFFSET_ILIKE, sf_dir)
 
 
+SQL_EXPR_KEYS = """
+SELECT EXTRACT(year FROM o_orderdate) AS y,
+       SUBSTR(o_orderpriority, 1, 1) AS p, COUNT(*) AS n
+FROM orders
+GROUP BY EXTRACT(year FROM o_orderdate), SUBSTR(o_orderpriority, 1, 1)
+ORDER BY COUNT(*) DESC, y, p
+LIMIT 10
+"""
+
+
+def q_sql_expr_keys(sf_dir: str):
+    """GROUP BY and ORDER BY over raw EXPRESSIONS (not aliases): each
+    GROUP BY expression text-matches a SELECT item and groups by that
+    item's derived column; ORDER BY COUNT(*) resolves to the selected
+    aggregate by signature. Unselected key expressions become HIDDEN
+    derived columns, dropped after the sort. Identical text runs in
+    DuckDB. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_EXPR_KEYS, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5693,6 +5715,7 @@ QUERIES = {
     "sql_cast_date": q_sql_cast_date,
     "sql_extract_parts": q_sql_extract_parts,
     "sql_offset_ilike": q_sql_offset_ilike,
+    "sql_expr_keys": q_sql_expr_keys,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5880,6 +5903,7 @@ ORACLES = {
     "sql_cast_date": SQL_CAST_DATE_ORACLE,
     "sql_extract_parts": SQL_EXTRACT_PARTS_ORACLE,
     "sql_offset_ilike": SQL_OFFSET_ILIKE,
+    "sql_expr_keys": SQL_EXPR_KEYS,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5946,7 +5970,7 @@ ORACLES = {
 # Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
-    "sql_offset_ilike",
+    "sql_offset_ilike", "sql_expr_keys",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

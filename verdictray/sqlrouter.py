@@ -1626,14 +1626,23 @@ class _Parser:
             self.take()
             self.expect("by")
             while True:
-                col = self.take()
-                if col.isdigit():
-                    # ORDER BY ordinal: position in the SELECT list
-                    idx = int(col)
-                    if not 1 <= idx <= len(plan.items):
-                        raise ValueError(f"ORDER BY position {idx} out of "
-                                         f"range (1..{len(plan.items)})")
-                    col = plan.items[idx - 1].name
+                col = None
+                tok = self.peek()
+                if tok is not None and tok.isdigit():
+                    # bare integer = ORDER BY ordinal (standard SQL) —
+                    # unless it starts an arithmetic expression (2*x)
+                    nxt = (self.t[self.i + 1].lower()
+                           if self.i + 1 < len(self.t) else None)
+                    if nxt not in ("+", "-", "*", "/", "%", "||"):
+                        idx = int(self.take())
+                        if not 1 <= idx <= len(plan.items):
+                            raise ValueError(
+                                f"ORDER BY position {idx} out of "
+                                f"range (1..{len(plan.items)})")
+                        col = plan.items[idx - 1].name
+                if col is None:
+                    tree = self._in_aggexpr(self.expr_tree)
+                    col = self._order_key_from_tree(plan, tree)
                 desc = False
                 if self.kw("asc", "desc"):
                     desc = self.take().lower() == "desc"
@@ -1662,6 +1671,51 @@ class _Parser:
                     "OFFSET requires both ORDER BY and LIMIT (without "
                     "them the skipped rows are engine-order-dependent "
                     "and the scan is unbounded)")
+
+    def _order_key_from_tree(self, plan: _Plan, tree: tuple) -> str:
+        """Resolve one ORDER BY key parsed as an expression tree to an
+        output-column name. A plain column/alias passes through; an
+        expression (or aggregate call) that TEXT-matches a SELECT item
+        reuses that item's name; anything else becomes a HIDDEN item —
+        computed like any item, sorted on, and dropped from the output
+        after ORDER BY/LIMIT (SQL's ORDER-BY-unselected-expression)."""
+        if tree[0] == "col":
+            return tree[1]
+        if tree[0] == "agg":
+            ag = tree[1]
+            sig = _agg_sig(ag)
+            for it in plan.items:
+                if (it.fn not in ("col", "expr", "aggexpr")
+                        and _agg_sig(it) == sig):
+                    return it.name
+        else:
+            fmt = _fmt_expr(tree)
+            for it in plan.items:
+                if it.expr is not None and _fmt_expr(it.expr) == fmt:
+                    return it.name
+        if plan.unions:
+            raise ValueError(
+                "ORDER BY over a set operation must name an output "
+                "column of the SELECT list (hidden expression keys "
+                "would misalign the union parts)")
+        if plan.select_distinct:
+            raise ValueError(
+                "ORDER BY expressions with SELECT DISTINCT must appear "
+                "in the SELECT list (standard SQL)")
+        if any(it.window for it in plan.items):
+            raise ValueError(
+                "ORDER BY expressions in window queries must be "
+                "SELECTed (alias the expression and ORDER BY the alias)")
+        if tree[0] == "agg":
+            hid = tree[1]
+        elif _expr_aggs(tree):
+            hid = _Agg("aggexpr", None, expr=tree)
+        else:
+            hid = _Agg("expr", None, expr=tree)
+        hid.hidden = True
+        hid.alias = f"_ob{len(plan.items)}"
+        plan.items.append(hid)
+        return hid.alias
 
     def _select_core(self) -> _Plan:
         self.expect("select")
@@ -1784,15 +1838,31 @@ class _Parser:
                 # grouping-set row)
             else:
                 def gb_key() -> str:
-                    tok = self.take()
-                    if tok.isdigit():
-                        idx = int(tok)
+                    tok = self.peek()
+                    if tok is not None and tok.isdigit():
+                        idx = int(self.take())
                         if not 1 <= idx <= len(plan.items):
                             raise ValueError(
                                 f"GROUP BY position {idx} out "
                                 f"of range (1..{len(plan.items)})")
                         return plan.items[idx - 1].name
-                    return tok
+                    # GROUP BY <expression>: a plain column/alias passes
+                    # through; an expression that TEXT-matches a SELECT
+                    # item groups by that item's derived column; an
+                    # unselected expression becomes a HIDDEN derived item
+                    # (grouped on, dropped from the output)
+                    tree = self.expr_tree()
+                    if tree[0] == "col":
+                        return tree[1]
+                    fmt = _fmt_expr(tree)
+                    for it in plan.items:
+                        if (it.expr is not None
+                                and _fmt_expr(it.expr) == fmt):
+                            return it.name
+                    hid = _Agg("expr", None, expr=tree, hidden=True,
+                               alias=f"_gb{len(plan.items)}")
+                    plan.items.append(hid)
+                    return hid.alias
 
                 plan.group_by.append(gb_key())
                 while self.peek() == ",":
@@ -3855,7 +3925,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                      f"AS alias (got {_fmt_expr(it.expr)})")
                 exprs[it.alias] = it.expr
                 it.col = it.alias
-        sel_names = [it.name for it in plan.items]
+        sel_names = [it.name for it in plan.items if not it.hidden]
         needed = set()
         for it in plan.items:
             if it.col in exprs:
@@ -3909,7 +3979,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             ds = ds.limit(plan.limit)
 
         def project(b: pa.Table, _items=tuple(
-                (it.name, it.col) for it in plan.items)) -> pa.Table:
+                (it.name, it.col) for it in plan.items
+                if not it.hidden)) -> pa.Table:
             return pa.table({name: b[col] for name, col in _items})
 
         return ds.map_batches(project, batch_format="pyarrow",
@@ -4821,11 +4892,6 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                                  f"{sorted(_pred_cols([p]) - out_names)}")
         out = out.map_batches(_scalar_filter_fn(plan.having),
                               batch_format="pyarrow")
-        hidden = [it.name for it in plan.items if it.hidden]
-        if hidden:
-            out = out.map_batches(
-                lambda b, _h=tuple(hidden): b.drop_columns(list(_h)),
-                batch_format="pyarrow")
 
     # -------------------------------------------------- order / limit
     if plan.order_by:
@@ -4837,6 +4903,13 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             out = out.sort(c, descending=d)
     if plan.limit is not None:
         out = out.limit(plan.limit)
+    # hidden items (HAVING-lifted aggregates, ORDER BY / GROUP BY
+    # expression keys) drop AFTER the sort that may reference them
+    hidden = [it.name for it in plan.items if it.hidden]
+    if hidden:
+        out = out.map_batches(
+            lambda b, _h=tuple(hidden): b.drop_columns(list(_h)),
+            batch_format="pyarrow")
     return out
 
 
