@@ -139,3 +139,48 @@ def test_group_by_unselected_expression(ray_session, sf_dir):
         SELECT COUNT(*) AS n, SUM(o_totalprice) AS s FROM orders
         GROUP BY o_orderkey % 3 ORDER BY n, s
     """)
+
+
+def test_global_window_ranking(ray_session, sf_dir):
+    # OVER (ORDER BY …) with no PARTITION BY — one global partition
+    _cmp(sf_dir, """
+        SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_orderkey) AS q,
+               PERCENT_RANK() OVER (ORDER BY o_orderkey) AS pr,
+               CUME_DIST() OVER (ORDER BY o_orderkey) AS cd
+        FROM orders ORDER BY o_orderkey LIMIT 20
+    """)
+
+
+def test_global_window_cumulative_and_empty_over(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderkey, SUM(o_totalprice) OVER (ORDER BY o_orderkey)
+            AS cs FROM orders ORDER BY o_orderkey LIMIT 15
+    """)
+    # OVER () — full-table frame for a cumulative aggregate
+    _cmp(sf_dir, """
+        SELECT o_orderkey, SUM(o_totalprice) OVER () AS tot
+        FROM orders ORDER BY o_orderkey LIMIT 5
+    """)
+
+
+def test_nth_value_default_frame(ray_session, sf_dir):
+    # ANSI default frame: rows BEFORE the k-th visible row get NULL
+    _cmp(sf_dir, """
+        SELECT o_orderkey,
+               NTH_VALUE(o_totalprice, 2) OVER (
+                   PARTITION BY o_orderstatus ORDER BY o_orderkey) AS nv
+        FROM orders ORDER BY o_orderkey LIMIT 20
+    """)
+    _cmp(sf_dir, """
+        SELECT o_orderkey,
+               NTH_VALUE(o_totalprice, 3) OVER (ORDER BY o_orderkey) AS n3
+        FROM orders ORDER BY o_orderkey LIMIT 6
+    """)
+
+
+def test_nth_value_requires_count(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="NTH_VALUE"):
+        run_sql("SELECT NTH_VALUE(o_totalprice) OVER (ORDER BY "
+                "o_orderkey) AS v FROM orders", sf_dir)

@@ -5599,6 +5599,31 @@ def q_sql_expr_keys(sf_dir: str):
     return run_sql(SQL_EXPR_KEYS, sf_dir)
 
 
+SQL_GLOBAL_WINDOW = """
+SELECT o_orderkey,
+       NTILE(4) OVER (ORDER BY o_orderkey) AS tile,
+       PERCENT_RANK() OVER (ORDER BY o_orderkey) AS pr,
+       NTH_VALUE(o_totalprice, 3) OVER (
+           PARTITION BY o_orderstatus ORDER BY o_orderkey) AS nv
+FROM orders
+WHERE o_totalprice > 200000.0
+ORDER BY o_orderkey
+LIMIT 500
+"""
+
+
+def q_sql_global_window(sf_dir: str):
+    """Windows with NO PARTITION BY (OVER (ORDER BY …)) — a constant
+    synthetic key makes the filtered stream one partition (inherently a
+    global op; the WHERE pushes below it at the read) — plus NTH_VALUE
+    under the ANSI default frame (NULL until the frame reaches the k-th
+    row, as in DuckDB). Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_GLOBAL_WINDOW, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5716,6 +5741,7 @@ QUERIES = {
     "sql_extract_parts": q_sql_extract_parts,
     "sql_offset_ilike": q_sql_offset_ilike,
     "sql_expr_keys": q_sql_expr_keys,
+    "sql_global_window": q_sql_global_window,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5904,6 +5930,7 @@ ORACLES = {
     "sql_extract_parts": SQL_EXTRACT_PARTS_ORACLE,
     "sql_offset_ilike": SQL_OFFSET_ILIKE,
     "sql_expr_keys": SQL_EXPR_KEYS,
+    "sql_global_window": SQL_GLOBAL_WINDOW,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5970,7 +5997,7 @@ ORACLES = {
 # Everything not named follows in QUERIES order — nothing is dropped.
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
-    "sql_offset_ilike", "sql_expr_keys",
+    "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

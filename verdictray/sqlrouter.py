@@ -501,8 +501,9 @@ _WINDOW_FNS = {"row_number", "rank", "dense_rank", "percent_rank",
                "cume_dist"}
 # aggregates that may also run as cumulative window functions
 _WINDOW_CUM = {"sum", "count", "avg", "min", "max"}
-# navigation functions: LAG/LEAD(col[, n]), FIRST/LAST_VALUE(col) — OVER only
-_WINDOW_NAV = {"lag", "lead", "first_value", "last_value"}
+# navigation functions: LAG/LEAD(col[, n[, default]]), FIRST/LAST_VALUE(col),
+# NTH_VALUE(col, n) — OVER only
+_WINDOW_NAV = {"lag", "lead", "first_value", "last_value", "nth_value"}
 
 _TOKEN = re.compile(r"""
     \s*(
@@ -1111,12 +1112,14 @@ class _Parser:
                     # LAG/LEAD(col, n, default) — fills only where the
                     # offset row does not EXIST (SQL: an existing NULL
                     # offset row stays NULL)
-                    if low in ("first_value", "last_value"):
-                        raise ValueError(f"{low.upper()} takes one "
-                                         "argument")
+                    if low in ("first_value", "last_value", "nth_value"):
+                        raise ValueError(f"{low.upper()} takes "
+                                         f"{'two arguments' if low == 'nth_value' else 'one argument'}")
                     self.take()
                     dflt = self.literal()
             self.expect(")")
+            if low == "nth_value" and (off is None or off < 1):
+                raise ValueError("NTH_VALUE(col, n) requires n >= 1")
             ag = _Agg(low, col, )
             ag.offset = off
             ag.default = dflt
@@ -1283,17 +1286,19 @@ class _Parser:
         becomes the full partition; enforced at execution)."""
         self.expect("over")
         self.expect("(")
-        self.expect("partition")
-        self.expect("by")
-        part = [self.take()]
-        while self.peek() == ",":
-            # composite partition keys; a trailing ORDER BY ends the list
-            save = self.i
+        part: list[str] = []
+        if self.kw("partition"):
             self.take()
-            if self.kw("order"):
-                self.i = save
-                break
-            part.append(self.take())
+            self.expect("by")
+            part = [self.take()]
+            while self.peek() == ",":
+                # composite partition keys; trailing ORDER BY ends the list
+                save = self.i
+                self.take()
+                if self.kw("order"):
+                    self.i = save
+                    break
+                part.append(self.take())
         order = []
         if self.kw("order"):
             self.take()

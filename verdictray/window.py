@@ -1202,7 +1202,7 @@ _WINDOW_CUMAGGS = ("sum", "count", "min", "max", "avg")
 # navigation funcs: LAG/LEAD take (col, offset); FIRST/LAST_VALUE take col.
 # LAG/LEAD ignore framing entirely; FIRST_VALUE over the default frame is
 # the partition's first value, LAST_VALUE the current peer group's last.
-_WINDOW_NAV = ("lag", "lead", "first_value", "last_value")
+_WINDOW_NAV = ("lag", "lead", "first_value", "last_value", "nth_value")
 
 
 def partitioned_window(ds, key: str | list[str],
@@ -1278,11 +1278,24 @@ def partitioned_window(ds, key: str | list[str],
                              "SUM/COUNT/AVG/MIN/MAX may omit it "
                              "(full-partition frame)")
     key_cols = [key] if isinstance(key, str) else list(key)
+    # empty key = GLOBAL window (OVER (ORDER BY …) / OVER ()): a constant
+    # synthetic key makes the whole table ONE partition. Inherently a
+    # global operation (every row's frame may span the full input), so it
+    # lands in one task — fine for the post-filter/post-join row counts
+    # windows run over; for global RANKING at raw-input scale use the
+    # range-partitioned two-pass (rank_table / with_row_number) instead.
+    global_window = not key_cols
+    if global_window:
+        key_cols = ["_gwkey"]
     ord_cols = [c for c, _ in order_by]
     ascending = [True] * len(key_cols) + [not d for _, d in order_by]
     peer_cols = key_cols + ord_cols
 
     def tag(batch: pa.Table) -> pa.Table:
+        if global_window:
+            batch = batch.append_column(
+                "_gwkey", pa.chunked_array([pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64))]))
         h = hash64(batch[key_cols[0]], seed=67)
         for j, kc in enumerate(key_cols[1:], start=1):
             # mix per-column hashes so composite keys spread evenly
@@ -1304,7 +1317,7 @@ def partitioned_window(ds, key: str | list[str],
                           ("row_number", "rank", "dense_rank", "count",
                            "ntile") else np.float64)
                     g[s["alias"]] = np.array([], dtype=dt)
-            return g
+            return (g.drop(columns=["_gwkey"]) if global_window else g)
         # boundary masks over the SORTED frame (all numpy from here).
         # SQL treats NULL partition/order keys as one group of peers, but
         # pandas .ne() says NaN != NaN — mask out the both-null case so a
@@ -1400,6 +1413,20 @@ def partitioned_window(ds, key: str | list[str],
                 g[a] = g[c].to_numpy()[key_first[key_ord]]
             elif f == "last_value":
                 g[a] = smear_last(g[c].to_numpy())
+            elif f == "nth_value":
+                # NTH_VALUE(col, k) under the ANSI default frame: the
+                # value at the k-th row of the partition, but only once
+                # the frame (… CURRENT ROW, peers included) has reached
+                # that row — earlier rows get NULL, as in DuckDB
+                k = int(s.get("offset") or 1)
+                key_ord = new_key.cumsum() - 1
+                kfirst = np.flatnonzero(new_key)[key_ord]
+                pos = kfirst + (k - 1)
+                frame_end = peer_last[peer_ord]
+                vis = pos <= frame_end
+                vals = pd.Series(
+                    g[c].to_numpy()[np.where(vis, pos, 0)], index=g.index)
+                g[a] = vals.where(vis)
             else:
                 if grp is None:
                     grp = g.groupby(key_cols, sort=False, dropna=False)
@@ -1529,7 +1556,7 @@ def partitioned_window(ds, key: str | list[str],
                         g[c].notna().groupby(kseries, sort=False, dropna=False)
                         .cumsum().to_numpy().astype(np.float64))
                     g[a] = cs / ct
-        return g
+        return (g.drop(columns=["_gwkey"]) if global_window else g)
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(per_bucket,
