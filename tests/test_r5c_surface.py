@@ -184,3 +184,74 @@ def test_nth_value_requires_count(ray_session, sf_dir):
     with pytest.raises(ValueError, match="NTH_VALUE"):
         run_sql("SELECT NTH_VALUE(o_totalprice) OVER (ORDER BY "
                 "o_orderkey) AS v FROM orders", sf_dir)
+
+
+def _duck_all(sf_dir, sql):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders",
+              "lineitem", "events"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def _cmp_all(sf_dir, sql):
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql(sql, sf_dir).to_pandas().reset_index(drop=True)
+    ref = _duck_all(sf_dir, sql).reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False, rtol=1e-9)
+
+
+def test_right_join(ray_session, sf_dir):
+    # RIGHT JOIN preserves the dim side (nations with zero customers)
+    _cmp_all(sf_dir, """
+        SELECT n_name, COUNT(c_custkey) AS n
+        FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """)
+
+
+def test_full_outer_join(ray_session, sf_dir):
+    _cmp_all(sf_dir, """
+        SELECT COUNT(*) AS n, COUNT(o_orderkey) AS no,
+               COUNT(c_custkey) AS nc
+        FROM orders FULL OUTER JOIN customer ON o_custkey = c_custkey
+    """)
+
+
+def test_cross_join(ray_session, sf_dir):
+    _cmp_all(sf_dir, """
+        SELECT r_name, n_name FROM nation CROSS JOIN region
+        WHERE n_regionkey = r_regionkey ORDER BY r_name, n_name
+    """)
+    # projection-free side: pure row replication
+    _cmp_all(sf_dir, "SELECT COUNT(*) AS n FROM customer CROSS JOIN region")
+
+
+def test_inner_keyword(ray_session, sf_dir):
+    _cmp_all(sf_dir, """
+        SELECT n_name, COUNT(*) AS n
+        FROM customer INNER JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """)
+
+
+def test_cross_join_size_gate(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="CROSS JOIN"):
+        run_sql("SELECT COUNT(*) AS n FROM orders CROSS JOIN lineitem",
+                sf_dir, max_broadcast_rows=10)
+
+
+def test_right_join_rejects_membership(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="RIGHT/FULL"):
+        run_sql("""
+            SELECT n_name, COUNT(c_custkey) AS n
+            FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY n_name
+        """, sf_dir)

@@ -5624,6 +5624,30 @@ def q_sql_global_window(sf_dir: str):
     return run_sql(SQL_GLOBAL_WINDOW, sf_dir)
 
 
+SQL_OUTER_JOINS = """
+SELECT n_name, COUNT(c_custkey) AS n_cust,
+       COUNT(o_orderkey) AS n_ord
+FROM orders
+FULL OUTER JOIN customer ON o_custkey = c_custkey
+RIGHT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_sql_outer_joins(sf_dir: str):
+    """FULL OUTER + RIGHT join chain: both route to the bucketed hash
+    join with the pandas outer/right merge per bucket (the broadcast
+    enrich fast paths preserve only the stream side, so they are
+    skipped); unmatched sides null-pad through the nullable-int
+    discipline, and all WHERE stays post-join (a fact-side pushdown
+    below a dim-preserving join would resurrect filtered rows as
+    null-padded output). Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_OUTER_JOINS, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5742,6 +5766,7 @@ QUERIES = {
     "sql_offset_ilike": q_sql_offset_ilike,
     "sql_expr_keys": q_sql_expr_keys,
     "sql_global_window": q_sql_global_window,
+    "sql_outer_joins": q_sql_outer_joins,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5931,6 +5956,7 @@ ORACLES = {
     "sql_offset_ilike": SQL_OFFSET_ILIKE,
     "sql_expr_keys": SQL_EXPR_KEYS,
     "sql_global_window": SQL_GLOBAL_WINDOW,
+    "sql_outer_joins": SQL_OUTER_JOINS,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -5998,6 +6024,7 @@ ORACLES = {
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
+    "sql_outer_joins",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

@@ -1762,13 +1762,23 @@ class _Parser:
         else:
             plan = _Plan(table=self.take(), items=items,
                          select_distinct=distinct)
-        while self.kw("join", "left"):
+        while self.kw("join", "left", "right", "full", "inner", "cross"):
             how = "inner"
-            if self.kw("left"):
-                self.take()
-                how = "left"
+            if self.kw("left", "right", "full"):
+                how = {"left": "left", "right": "right",
+                       "full": "outer"}[self.take().lower()]
                 if self.kw("outer"):
                     self.take()
+            elif self.kw("inner"):
+                self.take()
+            elif self.kw("cross"):
+                self.take()
+                self.expect("join")
+                # CROSS JOIN: no ON clause — every pair; executed as a
+                # size-gated broadcast cartesian (an unbounded cross join
+                # is quadratic regardless of engine)
+                plan.joins.append((self.take(), None, None, "cross"))
+                continue
             self.expect("join")
             tbl = self.take()
             self.expect("on")
@@ -2946,9 +2956,23 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
     scalar = [p for p in plan.where if p.sub is None]
     member = [p for p in plan.where if p.sub is not None]
     inner_dims = {j[0] for j in plan.joins if j[3] == "inner"}
+    # RIGHT/FULL joins make the FACT side null-suppliable: a fact-owned
+    # WHERE conjunct pushed below the join would turn removed fact rows
+    # into null-padded preserved rows the post-WHERE never sees — so with
+    # any such join every filter stays post-join (correctness over the
+    # pushdown win; these are corner-case shapes)
+    fact_preserved = all(j[3] in ("inner", "left", "cross")
+                         for j in plan.joins)
+    if not fact_preserved and (member or plan.corr_where):
+        raise ValueError("IN (SELECT …) / correlated subqueries do not "
+                         "combine with RIGHT/FULL joins (the early probe "
+                         "would change the preserved row set)")
     push, post, dim_push = [], [], {}
     for p in scalar:
         cols = _pred_cols([p])
+        if not fact_preserved:
+            post.append(p)
+            continue
         if cols <= schemas[plan.table]:
             push.append(p)
             continue
@@ -2966,7 +2990,7 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         keep = set(needed_post) | _pred_cols(post) | corr_cols
         keep.update(p.col for p in member)
         for _tbl, _a, _b, _how in plan.joins:
-            keep.update((_a, _b))
+            keep.update(c for c in (_a, _b) if c)
     if push:
         if explain is not None:
             explain.append(
@@ -3161,6 +3185,68 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
 
     for tbl, a, b, how in plan.joins:
         ds = _apply_ready_members(ds)  # probes readied by the previous join
+        if how == "cross":
+            # CROSS JOIN: size-gated broadcast cartesian — the dim reads
+            # once on the driver (pruned + pre-filtered) and every batch
+            # expands n×m via two vectorized takes. A cross join against
+            # a LARGE side is quadratic by definition; refuse loudly past
+            # the broadcast budget instead of shuffling a cartesian.
+            want_x = set(per_table[tbl])
+            if keep is not None:
+                want_x &= keep
+            x_preds = dim_push.get(tbl, [])
+            x_keep = sorted(want_x)
+            x_read = sorted(set(x_keep) | _pred_cols(x_preds))
+            if not x_read:
+                x_read = [schema_lists[tbl][0]]
+                x_keep = []
+            x_path = f"{sf_dir}/{tbl}.parquet"
+            n_x = sum(m.num_rows for m in _table_meta(x_path))
+            if n_x > max_broadcast_rows:
+                raise ValueError(
+                    f"CROSS JOIN {tbl}: {n_x} rows exceed the broadcast "
+                    f"budget ({max_broadcast_rows}); an unbounded "
+                    "cartesian cannot stream — filter the side first")
+            if explain is not None:
+                explain.append(
+                    f"CROSS JOIN {tbl} ({n_x} rows) -> broadcast "
+                    "cartesian: per-batch n×m expansion via two "
+                    "vectorized takes, ZERO shuffle"
+                    + (f" [WHERE {_fmt_preds(x_preds)} -> filter on the "
+                       "pruned read]" if x_preds else ""))
+            else:
+                import numpy as np
+                import pyarrow as pa    # pa is a branch-local name in
+                #                         this function's other paths
+                x_tbl = pq.read_table(x_path, columns=x_read)
+                if x_preds:
+                    x_tbl = x_tbl.filter(_pred_mask(x_tbl, x_preds))
+                if x_keep:
+                    x_tbl = x_tbl.select(x_keep)
+
+                    def _cross(bt: pa.Table, _x=x_tbl) -> pa.Table:
+                        n, m = bt.num_rows, _x.num_rows
+                        lt = bt.take(pa.array(
+                            np.repeat(np.arange(n, dtype=np.int64), m)))
+                        rt = _x.take(pa.array(
+                            np.tile(np.arange(m, dtype=np.int64), n)))
+                        for name in rt.schema.names:
+                            lt = lt.append_column(name, rt[name])
+                        return lt
+                else:
+                    # no dim column survives the projection (COUNT(*)
+                    # over a cross join): just replicate each row m times
+                    m_const = x_tbl.num_rows
+
+                    def _cross(bt: pa.Table, _m=m_const) -> pa.Table:
+                        return bt.take(pa.array(np.repeat(
+                            np.arange(bt.num_rows, dtype=np.int64), _m)))
+
+                ds = ds.map_batches(_cross, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            attached.update(x_keep)
+            cur_cols += x_keep
+            continue
         if b in schemas[tbl] and a in attached:
             left_key, right_key = a, b
         elif a in schemas[tbl] and b in attached:
@@ -3206,7 +3292,13 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         elif mk is not None and explain is not None:
             pred_note += (" [dim read pre-filters by the membership "
                           "key set when it broadcasts]")
-        if n_dim > max_broadcast_rows:
+        if how in ("right", "outer"):
+            # the broadcast fast paths preserve only the STREAM side;
+            # a RIGHT/FULL join must also emit unmatched dim rows, which
+            # only the bucketed merge (pandas how=right/outer) produces
+            reason = (f"{how.upper()} JOIN preserves the {tbl} side — "
+                      "bucketed merge required")
+        elif n_dim > max_broadcast_rows:
             reason = (f"{n_dim} rows > max_broadcast_rows="
                       f"{max_broadcast_rows}")
         elif est_bytes > _MAX_BROADCAST_BYTES:
@@ -3945,7 +4037,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
         for p in plan.where:
             needed.update(_pred_cols([p]))
         for _tbl, a, b, _how in plan.joins:
-            needed.update((a, b))
+            needed.update(c for c in (a, b) if c)
         ds, _sch, _pt = _scan_with_joins(
             plan, sf_dir, needed, join_buckets=join_buckets,
             max_broadcast_rows=max_broadcast_rows,
@@ -4062,7 +4154,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     for p in plan.where:
         needed.update(_pred_cols([p]))
     for _tbl, a, b, _how in plan.joins:
-        needed.update((a, b))
+        needed.update(c for c in (a, b) if c)
     ds, schemas, per_table = _scan_with_joins(
         plan, sf_dir, needed, join_buckets=join_buckets,
         max_broadcast_rows=max_broadcast_rows,
@@ -5010,7 +5102,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         needed_post = set(needed)
         needed.update(_pred_cols(plan.where))
         for _tbl, a, b, _how in plan.joins:
-            needed.update((a, b))
+            needed.update(c for c in (a, b) if c)
         ds, _schemas2, _pt2 = _scan_with_joins(
             plan, sf_dir, needed, join_buckets=buckets,
             max_broadcast_rows=max_broadcast_rows,
@@ -5103,7 +5195,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     needed_post = set(needed)
     needed.update(_pred_cols(plan.where))
     for _tbl, a, b, _how in plan.joins:
-        needed.update((a, b))
+        needed.update(c for c in (a, b) if c)
     ds, _schemas, _per_table = _scan_with_joins(
         plan, sf_dir, needed, join_buckets=buckets,
         max_broadcast_rows=max_broadcast_rows,
