@@ -255,3 +255,51 @@ def test_right_join_rejects_membership(ray_session, sf_dir):
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
             GROUP BY n_name
         """, sf_dir)
+
+
+def test_table_aliases_and_qualified_refs(ray_session, sf_dir):
+    # FROM t a / FROM t AS a with alias.col everywhere (SELECT, ON,
+    # WHERE, GROUP BY) — the pre-pass strips the redundant qualifiers
+    _cmp_all(sf_dir, """
+        SELECT n.n_name, COUNT(*) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """)
+    _cmp_all(sf_dir, """
+        SELECT c.c_name, n.n_name
+        FROM customer AS c JOIN nation AS n
+             ON c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_name LIMIT 10
+    """)
+
+
+def test_aliased_correlated_exists(ray_session, sf_dir):
+    _cmp_all(sf_dir, """
+        SELECT COUNT(*) AS n FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+    """)
+
+
+def test_alias_scan_ignores_extract_from(ray_session, sf_dir):
+    # EXTRACT(part FROM col) must not bind a fake table/alias
+    _cmp_all(sf_dir, """
+        SELECT EXTRACT(year FROM o.o_orderdate) AS y, COUNT(*) AS n
+        FROM orders o GROUP BY y ORDER BY y
+    """)
+
+
+def test_self_join_aliases_raise(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="self-join"):
+        run_sql("SELECT COUNT(*) AS n FROM nation a JOIN nation b "
+                "ON a.n_regionkey = b.n_regionkey", sf_dir)
+
+
+def test_unknown_qualifier_raises(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="unknown table qualifier"):
+        run_sql("SELECT z.c_name FROM customer c", sf_dir)

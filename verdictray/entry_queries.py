@@ -5648,6 +5648,36 @@ def q_sql_outer_joins(sf_dir: str):
     return run_sql(SQL_OUTER_JOINS, sf_dir)
 
 
+SQL_ALIASED_Q3 = """
+SELECT l.l_orderkey,
+  SUM(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT))/100.0
+      AS revenue,
+  o.o_orderdate
+FROM customer AS c
+JOIN orders AS o ON c.c_custkey = o.o_custkey
+JOIN lineitem AS l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def q_sql_aliased_q3(sf_dir: str):
+    """TPC-H Q3 in its TEXTBOOK aliased form (FROM t AS a, a.col
+    everywhere): the token pre-pass binds aliases, removes them from the
+    stream and strips the qualifiers (redundant under the router's
+    unique-column contract), so the plan is byte-identical to the
+    unaliased sql_tpch_q3 — same pushed-down filters, same bucketed
+    joins, exact cents. Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ALIASED_Q3, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5767,6 +5797,7 @@ QUERIES = {
     "sql_expr_keys": q_sql_expr_keys,
     "sql_global_window": q_sql_global_window,
     "sql_outer_joins": q_sql_outer_joins,
+    "sql_aliased_q3": q_sql_aliased_q3,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5957,6 +5988,7 @@ ORACLES = {
     "sql_expr_keys": SQL_EXPR_KEYS,
     "sql_global_window": SQL_GLOBAL_WINDOW,
     "sql_outer_joins": SQL_OUTER_JOINS,
+    "sql_aliased_q3": SQL_ALIASED_Q3,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6024,7 +6056,7 @@ ORACLES = {
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
-    "sql_outer_joins",
+    "sql_outer_joins", "sql_aliased_q3",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

@@ -766,9 +766,94 @@ class _CorrPred:
     build_preds: list        # sub-table-only WHERE conjuncts
 
 
+def _resolve_aliases(toks: list[str]) -> list[str]:
+    """Token-stream pre-pass: collect ``FROM/JOIN table [AS] alias``
+    bindings, REMOVE the alias tokens (the grammar never sees them), and
+    strip ``alias.col`` / ``table.col`` qualifiers down to ``col`` — the
+    router's unique-column-name contract makes the qualifier redundant.
+    A table bound to two aliases (a self-join) raises loudly: qualifier
+    stripping cannot disambiguate two instances of one schema."""
+    aliases: dict[str, str | None] = {}
+    tables: set[str] = set()
+    drops: set[int] = set()
+    n = len(toks)
+    i = 0
+    while i < n:
+        if toks[i].lower() not in ("from", "join"):
+            i += 1
+            continue
+        j = i + 1
+        if j < n and toks[j] == "(":
+            depth = 0
+            while j < n:
+                if toks[j] == "(":
+                    depth += 1
+                elif toks[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            j += 1
+            if j < n and toks[j].lower() == "as" and j + 1 < n:
+                aliases.setdefault(toks[j + 1], None)
+            elif (j < n and toks[j][0].isalpha() and "." not in toks[j]
+                  and toks[j].lower() not in _RESERVED_AFTER_FROM):
+                aliases.setdefault(toks[j], None)   # derived-table alias
+            i = j
+            continue
+        if j < n and toks[j][0].isalpha() and "." not in toks[j]:
+            # (an EXTRACT(part FROM col) 'table' is harmless: it never
+            # gets an alias and only joins the known-qualifier set)
+            table = toks[j]
+            tables.add(table)
+            k = j + 1
+            if (k + 1 < n and toks[k].lower() == "as"
+                    and toks[k + 1][0].isalpha()):
+                if table in aliases.values():
+                    raise ValueError(
+                        f"table {table!r} appears twice with aliases "
+                        "(self-join): unsupported — the router requires "
+                        "unique column names per query")
+                aliases[toks[k + 1]] = table
+                drops.update((k, k + 1))
+                i = k + 2
+                continue
+            if (k < n and toks[k][0].isalpha() and "." not in toks[k]
+                    and toks[k].lower() not in _RESERVED_AFTER_FROM):
+                if table in aliases.values():
+                    raise ValueError(
+                        f"table {table!r} appears twice with aliases "
+                        "(self-join): unsupported — the router requires "
+                        "unique column names per query")
+                aliases[toks[k]] = table
+                drops.add(k)
+                i = k + 1
+                continue
+        i = j
+    if not aliases and not any(
+            "." in t and t[0].isalpha() for t in toks):
+        return toks
+    known = set(aliases) | tables
+    out = []
+    for idx, tok in enumerate(toks):
+        if idx in drops:
+            continue
+        if "." in tok and tok[0].isalpha():
+            q, _, col = tok.partition(".")
+            if not col or "." in col:
+                raise ValueError(f"cannot parse qualified name {tok!r}")
+            if q not in known:
+                raise ValueError(f"unknown table qualifier {q!r} in "
+                                 f"{tok!r} (known: {sorted(known)})")
+            out.append(col)
+        else:
+            out.append(tok)
+    return out
+
+
 class _Parser:
     def __init__(self, sql: str):
-        self.t = _tokenize(sql)
+        self.t = _resolve_aliases(_tokenize(sql))
         self.i = 0
 
     def peek(self) -> str | None:
