@@ -440,9 +440,16 @@ def test_sum_distinct_null_and_error_semantics(ray_session, sf_dir,
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{d / 't.parquet'}'")
     ref = con.sql(sql).df().reset_index(drop=True)
     pdt.assert_frame_equal(mine, ref, check_dtype=False)
-    with pytest.raises(ValueError, match="plain column"):
-        run_sql("SELECT SUM(DISTINCT l_quantity + 1) AS s FROM lineitem",
-                sf_dir)
+    # round-5 continuation: DISTINCT over an EXPRESSION now derives a
+    # hidden column first (same _expr_<alias> path as any expression agg)
+    sql_e = ("SELECT CAST(SUM(DISTINCT l_quantity + 1) AS BIGINT) AS s "
+             "FROM lineitem")
+    mine_e = run_sql(sql_e, sf_dir).to_pandas().reset_index(drop=True)
+    con2 = duckdb.connect()
+    con2.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+             f"'{sf_dir}/lineitem.parquet'")
+    ref_e = con2.sql(sql_e).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine_e, ref_e, check_dtype=False)
     with pytest.raises(ValueError, match="COUNT/SUM/AVG"):
         run_sql("SELECT MIN(DISTINCT l_quantity) AS m FROM lineitem",
                 sf_dir)

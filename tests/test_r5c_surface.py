@@ -303,3 +303,49 @@ def test_unknown_qualifier_raises(ray_session, sf_dir):
 
     with pytest.raises(ValueError, match="unknown table qualifier"):
         run_sql("SELECT z.c_name FROM customer c", sf_dir)
+
+
+def test_count_distinct_expression(ray_session, sf_dir):
+    _cmp(sf_dir, "SELECT COUNT(DISTINCT o_custkey % 100) AS n FROM orders")
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey % 10) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+    _cmp(sf_dir, "SELECT CAST(SUM(DISTINCT o_custkey % 7) AS BIGINT) AS s "
+                 "FROM orders")
+    # COUNT(expr) counts non-null expression values
+    _cmp(sf_dir, "SELECT COUNT(o_orderkey + 0) AS n FROM orders")
+
+
+def test_any_all_rewrites(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_custkey = ANY (SELECT c_custkey FROM customer
+                               WHERE c_acctbal > 5000)
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_custkey <> ALL (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 5000)
+    """)
+
+
+def test_order_comparison_all_raises(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="ALL subqueries"):
+        run_sql("SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > "
+                "ALL (SELECT c_acctbal FROM customer)", sf_dir)
+
+
+def test_distinct_with_window_items(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT DISTINCT o_orderstatus,
+               SUM(o_totalprice) OVER (PARTITION BY o_orderstatus) AS s
+        FROM orders ORDER BY o_orderstatus
+    """)
+    _cmp(sf_dir, """
+        SELECT DISTINCT o_orderstatus,
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders ORDER BY n DESC, o_orderstatus
+    """)

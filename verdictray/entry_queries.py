@@ -5678,6 +5678,55 @@ def q_sql_aliased_q3(sf_dir: str):
     return run_sql(SQL_ALIASED_Q3, sf_dir)
 
 
+SQL_DISTINCT_EXPRS = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey % 100) AS n_mod,
+       CAST(SUM(DISTINCT o_custkey % 7) AS BIGINT) AS s_mod,
+       COUNT(o_orderkey + 0) AS n_expr
+FROM orders
+WHERE o_custkey = ANY (SELECT c_custkey FROM customer
+                       WHERE c_acctbal > 1000.0)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_sql_distinct_exprs(sf_dir: str):
+    """COUNT/SUM(DISTINCT <expression>) — the expression derives to a
+    hidden column (one vectorized pass) and the exact distinct-set
+    aggregates (ExactDistinct / DistinctValuesAgg: sorted 8-byte sets,
+    np.union1d merges) run on it — plus COUNT(expr) (non-null count of a
+    derived column) and the quantified rewrite = ANY (SELECT …) == IN.
+    Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_DISTINCT_EXPRS, sf_dir)
+
+
+SQL_DISTINCT_WINDOW = """
+SELECT DISTINCT o_orderstatus,
+       COUNT(*) OVER (PARTITION BY o_orderstatus) AS n,
+       MIN(o_totalprice) OVER (PARTITION BY o_orderstatus) AS lo,
+       MAX(o_totalprice) OVER (PARTITION BY o_orderstatus) AS hi
+FROM orders
+ORDER BY n DESC, o_orderstatus
+"""
+
+
+def q_sql_distinct_window(sf_dir: str):
+    """SELECT DISTINCT over window items: the window stage runs with
+    ORDER BY deferred, then the null-safe distinct-rows shuffle
+    (per-block Arrow pre-dedup, _gkn/_gk key wrap) collapses the
+    projection, then the sort. The windowed measures are MIN/MAX
+    (order-independent and dtype-stable across engines — a DOUBLE
+    window SUM's value depends on summation order, and an integer
+    window SUM's dtype differs). Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_DISTINCT_WINDOW, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5798,6 +5847,8 @@ QUERIES = {
     "sql_global_window": q_sql_global_window,
     "sql_outer_joins": q_sql_outer_joins,
     "sql_aliased_q3": q_sql_aliased_q3,
+    "sql_distinct_exprs": q_sql_distinct_exprs,
+    "sql_distinct_window": q_sql_distinct_window,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -5989,6 +6040,8 @@ ORACLES = {
     "sql_global_window": SQL_GLOBAL_WINDOW,
     "sql_outer_joins": SQL_OUTER_JOINS,
     "sql_aliased_q3": SQL_ALIASED_Q3,
+    "sql_distinct_exprs": SQL_DISTINCT_EXPRS,
+    "sql_distinct_window": SQL_DISTINCT_WINDOW,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6056,7 +6109,8 @@ ORACLES = {
 DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
-    "sql_outer_joins", "sql_aliased_q3",
+    "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
+    "sql_distinct_window",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

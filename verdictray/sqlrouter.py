@@ -1295,7 +1295,10 @@ class _Parser:
                 raise ValueError("DISTINCT supported in COUNT/SUM/AVG "
                                  f"only, got {low.upper()}")
         expr = None
-        if low in _EXPR_AGGS:
+        if low in _EXPR_AGGS or low == "count":
+            # COUNT(expr) counts non-null expr values; with DISTINCT the
+            # expression derives to a hidden column first (the same
+            # _expr_<alias> treatment as any expression aggregate arg)
             tree = self.expr_tree()
             if tree[0] == "col":
                 col = tree[1]
@@ -1313,10 +1316,6 @@ class _Parser:
             # MEDIAN(col) == QUANTILE_CONT(col, 0.5) — exact interpolated
             # (DuckDB's MEDIAN; integer inputs surface as DOUBLE)
             low, phi = "quantile_cont", 0.5
-        if distinct and low != "count" and col is None:
-            raise ValueError("SUM/AVG(DISTINCT) takes a plain column "
-                             "(compute the expression in a derived "
-                             "table first)")
         return _Agg(low, col, distinct=distinct, phi=phi, expr=expr)
 
     def _in_aggexpr(self, fn):
@@ -1613,6 +1612,20 @@ class _Parser:
             op = "!="
         if op not in ("=", "!=", "<", "<=", ">", ">="):
             raise ValueError(f"unsupported operator {op!r}")
+        if self.kw("any", "all", "some"):
+            # quantified subquery comparison — the two set-semantics
+            # rewrites that stay exact under empty sets and NULLs:
+            #   = ANY/SOME (SELECT …)  ==  IN (SELECT …)
+            #   <> ALL (SELECT …)      ==  NOT IN (SELECT …)
+            q = self.take().lower()
+            if (op, q) in (("=", "any"), ("=", "some")):
+                return self._in_pred(col, negated=False)
+            if (op, q) == ("!=", "all"):
+                return self._in_pred(col, negated=True)
+            raise ValueError(
+                f"{op} {q.upper()} subqueries are not supported (only "
+                "= ANY and <> ALL, which rewrite to [NOT] IN; order "
+                "comparisons against MIN/MAX change on empty sets)")
         right = self.expr_tree()
         if right[0] == "lit":
             return _Pred(col, op, right[1])
@@ -2593,6 +2606,43 @@ def _register_exprs(plan: _Plan, *, group_aliases: bool) -> dict:
             exprs[dname] = it.expr
             it.col = dname
     return exprs
+
+
+def _distinct_rows(ds, names: list[str]):
+    """Exact distinct rows over ``names``: per-block Arrow pre-dedup
+    (so only distinct rows per block pay the exchange) + ONE null-safe
+    distinct-rows groupby (the _gkn/_gk key wrap — Ray's sort-based
+    shuffle cannot compare None), then key reconstruction. The same
+    discipline as the UNION DISTINCT set-operation route."""
+    from ray.data.aggregate import Count
+
+    gkp = [(c, f"_gkn_{c}", f"_gk_{c}") for c in names]
+
+    def _pre(b: pa.Table, _names=tuple(names),
+             _gk=tuple(gkp)) -> pa.Table:
+        b = b.group_by(list(_names)).aggregate([]).select(list(_names))
+        for c, gkn, gkc in _gk:
+            col = b[c]
+            z = _zero_like(col.type)
+            b = b.append_column(gkn, pc.cast(pc.is_null(col), pa.int8()))
+            b = b.append_column(gkc, col if z is None
+                                else pc.fill_null(col, z))
+        return b.drop_columns(list(_names))
+
+    group_cols = [c for _, gkn, gkc in gkp for c in (gkn, gkc)]
+    grouped = (ds.map_batches(_pre, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby(group_cols).aggregate(Count(alias_name="_dn")))
+
+    def _back(b: pa.Table, _gk=tuple(gkp), _names=tuple(names)):
+        for c, gkn, gkc in _gk:
+            arr = b[gkc]
+            b = b.append_column(
+                c, pc.if_else(pc.cast(b[gkn], pa.bool_()),
+                              pa.scalar(None, type=arr.type), arr))
+        return b.select(list(_names))
+
+    return grouped.map_batches(_back, batch_format="pyarrow")
 
 
 def _scalar_filter_fn(preds: list[_Pred]):
@@ -4069,8 +4119,33 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     if any(it.window for it in plan.items):
         if plan.select_distinct:
-            raise ValueError("SELECT DISTINCT does not combine with "
-                             "window items")
+            # SELECT DISTINCT over window items: run the window stage
+            # with ORDER BY/LIMIT deferred, dedup the (usually tiny)
+            # windowed projection with the null-safe distinct-rows
+            # shuffle (per-block Arrow pre-dedup first), then sort/limit
+            import dataclasses
+            wplan = dataclasses.replace(
+                plan, select_distinct=False, order_by=[], limit=None,
+                offset=0, order_nulls={})
+            out = _run_window_sql(wplan, sf_dir, buckets=join_buckets,
+                                  max_broadcast_rows=max_broadcast_rows,
+                                  approx_membership=approx_membership,
+                                  bloom_capacity=bloom_capacity,
+                                  bloom_fpp=bloom_fpp, explain=explain,
+                                  sub=sub)
+            names = [it.name for it in plan.items]
+            if explain is not None:
+                explain.append(
+                    f"SELECT DISTINCT -> per-block Arrow pre-dedup + one "
+                    f"null-safe distinct-rows groupby over {names}")
+                return out
+            out = _distinct_rows(out, names)
+            if plan.order_by:
+                out = _sort_with_nulls(out, plan.order_by,
+                                       plan.order_nulls, limit=plan.limit)
+            if plan.limit is not None:
+                out = out.limit(plan.limit)
+            return out
         return _run_window_sql(plan, sf_dir, buckets=join_buckets,
                                max_broadcast_rows=max_broadcast_rows,
                                approx_membership=approx_membership,
