@@ -349,3 +349,25 @@ def test_distinct_with_window_items(ray_session, sf_dir):
                COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
         FROM orders ORDER BY n DESC, o_orderstatus
     """)
+
+
+def test_select_star(ray_session, sf_dir):
+    _cmp_all(sf_dir, "SELECT * FROM region ORDER BY r_regionkey")
+    _cmp_all(sf_dir, """
+        SELECT * FROM orders WHERE o_totalprice > 400000
+        ORDER BY o_orderkey LIMIT 20
+    """)
+    # star inside a derived table expands before the outer plan routes
+    _cmp_all(sf_dir, """
+        SELECT t.o_orderpriority, COUNT(*) AS n
+        FROM (SELECT * FROM orders WHERE o_totalprice > 1000) t
+        GROUP BY t.o_orderpriority ORDER BY 1
+    """)
+
+
+def test_select_star_with_join_raises(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match=r"SELECT \* with JOIN"):
+        run_sql("SELECT * FROM customer JOIN nation "
+                "ON c_nationkey = n_nationkey", sf_dir)

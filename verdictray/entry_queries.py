@@ -5727,6 +5727,24 @@ def q_sql_distinct_window(sf_dir: str):
     return run_sql(SQL_DISTINCT_WINDOW, sf_dir)
 
 
+SQL_SELECT_STAR = """
+SELECT * FROM (SELECT * FROM orders WHERE o_totalprice > 400000.0) t
+ORDER BY o_orderkey
+LIMIT 50
+"""
+
+
+def q_sql_select_star(sf_dir: str):
+    """SELECT * — expanded to the parquet schema (or the derived table's
+    item list; inner stars expand first) at run_sql entry, so every
+    downstream route sees explicit column items and the read stays
+    pruned to exactly the schema. Identical text runs in DuckDB. No
+    reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_SELECT_STAR, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5849,6 +5867,7 @@ QUERIES = {
     "sql_aliased_q3": q_sql_aliased_q3,
     "sql_distinct_exprs": q_sql_distinct_exprs,
     "sql_distinct_window": q_sql_distinct_window,
+    "sql_select_star": q_sql_select_star,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6042,6 +6061,7 @@ ORACLES = {
     "sql_aliased_q3": SQL_ALIASED_Q3,
     "sql_distinct_exprs": SQL_DISTINCT_EXPRS,
     "sql_distinct_window": SQL_DISTINCT_WINDOW,
+    "sql_select_star": SQL_SELECT_STAR,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6110,7 +6130,7 @@ DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
     "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
-    "sql_distinct_window",
+    "sql_distinct_window", "sql_select_star",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

@@ -716,6 +716,9 @@ class _Plan:
     # SELECT <literal exprs> with no FROM clause — evaluated over one
     # synthetic row, returned as a 1-row Dataset (no reads, no shuffle)
     no_from: bool = False
+    # SELECT * — expanded to the FROM table's parquet schema (or the
+    # derived table's item names) at run_sql entry, before any routing
+    star: bool = False
     # further SELECT cores chained with UNION ALL; ORDER BY/LIMIT above
     # bind to the whole union (standard SQL)
     unions: list = field(default_factory=list)
@@ -1826,18 +1829,29 @@ class _Parser:
         if self.kw("distinct"):
             self.take()
             distinct = True
-        items = [self.item()]
-        if self.kw("as"):
+        star = False
+        if self.peek() == "*":
+            # SELECT * — items expand from the FROM table's schema at
+            # run_sql entry (the parser has no sf_dir); star must stand
+            # alone, standard engines' common form
             self.take()
-            items[0].alias = self.take()
-        while self.peek() == ",":
-            self.take()
-            items.append(self.item())
+            star = True
+            items: list = []
+        else:
+            items = [self.item()]
             if self.kw("as"):
                 self.take()
-                items[-1].alias = self.take()
+                items[0].alias = self.take()
+            while self.peek() == ",":
+                self.take()
+                items.append(self.item())
+                if self.kw("as"):
+                    self.take()
+                    items[-1].alias = self.take()
         if not self.kw("from"):
             # SELECT <exprs> with no FROM — constant row (SELECT 1+2 AS x)
+            if star:
+                raise ValueError("SELECT * requires a FROM clause")
             return _Plan(table="", items=items, select_distinct=distinct,
                          no_from=True)
         self.expect("from")
@@ -1856,10 +1870,11 @@ class _Parser:
                   and self.peek().lower() not in _RESERVED_AFTER_FROM):
                 alias = self.take()
             plan = _Plan(table=alias, items=items,
-                         select_distinct=distinct, sub_from=inner)
+                         select_distinct=distinct, sub_from=inner,
+                         star=star)
         else:
             plan = _Plan(table=self.take(), items=items,
-                         select_distinct=distinct)
+                         select_distinct=distinct, star=star)
         while self.kw("join", "left", "right", "full", "inner", "cross"):
             how = "inner"
             if self.kw("left", "right", "full"):
@@ -2606,6 +2621,31 @@ def _register_exprs(plan: _Plan, *, group_aliases: bool) -> dict:
             exprs[dname] = it.expr
             it.col = dname
     return exprs
+
+
+def _expand_stars(plan: "_Plan", sf_dir: str) -> None:
+    """Expand ``SELECT *`` to explicit column items — the FROM table's
+    parquet schema, or a derived table's item names (inner stars expand
+    first). JOINed ``*`` raises: the broadcast-enrich fast path collapses
+    the dim join key into the fact key, so the physical column set is
+    plan-dependent — list columns explicitly."""
+    for part in [plan] + list(plan.unions):
+        if part.sub_from is not None:
+            _expand_stars(part.sub_from, sf_dir)
+        if not part.star:
+            continue
+        if part.joins:
+            raise ValueError("SELECT * with JOIN is not supported (the "
+                             "join key equivalence makes the physical "
+                             "column set plan-dependent) — list the "
+                             "columns explicitly")
+        if part.sub_from is not None:
+            names = [it.name for it in part.sub_from.items]
+        else:
+            names = list(
+                _table_schema(f"{sf_dir}/{part.table}.parquet").names)
+        part.items = [_Agg("col", c) for c in names]
+        part.star = False
 
 
 def _distinct_rows(ds, names: list[str]):
@@ -3950,6 +3990,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                            "reads, no shuffle")
             return rd.from_items([])
         return rd.from_arrow(pa.table(cols))
+
+    _expand_stars(plan, sf_dir)
 
     if plan.offset:
         # LIMIT n OFFSET m: run the same plan with LIMIT n+m (parse
