@@ -371,3 +371,18 @@ def test_select_star_with_join_raises(ray_session, sf_dir):
     with pytest.raises(ValueError, match=r"SELECT \* with JOIN"):
         run_sql("SELECT * FROM customer JOIN nation "
                 "ON c_nationkey = n_nationkey", sf_dir)
+
+
+def test_full_join_between_ctes(ray_session, sf_dir):
+    # derived sides of a FULL OUTER JOIN via WITH (CTEs materialize as
+    # session-overlay tables); COALESCE over the null-padded key handles
+    # a null-TYPED all-null bucket column (the _unify_branch cast)
+    _cmp_all(sf_dir, """
+        WITH a AS (SELECT o_orderstatus AS k, COUNT(*) AS an
+                   FROM orders GROUP BY o_orderstatus),
+             b AS (SELECT l_linestatus AS k2, COUNT(*) AS bn
+                   FROM lineitem GROUP BY l_linestatus)
+        SELECT COALESCE(k, k2) AS kk, an, bn
+        FROM a FULL OUTER JOIN b ON k = k2
+        ORDER BY kk
+    """)

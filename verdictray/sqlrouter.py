@@ -2345,8 +2345,16 @@ def _covar_tree(low: str, argy: tuple, argx: tuple) -> tuple:
 def _unify_branch(arrs):
     """Promote CASE branch values to one common type the way SQL does:
     any float anywhere → float64; else ints stay int64; other types must
-    already agree."""
+    already agree. A null-typed branch (an all-null column out of an
+    outer-join bucket, or a bare NULL literal) casts to the first typed
+    branch — Arrow kernels have no (T, null) signatures."""
     types = [a.type for a in arrs]
+    if any(pa.types.is_null(t) for t in types):
+        typed = next((t for t in types if not pa.types.is_null(t)), None)
+        if typed is not None:
+            arrs = [pc.cast(a, typed) if pa.types.is_null(a.type) else a
+                    for a in arrs]
+            types = [a.type for a in arrs]
     if any(pa.types.is_floating(t) for t in types) and not all(
             pa.types.is_floating(t) for t in types):
         return [pc.cast(a, pa.float64()) if not pa.types.is_floating(a.type)
