@@ -386,3 +386,83 @@ def test_full_join_between_ctes(ray_session, sf_dir):
         FROM a FULL OUTER JOIN b ON k = k2
         ORDER BY kk
     """)
+
+
+def test_on_clause_extra_conjuncts(ray_session, sf_dir):
+    # ON a = b AND pred — dim-side filter BELOW the join (ON semantics
+    # for INNER and LEFT; the preserved fact side is untouched)
+    _cmp_all(sf_dir, """
+        SELECT c_custkey, COUNT(o_orderkey) AS n
+        FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey ORDER BY c_custkey LIMIT 10
+    """)
+
+
+def test_tpch_q13_shape(ray_session, sf_dir):
+    _cmp_all(sf_dir, """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) t
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """)
+
+
+def test_on_pred_wrong_table_raises(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="ON-clause predicates"):
+        run_sql("""
+            SELECT COUNT(*) AS n FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                 AND c_acctbal > 0
+        """, sf_dir)
+
+
+def test_like_escape(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderpriority LIKE '1!-%' ESCAPE '!'
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_orderpriority NOT LIKE '1!-UR%' ESCAPE '!'
+    """)
+
+
+def test_setops_inside_derived_table(ray_session, sf_dir):
+    _cmp_all(sf_dir, """
+        SELECT COUNT(*) AS n
+        FROM (SELECT o_orderstatus AS k FROM orders
+              UNION
+              SELECT l_linestatus AS k FROM lineitem) t
+    """)
+
+
+def test_explicit_default_range_frame(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderkey, SUM(o_custkey) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)
+
+
+def test_in_select_distinct(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT DISTINCT c_custkey FROM customer
+                            WHERE c_acctbal > 0)
+    """)
+
+
+def test_position_and_not_pred(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT POSITION('-' IN o_orderpriority) AS p
+        FROM orders ORDER BY o_orderkey LIMIT 5
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE NOT (o_orderstatus = 'F' OR o_orderpriority = '2-HIGH')
+    """)

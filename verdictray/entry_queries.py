@@ -5745,6 +5745,55 @@ def q_sql_select_star(sf_dir: str):
     return run_sql(SQL_SELECT_STAR, sf_dir)
 
 
+SQL_TPCH_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey
+              AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sql_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer distribution): LEFT JOIN with an extra
+    ON-clause conjunct — the conjunct filters the ORDERS side's pruned
+    read BELOW the join (ON semantics: it restricts which rows match,
+    never which customers appear), COUNT(o_orderkey) counts matches
+    (zero stays zero through the null-pad), and the derived table's
+    grouped result re-groups by the count. The synthetic schema has no
+    o_comment, so the classic NOT LIKE '%special%requests%' filter maps
+    to an o_orderpriority conjunct of the same shape. Identical text
+    runs in DuckDB. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q13, sf_dir)
+
+
+SQL_MISC_PREDS = """
+SELECT POSITION('-' IN o_orderpriority) AS p, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_orderpriority LIKE '1!-%' ESCAPE '!')
+           AS n_esc
+FROM orders
+WHERE NOT (o_orderstatus = 'F' OR o_orderpriority = '2-HIGH')
+GROUP BY p ORDER BY p
+"""
+
+
+def q_sql_misc_preds(sf_dir: str):
+    """Predicate-surface extras in one query: NOT (pred OR pred) as a
+    Kleene-inverted vectorized mask, LIKE … ESCAPE (custom escape char
+    rewritten to Arrow match_like's backslash form — only %/_/\\ get the
+    backslash, Arrow fails to match escaped ordinary chars), and
+    POSITION(needle IN haystack) as STRPOS. Identical text runs in
+    DuckDB. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_MISC_PREDS, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5868,6 +5917,8 @@ QUERIES = {
     "sql_distinct_exprs": q_sql_distinct_exprs,
     "sql_distinct_window": q_sql_distinct_window,
     "sql_select_star": q_sql_select_star,
+    "sql_tpch_q13": q_sql_tpch_q13,
+    "sql_misc_preds": q_sql_misc_preds,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6062,6 +6113,8 @@ ORACLES = {
     "sql_distinct_exprs": SQL_DISTINCT_EXPRS,
     "sql_distinct_window": SQL_DISTINCT_WINDOW,
     "sql_select_star": SQL_SELECT_STAR,
+    "sql_tpch_q13": SQL_TPCH_Q13,
+    "sql_misc_preds": SQL_MISC_PREDS,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6130,7 +6183,8 @@ DRIVER_PRIORITY: list[str] = [
     # (a) oracle-backed, NEW in round 5 — first independent check
     "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
     "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
-    "sql_distinct_window", "sql_select_star",
+    "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
+    "sql_misc_preds",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

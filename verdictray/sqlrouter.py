@@ -595,8 +595,8 @@ class _Pred:
 
 
 def _pred_atoms(p: _Pred):
-    """Yield the leaf (non-and/or) predicates of a tree."""
-    if p.op in ("and", "or"):
+    """Yield the leaf (non-and/or/not) predicates of a tree."""
+    if p.op in ("and", "or", "not"):
         for c in p.value:
             yield from _pred_atoms(c)
     else:
@@ -719,6 +719,11 @@ class _Plan:
     # SELECT * — expanded to the FROM table's parquet schema (or the
     # derived table's item names) at run_sql entry, before any routing
     star: bool = False
+    # extra ON-clause conjuncts per joined table (``ON a = b AND pred``):
+    # each pred must be owned by the JOINED table — it filters that
+    # table's pruned read BELOW the join, which is ON semantics for both
+    # INNER and LEFT (the preserved fact side is untouched)
+    join_preds: dict = field(default_factory=dict)
     # further SELECT cores chained with UNION ALL; ORDER BY/LIMIT above
     # bind to the whole union (standard SQL)
     unions: list = field(default_factory=list)
@@ -991,6 +996,16 @@ class _Parser:
             inner = self.expr_tree()
             self.expect(")")
             return ("extract", part, inner)
+        if low == "position":
+            # POSITION(needle IN haystack) — SQL's special-syntax spelling
+            # of STRPOS(haystack, needle) (1-based, 0 when absent)
+            self.take()
+            self.expect("(")
+            needle = self.expr_tree()
+            self.expect("in")
+            hay = self.expr_tree()
+            self.expect(")")
+            return ("fn", "strpos", (hay, needle))
         if low == "cast":
             self.take()
             self.expect("(")
@@ -1440,9 +1455,19 @@ class _Parser:
             # RANGE BETWEEN INTERVAL n unit PRECEDING AND CURRENT ROW —
             # time-width framing over the ORDER BY timestamp (endpoints
             # inclusive, current-row peers share frames; routed to
-            # window.rolling_range_agg's searchsorted kernel)
+            # window.rolling_range_agg's searchsorted kernel).
+            # RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW is the
+            # ANSI DEFAULT frame spelled out — frame stays None.
             self.take()
             self.expect("between")
+            if self.kw("unbounded"):
+                self.take()
+                self.expect("preceding")
+                self.expect("and")
+                self.expect("current")
+                self.expect("row")
+                self.expect(")")
+                return (tuple(part), tuple(order), None)
             self.expect("interval")
             tok = self.take()
             n = int(tok[1:-1]) if tok.startswith("'") else int(tok)
@@ -1500,6 +1525,18 @@ class _Parser:
             node = self.pred_or()
             self.expect(")")
             return node
+        if (self.kw("not") and self.i + 1 < len(self.t)
+                and self.t[self.i + 1] == "("):
+            # NOT (pred …) — Kleene negation (NOT NULL stays NULL, so
+            # SQL WHERE still drops the row)
+            self.take()
+            self.take()
+            node = self.pred_or()
+            self.expect(")")
+            if any(a.sub is not None for a in _pred_atoms(node)):
+                raise ValueError("membership subqueries cannot sit under "
+                                 "NOT ( … ) — use NOT IN directly")
+            return _Pred("", "not", value=[node])
         if (self.kw("not") and self.i + 1 < len(self.t)
                 and self.t[self.i + 1].lower() == "exists"):
             self.take()
@@ -1590,6 +1627,7 @@ class _Parser:
             pat = self.literal()
             if not isinstance(pat, str):
                 raise ValueError("LIKE takes a string pattern")
+            pat = self._maybe_escape(pat)
             return _Pred(col, "ilike" if ci else "like", pat)
         if self.kw("not"):
             self.take()
@@ -1598,6 +1636,7 @@ class _Parser:
                 pat = self.literal()
                 if not isinstance(pat, str):
                     raise ValueError("LIKE takes a string pattern")
+                pat = self._maybe_escape(pat)
                 return _Pred(col, "not_ilike" if ci else "not_like", pat)
             self.expect("in")
             return self._in_pred(col, negated=True)
@@ -1634,10 +1673,42 @@ class _Parser:
             return _Pred(col, op, right[1])
         return _Pred("", op, lexpr=left, rexpr=right)
 
+    def _maybe_escape(self, pat: str) -> str:
+        """Optional ``ESCAPE 'c'`` after a LIKE pattern: rewrite the
+        custom escape character to Arrow match_like's backslash form
+        (pre-existing backslashes escape to literal backslashes)."""
+        if not self.kw("escape"):
+            return pat
+        self.take()
+        esc = self.literal()
+        if not isinstance(esc, str) or len(esc) != 1:
+            raise ValueError("ESCAPE takes a single-character string")
+        out, i = [], 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == esc and i + 1 < len(pat):
+                nxt = pat[i + 1]
+                # backslash-escape only the characters Arrow's
+                # match_like treats as special; a backslash before any
+                # other character fails to match instead of being inert
+                out.append(("\\" + nxt) if nxt in "%_\\" else nxt)
+                i += 2
+                continue
+            if ch == "\\":
+                out.append("\\\\")
+            else:
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
     def _in_pred(self, col: str, negated: bool) -> _Pred:
         self.expect("(")
         if self.kw("select"):
             self.take()
+            if self.kw("distinct"):
+                # DISTINCT in a membership build is a no-op: the semi/
+                # anti join collapses the build side to distinct keys
+                self.take()
             sub_col = self.take()
             self.expect("from")
             sub_table = self.take()
@@ -1691,6 +1762,16 @@ class _Parser:
     # -------------------------------------------------------------- plan
     def parse(self) -> _Plan:
         plan = self._select_core()
+        self._setops(plan)
+        # ORDER BY / LIMIT bind to the WHOLE union (standard SQL)
+        self._order_limit(plan)
+        if self.peek() is not None:
+            raise ValueError(f"unexpected trailing token {self.peek()!r}")
+        return plan
+
+    def _setops(self, plan: _Plan) -> None:
+        """Optional set-operation chain after a SELECT core — shared by
+        the top level and derived tables (``FROM (… UNION …) t``)."""
         ops: list[str] = []
         while self.kw("union", "intersect", "except"):
             tok = self.take().lower()
@@ -1719,11 +1800,6 @@ class _Parser:
                      "chains only")
         plan.set_op = ops[0] if ops else None
         plan.union_distinct = plan.set_op == "union"
-        # ORDER BY / LIMIT bind to the WHOLE union (standard SQL)
-        self._order_limit(plan)
-        if self.peek() is not None:
-            raise ValueError(f"unexpected trailing token {self.peek()!r}")
-        return plan
 
     def _order_limit(self, plan: _Plan) -> None:
         """Optional trailing ``ORDER BY … / LIMIT n`` — shared by the top
@@ -1860,6 +1936,7 @@ class _Parser:
             # as its own streaming Dataset; ``table`` holds the alias
             self.take()
             inner = self._select_core()
+            self._setops(inner)
             self._order_limit(inner)
             self.expect(")")
             alias = "_sub"
@@ -1898,6 +1975,17 @@ class _Parser:
             key_a = self.take()
             self.expect("=")
             key_b = self.take()
+            while self.kw("and"):
+                # ON a = b AND <pred> — extra conjuncts must be scalar
+                # (ownership by the joined table is checked at execution,
+                # where the parquet schemas are known)
+                self.take()
+                p = self.pred()
+                for a_ in _pred_atoms(p):
+                    if a_.sub is not None:
+                        raise ValueError("ON-clause predicates must be "
+                                         "scalar (no IN (SELECT …))")
+                plan.join_preds.setdefault(tbl, []).append(p)
             plan.joins.append((tbl, key_a, key_b, how))
         if self.kw("where"):
             self.take()
@@ -2025,6 +2113,8 @@ def _fmt_preds(preds: list[_Pred]) -> str:
     for p in preds:
         if p.op == "and":
             parts.append(f"({_fmt_preds(p.value)})")
+        elif p.op == "not":
+            parts.append(f"NOT ({_fmt_preds(p.value)})")
         elif p.op == "or":
             parts.append("(" + " OR ".join(_fmt_preds([c])
                                            for c in p.value) + ")")
@@ -2066,6 +2156,9 @@ def _one_pred_mask(batch: pa.Table, p: _Pred):
             cm = _one_pred_mask(batch, c)
             m = cm if m is None else pc.or_kleene(m, cm)
         return m
+    if p.op == "not":
+        # Kleene invert: null propagates (SQL: NOT NULL is NULL)
+        return pc.invert(_one_pred_mask(batch, p.value[0]))
     if p.lexpr is not None:
         left = _eval_expr(batch, p.lexpr)
         if p.op == "between":
@@ -3438,7 +3531,25 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
             raise ValueError(
                 f"JOIN {tbl} ON {a} = {b}: one side must be a column of "
                 f"{tbl!r}, the other a column already attached")
-        tbl_preds = dim_push.get(tbl, [])
+        tbl_preds = list(dim_push.get(tbl, []))
+        on_preds = plan.join_preds.get(tbl, [])
+        if on_preds:
+            if how in ("right", "outer"):
+                raise ValueError(
+                    f"ON-clause predicates on a {how.upper()}-preserved "
+                    "side are not supported (failing rows must stay as "
+                    "unmatched output, not be filtered)")
+            bad_on = [p for p in on_preds
+                      if not _pred_cols([p]) <= schemas[tbl]]
+            if bad_on:
+                raise ValueError(
+                    f"ON-clause predicates must reference only columns "
+                    f"of the joined table {tbl!r}, got "
+                    f"{_fmt_preds(bad_on)}")
+            # ON semantics for INNER/LEFT: the conjunct restricts which
+            # dim rows can MATCH — a vectorized filter on the dim read,
+            # below the join; the preserved fact side is untouched
+            tbl_preds += on_preds
         want = set(per_table[tbl])
         if keep is not None:
             want &= keep
