@@ -466,3 +466,66 @@ def test_position_and_not_pred(ray_session, sf_dir):
         SELECT COUNT(*) AS n FROM orders
         WHERE NOT (o_orderstatus = 'F' OR o_orderpriority = '2-HIGH')
     """)
+
+
+def test_multi_key_equi_join(ray_session, sf_dir):
+    # secondary ON equality on an INNER join = post-join refinement of
+    # the primary-key buckets
+    _cmp_all(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders JOIN lineitem
+        ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus
+    """)
+
+
+def test_cross_table_on_left_join_raises(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="LEFT join"):
+        run_sql("""
+            SELECT COUNT(*) AS n FROM orders LEFT JOIN lineitem
+            ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus
+        """, sf_dir)
+
+
+def test_between_symmetric(ray_session, sf_dir):
+    # DuckDB has no BETWEEN SYMMETRIC; assert against the swapped form
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql("SELECT COUNT(*) AS n FROM orders WHERE o_totalprice "
+                   "BETWEEN SYMMETRIC 50000 AND 1000", sf_dir).to_pandas()
+    ref = _duck(sf_dir, "SELECT COUNT(*) AS n FROM orders WHERE "
+                        "o_totalprice BETWEEN 1000 AND 50000")
+    pdt.assert_frame_equal(mine.reset_index(drop=True),
+                           ref.reset_index(drop=True), check_dtype=False)
+
+
+def test_group_by_all(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL ORDER BY 1, 2
+    """)
+
+
+def test_new_string_fns(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT LPAD(o_orderstatus, 3, 'x') AS l,
+               RPAD(o_orderstatus, 3, 'y') AS r,
+               LPAD(o_orderpriority, 4, '*') AS lt,
+               CONCAT_WS('-', o_orderstatus, o_orderpriority) AS cw
+        FROM orders ORDER BY o_orderkey LIMIT 20
+    """)
+
+
+def test_last_day(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT LAST_DAY(o_orderdate) AS d, COUNT(*) AS n
+        FROM orders GROUP BY d ORDER BY d LIMIT 10
+    """)
+
+
+def test_window_agg_over_expression(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderkey, SUM(o_totalprice * 2) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey) AS s
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)

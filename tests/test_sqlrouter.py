@@ -784,9 +784,11 @@ def test_expression_errors_are_loud(ray_session, sf01_dir):
     with pytest.raises(ValueError):
         parse_sql("SELECT APPROX_COUNT_DISTINCT(a + b) AS nd FROM t")
     # window aggregates take bare columns only
-    with pytest.raises(ValueError, match="bare"):
-        parse_sql("SELECT SUM(a * 2) OVER (PARTITION BY k ORDER BY o) "
-                  "AS w FROM t")
+    # round-5 continuation: window aggregates over EXPRESSIONS are now
+    # supported (the window route derives the argument to a hidden
+    # column), so the old loud error is gone — the parse must succeed
+    parse_sql("SELECT SUM(a * 2) OVER (PARTITION BY k ORDER BY o) "
+              "AS w FROM t")
     # progressive path streams expression aggregates too: the final
     # emission equals the batch answer
     ems = list(run_sql_progressive(

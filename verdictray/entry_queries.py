@@ -5794,6 +5794,59 @@ def q_sql_misc_preds(sf_dir: str):
     return run_sql(SQL_MISC_PREDS, sf_dir)
 
 
+SQL_SURFACE_R5C = """
+SELECT LPAD(o_orderstatus, 3, '_') AS st,
+       CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag,
+       CAST(LAST_DAY(o_orderdate) AS TIMESTAMP) AS eom,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ALL
+ORDER BY st, tag, eom
+LIMIT 200
+"""
+
+
+def q_sql_surface_r5c(sf_dir: str):
+    """Late-surface scalar functions in one grouped query: LPAD (pad +
+    leftmost-n truncate via utf8_lpad + slice), CONCAT_WS
+    (binary_join_element_wise, null-skipping), LAST_DAY
+    (strictly-greater month ceil minus one day — exact at month
+    boundaries) — all as GROUP BY ALL keys (every non-aggregate item
+    becomes a group key). Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_SURFACE_R5C, sf_dir)
+
+
+SQL_MULTIKEY_JOIN = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       MONEY_SUM(l_extendedprice) AS rev
+FROM orders JOIN lineitem
+     ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+SQL_MULTIKEY_JOIN_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       SUM(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS rev
+FROM orders JOIN lineitem
+     ON o_orderkey = l_orderkey AND o_orderstatus = l_linestatus
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_sql_multikey_join(sf_dir: str):
+    """Multi-key equi-join: the PRIMARY equality drives the bucketed
+    hash join (same one-shuffle plan) and the secondary ON equality —
+    a cross-table conjunct on an INNER join — refines the merged rows
+    as a vectorized post-join filter (exactly WHERE semantics, since an
+    inner join preserves nothing). Exact cents. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_MULTIKEY_JOIN, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5919,6 +5972,8 @@ QUERIES = {
     "sql_select_star": q_sql_select_star,
     "sql_tpch_q13": q_sql_tpch_q13,
     "sql_misc_preds": q_sql_misc_preds,
+    "sql_surface_r5c": q_sql_surface_r5c,
+    "sql_multikey_join": q_sql_multikey_join,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6115,6 +6170,8 @@ ORACLES = {
     "sql_select_star": SQL_SELECT_STAR,
     "sql_tpch_q13": SQL_TPCH_Q13,
     "sql_misc_preds": SQL_MISC_PREDS,
+    "sql_surface_r5c": SQL_SURFACE_R5C,
+    "sql_multikey_join": SQL_MULTIKEY_JOIN_ORACLE,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6184,7 +6241,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_offset_ilike", "sql_expr_keys", "sql_global_window",
     "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
-    "sql_misc_preds",
+    "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

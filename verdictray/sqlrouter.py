@@ -460,6 +460,7 @@ _SCALAR_FNS = {"lower", "upper", "length", "trim", "abs", "substr",
                "concat", "replace", "ltrim", "rtrim", "reverse",
                "left", "right", "strpos", "contains", "starts_with",
                "ends_with", "repeat", "split_part",
+               "lpad", "rpad", "concat_ws", "last_day",
                "regexp_replace", "regexp_matches",
                # temporal — datediff(part, a, b) counts part-boundary
                # crossings (DuckDB semantics), vectorized from
@@ -1093,6 +1094,8 @@ class _Parser:
                       "strpos": (2, 2), "contains": (2, 2),
                       "starts_with": (2, 2), "ends_with": (2, 2),
                       "repeat": (2, 2), "split_part": (3, 3),
+                      "lpad": (3, 3), "rpad": (3, 3),
+                      "concat_ws": (2, 16), "last_day": (1, 1),
                       "regexp_replace": (3, 4),
                       "regexp_matches": (2, 2),
                       "datediff": (3, 3)}.get(low, (1, 1))
@@ -1109,6 +1112,8 @@ class _Parser:
                          "strpos": (1,), "contains": (1,),
                          "starts_with": (1,), "ends_with": (1,),
                          "repeat": (1,), "split_part": (1, 2),
+                         "lpad": (1, 2), "rpad": (1, 2),
+                         "concat_ws": (0,),
                          "regexp_replace": (1, 2, 3),
                          "regexp_matches": (1,), "round": (1,),
                          "datediff": (0,)}
@@ -1238,9 +1243,9 @@ class _Parser:
                 if ag.distinct:
                     raise ValueError("DISTINCT cannot take an OVER "
                                      "clause")
-                if ag.expr is not None:
-                    raise ValueError("window aggregates take a bare "
-                                     "column, not an expression")
+                # aggregates over an EXPRESSION argument are allowed:
+                # the window route derives the expression to a hidden
+                # column before the window shuffle
                 if ag.filter_pred:
                     raise ValueError("FILTER does not combine with OVER "
                                      "in this router")
@@ -1586,9 +1591,15 @@ class _Parser:
             # vectorized pyarrow.compute kernels, same as any predicate
             if self.kw("between"):
                 self.take()
+                sym = False
+                if self.kw("symmetric"):
+                    self.take()
+                    sym = True
                 lo = self.literal()
                 self.expect("and")
                 hi = self.literal()
+                if sym and hi < lo:
+                    lo, hi = hi, lo
                 return _Pred("", "between", value=(lo, hi), lexpr=left)
             op = self.take()
             if op == "<>":
@@ -1645,9 +1656,15 @@ class _Parser:
             return self._in_pred(col, negated=False)
         if self.kw("between"):
             self.take()
+            sym = False
+            if self.kw("symmetric"):
+                self.take()
+                sym = True
             lo = self.literal()
             self.expect("and")
             hi = self.literal()
+            if sym and hi < lo:
+                lo, hi = hi, lo
             return _Pred(col, "between", value=(lo, hi))
         op = self.take()
         if op == "<>":
@@ -2052,6 +2069,24 @@ class _Parser:
                 # and filters the post-finish union of levels (SQL
                 # grouping-sets semantics: HAVING applies per
                 # grouping-set row)
+            elif self.kw("all"):
+                # GROUP BY ALL (DuckDB): every non-aggregate SELECT item
+                # becomes a group key (plain columns by name, expression
+                # items by their alias — the derived-column group-key
+                # machinery the alias form already uses)
+                self.take()
+                for it in plan.items:
+                    if it.fn == "col":
+                        plan.group_by.append(it.name)
+                    elif it.fn == "expr":
+                        if not it.alias:
+                            raise ValueError("GROUP BY ALL needs AS "
+                                             "aliases on expression "
+                                             "items")
+                        plan.group_by.append(it.alias)
+                if not plan.group_by:
+                    raise ValueError("GROUP BY ALL found no non-"
+                                     "aggregate SELECT items")
             else:
                 def gb_key() -> str:
                     tok = self.peek()
@@ -2619,6 +2654,28 @@ def _eval_expr(batch: pa.Table, e: tuple):
                 args[0], sep * idx, "", null_handling="emit_null")
             return pc.list_element(pc.split_pattern(padded, pattern=sep),
                                    idx - 1)
+        if name in ("lpad", "rpad"):
+            # Postgres/DuckDB semantics: pad to n chars; if the input is
+            # LONGER it truncates to the LEFTMOST n (both variants)
+            n = int(e[2][1][1])
+            padc = str(e[2][2][1])
+            if not padc:
+                raise ValueError(f"{name} padding must be non-empty")
+            padded = (pc.utf8_lpad if name == "lpad" else pc.utf8_rpad)(
+                args[0], width=n, padding=padc)
+            return pc.utf8_slice_codeunits(padded, 0, n)
+        if name == "concat_ws":
+            # separator-joined concat, SKIPPING nulls (DuckDB CONCAT_WS)
+            sep = str(e[2][0][1])
+            return pc.binary_join_element_wise(
+                *args[1:], sep, null_handling="skip")
+        if name == "last_day":
+            # last day of the month: strictly-greater month ceil minus
+            # one day (exact at month boundaries too)
+            nxt = pc.ceil_temporal(args[0], unit="month",
+                                   ceil_is_strictly_greater=True)
+            return pc.subtract(
+                nxt, pa.scalar(86_400_000_000, pa.duration("us")))
         if name == "regexp_replace":
             # DuckDB replaces the FIRST match unless the 'g' flag is given
             maxr = None if len(args) == 4 else 1
@@ -3188,6 +3245,10 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         return hits[0]
 
     needed = set(needed)
+    # ON-clause conjunct columns must be read (dim-owned ones filter at
+    # the read; cross-table ones post-filter after the join)
+    for _ps in plan.join_preds.values():
+        needed |= _pred_cols(_ps)
     # decorrelated comparisons consume their outer columns INSIDE the
     # scan (join on outer_key + vectorized filter over outer_expr), so
     # the reads and the pre-shuffle projection must carry them
@@ -3267,6 +3328,11 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
         keep.update(p.col for p in member)
         for _tbl, _a, _b, _how in plan.joins:
             keep.update(c for c in (_a, _b) if c)
+        for _ps in plan.join_preds.values():
+            # ON-clause conjunct columns: dim-owned ones filter at the
+            # read, but cross-table ones post-filter AFTER the join —
+            # either way they must survive the pre-shuffle projection
+            keep.update(_pred_cols(_ps))
     if push:
         if explain is not None:
             explain.append(
@@ -3541,11 +3607,19 @@ def _scan_with_joins(plan: "_Plan", sf_dir: str, needed: set, *,
                     "unmatched output, not be filtered)")
             bad_on = [p for p in on_preds
                       if not _pred_cols([p]) <= schemas[tbl]]
-            if bad_on:
+            if bad_on and how == "inner":
+                # a cross-table ON conjunct on an INNER join is exactly a
+                # post-join WHERE (no preserved side to protect) — e.g. a
+                # secondary equality of a multi-key equi-join refines the
+                # primary-key buckets after the merge
+                post.extend(bad_on)
+                on_preds = [p for p in on_preds if p not in bad_on]
+            elif bad_on:
                 raise ValueError(
-                    f"ON-clause predicates must reference only columns "
-                    f"of the joined table {tbl!r}, got "
-                    f"{_fmt_preds(bad_on)}")
+                    f"ON-clause predicates on a LEFT join must reference "
+                    f"only columns of the joined table {tbl!r} (a cross-"
+                    f"table conjunct would change which rows match, not "
+                    f"filter them), got {_fmt_preds(bad_on)}")
             # ON semantics for INNER/LEFT: the conjunct restricts which
             # dim rows can MATCH — a vectorized filter on the dim read,
             # below the join; the preserved fact side is untouched
@@ -5388,6 +5462,17 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         elif it.fn != "col":
             raise ValueError("non-window aggregates cannot mix with "
                              "window items (no implicit GROUP BY)")
+    # window aggregates over EXPRESSION arguments: derive each argument
+    # to a hidden column in the same vectorized stage as the pass-through
+    # expression items, then window over the derived column
+    for it in win_items:
+        if it.expr is not None:
+            if not it.alias:
+                raise ValueError("a window aggregate over an expression "
+                                 "needs AS alias")
+            dname = f"_wx_{it.alias}"
+            pass_exprs[dname] = it.expr
+            it.col = dname
     expr_cols = set()
     for tree in pass_exprs.values():
         expr_cols |= _expr_cols(tree)
@@ -5418,7 +5503,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
         needed = set()
         for (g_part, g_order, _g_frame), _its in groups:
             needed |= {*g_part, *(c for c, _ in g_order)}
-        needed.update(it.col for it in plan.items if it.col is not None)
+        needed.update(it.col for it in plan.items
+                      if it.col is not None and it.col not in pass_exprs)
         needed |= expr_cols
         needed_post = set(needed)
         needed.update(_pred_cols(plan.where))
@@ -5511,7 +5597,8 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     order = list(order)
 
     needed = {*part, *(c for c, _ in order)}
-    needed.update(it.col for it in plan.items if it.col is not None)
+    needed.update(it.col for it in plan.items
+                  if it.col is not None and it.col not in pass_exprs)
     needed |= expr_cols
     needed_post = set(needed)
     needed.update(_pred_cols(plan.where))
