@@ -131,3 +131,44 @@ def test_uncorrelated_scalar_subquery_still_resolves(ray_session,
       WHERE o_totalprice > (SELECT AVG(o_totalprice) AS a FROM orders)"""
     pdt.assert_frame_equal(run_sql(sql, sf01_dir).to_pandas(),
                            _duck(sf01_dir, sql), check_dtype=False)
+
+
+def test_correlated_scalar_item_count(ray_session, sf_dir):
+    """Correlated scalar subquery AS a SELECT item — COUNT wraps in
+    COALESCE(v, 0) through the LEFT-joined grouped build (a customer
+    with no orders gets 0, not NULL)."""
+    import duckdb
+    import pandas.testing as pdt
+
+    from verdictray.sqlrouter import run_sql
+
+    sql = ("SELECT c_custkey, (SELECT COUNT(*) FROM orders "
+           "WHERE o_custkey = c_custkey AND o_totalprice > 400000.0) "
+           "AS n FROM customer ORDER BY c_custkey LIMIT 50")
+    mine = run_sql(sql, sf_dir).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False)
+    assert (mine["n"] == 0).any(), "fixture should include 0-order rows"
+
+
+def test_correlated_scalar_item_sum_null(ray_session, sf_dir):
+    """Non-COUNT aggregates stay NULL where no correlated rows exist."""
+    import duckdb
+    import pandas.testing as pdt
+
+    from verdictray.sqlrouter import run_sql
+
+    sql = ("SELECT c_custkey, (SELECT SUM(o_totalprice) FROM orders "
+           "WHERE o_custkey = c_custkey AND o_orderstatus = 'F') AS s "
+           "FROM customer ORDER BY c_custkey LIMIT 50")
+    mine = run_sql(sql, sf_dir).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{sf_dir}/{t}.parquet'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdt.assert_frame_equal(mine, ref, check_dtype=False, rtol=1e-9)

@@ -5847,6 +5847,31 @@ def q_sql_multikey_join(sf_dir: str):
     return run_sql(SQL_MULTIKEY_JOIN, sf_dir)
 
 
+SQL_CORR_ITEM = """
+SELECT c_custkey, c_acctbal,
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000.0) AS n_big,
+       (SELECT MAX(o_totalprice) FROM orders
+        WHERE o_custkey = c_custkey) AS max_price
+FROM customer
+ORDER BY c_custkey
+LIMIT 200
+"""
+
+
+def q_sql_corr_item(sf_dir: str):
+    """Correlated scalar subqueries as SELECT ITEMS: each decorrelates
+    to a grouped-aggregate build (SELECT k, agg GROUP BY k) spooled ONCE
+    into the session overlay and LEFT-joined back on the correlation
+    key (broadcast enrich — build keys unique by construction); COUNT
+    wraps in COALESCE(v, 0) (zero correlated rows count 0), MAX stays
+    NULL. Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_CORR_ITEM, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -5974,6 +5999,7 @@ QUERIES = {
     "sql_misc_preds": q_sql_misc_preds,
     "sql_surface_r5c": q_sql_surface_r5c,
     "sql_multikey_join": q_sql_multikey_join,
+    "sql_corr_item": q_sql_corr_item,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6172,6 +6198,7 @@ ORACLES = {
     "sql_misc_preds": SQL_MISC_PREDS,
     "sql_surface_r5c": SQL_SURFACE_R5C,
     "sql_multikey_join": SQL_MULTIKEY_JOIN_ORACLE,
+    "sql_corr_item": SQL_CORR_ITEM,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6242,6 +6269,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
+    "sql_corr_item",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

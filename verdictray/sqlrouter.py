@@ -3085,6 +3085,75 @@ def _rewrite_correlated(plan: "_Plan", sf_dir: str,
                                      "not supported in SELECT items")
 
 
+def _rewrite_corr_items(plan: "_Plan", sf_dir: str, opts: dict,
+                        explain: list | None) -> str:
+    """Correlated scalar subqueries as SELECT items —
+    ``(SELECT agg(x) FROM t WHERE t.k = outer.k [AND …]) AS a`` —
+    decorrelate to a grouped-aggregate build LEFT-joined back on the
+    correlation key: the build ``SELECT k, agg(x) GROUP BY k``
+    materializes ONCE (distributed write_parquet into a session overlay,
+    the CTE spool pattern) under disjoint ``_ck_/_cv_`` names, a LEFT
+    join attaches the value (broadcast enrich when the build is small —
+    build keys are unique by construction), and a COUNT item wraps in
+    COALESCE(v, 0) (SQL: COUNT over zero correlated rows is 0; every
+    other aggregate stays NULL). Returns the (possibly new) sf_dir."""
+    import dataclasses
+    import os
+    import tempfile
+
+    corr = []
+    for it in plan.items:
+        if (it.fn == "expr" and it.expr is not None
+                and it.expr[0] == "subq"):
+            s = it.expr[1]
+            split = _split_correlation(s.table, s.where, sf_dir, s.joins)
+            if split is not None:
+                corr.append((it, s, split))
+    if not corr:
+        return sf_dir
+    overlay = tempfile.mkdtemp(prefix="vr_corr_")
+    for fn in os.listdir(sf_dir):
+        if fn.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, fn),
+                       os.path.join(overlay, fn))
+    for j, (it, s, split) in enumerate(corr):
+        if s.group_by or s.unions or s.joins or len(s.items) != 1:
+            raise ValueError(
+                "a correlated scalar subquery item must SELECT one "
+                "aggregate from one table (no GROUP BY / JOIN / UNION)")
+        if not it.alias:
+            raise ValueError("a correlated scalar subquery item needs "
+                             "AS alias")
+        inner_key, outer_key, build_preds = split
+        agg_item = s.items[0]
+        kcol, vcol = f"_ck_{it.alias}", f"_cv_{it.alias}"
+        build_plan = _Plan(
+            table=s.table,
+            items=[_Agg("col", inner_key, alias=kcol),
+                   dataclasses.replace(agg_item, alias=vcol)],
+            where=list(build_preds), group_by=[inner_key])
+        if explain is not None:
+            explain.append(
+                f"CORRELATED ITEM {it.alias} -> grouped build SELECT "
+                f"{inner_key}, {agg_item.fn or 'expr'} FROM {s.table} "
+                f"GROUP BY {inner_key} materialized ONCE (overlay "
+                "spool), LEFT-joined on the correlation key"
+                + ("; COUNT wraps in COALESCE(v, 0)"
+                   if agg_item.fn == "count" else ""))
+        out = run_sql("", overlay, _plan=build_plan,
+                      **{**opts, "explain": None})
+        # group keys are unique, so the alias-keyed group output needs a
+        # rename only if the route kept the alias — it does (item alias)
+        out.write_parquet(os.path.join(overlay, f"_corrq{j}.parquet"))
+        plan.joins.append((f"_corrq{j}", outer_key, kcol, "left"))
+        if agg_item.fn == "count":
+            it.fn, it.col = "expr", None
+            it.expr = ("fn", "coalesce", (("col", vcol), ("lit", 0)))
+        else:
+            it.fn, it.col, it.expr = "col", vcol, None
+    return overlay
+
+
 def _resolve_scalar_subqueries(plan: "_Plan", sf_dir: str, opts: dict,
                                explain: list | None) -> None:
     """Execute every uncorrelated scalar subquery appearing in WHERE /
@@ -4338,6 +4407,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                     join_buckets=join_buckets,
                     max_broadcast_rows=max_broadcast_rows,
                     cms_eps=cms_eps, cms_delta=cms_delta)
+    sf_dir = _rewrite_corr_items(plan, sf_dir, sub_opts, explain)
     _rewrite_correlated(plan, sf_dir, explain)
     _resolve_scalar_subqueries(plan, sf_dir, sub_opts, explain)
     sub = None
