@@ -107,3 +107,51 @@ def test_random_division_matches_duckdb_with_tolerance(ray_session,
     ora = con.sql(sql).df()
     pdt.assert_frame_equal(mine, ora, check_dtype=False, rtol=1e-12,
                            atol=1e-12)
+
+
+def test_random_expression_group_and_order_keys(ray_session, prop_table):
+    """Round-5 continuation surface under fuzz: random integer-valued
+    EXPRESSIONS as GROUP BY and ORDER BY keys (selected or hidden),
+    LIMIT/OFFSET, and NOT (pred) — every trial must match DuckDB
+    exactly (integer arithmetic only)."""
+    from verdictray.sqlrouter import run_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{prop_table}/t.parquet'")
+    rng = random.Random(20260820)
+    for trial in range(15):
+        gexpr = _rand_expr(rng, 2)
+        while not any(c in gexpr for c in "abc"):
+            # a pure-literal key would parse as a GROUP BY ordinal
+            gexpr = _rand_expr(rng, 2)
+        pred = _rand_pred(rng, 2)
+        sql = (f"SELECT {gexpr} AS k, COUNT(*) AS n, SUM(b) AS s "
+               f"FROM t WHERE NOT ({pred}) GROUP BY {gexpr} "
+               f"ORDER BY COUNT(*) DESC, k LIMIT 10 OFFSET 2")
+        mine = run_sql(sql, prop_table).to_pandas().reset_index(drop=True)
+        ora = con.sql(sql).df()
+        if len(ora) == 0:
+            assert len(mine) == 0, (trial, sql)
+            continue
+        pdt.assert_frame_equal(mine, ora, check_dtype=False, rtol=0,
+                               atol=0), (trial, sql)
+
+
+def test_random_quantified_and_distinct_exprs(ray_session, prop_table):
+    """= ANY / <> ALL (rewritten to [NOT] IN) and COUNT/SUM(DISTINCT
+    expr) under fuzz vs DuckDB."""
+    from verdictray.sqlrouter import run_sql
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{prop_table}/t.parquet'")
+    rng = random.Random(7_2026)
+    for trial in range(10):
+        e = _rand_expr(rng, 2)
+        q = rng.choice(["= ANY", "<> ALL"])
+        sql = (f"SELECT COUNT(DISTINCT {e}) AS nd, "
+               f"CAST(SUM(DISTINCT {e}) AS BIGINT) AS sd, COUNT(*) AS n "
+               f"FROM t WHERE a {q} (SELECT b FROM t WHERE b < 25)")
+        mine = run_sql(sql, prop_table).to_pandas().reset_index(drop=True)
+        ora = con.sql(sql).df()
+        pdt.assert_frame_equal(mine, ora, check_dtype=False, rtol=0,
+                               atol=0), (trial, sql)

@@ -4277,9 +4277,11 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
             return out
         parts = list(out.iter_batches(batch_size=None,
                                       batch_format="pyarrow"))
-        tbl = (pa.concat_tables(parts) if parts
-               else out.schema().base_schema.empty_table())
-        return rd.from_arrow(tbl.slice(plan.offset))
+        if not parts:
+            # empty result (a WHERE dropped every row): nothing to skip,
+            # and an all-empty grouped Dataset may carry no schema at all
+            return out
+        return rd.from_arrow(pa.concat_tables(parts).slice(plan.offset))
 
     if plan.unions:
         # UNION ALL: each SELECT core runs as its own streaming plan and
