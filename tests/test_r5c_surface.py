@@ -529,3 +529,28 @@ def test_window_agg_over_expression(ray_session, sf_dir):
             PARTITION BY o_orderstatus ORDER BY o_orderkey) AS s
         FROM orders ORDER BY o_orderkey LIMIT 10
     """)
+
+
+def test_date_part_and_window_nulls_last(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT DATE_PART('year', o_orderdate) AS y, COUNT(*) AS n
+        FROM orders GROUP BY y ORDER BY y
+    """)
+    _cmp(sf_dir, """
+        SELECT o_orderkey, RANK() OVER (
+            PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC NULLS LAST) AS r
+        FROM orders ORDER BY o_orderkey LIMIT 20
+    """)
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="NULLS LAST only"):
+        run_sql("SELECT RANK() OVER (PARTITION BY o_orderstatus ORDER "
+                "BY o_totalprice NULLS FIRST) AS r FROM orders", sf_dir)
+
+
+def test_count_star_over_empty(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderkey, COUNT(*) OVER () AS n
+        FROM orders ORDER BY o_orderkey LIMIT 5
+    """)

@@ -997,6 +997,20 @@ class _Parser:
             inner = self.expr_tree()
             self.expect(")")
             return ("extract", part, inner)
+        if low == "date_part":
+            # DATE_PART('part', expr) — DuckDB's function spelling of
+            # EXTRACT(part FROM expr); same kernel table
+            self.take()
+            self.expect("(")
+            part_lit = self.literal()
+            part = str(part_lit).lower()
+            if part not in _EXTRACT_PARTS:
+                raise ValueError(f"DATE_PART part {part!r} not supported "
+                                 f"(have {sorted(_EXTRACT_PARTS)})")
+            self.expect(",")
+            inner = self.expr_tree()
+            self.expect(")")
+            return ("extract", part, inner)
         if low == "position":
             # POSITION(needle IN haystack) — SQL's special-syntax spelling
             # of STRPOS(haystack, needle) (1-based, 0 when absent)
@@ -1415,6 +1429,17 @@ class _Parser:
                 desc = False
                 if self.kw("asc", "desc"):
                     desc = self.take().lower() == "desc"
+                if self.kw("nulls"):
+                    # the engine's window sort places nulls LAST in both
+                    # directions (DuckDB's default_null_order); explicit
+                    # NULLS LAST is accepted as the no-op it is, FIRST
+                    # raises rather than silently mis-sorting
+                    self.take()
+                    place = self.take().lower()
+                    if place != "last":
+                        raise ValueError(
+                            "window ORDER BY supports NULLS LAST only "
+                            "(the engine default in both directions)")
                 order.append((col, desc))
                 if self.peek() == ",":
                     self.take()
