@@ -554,3 +554,33 @@ def test_count_star_over_empty(ray_session, sf_dir):
         SELECT o_orderkey, COUNT(*) OVER () AS n
         FROM orders ORDER BY o_orderkey LIMIT 5
     """)
+
+
+def test_window_functions_inside_expressions(ray_session, sf_dir):
+    # ratio-to-report and friends: arithmetic OVER window results
+    _cmp(sf_dir, """
+        SELECT o_orderkey, ROW_NUMBER() OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey) + 100 AS r
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)
+    _cmp(sf_dir, """
+        SELECT o_orderkey, ROUND(100 * o_totalprice /
+            SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 6)
+            AS pct
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)
+    # two window leaves in ONE expression
+    _cmp(sf_dir, """
+        SELECT o_orderkey,
+               SUM(o_totalprice) OVER (PARTITION BY o_orderstatus) /
+               COUNT(*) OVER (PARTITION BY o_orderstatus) AS avg_grp
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)
+
+
+def test_window_expr_rejects_plain_agg_mix(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="cannot mix"):
+        run_sql("SELECT SUM(o_totalprice) + ROW_NUMBER() OVER (ORDER "
+                "BY o_orderkey) AS x FROM orders", sf_dir)

@@ -5872,6 +5872,34 @@ def q_sql_corr_item(sf_dir: str):
     return run_sql(SQL_CORR_ITEM, sf_dir)
 
 
+SQL_RATIO_REPORT = """
+SELECT o_orderkey, o_orderstatus,
+       ROUND(100 * o_totalprice /
+             SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 6)
+           AS pct_of_status,
+       ROW_NUMBER() OVER (
+           PARTITION BY o_orderstatus ORDER BY o_totalprice DESC,
+           o_orderkey) * 1 AS rnk
+FROM orders
+WHERE o_totalprice > 300000.0
+ORDER BY o_orderkey
+LIMIT 300
+"""
+
+
+def q_sql_ratio_report(sf_dir: str):
+    """Window functions INSIDE expressions (the classic ratio-to-report):
+    each ("wagg") leaf computes as a hidden window item through the same
+    one-shuffle partitioned_window pass, the arithmetic then derives in
+    the finish stage as one vectorized pyarrow.compute pass over the
+    windowed batch, and the hidden leaf columns drop at the projection.
+    Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_RATIO_REPORT, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6000,6 +6028,7 @@ QUERIES = {
     "sql_surface_r5c": q_sql_surface_r5c,
     "sql_multikey_join": q_sql_multikey_join,
     "sql_corr_item": q_sql_corr_item,
+    "sql_ratio_report": q_sql_ratio_report,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6199,6 +6228,7 @@ ORACLES = {
     "sql_surface_r5c": SQL_SURFACE_R5C,
     "sql_multikey_join": SQL_MULTIKEY_JOIN_ORACLE,
     "sql_corr_item": SQL_CORR_ITEM,
+    "sql_ratio_report": SQL_RATIO_REPORT,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6269,7 +6299,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
-    "sql_corr_item",
+    "sql_corr_item", "sql_ratio_report",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

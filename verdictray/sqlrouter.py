@@ -619,6 +619,20 @@ def _pred_cols(preds) -> set:
     return out
 
 
+def _wagg_leaves(e) -> list:
+    """Collect the ``("wagg", _Agg)`` window-function leaves of an
+    expression tree (arithmetic over window results)."""
+    out: list = []
+    if not isinstance(e, tuple):
+        return out
+    if len(e) and e[0] == "wagg":
+        out.append(e[1])
+        return out
+    for c in e:
+        out.extend(_wagg_leaves(c))
+    return out
+
+
 def _expr_aggs(e) -> list:
     """Collect the ``("agg", _Agg)`` leaves of an expression tree (the
     hidden aggregates of a post-aggregate expression item)."""
@@ -1064,8 +1078,33 @@ class _Parser:
             low = ident.lower()
             if getattr(self, "_aggexpr", False) and low in _AGGS:
                 # aggregate call as an expression leaf — only while
-                # parsing SELECT items (post-aggregate arithmetic)
-                return ("agg", self._agg_call(low))
+                # parsing SELECT items (post-aggregate arithmetic). With
+                # an OVER clause it becomes a WINDOW leaf (("wagg", _Agg)
+                # — ratio-to-report arithmetic over window results)
+                ag = self._agg_call(low)
+                if self.kw("over"):
+                    if low not in _WINDOW_CUM:
+                        raise ValueError(f"{low.upper()} cannot take an "
+                                         "OVER clause")
+                    if ag.distinct or ag.filter_pred:
+                        raise ValueError("DISTINCT/FILTER do not combine "
+                                         "with OVER")
+                    ag.window = self._over()
+                    return ("wagg", ag)
+                return ("agg", ag)
+            if getattr(self, "_aggexpr", False) and (
+                    low in _WINDOW_FNS or low == "ntile"):
+                # ranking window function as an expression leaf
+                self.take()
+                nt = None
+                if low == "ntile":
+                    nt = int(self.take())
+                self.expect(")")
+                ag = _Agg(low, None)
+                if nt is not None:
+                    ag.offset = nt
+                ag.window = self._over()
+                return ("wagg", ag)
             if low in _VAR_AGGS:
                 if not getattr(self, "_aggexpr", False):
                     raise ValueError(f"{low.upper()} is an aggregate — "
@@ -1202,7 +1241,7 @@ class _Parser:
             self.expect(")")
             ag = _Agg(low, None)
             ag.window = self._over()          # OVER is mandatory here
-            return ag
+            return self._finish_window_item(ag)
         if low == "grouping":
             # GROUPING(col) -> 1 on rows where col is rolled up by the
             # current ROLLUP/CUBE level, else 0 (disambiguates super-
@@ -1222,7 +1261,7 @@ class _Parser:
             ag = _Agg("ntile", None)
             ag.offset = n_tiles
             ag.window = self._over()          # OVER is mandatory here
-            return ag
+            return self._finish_window_item(ag)
         if low in _WINDOW_NAV:
             self.expect("(")
             col = self.take()
@@ -1246,7 +1285,7 @@ class _Parser:
             ag.offset = off
             ag.default = dflt
             ag.window = self._over()          # OVER is mandatory here
-            return ag
+            return self._finish_window_item(ag)
         if low in _AGGS:
             ag = self._agg_call(low)
             self._maybe_filter(ag)
@@ -1264,19 +1303,30 @@ class _Parser:
                     raise ValueError("FILTER does not combine with OVER "
                                      "in this router")
                 ag.window = self._over()
-            if self.peek() in ("+", "-", "*", "/"):
-                # post-aggregate arithmetic: SUM(a)/SUM(b), MAX(x)-MIN(x)
-                if ag.window is not None:
-                    raise ValueError("window items cannot join "
-                                     "post-aggregate arithmetic")
+            if self.peek() in ("+", "-", "*", "/", "%", "||"):
+                # post-aggregate arithmetic: SUM(a)/SUM(b) — or, with an
+                # OVER clause, arithmetic over the WINDOW result
+                # (ratio-to-report: v / SUM(v) OVER (…))
+                leaf = (("wagg", ag) if ag.window is not None
+                        else ("agg", ag))
                 return self._classify_item(
                     self._in_aggexpr(
-                        lambda: self._expr_continue(("agg", ag))))
+                        lambda: self._expr_continue(leaf)))
             return ag
         # plain column — or a scalar expression (arithmetic / CASE /
         # EXTRACT — possibly over aggregate calls: 100 * SUM(a)/SUM(b))
         self.i -= 1
         return self._classify_item(self._in_aggexpr(self.expr_tree))
+
+    def _finish_window_item(self, ag: _Agg) -> _Agg:
+        """A fully-parsed window function item may CONTINUE as an
+        expression (ROW_NUMBER() OVER (…) + 100): wrap it as a
+        ("wagg", _Agg) leaf and keep parsing."""
+        if self.peek() in ("+", "-", "*", "/", "%", "||"):
+            return self._classify_item(
+                self._in_aggexpr(
+                    lambda: self._expr_continue(("wagg", ag))))
+        return ag
 
     def _agg_call(self, low: str) -> _Agg:
         """Parse an aggregate call from after its name: ``( [DISTINCT]
@@ -1379,8 +1429,17 @@ class _Parser:
     def _classify_item(self, tree: tuple) -> _Agg:
         if tree[0] == "agg":
             return tree[1]
+        if tree[0] == "wagg":
+            return tree[1]
         if tree[0] == "col":
             return _Agg("col", tree[1])
+        if _wagg_leaves(tree):
+            if _expr_aggs(tree):
+                raise ValueError(
+                    "an expression cannot mix plain aggregates with "
+                    "window functions (a plain aggregate needs GROUP "
+                    "BY; a window result is per-row)")
+            return _Agg("wexpr", None, expr=tree)
         if _expr_aggs(tree):
             return _Agg("aggexpr", None, expr=tree)
         return _Agg("expr", None, expr=tree)
@@ -1926,7 +1985,7 @@ class _Parser:
             raise ValueError(
                 "ORDER BY expressions with SELECT DISTINCT must appear "
                 "in the SELECT list (standard SQL)")
-        if any(it.window for it in plan.items):
+        if any(it.window or it.fn == "wexpr" for it in plan.items):
             raise ValueError(
                 "ORDER BY expressions in window queries must be "
                 "SELECTed (alias the expression and ORDER BY the alias)")
@@ -2155,7 +2214,8 @@ class _Parser:
         if self.kw("qualify"):
             self.take()
             plan.qualify.extend(_flatten_and(self.pred_or()))
-            if not any(it.window for it in plan.items):
+            if not any(it.window or it.fn == "wexpr"
+                       for it in plan.items):
                 raise ValueError("QUALIFY requires at least one window "
                                  "function item (as in DuckDB)")
         return plan
@@ -2909,8 +2969,9 @@ def _map_expr_subq(e, repl):
     k = e[0]
     if k == "subq":
         return repl(e[1])
-    if k == "agg":
-        # hidden aggregate leaf: map any scalar subquery in its argument
+    if k in ("agg", "wagg"):
+        # hidden aggregate / window leaf: map any scalar subquery in its
+        # argument, keep the leaf itself
         if e[1].expr is not None:
             e[1].expr = _map_expr_subq(e[1].expr, repl)
         return e
@@ -4449,7 +4510,7 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                         **sub_opts)
         sub = (inner, [it.name for it in plan.sub_from.items])
 
-    if any(it.window for it in plan.items):
+    if any(it.window or it.fn == "wexpr" for it in plan.items):
         if plan.select_distinct:
             # SELECT DISTINCT over window items: run the window stage
             # with ORDER BY/LIMIT deferred, dedup the (usually tiny)
@@ -5544,8 +5605,38 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     if plan.group_by or plan.having:
         raise ValueError("window functions cannot combine with "
                          "GROUP BY/HAVING in one router query")
-    win_items = [it for it in plan.items if it.window]
-    passthru = [it for it in plan.items if not it.window]
+    # items that are EXPRESSIONS over window results (ratio-to-report:
+    # 100 * v / SUM(v) OVER (…)): each ("wagg", _Agg) leaf computes as a
+    # HIDDEN window item, the expression then derives in the finish
+    # stage (one vectorized pass over the windowed batch), and the
+    # hidden leaf columns drop at the projection
+    wexpr_items = [it for it in plan.items if it.fn == "wexpr"]
+    hidden_wleaves: list[_Agg] = []
+    wexpr_srccols: set = set()
+    for it in wexpr_items:
+        if not it.alias:
+            raise ValueError("an expression over window functions needs "
+                             "AS alias")
+
+        def _wrepl(tree, _h=hidden_wleaves):
+            if not isinstance(tree, tuple):
+                return tree
+            if len(tree) and tree[0] == "wagg":
+                ag = tree[1]
+                ag.alias = f"_wl{len(_h)}"
+                ag.hidden = True
+                _h.append(ag)
+                return ("col", ag.alias)
+            return tuple(_wrepl(c) for c in tree)
+
+        it.expr = _wrepl(it.expr)
+        wexpr_srccols |= {c for c in _expr_cols(it.expr)
+                          if not c.startswith("_wl")}
+
+    win_items = ([it for it in plan.items if it.window]
+                 + hidden_wleaves)
+    passthru = [it for it in plan.items
+                if not it.window and it.fn != "wexpr"]
     # plain scalar-expression items (CASE, arithmetic, scalar fns) ride
     # along: each derives as ONE vectorized column right after the scan,
     # before any window shuffle
@@ -5602,6 +5693,9 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             needed |= {*g_part, *(c for c, _ in g_order)}
         needed.update(it.col for it in plan.items
                       if it.col is not None and it.col not in pass_exprs)
+        needed.update(it.col for it in win_items
+                      if it.col is not None and it.col not in pass_exprs)
+        needed |= wexpr_srccols
         needed |= expr_cols
         needed_post = set(needed)
         needed.update(_pred_cols(plan.where))
@@ -5643,13 +5737,20 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             if plan.limit is not None:
                 explain.append(f"LIMIT {plan.limit}")
             return rd.from_items([])
-        rounds = [(it.name, it.round_to) for it in win_items
+        rounds = [(it.name, it.round_to)
+                  for it in list(win_items) + wexpr_items
                   if it.round_to is not None]
         sel = [it.name for it in plan.items]
         renames = [(it.col, it.alias) for it in plan.items
                    if it.fn == "col" and it.alias and it.alias != it.col]
+        wspec = tuple((it.name, it.expr) for it in wexpr_items)
 
         def finish_multi(batch: pa.Table) -> pa.Table:
+            for nm, ex in wspec:
+                v = _eval_expr(batch, ex)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * batch.num_rows)
+                batch = batch.append_column(nm, v)
             for name, nd in rounds:
                 i = batch.schema.get_field_index(name)
                 batch = batch.set_column(
@@ -5696,6 +5797,9 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     needed = {*part, *(c for c, _ in order)}
     needed.update(it.col for it in plan.items
                   if it.col is not None and it.col not in pass_exprs)
+    needed.update(it.col for it in win_items
+                  if it.col is not None and it.col not in pass_exprs)
+    needed |= wexpr_srccols
     needed |= expr_cols
     needed_post = set(needed)
     needed.update(_pred_cols(plan.where))
@@ -5715,6 +5819,9 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
               "offset": it.offset, "default": it.default}
              for it in win_items]
     if frame is not None and frame[0] == "range":
+        if wexpr_items:
+            raise ValueError("expressions over window results do not "
+                             "combine with RANGE INTERVAL frames")
         from .window import rolling_range_agg
 
         ts_col = order[0][0]
@@ -5800,13 +5907,20 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     out = partitioned_window(ds, part, order, specs, buckets=buckets,
                              frame=frame)
 
-    rounds = [(it.name, it.round_to) for it in win_items
+    rounds = [(it.name, it.round_to)
+              for it in list(win_items) + wexpr_items
               if it.round_to is not None]
     sel = [it.name for it in plan.items]
     renames = [(it.col, it.alias) for it in plan.items
                if it.fn == "col" and it.alias and it.alias != it.col]
+    wspec = tuple((it.name, it.expr) for it in wexpr_items)
 
     def finish(batch: pa.Table) -> pa.Table:
+        for nm, ex in wspec:
+            v = _eval_expr(batch, ex)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * batch.num_rows)
+            batch = batch.append_column(nm, v)
         for name, nd in rounds:
             i = batch.schema.get_field_index(name)
             batch = batch.set_column(
@@ -5869,7 +5983,7 @@ def run_sql_store(sql: str, store, key_col: str | None = None,
     if plan.unions:
         raise ValueError("UNION ALL is not answerable from the sketch "
                          "store; use run_sql")
-    if any(it.window for it in plan.items):
+    if any(it.window or it.fn == "wexpr" for it in plan.items):
         raise ValueError("window functions are not answerable from the "
                          "sketch store; use run_sql")
     if any(it.filter_pred for it in plan.items):
@@ -6129,7 +6243,7 @@ def run_sql_progressive(sql: str, sf_dir: str, *, hll_p: int = 14,
     if plan.unions:
         raise ValueError("UNION ALL does not stream progressively; "
                          "use run_sql")
-    if any(it.window for it in plan.items):
+    if any(it.window or it.fn == "wexpr" for it in plan.items):
         raise ValueError("window functions do not stream progressively; "
                          "use run_sql")
     if any(it.filter_pred for it in plan.items):
