@@ -584,3 +584,26 @@ def test_window_expr_rejects_plain_agg_mix(ray_session, sf_dir):
     with pytest.raises(ValueError, match="cannot mix"):
         run_sql("SELECT SUM(o_totalprice) + ROW_NUMBER() OVER (ORDER "
                 "BY o_orderkey) AS x FROM orders", sf_dir)
+
+
+def test_distinct_on(ray_session, sf_dir):
+    # first row per key via the hidden ROW_NUMBER + QUALIFY rewrite
+    _cmp(sf_dir, """
+        SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey,
+               o_totalprice
+        FROM orders ORDER BY o_orderstatus, o_orderkey
+    """)
+    # residual ORDER BY column NOT in the SELECT list (hidden passthrough)
+    _cmp(sf_dir, """
+        SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey
+        FROM orders
+        ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+    """)
+
+
+def test_distinct_on_requires_order(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    with pytest.raises(ValueError, match="DISTINCT ON"):
+        run_sql("SELECT DISTINCT ON (o_orderstatus) o_orderkey "
+                "FROM orders", sf_dir)

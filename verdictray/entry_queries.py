@@ -5900,6 +5900,27 @@ def q_sql_ratio_report(sf_dir: str):
     return run_sql(SQL_RATIO_REPORT, sf_dir)
 
 
+SQL_DISTINCT_ON = """
+SELECT DISTINCT ON (o_orderstatus, o_orderpriority)
+       o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_orderstatus, o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_sql_distinct_on(sf_dir: str):
+    """DISTINCT ON (k, …) — the 'latest/top record per key' idiom —
+    rewritten to a hidden ROW_NUMBER() OVER (PARTITION BY keys ORDER BY
+    residual) + QUALIFY = 1 (one window shuffle; residual tiebreaks
+    REQUIRED so first-per-key is deterministic under any partitioning;
+    unselected residual columns ride as hidden passthroughs for the
+    final sort). Identical text runs in DuckDB. No reference file:line —
+    /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_DISTINCT_ON, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6029,6 +6050,7 @@ QUERIES = {
     "sql_multikey_join": q_sql_multikey_join,
     "sql_corr_item": q_sql_corr_item,
     "sql_ratio_report": q_sql_ratio_report,
+    "sql_distinct_on": q_sql_distinct_on,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6229,6 +6251,7 @@ ORACLES = {
     "sql_multikey_join": SQL_MULTIKEY_JOIN_ORACLE,
     "sql_corr_item": SQL_CORR_ITEM,
     "sql_ratio_report": SQL_RATIO_REPORT,
+    "sql_distinct_on": SQL_DISTINCT_ON,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6299,7 +6322,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_outer_joins", "sql_aliased_q3", "sql_distinct_exprs",
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
-    "sql_corr_item", "sql_ratio_report",
+    "sql_corr_item", "sql_ratio_report", "sql_distinct_on",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

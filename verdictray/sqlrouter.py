@@ -734,6 +734,10 @@ class _Plan:
     # SELECT * — expanded to the FROM table's parquet schema (or the
     # derived table's item names) at run_sql entry, before any routing
     star: bool = False
+    # SELECT DISTINCT ON (k, …): first row per key group by the residual
+    # ORDER BY — rewritten at run_sql entry to a hidden ROW_NUMBER
+    # window item + QUALIFY = 1
+    distinct_on: tuple | None = None
     # extra ON-clause conjuncts per joined table (``ON a = b AND pred``):
     # each pred must be owned by the JOINED table — it filters that
     # table's pruned read BELOW the join, which is ON semantics for both
@@ -2007,6 +2011,19 @@ class _Parser:
             self.take()
             distinct = True
         star = False
+        distinct_on = None
+        if distinct and self.kw("on"):
+            # SELECT DISTINCT ON (k, …) — Postgres/DuckDB first-row-per-
+            # key; rewritten to ROW_NUMBER + QUALIFY at run_sql entry
+            self.take()
+            self.expect("(")
+            dcols = [self.take()]
+            while self.peek() == ",":
+                self.take()
+                dcols.append(self.take())
+            self.expect(")")
+            distinct_on = tuple(dcols)
+            distinct = False
         if self.peek() == "*":
             # SELECT * — items expand from the FROM table's schema at
             # run_sql entry (the parser has no sf_dir); star must stand
@@ -2049,10 +2066,11 @@ class _Parser:
                 alias = self.take()
             plan = _Plan(table=alias, items=items,
                          select_distinct=distinct, sub_from=inner,
-                         star=star)
+                         star=star, distinct_on=distinct_on)
         else:
             plan = _Plan(table=self.take(), items=items,
-                         select_distinct=distinct, star=star)
+                         select_distinct=distinct, star=star,
+                         distinct_on=distinct_on)
         while self.kw("join", "left", "right", "full", "inner", "cross"):
             how = "inner"
             if self.kw("left", "right", "full"):
@@ -4341,6 +4359,37 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
 
     _expand_stars(plan, sf_dir)
 
+    if plan.distinct_on:
+        # DISTINCT ON (k, …) → hidden ROW_NUMBER() OVER (PARTITION BY
+        # k… ORDER BY <residual ORDER BY>) + QUALIFY _don = 1. The
+        # ORDER BY must start with the ON keys and continue with at
+        # least one residual column — otherwise which row is "first"
+        # is engine-order-dependent (same determinism stance as OFFSET)
+        keys = list(plan.distinct_on)
+        ob = plan.order_by
+        if ([c for c, _ in ob[:len(keys)]] != keys
+                or len(ob) <= len(keys)):
+            raise ValueError(
+                "DISTINCT ON (k, …) requires ORDER BY to start with "
+                "the ON keys and continue with at least one residual "
+                "tiebreak column (deterministic first-row-per-key)")
+        if plan.unions or plan.group_by:
+            raise ValueError("DISTINCT ON does not combine with set "
+                             "operations or GROUP BY")
+        hid = _Agg("row_number", None, alias="_don", hidden=True)
+        hid.window = (tuple(keys), tuple(ob[len(keys):]), None)
+        plan.items.append(hid)
+        # residual order columns the SELECT list does not carry ride as
+        # HIDDEN passthrough columns (available to the final sort, then
+        # dropped with the row-number helper)
+        have = {it.name for it in plan.items} | {
+            it.col for it in plan.items if it.col}
+        for c, _d in ob[len(keys):]:
+            if c not in have:
+                plan.items.append(_Agg("col", c, hidden=True))
+        plan.qualify.append(_Pred("_don", "=", 1))
+        plan.distinct_on = None
+
     if plan.offset:
         # LIMIT n OFFSET m: run the same plan with LIMIT n+m (parse
         # guarantees ORDER BY + LIMIT, so the result is deterministic and
@@ -5563,6 +5612,18 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
     return out
 
 
+def _drop_hidden_items(out, plan: "_Plan", explain: list | None):
+    """Drop hidden window items (e.g. the DISTINCT ON row-number) AFTER
+    QUALIFY consumed them, before ORDER BY/LIMIT and the caller."""
+    hidden = [it.name for it in plan.items if it.hidden]
+    if not hidden or explain is not None:
+        return out
+    return out.map_batches(
+        lambda b, _h=tuple(hidden): b.drop_columns(
+            [c for c in _h if c in b.schema.names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _apply_qualify(out, plan: "_Plan", explain: list | None):
     """QUALIFY — one vectorized filter over the windowed stream after
     window columns attach (post-finish, so predicates reference SELECTed
@@ -5769,7 +5830,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                                    limit=plan.limit)
         if plan.limit is not None:
             out = out.limit(plan.limit)
-        return out
+        return _drop_hidden_items(out, plan, explain)
 
     spec0 = win_items[0].window
     part, order, frame = spec0
@@ -5880,7 +5941,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                                    limit=plan.limit)
         if plan.limit is not None:
             out = out.limit(plan.limit)
-        return out
+        return _drop_hidden_items(out, plan, explain)
     if explain is not None:
         frame_note = ("ANSI default RANGE framing: peers share frame "
                       "results" if frame is None else
@@ -5939,7 +6000,7 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                                limit=plan.limit)
     if plan.limit is not None:
         out = out.limit(plan.limit)
-    return out
+    return _drop_hidden_items(out, plan, explain)
 
 
 def explain_sql(sql: str, sf_dir: str, **opts) -> str:
