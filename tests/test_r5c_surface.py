@@ -607,3 +607,12 @@ def test_distinct_on_requires_order(ray_session, sf_dir):
     with pytest.raises(ValueError, match="DISTINCT ON"):
         run_sql("SELECT DISTINCT ON (o_orderstatus) o_orderkey "
                 "FROM orders", sf_dir)
+
+
+def test_sha256_scalar_fn(ray_session, sf_dir):
+    # the repo's buffer-level vectorized sha256 kernel, surfaced in SQL;
+    # DuckDB's sha256() must agree byte-for-byte
+    _cmp(sf_dir, """
+        SELECT o_orderkey, SHA256(o_orderpriority) AS h
+        FROM orders ORDER BY o_orderkey LIMIT 50
+    """)

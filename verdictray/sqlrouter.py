@@ -460,7 +460,7 @@ _SCALAR_FNS = {"lower", "upper", "length", "trim", "abs", "substr",
                "concat", "replace", "ltrim", "rtrim", "reverse",
                "left", "right", "strpos", "contains", "starts_with",
                "ends_with", "repeat", "split_part",
-               "lpad", "rpad", "concat_ws", "last_day",
+               "lpad", "rpad", "concat_ws", "last_day", "sha256",
                "regexp_replace", "regexp_matches",
                # temporal — datediff(part, a, b) counts part-boundary
                # crossings (DuckDB semantics), vectorized from
@@ -2757,6 +2757,12 @@ def _eval_expr(batch: pa.Table, e: tuple):
                 args[0], sep * idx, "", null_handling="emit_null")
             return pc.list_element(pc.split_pattern(padded, pattern=sep),
                                    idx - 1)
+        if name == "sha256":
+            # per-row sha256 hex via the repo's BUFFER-LEVEL vectorized
+            # kernel (ops.sha256_hex_column — one pass over the Arrow
+            # string buffer, no per-row Python string building)
+            from .ops import sha256_hex_column
+            return sha256_hex_column(args[0])
         if name in ("lpad", "rpad"):
             # Postgres/DuckDB semantics: pad to n chars; if the input is
             # LONGER it truncates to the LEFTMOST n (both variants)
