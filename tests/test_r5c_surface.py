@@ -616,3 +616,18 @@ def test_sha256_scalar_fn(ray_session, sf_dir):
         SELECT o_orderkey, SHA256(o_orderpriority) AS h
         FROM orders ORDER BY o_orderkey LIMIT 50
     """)
+
+
+def test_qualify_with_inline_window_fns(ray_session, sf_dir):
+    # window functions directly in QUALIFY (no SELECTed window item)
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                ORDER BY o_totalprice DESC, o_orderkey) = 1
+        ORDER BY o_orderstatus
+    """)
+    _cmp(sf_dir, """
+        SELECT o_orderkey, o_totalprice FROM orders
+        QUALIFY o_totalprice > 0.9 * MAX(o_totalprice) OVER ()
+        ORDER BY o_orderkey
+    """)

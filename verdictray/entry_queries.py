@@ -5921,6 +5921,28 @@ def q_sql_distinct_on(sf_dir: str):
     return run_sql(SQL_DISTINCT_ON, sf_dir)
 
 
+SQL_QUALIFY_TOP1 = """
+SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_orderstatus, o_orderpriority
+    ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_sql_qualify_top1(sf_dir: str):
+    """Window functions DIRECTLY in QUALIFY (no SELECTed window item):
+    each leaf computes as a hidden window item through the one-shuffle
+    partitioned_window pass, the filter runs vectorized post-window, and
+    the helper column drops after the sort — the top-1-per-group idiom
+    in one clause. Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_QUALIFY_TOP1, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6051,6 +6073,7 @@ QUERIES = {
     "sql_corr_item": q_sql_corr_item,
     "sql_ratio_report": q_sql_ratio_report,
     "sql_distinct_on": q_sql_distinct_on,
+    "sql_qualify_top1": q_sql_qualify_top1,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6252,6 +6275,7 @@ ORACLES = {
     "sql_corr_item": SQL_CORR_ITEM,
     "sql_ratio_report": SQL_RATIO_REPORT,
     "sql_distinct_on": SQL_DISTINCT_ON,
+    "sql_qualify_top1": SQL_QUALIFY_TOP1,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6323,6 +6347,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
     "sql_corr_item", "sql_ratio_report", "sql_distinct_on",
+    "sql_qualify_top1",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

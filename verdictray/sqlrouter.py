@@ -619,6 +619,18 @@ def _pred_cols(preds) -> set:
     return out
 
 
+def _qualify_waggs(preds) -> list:
+    """Window-function leaves appearing inside QUALIFY predicate
+    expressions (QUALIFY ROW_NUMBER() OVER (…) = 1)."""
+    out: list = []
+    for p in preds:
+        for a in _pred_atoms(p):
+            for side in (a.lexpr, a.rexpr):
+                if side is not None:
+                    out.extend(_wagg_leaves(side))
+    return out
+
+
 def _wagg_leaves(e) -> list:
     """Collect the ``("wagg", _Agg)`` window-function leaves of an
     expression tree (arithmetic over window results)."""
@@ -2231,11 +2243,16 @@ class _Parser:
             _lift_having_aggs(plan)
         if self.kw("qualify"):
             self.take()
-            plan.qualify.extend(_flatten_and(self.pred_or()))
-            if not any(it.window or it.fn == "wexpr"
-                       for it in plan.items):
+            # window functions may appear DIRECTLY in QUALIFY
+            # (QUALIFY ROW_NUMBER() OVER (…) = 1 — the top-1-per-group
+            # idiom); their ("wagg") leaves become hidden window items
+            plan.qualify.extend(
+                _flatten_and(self._in_aggexpr(self.pred_or)))
+            if not (any(it.window or it.fn == "wexpr"
+                        for it in plan.items)
+                    or _qualify_waggs(plan.qualify)):
                 raise ValueError("QUALIFY requires at least one window "
-                                 "function item (as in DuckDB)")
+                                 "function (as in DuckDB)")
         return plan
 
 
@@ -4565,7 +4582,8 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                         **sub_opts)
         sub = (inner, [it.name for it in plan.sub_from.items])
 
-    if any(it.window or it.fn == "wexpr" for it in plan.items):
+    if (any(it.window or it.fn == "wexpr" for it in plan.items)
+            or _qualify_waggs(plan.qualify)):
         if plan.select_distinct:
             # SELECT DISTINCT over window items: run the window stage
             # with ORDER BY/LIMIT deferred, dedup the (usually tiny)
@@ -5678,6 +5696,29 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     # stage (one vectorized pass over the windowed batch), and the
     # hidden leaf columns drop at the projection
     wexpr_items = [it for it in plan.items if it.fn == "wexpr"]
+    # window leaves inside QUALIFY predicates: compute each as a HIDDEN
+    # window ITEM (rides sel through the finish so the qualify filter
+    # sees it; _drop_hidden_items removes it at the end)
+    q_hidden: list[_Agg] = []
+
+    def _qrepl(tree):
+        if not isinstance(tree, tuple):
+            return tree
+        if len(tree) and tree[0] == "wagg":
+            ag = tree[1]
+            ag.alias = f"_qw{len(q_hidden)}"
+            ag.hidden = True
+            q_hidden.append(ag)
+            return ("col", ag.alias)
+        return tuple(_qrepl(c) for c in tree)
+
+    for qp in plan.qualify:
+        for a in _pred_atoms(qp):
+            if a.lexpr is not None:
+                a.lexpr = _qrepl(a.lexpr)
+            if a.rexpr is not None:
+                a.rexpr = _qrepl(a.rexpr)
+    plan.items.extend(q_hidden)
     hidden_wleaves: list[_Agg] = []
     wexpr_srccols: set = set()
     for it in wexpr_items:
