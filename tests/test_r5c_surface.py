@@ -631,3 +631,15 @@ def test_qualify_with_inline_window_fns(ray_session, sf_dir):
         QUALIFY o_totalprice > 0.9 * MAX(o_totalprice) OVER ()
         ORDER BY o_orderkey
     """)
+
+
+def test_order_by_all_and_if(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY ALL ORDER BY ALL
+    """)
+    _cmp(sf_dir, """
+        SELECT SUM(IF(o_orderstatus = 'F', 1, 0)) AS n,
+               SUM(IF(o_totalprice > 100000, o_totalprice, 0.0)) AS s
+        FROM orders
+    """)

@@ -1016,6 +1016,17 @@ class _Parser:
                 els = self.expr_tree()
             self.expect("end")
             return ("case", tuple(whens), els)
+        if low == "if":
+            # IF(cond, a, b) — sugar for CASE WHEN cond THEN a ELSE b END
+            self.take()
+            self.expect("(")
+            cond = self.pred_or()
+            self.expect(",")
+            a = self.expr_tree()
+            self.expect(",")
+            b = self.expr_tree()
+            self.expect(")")
+            return ("case", ((cond, a),), b)
         if low == "extract":
             self.take()
             self.expect("(")
@@ -1924,6 +1935,22 @@ class _Parser:
         if self.kw("order"):
             self.take()
             self.expect("by")
+            if self.kw("all"):
+                # ORDER BY ALL [DESC] (DuckDB): every SELECT item, in
+                # list order, one shared direction
+                self.take()
+                d_all = False
+                if self.kw("asc", "desc"):
+                    d_all = self.take().lower() == "desc"
+                for it in plan.items:
+                    if not it.hidden:
+                        plan.order_by.append((it.name, d_all))
+                if not plan.order_by:
+                    raise ValueError("ORDER BY ALL found no SELECT items")
+                if self.kw("limit"):
+                    self.take()
+                    plan.limit = int(self.take())
+                return
             while True:
                 col = None
                 tok = self.peek()
