@@ -290,12 +290,11 @@ def test_alias_scan_ignores_extract_from(ray_session, sf_dir):
     """)
 
 
-def test_self_join_aliases_raise(ray_session, sf_dir):
-    from verdictray.sqlrouter import run_sql
-
-    with pytest.raises(ValueError, match="self-join"):
-        run_sql("SELECT COUNT(*) AS n FROM nation a JOIN nation b "
-                "ON a.n_regionkey = b.n_regionkey", sf_dir)
+def test_self_join_no_longer_raises(ray_session, sf_dir):
+    # continuation block 2 made self-joins WORK (virtual renamed table
+    # spooled into the session overlay); the old loud error is gone
+    _cmp_all(sf_dir, "SELECT COUNT(*) AS n FROM nation a JOIN nation b "
+                     "ON a.n_regionkey = b.n_regionkey")
 
 
 def test_unknown_qualifier_raises(ray_session, sf_dir):
@@ -643,3 +642,25 @@ def test_order_by_all_and_if(ray_session, sf_dir):
                SUM(IF(o_totalprice > 100000, o_totalprice, 0.0)) AS s
         FROM orders
     """)
+
+
+def test_self_join_via_virtual_table(ray_session, sf_dir):
+    # nation bound twice: the second instance reads as a renamed virtual
+    # table (n2__*) spooled once into the session overlay
+    _cmp_all(sf_dir, """
+        SELECT a.n_name, b.n_name AS peer
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        WHERE a.n_nationkey < b.n_nationkey
+        ORDER BY a.n_name, peer LIMIT 20
+    """)
+    _cmp_all(sf_dir, """
+        SELECT COUNT(*) AS n
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        WHERE a.n_nationkey < b.n_nationkey
+    """)
+
+
+def test_tpch_q7_textbook(ray_session, sf_dir):
+    from verdictray.entry_queries import SQL_TPCH_Q7
+
+    _cmp_all(sf_dir, SQL_TPCH_Q7)

@@ -5943,6 +5943,38 @@ def q_sql_qualify_top1(sf_dir: str):
     return run_sql(SQL_QUALIFY_TOP1, sf_dir)
 
 
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate) AS l_year,
+       SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           /100.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_tpch_q7(sf_dir: str):
+    """TPC-H Q7 in its TEXTBOOK form — nation joined TWICE via aliases
+    (volume shipping): the second instance becomes a virtual table
+    nation__n2 (columns renamed n2__*, one streaming rename spooled into
+    the session overlay — restoring the unique-column contract), both
+    instances broadcast-enrich, and the cross-nation OR filter runs
+    post-join. Exact cents; the classic FRANCE/GERMANY pair maps to two
+    synthetic nations. Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_TPCH_Q7, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6074,6 +6106,7 @@ QUERIES = {
     "sql_ratio_report": q_sql_ratio_report,
     "sql_distinct_on": q_sql_distinct_on,
     "sql_qualify_top1": q_sql_qualify_top1,
+    "sql_tpch_q7": q_sql_tpch_q7,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6276,6 +6309,7 @@ ORACLES = {
     "sql_ratio_report": SQL_RATIO_REPORT,
     "sql_distinct_on": SQL_DISTINCT_ON,
     "sql_qualify_top1": SQL_QUALIFY_TOP1,
+    "sql_tpch_q7": SQL_TPCH_Q7,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6347,7 +6381,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
     "sql_corr_item", "sql_ratio_report", "sql_distinct_on",
-    "sql_qualify_top1",
+    "sql_qualify_top1", "sql_tpch_q7",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",

@@ -746,6 +746,10 @@ class _Plan:
     # SELECT * — expanded to the FROM table's parquet schema (or the
     # derived table's item names) at run_sql entry, before any routing
     star: bool = False
+    # self-join virtual tables: {table__alias: (base_table, alias)} —
+    # each materializes ONCE into the session overlay as a streaming
+    # column-rename (alias__col) write_parquet before planning
+    self_joins: dict = field(default_factory=dict)
     # SELECT DISTINCT ON (k, …): first row per key group by the residual
     # ORDER BY — rewritten at run_sql entry to a hidden ROW_NUMBER
     # window item + QUALIFY = 1
@@ -805,16 +809,28 @@ class _CorrPred:
     build_preds: list        # sub-table-only WHERE conjuncts
 
 
-def _resolve_aliases(toks: list[str]) -> list[str]:
+def _resolve_aliases(toks: list[str]):
     """Token-stream pre-pass: collect ``FROM/JOIN table [AS] alias``
     bindings, REMOVE the alias tokens (the grammar never sees them), and
     strip ``alias.col`` / ``table.col`` qualifiers down to ``col`` — the
     router's unique-column-name contract makes the qualifier redundant.
-    A table bound to two aliases (a self-join) raises loudly: qualifier
-    stripping cannot disambiguate two instances of one schema."""
+
+    SELF-JOINS (one table bound to 2+ aliases): the SECOND and later
+    instances become VIRTUAL tables ``table__alias`` whose columns are
+    renamed ``alias__col`` — run_sql materializes each virtual table
+    ONCE into the session overlay (a streaming column-rename
+    write_parquet, distributed), restoring the unique-column contract.
+    Every reference to a renamed instance must be alias-qualified (an
+    unqualified column of it would resolve to the FIRST instance).
+
+    Returns ``(tokens, self_joins)`` with ``self_joins[virtual_table] =
+    (base_table, alias)``."""
     aliases: dict[str, str | None] = {}
     tables: set[str] = set()
     drops: set[int] = set()
+    self_joins: dict[str, tuple] = {}
+    renamed: dict[str, str] = {}      # alias -> virtual table
+    retok: dict[int, str] = {}        # token index -> replacement
     n = len(toks)
     i = 0
     while i < n:
@@ -844,55 +860,66 @@ def _resolve_aliases(toks: list[str]) -> list[str]:
             # (an EXTRACT(part FROM col) 'table' is harmless: it never
             # gets an alias and only joins the known-qualifier set)
             table = toks[j]
-            tables.add(table)
             k = j + 1
+            alias = None
             if (k + 1 < n and toks[k].lower() == "as"
                     and toks[k + 1][0].isalpha()):
-                if table in aliases.values():
-                    raise ValueError(
-                        f"table {table!r} appears twice with aliases "
-                        "(self-join): unsupported — the router requires "
-                        "unique column names per query")
-                aliases[toks[k + 1]] = table
+                alias = toks[k + 1]
                 drops.update((k, k + 1))
                 i = k + 2
-                continue
-            if (k < n and toks[k][0].isalpha() and "." not in toks[k]
+            elif (k < n and toks[k][0].isalpha() and "." not in toks[k]
                     and toks[k].lower() not in _RESERVED_AFTER_FROM):
-                if table in aliases.values():
-                    raise ValueError(
-                        f"table {table!r} appears twice with aliases "
-                        "(self-join): unsupported — the router requires "
-                        "unique column names per query")
-                aliases[toks[k]] = table
+                alias = toks[k]
                 drops.add(k)
                 i = k + 1
+            else:
+                i = j
+            if alias is None:
+                tables.add(table)
                 continue
+            if table in tables or table in aliases.values():
+                # self-join: this instance becomes a virtual renamed
+                # table; its qualified refs rewrite to alias__col
+                vt = f"{table}__{alias}"
+                retok[j] = vt
+                self_joins[vt] = (table, alias)
+                renamed[alias] = vt
+                tables.add(vt)
+            else:
+                aliases[alias] = table
+                tables.add(table)
+            continue
         i = j
-    if not aliases and not any(
-            "." in t and t[0].isalpha() for t in toks):
-        return toks
-    known = set(aliases) | tables
+    if (not aliases and not renamed and not any(
+            "." in t and t[0].isalpha() for t in toks)):
+        return toks, self_joins
+    known = set(aliases) | tables | set(renamed)
     out = []
     for idx, tok in enumerate(toks):
         if idx in drops:
+            continue
+        if idx in retok:
+            out.append(retok[idx])
             continue
         if "." in tok and tok[0].isalpha():
             q, _, col = tok.partition(".")
             if not col or "." in col:
                 raise ValueError(f"cannot parse qualified name {tok!r}")
+            if q in renamed:
+                out.append(f"{q}__{col}")
+                continue
             if q not in known:
                 raise ValueError(f"unknown table qualifier {q!r} in "
                                  f"{tok!r} (known: {sorted(known)})")
             out.append(col)
         else:
             out.append(tok)
-    return out
+    return out, self_joins
 
 
 class _Parser:
     def __init__(self, sql: str):
-        self.t = _resolve_aliases(_tokenize(sql))
+        self.t, self._self_joins = _resolve_aliases(_tokenize(sql))
         self.i = 0
 
     def peek(self) -> str | None:
@@ -1890,6 +1917,7 @@ class _Parser:
     # -------------------------------------------------------------- plan
     def parse(self) -> _Plan:
         plan = self._select_core()
+        plan.self_joins = dict(self._self_joins)
         self._setops(plan)
         # ORDER BY / LIMIT bind to the WHOLE union (standard SQL)
         self._order_limit(plan)
@@ -2932,6 +2960,44 @@ def _register_exprs(plan: _Plan, *, group_aliases: bool) -> dict:
             exprs[dname] = it.expr
             it.col = dname
     return exprs
+
+
+def _materialize_self_joins(plan: "_Plan", sf_dir: str,
+                            explain: list | None) -> str:
+    """Self-join support: each additional instance of a table becomes a
+    VIRTUAL table ``table__alias`` with every column renamed
+    ``alias__col`` (restoring the unique-column contract), materialized
+    ONCE into a session overlay by a STREAMING distributed rename
+    (read_parquet → zero-copy rename_columns → write_parquet — many part
+    files, never a driver funnel). Dims cost one small spool; a self-
+    joined FACT table pays one full rewrite — documented trade for a
+    shape relational engines otherwise shuffle twice anyway."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    overlay = tempfile.mkdtemp(prefix="vr_selfjoin_")
+    for fn in os.listdir(sf_dir):
+        if fn.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, fn),
+                       os.path.join(overlay, fn))
+    for vt, (base, alias) in plan.self_joins.items():
+        if explain is not None:
+            explain.append(
+                f"SELF-JOIN instance {base} AS {alias} -> virtual table "
+                f"{vt} (columns renamed {alias}__*, streaming rename "
+                "spooled once into the session overlay)")
+        src = os.path.join(overlay, f"{base}.parquet")
+        ds = rd.read_parquet(src)
+        names = _table_schema(src).names
+        ds = ds.map_batches(
+            lambda b, _m={c: f"{alias}__{c}" for c in names}:
+                b.rename_columns([_m[c] for c in b.schema.names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ds.write_parquet(os.path.join(overlay, f"{vt}.parquet"))
+    plan.self_joins = {}
+    return overlay
 
 
 def _expand_stars(plan: "_Plan", sf_dir: str) -> None:
@@ -4406,6 +4472,9 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                            "reads, no shuffle")
             return rd.from_items([])
         return rd.from_arrow(pa.table(cols))
+
+    if plan.self_joins:
+        sf_dir = _materialize_self_joins(plan, sf_dir, explain)
 
     _expand_stars(plan, sf_dir)
 
