@@ -314,7 +314,7 @@ def test_qualify_top_n_per_group(ray_session, sf01_dir):
     pdt.assert_frame_equal(q_sql_qualify(sf01_dir).to_pandas(),
                            _duck(sf01_dir, SQL_QUALIFY),
                            check_dtype=False)
-    with pytest.raises(ValueError, match="window function item"):
+    with pytest.raises(ValueError, match="window function"):
         run_sql("SELECT o_orderkey FROM orders QUALIFY o_orderkey > 5",
                 sf01_dir)
     with pytest.raises(ValueError, match="SELECTed items"):
