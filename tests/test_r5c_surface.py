@@ -664,3 +664,24 @@ def test_tpch_q7_textbook(ray_session, sf_dir):
     from verdictray.entry_queries import SQL_TPCH_Q7
 
     _cmp_all(sf_dir, SQL_TPCH_Q7)
+
+
+def test_in_subquery_join_build_via_cte(ray_session, sf_dir):
+    from verdictray.sqlrouter import run_sql
+
+    # direct JOIN in the build raises with the CTE-rewrite guidance …
+    with pytest.raises(ValueError, match="wrap the build in a CTE"):
+        run_sql("""
+            SELECT COUNT(*) AS n FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3')
+        """, sf_dir)
+    # … and the rewrite itself is exact
+    _cmp_all(sf_dir, """
+        WITH k AS (SELECT c_custkey FROM customer
+                   JOIN nation ON c_nationkey = n_nationkey
+                   WHERE n_name = 'NATION_3')
+        SELECT COUNT(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM k)
+    """)

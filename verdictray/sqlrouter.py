@@ -1867,6 +1867,12 @@ class _Parser:
             sub_col = self.take()
             self.expect("from")
             sub_table = self.take()
+            if self.kw("join", "left", "inner"):
+                raise ValueError(
+                    "IN (SELECT …) build sides with JOINs: wrap the "
+                    "build in a CTE — WITH k AS (SELECT key FROM … JOIN "
+                    "…) … WHERE col IN (SELECT key FROM k) — the CTE "
+                    "spools once and the membership probe is unchanged")
             sub_preds: list = []
             if self.kw("where"):
                 # build-side WHERE (TPC-H Q4 shape): scalar predicates
