@@ -2162,6 +2162,12 @@ class _Parser:
                 plan.joins.append((self.take(), None, None, "cross"))
                 continue
             self.expect("join")
+            if self.peek() == "(":
+                raise ValueError(
+                    "JOIN (SELECT …): inline derived join targets are "
+                    "not supported — name the subquery in a CTE (WITH x "
+                    "AS (SELECT …) … JOIN x ON …); the CTE spools once "
+                    "and joins as a plain table")
             tbl = self.take()
             self.expect("on")
             key_a = self.take()
