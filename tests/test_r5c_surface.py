@@ -685,3 +685,22 @@ def test_in_subquery_join_build_via_cte(ray_session, sf_dir):
         SELECT COUNT(*) AS n FROM orders
         WHERE o_custkey IN (SELECT c_custkey FROM k)
     """)
+
+
+def test_row_value_in(ray_session, sf_dir):
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus, o_orderpriority)
+              IN (('F', '1-URGENT'), ('O', '2-HIGH'))
+    """)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus, o_orderpriority)
+              NOT IN (('F', '1-URGENT'), ('O', '2-HIGH'))
+    """)
+    # ordinary parenthesized predicate still parses (backtracking)
+    _cmp(sf_dir, """
+        SELECT COUNT(*) AS n FROM orders
+        WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O')
+          AND o_totalprice > 1000
+    """)

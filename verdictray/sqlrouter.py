@@ -1664,6 +1664,9 @@ class _Parser:
 
     def _pred_atom(self) -> _Pred:
         if self.peek() == "(":
+            tup = self._try_tuple_in()
+            if tup is not None:
+                return tup
             self.take()
             node = self.pred_or()
             self.expect(")")
@@ -1689,6 +1692,57 @@ class _Parser:
             self.take()
             return self._exists_pred(negated=False)
         return self.pred()
+
+    def _try_tuple_in(self) -> "_Pred | None":
+        """Row-value membership ``(c1, c2) [NOT] IN ((v, v), …)`` —
+        parse-time rewrite to an OR of per-row AND equality conjuncts
+        (NOT wraps in the Kleene negation node, matching SQL's
+        three-valued row-value semantics). Backtracks and returns None
+        when the parenthesis opens an ordinary predicate group."""
+        save = self.i
+        try:
+            self.expect("(")
+            cols = [self.take()]
+            if self.peek() != ",":
+                raise ValueError("not a tuple")
+            while self.peek() == ",":
+                self.take()
+                cols.append(self.take())
+            self.expect(")")
+            negated = False
+            if self.kw("not"):
+                self.take()
+                negated = True
+            self.expect("in")
+            self.expect("(")
+            rows = []
+            while True:
+                self.expect("(")
+                vals = [self.literal()]
+                while self.peek() == ",":
+                    self.take()
+                    vals.append(self.literal())
+                self.expect(")")
+                if len(vals) != len(cols):
+                    raise ValueError(
+                        f"row-value IN arity mismatch: {len(cols)} "
+                        f"columns vs {len(vals)} values")
+                rows.append(vals)
+                if self.peek() == ",":
+                    self.take()
+                    continue
+                break
+            self.expect(")")
+        except (ValueError, IndexError):
+            self.i = save
+            return None
+        ors = []
+        for vals in rows:
+            ands = [_Pred(c, "=", v) for c, v in zip(cols, vals)]
+            ors.append(_Pred("", "and", value=ands)
+                       if len(ands) > 1 else ands[0])
+        node = _Pred("", "or", value=ors) if len(ors) > 1 else ors[0]
+        return _Pred("", "not", value=[node]) if negated else node
 
     def _exists_pred(self, negated: bool) -> _Pred:
         """``[NOT] EXISTS (SELECT <anything> FROM t WHERE …)``. The SELECT
