@@ -155,3 +155,45 @@ def test_random_quantified_and_distinct_exprs(ray_session, prop_table):
         ora = con.sql(sql).df()
         pdt.assert_frame_equal(mine, ora, check_dtype=False, rtol=0,
                                atol=0), (trial, sql)
+
+
+def test_random_join_queries_match_duckdb(ray_session):
+    """Random customer⋈nation join queries (filters on both sides, LEFT
+    or INNER, grouped or plain, expression keys) vs DuckDB — the join
+    planner's pushdown/broadcast decisions must never change results."""
+    import pytest
+
+    from verdictray.sqlrouter import run_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "nation", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    rng = random.Random(5_2026)
+    for trial in range(12):
+        how = rng.choice(["JOIN", "LEFT JOIN", "INNER JOIN"])
+        fact_pred = rng.choice([
+            "c_acctbal > 0", "c_acctbal BETWEEN -500 AND 5000",
+            "c_mktsegment <> 'BUILDING'", "c_custkey % 3 = 0"])
+        dim_pred = rng.choice([
+            "n_regionkey < 3", "n_name LIKE 'NATION_1%'",
+            "n_nationkey BETWEEN 2 AND 20"])
+        if rng.random() < 0.5:
+            sql = (f"SELECT n_name, COUNT(*) AS n, "
+                   f"CAST(SUM(c_custkey % 100) AS BIGINT) AS s "
+                   f"FROM customer {how} nation "
+                   f"ON c_nationkey = n_nationkey "
+                   f"WHERE {fact_pred} AND {dim_pred} "
+                   f"GROUP BY n_name ORDER BY n_name")
+        else:
+            sql = (f"SELECT c_custkey, n_name FROM customer {how} nation "
+                   f"ON c_nationkey = n_nationkey "
+                   f"WHERE {fact_pred} AND {dim_pred} "
+                   f"ORDER BY c_custkey LIMIT 20")
+        mine = run_sql(sql, sf).to_pandas().reset_index(drop=True)
+        ora = con.sql(sql).df().reset_index(drop=True)
+        if len(ora) == 0:
+            assert len(mine) == 0, (trial, sql)
+            continue
+        pdt.assert_frame_equal(mine, ora, check_dtype=False, rtol=0,
+                               atol=0), (trial, sql)
