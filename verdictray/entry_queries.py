@@ -5975,6 +5975,25 @@ def q_sql_tpch_q7(sf_dir: str):
     return run_sql(SQL_TPCH_Q7, sf_dir)
 
 
+SQL_ROWVALUE_IN = """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+WHERE (o_orderstatus, o_orderpriority)
+      IN (('F', '1-URGENT'), ('O', '2-HIGH'), ('P', '3-MEDIUM'))
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_sql_rowvalue_in(sf_dir: str):
+    """Row-value membership (tuple IN): parse-time rewrite to an OR of
+    per-row AND equality conjuncts — one vectorized Kleene mask, no new
+    execution machinery. Identical text runs in DuckDB. No reference
+    file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_ROWVALUE_IN, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6107,6 +6126,7 @@ QUERIES = {
     "sql_distinct_on": q_sql_distinct_on,
     "sql_qualify_top1": q_sql_qualify_top1,
     "sql_tpch_q7": q_sql_tpch_q7,
+    "sql_rowvalue_in": q_sql_rowvalue_in,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6310,6 +6330,7 @@ ORACLES = {
     "sql_distinct_on": SQL_DISTINCT_ON,
     "sql_qualify_top1": SQL_QUALIFY_TOP1,
     "sql_tpch_q7": SQL_TPCH_Q7,
+    "sql_rowvalue_in": SQL_ROWVALUE_IN,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6381,7 +6402,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_distinct_window", "sql_select_star", "sql_tpch_q13",
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
     "sql_corr_item", "sql_ratio_report", "sql_distinct_on",
-    "sql_qualify_top1", "sql_tpch_q7",
+    "sql_qualify_top1", "sql_tpch_q7", "sql_rowvalue_in",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
