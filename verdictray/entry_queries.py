@@ -5994,6 +5994,26 @@ def q_sql_rowvalue_in(sf_dir: str):
     return run_sql(SQL_ROWVALUE_IN, sf_dir)
 
 
+SQL_LATEST_EVENT = """
+SELECT DISTINCT ON (user_id) user_id, ts, event_type, value
+FROM events
+ORDER BY user_id, ts DESC, event_id DESC
+LIMIT 500
+"""
+
+
+def q_sql_latest_event(sf_dir: str):
+    """Latest record per key — the snapshot-dedup primitive every
+    training-data pipeline needs — as DISTINCT ON over the events table
+    (hidden ROW_NUMBER per user ordered by ts DESC with the unique
+    event_id tiebreak, one window shuffle, QUALIFY = 1). Identical text
+    runs in DuckDB. No reference file:line — /root/reference is
+    empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_LATEST_EVENT, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6127,6 +6147,7 @@ QUERIES = {
     "sql_qualify_top1": q_sql_qualify_top1,
     "sql_tpch_q7": q_sql_tpch_q7,
     "sql_rowvalue_in": q_sql_rowvalue_in,
+    "sql_latest_event": q_sql_latest_event,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6331,6 +6352,7 @@ ORACLES = {
     "sql_qualify_top1": SQL_QUALIFY_TOP1,
     "sql_tpch_q7": SQL_TPCH_Q7,
     "sql_rowvalue_in": SQL_ROWVALUE_IN,
+    "sql_latest_event": SQL_LATEST_EVENT,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6403,6 +6425,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
     "sql_corr_item", "sql_ratio_report", "sql_distinct_on",
     "sql_qualify_top1", "sql_tpch_q7", "sql_rowvalue_in",
+    "sql_latest_event",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
