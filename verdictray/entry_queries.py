@@ -6014,6 +6014,26 @@ def q_sql_latest_event(sf_dir: str):
     return run_sql(SQL_LATEST_EVENT, sf_dir)
 
 
+SQL_DOC_PER_LANG = """
+SELECT DISTINCT ON (lang) lang, doc_id, n_chars,
+       ROUND(100.0 * n_chars / SUM(n_chars) OVER (PARTITION BY lang), 6)
+           AS pct_of_lang
+FROM documents
+ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
+def q_sql_doc_per_lang(sf_dir: str):
+    """Longest document per language over the corpus table — DISTINCT ON
+    composed with a ratio-to-report window expression in ONE query (two
+    window specs: the hidden per-lang ROW_NUMBER and the per-lang char
+    share, chained partitioned_window passes). Identical text runs in
+    DuckDB. No reference file:line — /root/reference is empty."""
+    from .sqlrouter import run_sql
+
+    return run_sql(SQL_DOC_PER_LANG, sf_dir)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "events_by_type": q_events_by_type,
@@ -6148,6 +6168,7 @@ QUERIES = {
     "sql_tpch_q7": q_sql_tpch_q7,
     "sql_rowvalue_in": q_sql_rowvalue_in,
     "sql_latest_event": q_sql_latest_event,
+    "sql_doc_per_lang": q_sql_doc_per_lang,
     "sql_tpch_q21ish": q_sql_tpch_q21ish,
     "sql_tpch_q2ish": q_sql_tpch_q2ish,
     "sql_exists_semi": q_sql_exists_semi,
@@ -6353,6 +6374,7 @@ ORACLES = {
     "sql_tpch_q7": SQL_TPCH_Q7,
     "sql_rowvalue_in": SQL_ROWVALUE_IN,
     "sql_latest_event": SQL_LATEST_EVENT,
+    "sql_doc_per_lang": SQL_DOC_PER_LANG,
     "sql_tpch_q21ish": SQL_TPCH_Q21ISH,
     "sql_tpch_q2ish": SQL_TPCH_Q2ISH_ORACLE,
     "sql_exists_semi": SQL_EXISTS_SEMI,
@@ -6425,7 +6447,7 @@ DRIVER_PRIORITY: list[str] = [
     "sql_misc_preds", "sql_surface_r5c", "sql_multikey_join",
     "sql_corr_item", "sql_ratio_report", "sql_distinct_on",
     "sql_qualify_top1", "sql_tpch_q7", "sql_rowvalue_in",
-    "sql_latest_event",
+    "sql_latest_event", "sql_doc_per_lang",
     "sql_corr_regr", "sql_sum_distinct", "sql_arg_minmax",
     "sql_string_agg",
     "sql_scalar_fns_r5", "sql_variance", "sql_interval_datediff",
