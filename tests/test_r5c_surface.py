@@ -704,3 +704,21 @@ def test_row_value_in(ray_session, sf_dir):
         WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O')
           AND o_totalprice > 1000
     """)
+
+
+def test_rollup_over_empty_input(ray_session, sf_dir):
+    # fuzz-found: ROLLUP/CUBE over an EMPTY filtered input must emit the
+    # grand-total () row (COUNT 0, value aggregates NULL), not crash the
+    # sort's range sampler with a None partial
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders WHERE o_totalprice < -1
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY n DESC, 1 NULLS FIRST, 2 NULLS FIRST
+    """)
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, COUNT(*) AS n, SUM(o_custkey) AS s
+        FROM orders WHERE o_totalprice < -1
+        GROUP BY CUBE (o_orderstatus)
+        ORDER BY n, 1 NULLS FIRST
+    """)

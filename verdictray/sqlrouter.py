@@ -5644,8 +5644,35 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                      for c in (gkn, gk)]).aggregate(*reaggs)
             else:
                 grand = out.aggregate(*reaggs)
-                lvl = rd.from_arrow(pa.table(
-                    {n: pa.array([grand[n]]) for n in re_names}))
+                # SQL: the grand-total () row exists even over an EMPTY
+                # input — COUNT-family partials are 0 there, value
+                # aggregates stay NULL. Ray's aggregate over an empty
+                # Dataset returns None values (or None outright), which
+                # would put a None through the sort's range sampler.
+                if grand is None:
+                    grand = {}
+                zero_partials = set()
+                for it in agg_items:
+                    if it.fn == "count":
+                        zero_partials.add(it.name)
+                    elif it.fn == "money_avg":
+                        zero_partials.add(f"_cnt_{it.name}")
+                    elif it.fn == "avg":
+                        zero_partials.add(f"_avgn_{it.name}")
+                oschema = out.schema()
+                otypes = (dict(zip(oschema.names, oschema.types))
+                          if oschema is not None else {})
+                cols_g = {}
+                for n_ in re_names:
+                    v = grand.get(n_)
+                    if v is None and n_ in zero_partials:
+                        v = 0
+                    ty = otypes.get(n_)
+                    if not isinstance(ty, pa.DataType):
+                        ty = (pa.int64() if n_ in zero_partials
+                              else pa.float64()) if v is None else None
+                    cols_g[n_] = pa.array([v], type=ty)
+                lvl = rd.from_arrow(pa.table(cols_g))
             parts.append(lvl.map_batches(_level_fn(tuple(lv)),
                                          batch_format="pyarrow",
                                          zero_copy_batch=True))
