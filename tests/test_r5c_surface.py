@@ -722,3 +722,14 @@ def test_rollup_over_empty_input(ray_session, sf_dir):
         GROUP BY CUBE (o_orderstatus)
         ORDER BY n, 1 NULLS FIRST
     """)
+
+
+def test_cte_with_empty_result(ray_session, sf_dir):
+    # fuzz-found: a CTE whose WHERE drops EVERY row left Ray's lazy
+    # Dataset schemaless — the spool now probes the body's schema with
+    # filters stripped and pins a typed zero-row part
+    _cmp_all(sf_dir, """
+        WITH f AS (SELECT * FROM orders WHERE o_totalprice < -1)
+        SELECT o_orderstatus, COUNT(*) AS n
+        FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)

@@ -2067,7 +2067,11 @@ class _Parser:
                         raise ValueError("expected FIRST or LAST after "
                                          f"NULLS, got {place!r}")
                     plan.order_nulls[col] = place
-                plan.order_by.append((col, desc))
+                # duplicate ORDER BY keys are legal SQL and redundant
+                # (later occurrences can never break a tie the first
+                # didn't) — dedup so sentinel columns register once
+                if col not in (c for c, _ in plan.order_by):
+                    plan.order_by.append((col, desc))
                 if self.peek() == ",":
                     self.take()
                     continue
@@ -4473,6 +4477,25 @@ def _materialize_ctes(sql: str, sf_dir: str, opts: dict,
             # empty CTE result: pin one zero-row part so downstream
             # schema/metadata reads stay uniform
             sch = out.schema()
+            if sch is None and not re.match(r"\s*WITH\b", body, re.I):
+                # a filter that dropped EVERY row leaves Ray's lazy
+                # Dataset schemaless — the schema is a property of the
+                # query STRUCTURE, not the predicate, so probe it by
+                # running the body with filters stripped and LIMIT 1
+                import dataclasses
+                pp = dataclasses.replace(
+                    parse_sql(body), where=[], having=[], qualify=[],
+                    corr_where=[], limit=1, offset=0, order_by=[],
+                    order_nulls={})
+                probe = run_sql("", overlay, _plan=pp,
+                                **{**opts, "explain": None})
+                sch = probe.schema()
+            if sch is None:
+                raise ValueError(
+                    f"CTE {name!r} produced no rows and its schema "
+                    "could not be derived (empty base tables?)")
+            os.makedirs(path, exist_ok=True)   # a zero-row write_parquet
+            #                                    may not create the dir
             pq.write_table(
                 pa.table({n: pa.array([], type=t)
                           for n, t in zip(sch.names, sch.types)}),
@@ -5908,6 +5931,15 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
             if a.rexpr is not None:
                 a.rexpr = _qrepl(a.rexpr)
     plan.items.extend(q_hidden)
+    # the final ORDER BY may reference UNSELECTED plain columns (SQL
+    # sorts before projection): carry them as hidden passthroughs, the
+    # post-sort _drop_hidden_items removes them
+    have_names = ({it.name for it in plan.items}
+                  | {it.col for it in plan.items if it.col})
+    for c_, _d in plan.order_by:
+        if c_ not in have_names:
+            plan.items.append(_Agg("col", c_, hidden=True))
+            have_names.add(c_)
     hidden_wleaves: list[_Agg] = []
     wexpr_srccols: set = set()
     for it in wexpr_items:
