@@ -740,3 +740,34 @@ def test_cte_with_empty_result(ray_session, sf_dir):
         FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus
     """, sf_dir).to_pandas()
     assert len(mine) == 0
+
+
+def test_sort_on_all_null_key(ray_session, tmp_path):
+    # fuzz-found: an ALL-null sort key (surfacing as Arrow NULL type out
+    # of the window stage's pandas round-trip) crashed Ray's
+    # range-partition sampler; every sort key now travels as a
+    # (sentinel, null-filled) pair
+    import duckdb as dd
+    import pandas.testing as pdtt
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from verdictray.sqlrouter import run_sql
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "a": list(range(200)),
+        "b": [i % 7 for i in range(200)],
+        "c": pa.array([None] * 100 + [1] * 100, pa.int64()),
+        "g": ["x" if i % 2 else "y" for i in range(200)],
+    }), f"{d}/t.parquet")
+    sql = """
+        SELECT a, c, SUM(b) OVER (PARTITION BY g ORDER BY a) AS s
+        FROM t WHERE c IS NULL
+        ORDER BY c NULLS LAST, a LIMIT 50
+    """
+    mine = run_sql(sql, d).to_pandas().reset_index(drop=True)
+    con = dd.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{d}/t.parquet'")
+    ref = con.sql(sql).df().reset_index(drop=True)
+    pdtt.assert_frame_equal(mine, ref, check_dtype=False, rtol=1e-9)

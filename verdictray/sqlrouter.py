@@ -4298,23 +4298,40 @@ def _sort_with_nulls(out, order_by: list, order_nulls: dict,
     rename = rename or {}
     keys: list[str] = []
     desc: list[bool] = []
-    helpers: list[tuple[str, str]] = []
+    helpers: list[tuple[str, str, str]] = []
     for c, d in order_by:
         phys = rename.get(c, c)
-        place = order_nulls.get(c)
-        if place is not None:
-            h = f"_nulls_{phys}"
-            helpers.append((h, phys))
-            keys.append(h)
-            # is_null=1 first ⇒ sort the sentinel DESCENDING
-            desc.append(place == "first")
-        keys.append(phys)
+        # EVERY key sorts as a (is-null sentinel, null-FILLED value)
+        # pair — no raw null ever reaches Ray's range-partition sampler,
+        # whose sampled boundaries crash numpy searchsorted on None
+        # (deterministically so when a key column is all-null). Default
+        # placement is nulls-LAST in both directions (DuckDB's
+        # default_null_order), which the sentinel reproduces exactly.
+        place = order_nulls.get(c, "last")
+        h, v = f"_nulls_{phys}", f"_nsv_{phys}"
+        helpers.append((h, phys, v))
+        keys.append(h)
+        # is_null=1 first ⇒ sort the sentinel DESCENDING
+        desc.append(place == "first")
+        keys.append(v)
         desc.append(d)
     if helpers:
         def _add(b: pa.Table, _h=tuple(helpers)) -> pa.Table:
-            for name, src in _h:
+            for name, src, val in _h:
+                col = b[src]
                 b = b.append_column(
-                    name, pc.cast(pc.is_null(b[src]), pa.int8()))
+                    name, pc.cast(pc.is_null(col), pa.int8()))
+                if pa.types.is_null(col.type):
+                    # an ALL-null column may surface as Arrow null type
+                    # (e.g. out of a pandas window stage): every row is
+                    # in the sentinel=1 group, so the value key is a
+                    # constant typed zero
+                    b = b.append_column(val, pa.chunked_array([
+                        pa.array([0] * b.num_rows, pa.int8())]))
+                    continue
+                z = _zero_like(col.type)
+                b = b.append_column(
+                    val, col if z is None else pc.fill_null(col, z))
             return b
 
         out = out.map_batches(_add, batch_format="pyarrow",
@@ -4336,8 +4353,9 @@ def _sort_with_nulls(out, order_by: list, order_nulls: dict,
     out = out.sort(keys, descending=desc)
     if helpers:
         out = out.map_batches(
-            lambda b, _h=tuple(h for h, _ in helpers): b.drop_columns(
-                list(_h)),
+            lambda b, _h=tuple(c for h, _s, v in helpers
+                               for c in (h, v)): b.drop_columns(
+                [c for c in _h if c in b.schema.names]),
             batch_format="pyarrow", zero_copy_batch=True)
     return out
 
