@@ -771,3 +771,24 @@ def test_sort_on_all_null_key(ray_session, tmp_path):
     con.sql(f"CREATE VIEW t AS SELECT * FROM '{d}/t.parquet'")
     ref = con.sql(sql).df().reset_index(drop=True)
     pdtt.assert_frame_equal(mine, ref, check_dtype=False, rtol=1e-9)
+
+
+def test_cube_over_derived_key_and_empty_corr_build(ray_session, sf_dir):
+    # fuzz-found pair: (a) CUBE/ROLLUP over a DERIVED key (EXTRACT
+    # alias) — the rolled-up level's typed NULLs now take the key type
+    # from the finest pass (or a zero-row expression evaluation when
+    # even that is empty); (b) a correlated-item build that matches
+    # NOTHING pins a typed zero-row spool (COUNT coalesces to 0)
+    _cmp(sf_dir, """
+        SELECT o_orderstatus, EXTRACT(year FROM o_orderdate) AS y,
+               COUNT(*) AS n
+        FROM orders WHERE o_orderpriority ILIKE '%high%'
+        GROUP BY CUBE (o_orderstatus, y)
+        ORDER BY n DESC, 1 NULLS FIRST, 2 NULLS FIRST LIMIT 15
+    """)
+    _cmp(sf_dir, """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey = c_custkey AND o_orderkey < -1) AS n
+        FROM customer ORDER BY c_custkey LIMIT 15
+    """)

@@ -2234,9 +2234,10 @@ class _Parser:
             while self.kw("and"):
                 # ON a = b AND <pred> — extra conjuncts must be scalar
                 # (ownership by the joined table is checked at execution,
-                # where the parquet schemas are known)
+                # where the parquet schemas are known); _pred_atom also
+                # admits NOT ( … ) and parenthesized groups
                 self.take()
-                p = self.pred()
+                p = self._pred_atom()
                 for a_ in _pred_atoms(p):
                     if a_.sub is not None:
                         raise ValueError("ON-clause predicates must be "
@@ -3434,7 +3435,27 @@ def _rewrite_corr_items(plan: "_Plan", sf_dir: str, opts: dict,
                       **{**opts, "explain": None})
         # group keys are unique, so the alias-keyed group output needs a
         # rename only if the route kept the alias — it does (item alias)
-        out.write_parquet(os.path.join(overlay, f"_corrq{j}.parquet"))
+        spool = os.path.join(overlay, f"_corrq{j}.parquet")
+        out.write_parquet(spool)
+        import glob as _glob
+        if not _glob.glob(os.path.join(spool, "*.parquet")):
+            # EMPTY build (the correlated filter matched nothing): pin a
+            # typed zero-row part — key type from parquet, value type
+            # from the aggregate family (COUNT int64, else float64 is a
+            # safe null carrier: the LEFT join null-pads every row)
+            import dataclasses as _dc
+            import pyarrow.parquet as _pq
+            ktype = dict(zip(
+                (s2 := _table_schema(
+                    f"{sf_dir}/{s.table}.parquet")).names,
+                s2.types))[inner_key]
+            vtype = (pa.int64() if agg_item.fn == "count"
+                     else pa.float64())
+            os.makedirs(spool, exist_ok=True)
+            _pq.write_table(
+                pa.table({kcol: pa.array([], type=ktype),
+                          vcol: pa.array([], type=vtype)}),
+                os.path.join(spool, "empty.parquet"))
         plan.joins.append((f"_corrq{j}", outer_key, kcol, "left"))
         if agg_item.fn == "count":
             it.fn, it.col = "expr", None
@@ -5583,8 +5604,42 @@ def run_sql(sql: str, sf_dir: str, *, hll_p: int = 14, kll_k: int = 200,
                           if n in key_cols)
         missing_t = [k for k in key_cols if k not in ktypes]
         if missing_t:
-            raise ValueError("GROUP BY ROLLUP keys must be plain table "
-                             f"columns, got derived {missing_t}")
+            # DERIVED keys (expression items grouped via alias —
+            # EXTRACT(year …) AS y): their type is whatever the finest
+            # pass produced, readable from its materialized _gk_<k>
+            # wrapped key column
+            osch = out.schema()
+            otypes_r = (dict(zip(osch.names, osch.types))
+                        if osch is not None else {})
+            for k in list(missing_t):
+                ty = otypes_r.get(f"_gk_{k}")
+                if isinstance(ty, pa.DataType):
+                    ktypes[k] = ty
+                    missing_t.remove(k)
+        if missing_t:
+            # EMPTY input leaves even the finest pass schemaless — the
+            # derived key's type is still statically determined: run its
+            # expression over a ZERO-ROW batch of the source columns
+            src_types: dict = {}
+            for t in [plan.table] + [j[0] for j in plan.joins]:
+                s_ = _table_schema(f"{sf_dir}/{t}.parquet")
+                src_types.update(zip(s_.names, s_.types))
+            for k in list(missing_t):
+                tree = exprs.get(k)
+                if tree is None:
+                    continue
+                try:
+                    zb = pa.table({c: pa.array([], type=src_types[c])
+                                   for c in _expr_cols(tree)})
+                    zv = _eval_expr(zb, tree)
+                    ktypes[k] = (zv.type if not isinstance(zv, pa.Scalar)
+                                 else zv.type)
+                    missing_t.remove(k)
+                except Exception:
+                    pass
+        if missing_t:
+            raise ValueError("GROUP BY ROLLUP key types could not be "
+                             f"resolved for {missing_t}")
         reaggs, re_names = [], []
         for it in agg_items:
             name = it.name
