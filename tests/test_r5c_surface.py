@@ -792,3 +792,15 @@ def test_cube_over_derived_key_and_empty_corr_build(ray_session, sf_dir):
                 WHERE o_custkey = c_custkey AND o_orderkey < -1) AS n
         FROM customer ORDER BY c_custkey LIMIT 15
     """)
+
+
+def test_window_fn_inside_case_predicate(ray_session, sf_dir):
+    # a window leaf INSIDE a CASE WHEN comparison — detection and the
+    # hidden-item rewrite walk _Pred operands too
+    _cmp(sf_dir, """
+        SELECT o_orderkey,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_orderkey) = 1
+                    THEN 'first' ELSE 'rest' END AS tag
+        FROM orders ORDER BY o_orderkey LIMIT 10
+    """)

@@ -633,8 +633,17 @@ def _qualify_waggs(preds) -> list:
 
 def _wagg_leaves(e) -> list:
     """Collect the ``("wagg", _Agg)`` window-function leaves of an
-    expression tree (arithmetic over window results)."""
+    expression tree (arithmetic over window results) — including leaves
+    inside CASE WHEN predicates (_Pred operands)."""
     out: list = []
+    if isinstance(e, _Pred):
+        if e.op in ("and", "or", "not"):
+            for c in e.value:
+                out.extend(_wagg_leaves(c))
+        for side in (e.lexpr, e.rexpr):
+            if side is not None:
+                out.extend(_wagg_leaves(side))
+        return out
     if not isinstance(e, tuple):
         return out
     if len(e) and e[0] == "wagg":
@@ -5987,6 +5996,14 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
     q_hidden: list[_Agg] = []
 
     def _qrepl(tree):
+        if isinstance(tree, _Pred):
+            if tree.op in ("and", "or", "not"):
+                tree.value = [_qrepl(c) for c in tree.value]
+            if tree.lexpr is not None:
+                tree.lexpr = _qrepl(tree.lexpr)
+            if tree.rexpr is not None:
+                tree.rexpr = _qrepl(tree.rexpr)
+            return tree
         if not isinstance(tree, tuple):
             return tree
         if len(tree) and tree[0] == "wagg":
@@ -6021,6 +6038,16 @@ def _run_window_sql(plan: _Plan, sf_dir: str, *, buckets: int = 32,
                              "AS alias")
 
         def _wrepl(tree, _h=hidden_wleaves):
+            if isinstance(tree, _Pred):
+                # CASE WHEN predicates may carry window leaves in their
+                # comparison sides — rewrite in place (preds are ours)
+                if tree.op in ("and", "or", "not"):
+                    tree.value = [_wrepl(c) for c in tree.value]
+                if tree.lexpr is not None:
+                    tree.lexpr = _wrepl(tree.lexpr)
+                if tree.rexpr is not None:
+                    tree.rexpr = _wrepl(tree.rexpr)
+                return tree
             if not isinstance(tree, tuple):
                 return tree
             if len(tree) and tree[0] == "wagg":
